@@ -1,0 +1,96 @@
+"""Lookup tables — rsyslog `lookup_table` analog.
+
+The reference loads a JSON file into an immutable in-memory table with
+four lookup semantics (reference runtime/lookup.h:26-34,
+runtime/lookup.c):
+
+- string      — exact-match on sorted keys (bsearch, lookup.c:400-416)
+- array       — dense uint index (lookup.c:418-435)
+- sparseArray — greatest key <= probe, i.e. a range / as-of lookup
+                (lookup.c:437-485)
+- regex       — first matching regex in an ordered list (lookup.c:486-)
+
+Misses return the configured stub value (lookup.c:396-398 STUBBED).
+Hot reload via rwlock swap (lookup.c:151-162) becomes: rebuild + re-put
+the broadcast object between runs.
+
+At scale the table is broadcast once (``ray.put`` on the driver) and
+fetched per actor in ``__init__`` — never shipped per batch, never
+shuffled (rsyslog has no general join; see SURVEY.md §2.7).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+
+class LookupTable:
+    """Immutable lookup table with the four reference semantics."""
+
+    def __init__(self, kind: str, mapping, stub: str = ""):
+        assert kind in ("string", "array", "sparseArray", "regex")
+        self.kind = kind
+        self.stub = stub
+        if kind == "string":
+            self._dict = dict(mapping)
+        elif kind == "array":
+            # mapping: list[value] indexed by uint key
+            self._arr = list(mapping)
+        elif kind == "sparseArray":
+            # mapping: dict[int lower-bound -> value]; probe maps to the
+            # greatest bound <= probe (range lookup, np.searchsorted)
+            items = sorted(mapping.items())
+            self._bounds = np.array([k for k, _ in items], dtype=np.int64)
+            self._vals = np.array([v for _, v in items], dtype=object)
+        elif kind == "regex":
+            # mapping: ordered list of (pattern, value)
+            self._regex = [(re.compile(p), v) for p, v in mapping]
+
+    # -- per-row (oracle path) -----------------------------------------
+    def lookup(self, key):
+        if self.kind == "string":
+            return self._dict.get(key, self.stub)
+        if self.kind == "array":
+            i = int(key)
+            return self._arr[i] if 0 <= i < len(self._arr) else self.stub
+        if self.kind == "sparseArray":
+            i = int(np.searchsorted(self._bounds, int(key), side="right")) - 1
+            return self._vals[i] if i >= 0 else self.stub
+        for cre, v in self._regex:
+            if cre.search(str(key)):
+                return v
+        return self.stub
+
+    # -- vectorized (engine path) --------------------------------------
+    def lookup_series(self, keys: pd.Series) -> pd.Series:
+        if self.kind == "string":
+            return keys.map(self._dict).fillna(self.stub)
+        if self.kind == "array":
+            arr = pd.Series(self._arr)
+            k = pd.to_numeric(keys, errors="coerce")
+            out = k.map(lambda i: self._arr[int(i)]
+                        if pd.notna(i) and 0 <= int(i) < len(self._arr)
+                        else self.stub)
+            return out
+        if self.kind == "sparseArray":
+            k = pd.to_numeric(keys, errors="coerce").fillna(
+                self._bounds[0] - 1).astype(np.int64)
+            idx = np.searchsorted(self._bounds, k.to_numpy(), side="right") - 1
+            vals = np.where(idx >= 0, self._vals[np.maximum(idx, 0)], self.stub)
+            return pd.Series(vals, index=keys.index, dtype=object)
+        # regex: ordered first-match over still-unmatched rows (same
+        # first-match-wins shape as the parser chain)
+        out = pd.Series(self.stub, index=keys.index, dtype=object)
+        unmatched = pd.Series(True, index=keys.index)
+        ks = keys.astype(str)
+        for cre, v in self._regex:
+            if not unmatched.any():
+                break
+            hit = ks[unmatched].str.contains(cre)
+            hit_idx = hit.index[hit.fillna(False)]
+            out.loc[hit_idx] = v
+            unmatched.loc[hit_idx] = False
+        return out

@@ -1,0 +1,183 @@
+"""Router — ruleset / property-filter compiler (fan-out + stop).
+
+The reference routes each message through an ordered ruleset program:
+property filters (`:prop, [!]op, "val"` — ops contains / isequal /
+startswith / endswith / regex / isempty, reference
+runtime/typedefs.h:170-180 FIOP_*, eval runtime/ruleset.c:424-500),
+PRI filters (facility/severity bitmaps, ruleset.c:403), full boolean
+expressions (grammar/rainerscript.c:3878-4110 cnfexprEval), actions
+(deliver to a sink) and `stop` (discard — end of matching,
+ruleset.c:552-554).  One message may match many actions (fan-out).
+
+Ray-Data-first re-expression: ALL route predicates compile to
+vectorized boolean masks evaluated in ONE pass over each Arrow/pandas
+batch; `stop` becomes a running "already consumed" mask ANDed out of
+later routes.  Sinks then become either filtered write branches or a
+single-pass fan-out writer (see sinks.py).
+
+Predicate AST (tuples, declarative — the RainerScript-expression
+subset):
+
+    ("==", col, val)     ("!=", col, val)
+    (">=", col, val)     ("<=", col, val)  (">", ...)  ("<", ...)
+    ("contains", col, s) ("startswith", col, s) ("endswith", col, s)
+    ("regex", col, pattern)          # ERE, re.search semantics
+    ("isempty", col)                 # "" or null
+    ("in", col, [v1, v2, ...])       # sorted-array membership
+    ("prifilt", col, lo, hi)         # severity range mask (inclusive)
+    ("and", p, q) ("or", p, q) ("not", p) ("true",)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass(frozen=True)
+class Route:
+    sink: str
+    pred: tuple
+    stop: bool = False
+
+
+def _mask(pred: tuple, df: pd.DataFrame) -> pd.Series:
+    op = pred[0]
+    if op == "true":
+        return pd.Series(True, index=df.index)
+    if op == "and":
+        return _mask(pred[1], df) & _mask(pred[2], df)
+    if op == "or":
+        return _mask(pred[1], df) | _mask(pred[2], df)
+    if op == "not":
+        return ~_mask(pred[1], df)
+    col = df[pred[1]]
+    if op == "==":
+        return (col == pred[2]).fillna(False).astype(bool)
+    if op == "!=":
+        return (col != pred[2]).fillna(False).astype(bool)
+    if op in (">=", "<=", ">", "<"):
+        c = pd.to_numeric(col, errors="coerce")
+        cmp = {">=": c.ge, "<=": c.le, ">": c.gt, "<": c.lt}[op](pred[2])
+        return cmp.fillna(False).astype(bool)
+    if op == "contains":
+        return col.astype("string").str.contains(pred[2], regex=False).fillna(False).astype(bool)
+    if op == "startswith":
+        return col.astype("string").str.startswith(pred[2]).fillna(False).astype(bool)
+    if op == "endswith":
+        return col.astype("string").str.endswith(pred[2]).fillna(False).astype(bool)
+    if op == "regex":
+        return col.astype("string").str.contains(pred[2], regex=True).fillna(False).astype(bool)
+    if op == "isempty":
+        return (col.isna() | (col == "")).astype(bool)
+    if op == "in":
+        return col.isin(pred[2]).fillna(False).astype(bool)
+    if op == "prifilt":
+        c = pd.to_numeric(col, errors="coerce")
+        return (c.ge(pred[2]) & c.le(pred[3])).fillna(False).astype(bool)
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+def _eval_row(pred: tuple, row: dict) -> bool:
+    """Per-row reference implementation (oracle path)."""
+    op = pred[0]
+    if op == "true":
+        return True
+    if op == "and":
+        return _eval_row(pred[1], row) and _eval_row(pred[2], row)
+    if op == "or":
+        return _eval_row(pred[1], row) or _eval_row(pred[2], row)
+    if op == "not":
+        return not _eval_row(pred[1], row)
+    v = row.get(pred[1])
+    isnull = v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NA or v is pd.NaT
+    if op == "==":
+        return (not isnull) and v == pred[2]
+    if op == "!=":
+        return (not isnull) and v != pred[2]
+    if op in (">=", "<=", ">", "<"):
+        if isnull:
+            return False
+        try:
+            f = float(v)
+        except (TypeError, ValueError):
+            return False
+        return {">=": f >= pred[2], "<=": f <= pred[2],
+                ">": f > pred[2], "<": f < pred[2]}[op]
+    if op == "contains":
+        return (not isnull) and pred[2] in str(v)
+    if op == "startswith":
+        return (not isnull) and str(v).startswith(pred[2])
+    if op == "endswith":
+        return (not isnull) and str(v).endswith(pred[2])
+    if op == "regex":
+        return (not isnull) and re.search(pred[2], str(v)) is not None
+    if op == "isempty":
+        return isnull or v == ""
+    if op == "in":
+        return (not isnull) and v in pred[2]
+    if op == "prifilt":
+        if isnull:
+            return False
+        return pred[2] <= float(v) <= pred[3]
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+class Router:
+    """Ordered route program with fan-out + stop semantics."""
+
+    def __init__(self, routes: list[Route]):
+        self.routes = routes
+        self.sinks = []
+        for r in routes:
+            if r.sink not in self.sinks:
+                self.sinks.append(r.sink)
+
+    def masks(self, df: pd.DataFrame) -> dict[str, pd.Series]:
+        """One boolean mask per sink, stop semantics applied in order.
+        A sink referenced by several routes gets the OR of its masks."""
+        consumed = pd.Series(False, index=df.index)
+        out = {s: pd.Series(False, index=df.index) for s in self.sinks}
+        for r in self.routes:
+            m = _mask(r.pred, df) & ~consumed
+            out[r.sink] = out[r.sink] | m
+            if r.stop:
+                consumed = consumed | m
+        return out
+
+    def route_row(self, row: dict) -> list[str]:
+        """Oracle path: sinks this row is delivered to, in route order."""
+        hit = []
+        for r in self.routes:
+            if _eval_row(r.pred, row):
+                if r.sink not in hit:
+                    hit.append(r.sink)
+                if r.stop:
+                    break
+        return hit
+
+
+# ----------------------------------------------------------------------
+# Fixture route program (F5) over the parsed+enriched pages frame.
+# Covers every comparison class; overlapping routes (fan-out) and stop
+# routes (dead-letter first, spam swallowed).
+DEFAULT_ROUTES = [
+    Route("deadletter", ("==", "parse_ok", False), stop=True),
+    Route("spam", ("==", "category", "spam"), stop=True),
+    Route("errors", ("prifilt", "p_sev", 0, 3)),
+    Route("failures", ("contains", "p_msg", "fail")),
+    Route("en_news", ("and", ("==", "lang", "en"), ("==", "category", "news"))),
+    Route("h0_hosts", ("startswith", "p_host", "h00")),
+    Route("lucky7", ("regex", "url", r"id=\d*7$")),
+    Route("netapps", ("in", "p_app", ["nginx", "sshd"])),
+    Route("empties", ("isempty", "p_msg")),
+    Route("bigpages", (">=", "p_bytes", 60000)),
+    Route("archive", ("true",)),
+]
+
+
+def default_router() -> Router:
+    return Router(DEFAULT_ROUTES)

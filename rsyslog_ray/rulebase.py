@@ -1,0 +1,138 @@
+"""Rule compiler — liblognorm / parser-chain analog.
+
+The reference parses each message through an ordered chain of parsers,
+first match wins; unmatched rows are annotated, not silently mangled
+(reference runtime/parser.c:613-693 parser chain;
+plugins/mmnormalize/mmnormalize.c rulebases; pmrfc5424/pmrfc3164 header
+grammars, tools/pmrfc5424.c:105-145).
+
+Here a rulebase is an ordered list of named, typed, anchored regexes
+compiled once (at actor ``__init__`` / module import, never per batch).
+``parse_frame`` applies the chain *vectorized*: each rule's compiled
+regex runs via ``pandas.Series.str.extract`` over only the
+still-unmatched rows (first-match-wins by construction), producing typed
+columns + ``rule`` + ``parse_ok`` (bParseSuccess analog, msg.h:68) —
+rows never drop on parse failure.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+TS_FORMAT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    pattern: str                       # anchored regex with named groups
+    types: dict = field(default_factory=dict)  # group -> 'str'|'int'|'ts'
+
+    def compiled(self) -> re.Pattern:
+        return re.compile(self.pattern)
+
+
+class Rulebase:
+    """Ordered first-match-wins rule chain, compiled ahead of time."""
+
+    def __init__(self, rules: list[Rule]):
+        self.rules = rules
+        self._compiled = [(r, r.compiled()) for r in rules]
+        # union of all output fields, in first-appearance order
+        self.fields: list[tuple[str, str]] = []
+        seen = set()
+        for r in rules:
+            for g in r.compiled().groupindex:
+                if g not in seen:
+                    seen.add(g)
+                    self.fields.append((g, r.types.get(g, "str")))
+
+    # ------------------------------------------------------------------
+    def parse_row(self, line: str) -> tuple[str | None, dict]:
+        """Per-row reference implementation (used by the oracle)."""
+        for r, cre in self._compiled:
+            m = cre.match(line)
+            if m:
+                out = {}
+                for g, typ in self.fields:
+                    v = m.groupdict().get(g)
+                    out[g] = _cast_scalar(v, typ)
+                return r.name, out
+        return None, {g: None for g, _ in self.fields}
+
+    # ------------------------------------------------------------------
+    def parse_frame(self, lines: pd.Series) -> pd.DataFrame:
+        """Vectorized chain over a batch. Returns typed columns +
+        ``rule`` (string, None if unmatched) + ``parse_ok`` (bool)."""
+        n = len(lines)
+        idx = lines.index
+        out = {g: pd.Series(pd.NA, index=idx, dtype="object")
+               for g, _ in self.fields}
+        rule_col = pd.Series(None, index=idx, dtype="object")
+        unmatched = pd.Series(True, index=idx)
+        for r, cre in self._compiled:
+            if not unmatched.any():
+                break
+            sub = lines[unmatched]
+            ext = sub.str.extract(cre)  # columns = named groups
+            # a rule whose groups may all be empty still matches — detect
+            # membership via match (patterns are ^..$-anchored), not extract NaNs
+            hit = sub.str.match(cre).fillna(False)
+            if not hit.any():
+                continue
+            hit_idx = sub.index[hit]
+            for g in cre.groupindex:
+                out[g].loc[hit_idx] = ext.loc[hit_idx, g]
+            rule_col.loc[hit_idx] = r.name
+            unmatched.loc[hit_idx] = False
+        res = {}
+        for g, typ in self.fields:
+            res[g] = _cast_series(out[g], typ)
+        res["rule"] = rule_col
+        res["parse_ok"] = ~unmatched
+        return pd.DataFrame(res, index=idx)
+
+
+def _cast_scalar(v, typ: str):
+    if v is None:
+        return None
+    if typ == "int":
+        return int(v)
+    if typ == "ts":
+        import datetime as _dt
+        return _dt.datetime.strptime(v, TS_FORMAT)
+    return v
+
+
+def _cast_series(s: pd.Series, typ: str) -> pd.Series:
+    if typ == "int":
+        return pd.to_numeric(s, errors="coerce").astype("Int64")
+    if typ == "ts":
+        return pd.to_datetime(s, format=TS_FORMAT, errors="coerce")
+    return s
+
+
+# ----------------------------------------------------------------------
+# The default rulebase for the pages `text` log line (fixture F4):
+# full weblog line, a truncated variant (no status/bytes — still a
+# successful parse with null fields, pmrfc3164-style lenient fallback),
+# and implicit catch-all -> parse_ok=false.
+PAGES_RULEBASE = Rulebase([
+    Rule(
+        "weblog",
+        r'^ts=(?P<p_ts>\S+) host=(?P<p_host>\S+) app=(?P<p_app>\w+)'
+        r' sev=(?P<p_sev>\d) msg="(?P<p_msg>[^"]*)"'
+        r' status=(?P<p_status>\d+) bytes=(?P<p_bytes>\d+)$',
+        {"p_ts": "ts", "p_sev": "int", "p_status": "int", "p_bytes": "int"},
+    ),
+    Rule(
+        "weblog_trunc",
+        r'^ts=(?P<p_ts>\S+) host=(?P<p_host>\S+) app=(?P<p_app>\w+)'
+        r' sev=(?P<p_sev>\d) msg="(?P<p_msg>[^"]*)"$',
+        {"p_ts": "ts", "p_sev": "int"},
+    ),
+])

@@ -1,0 +1,44 @@
+"""Byte-stable sanitization (SanitizeMsg / mmutf8fix analog).
+
+The reference sanitizes every raw message before parsing: control-char
+handling, NUL handling, trailing-LF strip (reference
+runtime/parser.c:330 SanitizeMsg) and repairs invalid UTF-8 by
+replacing offending bytes with spaces (reference
+plugins/mmutf8fix/mmutf8fix.c).
+
+Our spec (shared verbatim by the vectorized engine stage and the
+per-row oracle, so extracted text is byte-identical by construction —
+see SURVEY.md §7 "hard parts"):
+
+1. decode bytes as UTF-8 with the 'replace' error handler, then map
+   every U+FFFD replacement char to a single space;
+2. map every control char (codepoint < 0x20) except '\\n' and '\\t'
+   to a single space;
+3. strip one trailing '\\n' if present.
+"""
+
+from __future__ import annotations
+
+# translation table: C0 controls (minus \n \t) -> space; U+FFFD -> space
+_CTRL = {c: 0x20 for c in range(0x20) if c not in (0x09, 0x0A)}
+_CTRL[0xFFFD] = 0x20
+
+
+def sanitize_bytes(raw: bytes) -> str:
+    """Reference (oracle) implementation — simple, obviously correct."""
+    s = raw.decode("utf-8", errors="replace")
+    s = s.translate(_CTRL)
+    if s.endswith("\n"):
+        s = s[:-1]
+    return s
+
+
+def sanitize_series(values):
+    """Vectorized pandas implementation of the same spec.
+
+    ``values``: pandas Series of bytes (object dtype). Returns Series of str.
+    """
+    s = values.str.decode("utf-8", errors="replace")
+    s = s.str.translate(_CTRL)
+    # strip exactly one trailing newline
+    return s.str.replace(r"\n$", "", regex=True, n=1)

@@ -1,0 +1,72 @@
+"""Lookup-table semantics (all four kinds + stub) and router predicates."""
+
+import numpy as np
+import pandas as pd
+
+from rsyslog_ray.lookup import LookupTable
+from rsyslog_ray.router import Route, Router, _eval_row, _mask
+
+
+def _both(table, keys):
+    vec = table.lookup_series(pd.Series(keys)).tolist()
+    row = [table.lookup(k) for k in keys]
+    assert vec == row
+    return vec
+
+
+def test_string_lookup_stub():
+    t = LookupTable("string", {"en": "amer", "de": "emea"}, stub="??")
+    assert _both(t, ["en", "de", "xx"]) == ["amer", "emea", "??"]
+
+
+def test_array_lookup():
+    t = LookupTable("array", ["a", "b", "c"], stub="s")
+    assert _both(t, [0, 2, 5, -1]) == ["a", "c", "s", "s"]
+
+
+def test_sparse_array_range_lookup():
+    # greatest bound <= key (as-of semantics, lookup.c:437-485)
+    t = LookupTable("sparseArray", {0: "low", 100: "mid", 1000: "high"}, stub="-")
+    assert _both(t, [-5, 0, 99, 100, 999, 5000]) == ["-", "low", "low", "mid", "mid", "high"]
+
+
+def test_regex_lookup_first_match():
+    t = LookupTable("regex", [(r"err", "E"), (r"e", "e2")], stub="-")
+    assert _both(t, ["error", "everything", "zzz"]) == ["E", "e2", "-"]
+
+
+def test_router_masks_match_rowwise():
+    df = pd.DataFrame({
+        "parse_ok": [True, True, False, True, True, True],
+        "p_sev": pd.array([1, 6, None, 3, 7, 5], dtype="Int64"),
+        "p_msg": ["fail open", "ok", None, "", "fail", "x"],
+        "lang": ["en", "de", "en", "en", "fr", "en"],
+        "category": ["news", "spam", "news", "uncat", "news", "spam"],
+        "p_host": ["h0001.x", "h0900.x", "h0002.x", "h0003.x", "zzz", "h0004.x"],
+        "url": ["a?id=7", "b?id=17", "c?id=3", "d?id=27", "e?id=5", "f?id=77"],
+        "p_app": ["nginx", "cron", "sshd", "db", "sshd", "auth"],
+        "p_bytes": pd.array([70000, 100, None, 60000, 59999, 61000], dtype="Int64"),
+    })
+    routes = [
+        Route("dead", ("==", "parse_ok", False), stop=True),
+        Route("spam", ("==", "category", "spam"), stop=True),
+        Route("errors", ("prifilt", "p_sev", 0, 3)),
+        Route("failures", ("contains", "p_msg", "fail")),
+        Route("en_news", ("and", ("==", "lang", "en"), ("==", "category", "news"))),
+        Route("h0", ("startswith", "p_host", "h00")),
+        Route("lucky7", ("regex", "url", r"id=\d*7$")),
+        Route("netapps", ("in", "p_app", ["nginx", "sshd"])),
+        Route("empty", ("isempty", "p_msg")),
+        Route("big", (">=", "p_bytes", 60000)),
+        Route("all", ("true",)),
+    ]
+    router = Router(routes)
+    masks = router.masks(df)
+    for i in range(len(df)):
+        row = df.iloc[i].to_dict()
+        expect = router.route_row(row)
+        got = [s for s in router.sinks if bool(masks[s].iloc[i])]
+        assert sorted(got) == sorted(expect), f"row {i}: {got} vs {expect}"
+    # stop semantics: row 1 is spam -> nothing else; row 2 unparsed -> dead only
+    assert masks["spam"].iloc[1] and not masks["all"].iloc[1]
+    assert masks["dead"].iloc[2] and not masks["en_news"].iloc[2]

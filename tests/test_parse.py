@@ -1,0 +1,47 @@
+"""Parse stage: vectorized chain == per-row oracle; sanitize spec."""
+
+import numpy as np
+import pandas as pd
+
+from rsyslog_ray import gen
+from rsyslog_ray.rulebase import PAGES_RULEBASE
+from rsyslog_ray.sanitize import sanitize_bytes, sanitize_series
+from rsyslog_ray.stages.parse import ParseStage, extract_text_frame, extract_text_row
+
+
+def test_sanitize_spec():
+    raw = b"abc\xff\xfedef\x00\x07ghi\tok\njk\n"
+    o = sanitize_bytes(raw)
+    v = sanitize_series(pd.Series([raw])).iloc[0]
+    assert o == v
+    assert "\x00" not in o and "\x07" not in o
+    assert o.endswith("jk")  # exactly one trailing \n stripped
+    assert "\t" in o and "\n" in o  # tab + inner newline preserved
+
+
+def test_parse_matches_oracle_rowwise():
+    df = gen.gen_batch(np.arange(0, 3000)).to_pandas()
+    out = ParseStage()(df)
+    for i in range(len(df)):
+        rule, fields = PAGES_RULEBASE.parse_row(df["text"].iloc[i])
+        assert (rule is not None) == bool(out["parse_ok"].iloc[i])
+        if rule:
+            assert rule == out["rule"].iloc[i]
+            assert fields["p_host"] == out["p_host"].iloc[i]
+            if fields["p_status"] is None:
+                assert pd.isna(out["p_status"].iloc[i])
+            else:
+                assert fields["p_status"] == out["p_status"].iloc[i]
+
+
+def test_extract_byte_identical():
+    df = gen.gen_batch(np.arange(0, 3000)).to_pandas()
+    eng = extract_text_frame(df["html"]).tolist()
+    for i in range(len(df)):
+        assert extract_text_row(df["html"].iloc[i]) == eng[i]
+
+
+def test_html_dropped():
+    df = gen.gen_batch(np.arange(0, 100)).to_pandas()
+    out = ParseStage()(df)
+    assert "html" not in out.columns
