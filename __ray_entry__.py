@@ -1,44 +1,45 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship parse→enrich→route→aggregate pipeline on
+a deterministic sf0.001 pages table (the BASELINE.json input_hint
+shape, synthesized under /tmp — the driver's testdata has no pages
+table).  ``queries()`` / ``oracle_sql()`` expose one entry per
+implemented operator from SURVEY.md §2 over the driver's testdata
+views.  Ray is initialised by the driver — nothing here calls
+ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on synthesized sf0.001 pages; returns the
+    per-sink dynstats aggregate (sink, kind, key, cnt)."""
+    import tempfile
+
+    from rsyslog_ray import gen
+    from rsyslog_ray.pipelines.flagship import run_flagship
+
+    pages = gen.pages_dir(0.001)
+    gen.ensure_pages(0.001)
+    out = tempfile.mkdtemp(prefix="rsyslog_ray_entry_")
+    return run_flagship(pages, out, resume=False, lineage=False)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rsyslog_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rsyslog_ray.pipelines.queries import SQL
+
+    return dict(SQL)

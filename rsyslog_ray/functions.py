@@ -1,0 +1,132 @@
+"""Scalar function library — RainerScript built-ins over Arrow/pandas.
+
+Vectorized analogs of the reference's script function table
+(grammar/rainerscript.c:4467-4510 and function modules): string ops,
+regex, casts, net helpers, hashing, json, time formatting.  Every
+function takes/returns pandas Series (or pyarrow arrays) — these are
+the kernels pipelines compose inside ``map_batches``; none of them may
+loop per row in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+# ---- string (rainerscript doFunct_*: strlen tolower toupper ltrim rtrim
+#      substring replace split field wrap int2hex — rainerscript.c:2484-3245)
+def strlen(s: pd.Series) -> pd.Series:
+    return s.str.len().astype("Int64")
+
+
+def tolower(s: pd.Series) -> pd.Series:
+    return s.str.lower()
+
+
+def toupper(s: pd.Series) -> pd.Series:
+    return s.str.upper()
+
+
+def ltrim(s: pd.Series) -> pd.Series:
+    return s.str.lstrip()
+
+
+def rtrim(s: pd.Series) -> pd.Series:
+    return s.str.rstrip()
+
+
+def substring(s: pd.Series, start: int, length: int) -> pd.Series:
+    """1-field analog of substring(str, start, subStringLength)
+    (rainerscript.c:2572) — 0-based start, like the reference."""
+    return s.str.slice(start, start + length)
+
+
+def replace(s: pd.Series, find: str, repl: str) -> pd.Series:
+    return s.str.replace(find, repl, regex=False)
+
+
+def field(s: pd.Series, delim: str, n: int) -> pd.Series:
+    """Nth field (1-based) by delimiter — doFunct_field
+    (rainerscript.c:2625); missing field -> empty string (the
+    reference yields "***FIELD NOT FOUND***"; we use the empty-string
+    stub consistently with lookup misses)."""
+    return s.str.split(delim).str[n - 1].fillna("")
+
+
+# ---- regex (re_match / re_extract, rainerscript.c:1681; POSIX ERE in
+#      the reference, Python re here — rulebases define their own spec)
+def re_match(s: pd.Series, pattern: str) -> pd.Series:
+    return s.str.contains(pattern, regex=True, na=False)
+
+
+def re_extract(s: pd.Series, pattern: str, group: int = 1) -> pd.Series:
+    return s.str.extract(f"({pattern})" if group == 0 else pattern,
+                         expand=True).iloc[:, group - 1 if group > 0 else 0]
+
+
+# ---- casts (cstr / cnum / cbool)
+def cnum(s: pd.Series) -> pd.Series:
+    return pd.to_numeric(s, errors="coerce").astype("Int64")
+
+
+def cstr(s: pd.Series) -> pd.Series:
+    return s.astype("string")
+
+
+# ---- net (num2ipv4 / ipv42num — int arithmetic kernels)
+def num2ipv4(n: pd.Series) -> pd.Series:
+    v = pd.to_numeric(n, errors="coerce").fillna(0).astype(np.int64).to_numpy()
+    a, b = (v >> 24) & 255, (v >> 16) & 255
+    c, d = (v >> 8) & 255, v & 255
+    out = (pd.Series(a).astype(str) + "." + pd.Series(b).astype(str) + "."
+           + pd.Series(c).astype(str) + "." + pd.Series(d).astype(str))
+    out.index = n.index
+    return out
+
+
+def ipv42num(s: pd.Series) -> pd.Series:
+    parts = s.str.split(".", expand=True).astype("Int64")
+    return (parts[0] * 16777216 + parts[1] * 65536 + parts[2] * 256 + parts[3])
+
+
+# ---- anonymization (mmanon zero-mode analog,
+#      plugins/mmanon/mmanon.c:59-166: mask low bits of IPv4s in text)
+IPV4_RE = r"\b(\d{1,3}\.\d{1,3}\.\d{1,3})\.\d{1,3}\b"
+
+
+def anon_ipv4_zero(s: pd.Series) -> pd.Series:
+    """Zero the last octet of every IPv4 in the string (zero mode,
+    8 mask bits)."""
+    return s.str.replace(IPV4_RE, r"\1.0", regex=True)
+
+
+# ---- hashing (fmhash hash64/hash32, contrib/fmhash/fmhash.c:350-356 —
+#      xxhash in the reference; here FNV-1a, our documented spec, also
+#      the salting function for skewed groupbys)
+FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
+FNV64_PRIME = np.uint64(0x100000001B3)
+
+
+def hash64(s: pd.Series) -> pd.Series:
+    """Vectorized FNV-1a over utf-8 bytes."""
+    with np.errstate(over="ignore"):
+        vals = np.full(len(s), FNV64_OFFSET, dtype=np.uint64)
+        arrs = s.fillna("").astype(str).to_numpy()
+        maxlen = max((len(x.encode()) for x in arrs), default=0)
+        # byte-column iteration: maxlen passes, each fully vectorized
+        enc = [x.encode() for x in arrs]
+        lens = np.array([len(b) for b in enc])
+        for i in range(maxlen):
+            active = lens > i
+            if not active.any():
+                break
+            byte = np.array([enc[j][i] if active[j] else 0
+                             for j in range(len(enc))], dtype=np.uint64)
+            vals[active] = (vals[active] ^ byte[active]) * FNV64_PRIME
+    return pd.Series(vals.view(np.int64), index=s.index)
+
+
+def hash64mod(s: pd.Series, mod: int) -> pd.Series:
+    return pd.Series(hash64(s).to_numpy().astype(np.uint64) % np.uint64(mod),
+                     index=s.index).astype("int64")

@@ -1,0 +1,552 @@
+"""Driver-facing query catalog: one entry per operator from SURVEY.md §2.
+
+Each ``q_*`` function takes ``sf_dir`` (a /root/testdata/sfX directory)
+and returns a Dataset / DataFrame / Table; ``SQL[name]`` holds the
+equivalent DuckDB oracle.  Column names match the SQL aliases exactly
+(the driver hash-compares values after sorting columns by name).
+
+All implementations are Ray-Data-first: vectorized map_batches,
+two-phase aggregation (combiner before shuffle), broadcast lookups —
+never per-row Python in a hot path, never a driver-side row loop.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+
+from ..functions import anon_ipv4_zero, field, num2ipv4, substring, toupper
+from ..router import Route, Router
+from ..stages.aggregate import exact_percentiles, two_phase_agg
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ======================================================================
+# Parse / per-record transforms (mm* analogs)
+# ======================================================================
+
+def q_parse_json(sf_dir):
+    """mmjsonparse analog (plugins/mmjsonparse/mmjsonparse.c:210-254):
+    parse the JSON props column, lift $!k, aggregate per event_type."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        # vectorized-enough JSON lift: one json.loads per row is the
+        # mmjsonparse per-msg cost; columnar lift afterwards
+        k = df["props"].map(lambda s: json.loads(s).get("k"))
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "k": pd.to_numeric(k).astype("int64")})
+
+    ds = ds.map_batches(parse, batch_format="pandas")
+    return two_phase_agg(ds, ["event_type"], count="cnt", sums={"k": "sum_k"})
+
+
+def q_fields_split(sf_dir):
+    """mmfields analog (plugins/mmfields/mmfields.c:54-71): split text on
+    the separator, take field 1, count per value."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def f1(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"f1": field(df["text"], " ", 1)})
+
+    return two_phase_agg(ds.map_batches(f1, batch_format="pandas"), ["f1"])
+
+
+def q_scalar_funcs(sf_dir):
+    """String function library (grammar/rainerscript.c:4467-4510):
+    toupper, strlen, substring as computed columns."""
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "c_custkey": df["c_custkey"],
+            "uname": toupper(df["c_name"]),
+            "name_len": df["c_name"].str.len().astype("int64"),
+            "seg3": substring(df["c_mktsegment"], 0, 3),
+        })
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_regex_extract(sf_dir):
+    """re_extract analog (grammar/rainerscript.c:1681): extract the
+    numeric suffix of source, count per value."""
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def ex(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["source"].str.extract(r"src(\d+)", expand=False)
+        return pd.DataFrame({"src_num": pd.to_numeric(n).astype("int64")})
+
+    return two_phase_agg(ds.map_batches(ex, batch_format="pandas"), ["src_num"])
+
+
+def q_anon_ip(sf_dir):
+    """mmanon zero-mode analog (plugins/mmanon/mmanon.c:59-166):
+    construct a synthetic IPv4 from user_id, zero its last octet."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def an(df: pd.DataFrame) -> pd.DataFrame:
+        ip = num2ipv4(df["user_id"] * 7919 % 4294967296)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "ip_anon": anon_ipv4_zero("src=" + ip + " ok"),
+        })
+
+    return ds.map_batches(an, batch_format="pandas")
+
+
+# ======================================================================
+# Filters (propfilt / prifilt, runtime/ruleset.c:424-501)
+# ======================================================================
+
+def q_filter_contains(sf_dir):
+    """FIOP_CONTAINS (runtime/typedefs.h:170-180): docs containing
+    'spark', counted per lang."""
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    ds = ds.map_batches(
+        lambda df: df[df["text"].str.contains("spark", regex=False)][["lang"]],
+        batch_format="pandas")
+    return two_phase_agg(ds, ["lang"])
+
+
+def q_filter_regex(sf_dir):
+    """FIOP_REGEX: ERE filter on event_type."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return ds.map_batches(
+        lambda df: df[df["event_type"].str.contains(r"^(?:purchase|signup)$",
+                                                    regex=True)],
+        batch_format="pandas")
+
+
+def q_filter_prifilt(sf_dir):
+    """prifilt analog (runtime/ruleset.c:403): numeric band filter —
+    'error'-class events with low value."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+    return ds.map_batches(
+        lambda df: df[(df["event_type"] == "error") & (df["value"] < 10.0)]
+        [["event_id"]],
+        batch_format="pandas")
+
+
+# ======================================================================
+# Router (ruleset program, fan-out + stop — runtime/ruleset.c:536-594)
+# ======================================================================
+
+EVENT_ROUTES = [
+    Route("errors", ("==", "event_type", "error"), stop=True),
+    Route("big", (">=", "value", 50.0)),
+    Route("commerce", ("in", "event_type", ["signup", "purchase"])),
+    Route("archive", ("true",)),
+]
+
+
+def q_route_fanout(sf_dir):
+    """Full router semantics over events: fan-out + stop; output =
+    per-sink delivered-row counts (the action-queue delivery totals)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    router = Router(EVENT_ROUTES)
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        masks = router.masks(df)
+        return pd.DataFrame({"sink": list(masks),
+                             "cnt": [int(m.sum()) for m in masks.values()]})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    return parts.groupby("sink").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+# ======================================================================
+# Aggregations (dynstats / sendertrack / percentiles, SURVEY.md §2.8)
+# ======================================================================
+
+def q_dynstats_lang(sf_dir):
+    """dyn_inc(bucket, key) analog (runtime/dynstats.c): count per lang."""
+    return two_phase_agg(_read(sf_dir, "documents", columns=["lang"]), ["lang"])
+
+
+def q_dynstats_bucket(sf_dir):
+    """Time-bucketed counts (impstats interval analog): events per hour."""
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"bucket": df["ts"].dt.floor("h")})
+
+    return two_phase_agg(ds.map_batches(bucket, batch_format="pandas"),
+                         ["bucket"])
+
+
+def q_sendertrack(sf_dir):
+    """omsendertrack analog (plugins/omsendertrack/omsendertrack.c:76-96):
+    per-sender msg count + first/last seen."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    return two_phase_agg(ds, ["user_id"], count="cnt",
+                         mins={"ts": "first_seen"}, maxs={"ts": "last_seen"})
+
+
+def q_percentiles(sf_dir):
+    """perctile_stats analog (runtime/perctile_stats.c:54-55): exact
+    p50/p95 of value per event_type."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    return exact_percentiles(ds, ["event_type"], "value", [0.5, 0.95])
+
+
+def q_mmcount(sf_dir):
+    """mmcount analog (contrib/mmcount/mmcount.c:91-): running count of
+    messages per appname — batch semantics: total per event_type."""
+    return two_phase_agg(_read(sf_dir, "events", columns=["event_type"]),
+                         ["event_type"], count="msg_count")
+
+
+# ======================================================================
+# Rate limiting / sampling / dedup (ratelimit.c, action throttles,
+# pmlastmsg — SURVEY.md §2.8/2.9)
+# ======================================================================
+
+def q_ratelimit_burst(sf_dir):
+    """ratelimit token-bucket analog (runtime/ratelimit.c:67-69 burst):
+    keep the first 5 events per user (by ts, event_id) — batch
+    semantics of 'burst within the whole interval'.  Partition-aligned:
+    groupby(user_id) shuffles each key to one group."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def head5(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["ts", "event_id"]).head(5)[["event_id", "user_id"]])
+
+    return ds.groupby("user_id").map_groups(head5, batch_format="pandas")
+
+
+def q_sample_nth(sf_dir):
+    """execOnlyEveryNthTime analog (runtime/action.c:370-385): keep
+    every 10th event by id."""
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    return ds.map_batches(lambda df: df[df["event_id"] % 10 == 0],
+                          batch_format="pandas")
+
+
+def q_dedup_exact(sf_dir):
+    """Exact dedup (pmlastmsg/bRepMsgRed global analog + the training-
+    data dedup op): hash-partition by content, keep min doc_id, count
+    copies."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return two_phase_agg(ds, ["text"], count="copies",
+                         mins={"doc_id": "keeper_id"}).select_columns(
+        ["keeper_id", "copies"])
+
+
+def q_dedup_adjacent(sf_dir):
+    """pmlastmsg 'last message repeated n times' analog
+    (plugins/pmlastmsg/pmlastmsg.c): collapse runs of equal event_type
+    per user (ordered by ts, event_id); emit run counts per user."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        starts = (g["event_type"] != g["event_type"].shift()).sum()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "runs": [int(starts)]})
+
+    return ds.groupby("user_id").map_groups(runs, batch_format="pandas")
+
+
+# ======================================================================
+# Lookups / joins (lookup_table — runtime/lookup.c; SURVEY.md §2.7)
+# ======================================================================
+
+def q_lookup_string(sf_dir):
+    """String lookup table with stub (lookup.c:400-416, stub :396-398):
+    nation -> region name via a broadcast dict (no shuffle join)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    r = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    table = dict(zip(r["r_regionkey"].astype(int), r["r_name"]))
+    ref = ray.put(table)
+
+    class Enrich:
+        def __init__(self, ref):
+            import ray as _ray
+            self.t = _ray.get(ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "nation": df["n_name"],
+                "region": df["n_regionkey"].map(self.t).fillna(""),
+            })
+
+    ds = _read(sf_dir, "nation", columns=["n_name", "n_regionkey"])
+    return ds.map_batches(Enrich, fn_constructor_args=(ref,),
+                          batch_format="pandas", concurrency=(1, 2))
+
+
+def q_lookup_range(sf_dir):
+    """sparseArray lookup (lookup.c:437-485): greatest bound <= key —
+    bucket customers by account balance."""
+    from ..lookup import LookupTable
+
+    bounds = LookupTable("sparseArray", {0: "low", 1000: "mid", 5000: "high"},
+                         stub="neg")
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = np.floor(df["c_acctbal"]).astype("int64")
+        return pd.DataFrame({"c_custkey": df["c_custkey"],
+                             "balance_band": bounds.lookup_series(key)})
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    return ds.map_batches(bucket, batch_format="pandas")
+
+
+# ======================================================================
+# Sort / top-k / distinct / union (free Dataset primitives, §2.9)
+# ======================================================================
+
+def q_topk_orders(sf_dir):
+    """Top-10 orders by total price (deterministic tie-break on key)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, True]).limit(10)
+
+
+def q_distinct_types(sf_dir):
+    """Distinct event types (unique — a shuffle)."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return two_phase_agg(ds, ["event_type"]).select_columns(["event_type"])
+
+
+def q_union_tagged(sf_dir):
+    """omruleset/call re-injection analog (plugins/omruleset): two
+    filtered routes unioned with a route tag."""
+    ds1 = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    a = ds1.map_batches(
+        lambda df: df[df["event_type"] == "error"].assign(route="errors"),
+        batch_format="pandas")
+    ds2 = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    b = ds2.map_batches(
+        lambda df: df[df["event_type"] == "signup"].assign(route="signups"),
+        batch_format="pandas")
+    return a.union(b)
+
+
+# ======================================================================
+# Projection / templates (runtime/template.c tplToString analog)
+# ======================================================================
+
+def q_template_render(sf_dir):
+    """Template rendering (template.c:863 + date formats
+    template.h:72-95): constant+field concatenation with a formatted
+    date — the omfile line format as a computed column."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderstatus", "o_orderdate",
+                        "o_totalprice"])
+
+    def render(df: pd.DataFrame) -> pd.DataFrame:
+        line = ("order=" + df["o_orderkey"].astype(str)
+                + " status=" + df["o_orderstatus"]
+                + " date=" + df["o_orderdate"].dt.strftime("%Y-%m-%d")
+                + " cents=" + (df["o_totalprice"] * 100).round().astype("int64").astype(str))
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"], "line": line})
+
+    return ds.map_batches(render, batch_format="pandas")
+
+
+# ======================================================================
+# TPC-H-style wide aggregate (general groupby parity)
+# ======================================================================
+
+def q_lineitem_agg(sf_dir):
+    """General grouped aggregate with combiner (statsobj flush analog):
+    lineitem by (returnflag, linestatus)."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        # integer cents avoid float-sum nondeterminism across plans
+        return pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
+        })
+
+    return two_phase_agg(ds.map_batches(cents, batch_format="pandas"),
+                         ["l_returnflag", "l_linestatus"],
+                         count="cnt", sums={"qty_c": "sum_qty_cents"})
+
+
+# ======================================================================
+# SQL oracles (DuckDB) — names and aliases must match the Ray outputs
+# ======================================================================
+
+SQL: dict[str, str] = {
+    "parse_json": """
+        SELECT event_type, count(*) AS cnt,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+        FROM events GROUP BY event_type
+    """,
+    "fields_split": """
+        SELECT split_part(text, ' ', 1) AS f1, count(*) AS cnt
+        FROM documents GROUP BY f1
+    """,
+    "scalar_funcs": """
+        SELECT c_custkey, upper(c_name) AS uname,
+               CAST(length(c_name) AS BIGINT) AS name_len,
+               substr(c_mktsegment, 1, 3) AS seg3
+        FROM customer
+    """,
+    "regex_extract": """
+        SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) AS src_num,
+               count(*) AS cnt
+        FROM documents GROUP BY src_num
+    """,
+    "anon_ip": """
+        SELECT event_id,
+               regexp_replace(
+                 'src=' ||
+                   CAST((user_id * 7919 % 4294967296) // 16777216 % 256 AS VARCHAR) || '.' ||
+                   CAST((user_id * 7919 % 4294967296) // 65536 % 256 AS VARCHAR) || '.' ||
+                   CAST((user_id * 7919 % 4294967296) // 256 % 256 AS VARCHAR) || '.' ||
+                   CAST((user_id * 7919 % 4294967296) % 256 AS VARCHAR) || ' ok',
+                 '\\b(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3})\\.\\d{1,3}\\b', '\\1.0')
+               AS ip_anon
+        FROM events
+    """,
+    "filter_contains": """
+        SELECT lang, count(*) AS cnt FROM documents
+        WHERE text LIKE '%spark%' GROUP BY lang
+    """,
+    "filter_regex": """
+        SELECT event_id, event_type FROM events
+        WHERE regexp_matches(event_type, '^(purchase|signup)$')
+    """,
+    "filter_prifilt": """
+        SELECT event_id FROM events
+        WHERE event_type = 'error' AND value < 10.0
+    """,
+    "route_fanout": """
+        SELECT 'errors' AS sink, count(*) AS cnt FROM events WHERE event_type = 'error'
+        UNION ALL
+        SELECT 'big', count(*) FROM events WHERE event_type <> 'error' AND value >= 50.0
+        UNION ALL
+        SELECT 'commerce', count(*) FROM events
+          WHERE event_type <> 'error' AND event_type IN ('signup', 'purchase')
+        UNION ALL
+        SELECT 'archive', count(*) FROM events WHERE event_type <> 'error'
+    """,
+    "dynstats_lang": """
+        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+    """,
+    "dynstats_bucket": """
+        SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
+        FROM events GROUP BY bucket
+    """,
+    "sendertrack": """
+        SELECT user_id, count(*) AS cnt, min(ts) AS first_seen,
+               max(ts) AS last_seen
+        FROM events GROUP BY user_id
+    """,
+    "percentiles": """
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50,
+               round(CAST(quantile_cont(value, 0.95) AS DOUBLE), 6) AS p95
+        FROM events GROUP BY event_type
+    """,
+    "mmcount": """
+        SELECT event_type, count(*) AS msg_count FROM events GROUP BY event_type
+    """,
+    "ratelimit_burst": """
+        SELECT event_id, user_id FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5
+    """,
+    "sample_nth": """
+        SELECT event_id, event_type FROM events WHERE event_id % 10 = 0
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS keeper_id, count(*) AS copies
+        FROM documents GROUP BY text
+    """,
+    "dedup_adjacent": """
+        SELECT user_id, count(*) AS runs FROM (
+          SELECT user_id,
+                 CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                      IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS st
+          FROM events) WHERE st = 1 GROUP BY user_id
+    """,
+    "lookup_string": """
+        SELECT n.n_name AS nation, coalesce(r.r_name, '') AS region
+        FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+    "lookup_range": """
+        SELECT c_custkey,
+               CASE WHEN floor(c_acctbal) >= 5000 THEN 'high'
+                    WHEN floor(c_acctbal) >= 1000 THEN 'mid'
+                    WHEN floor(c_acctbal) >= 0 THEN 'low'
+                    ELSE 'neg' END AS balance_band
+        FROM customer
+    """,
+    "topk_orders": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+    """,
+    "distinct_types": """
+        SELECT DISTINCT event_type FROM events
+    """,
+    "union_tagged": """
+        SELECT event_id, event_type, 'errors' AS route FROM events
+          WHERE event_type = 'error'
+        UNION ALL
+        SELECT event_id, event_type, 'signups' FROM events
+          WHERE event_type = 'signup'
+    """,
+    "template_render": """
+        SELECT o_orderkey,
+               'order=' || CAST(o_orderkey AS VARCHAR) ||
+               ' status=' || o_orderstatus ||
+               ' date=' || strftime(o_orderdate, '%Y-%m-%d') ||
+               ' cents=' || CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR)
+               AS line
+        FROM orders
+    """,
+    "lineitem_agg": """
+        SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+}
+
+
+QUERIES = {
+    "parse_json": q_parse_json,
+    "fields_split": q_fields_split,
+    "scalar_funcs": q_scalar_funcs,
+    "regex_extract": q_regex_extract,
+    "anon_ip": q_anon_ip,
+    "filter_contains": q_filter_contains,
+    "filter_regex": q_filter_regex,
+    "filter_prifilt": q_filter_prifilt,
+    "route_fanout": q_route_fanout,
+    "dynstats_lang": q_dynstats_lang,
+    "dynstats_bucket": q_dynstats_bucket,
+    "sendertrack": q_sendertrack,
+    "percentiles": q_percentiles,
+    "mmcount": q_mmcount,
+    "ratelimit_burst": q_ratelimit_burst,
+    "sample_nth": q_sample_nth,
+    "dedup_exact": q_dedup_exact,
+    "dedup_adjacent": q_dedup_adjacent,
+    "lookup_string": q_lookup_string,
+    "lookup_range": q_lookup_range,
+    "topk_orders": q_topk_orders,
+    "distinct_types": q_distinct_types,
+    "union_tagged": q_union_tagged,
+    "template_render": q_template_render,
+    "lineitem_agg": q_lineitem_agg,
+}

@@ -1,0 +1,106 @@
+"""Aggregation stages — dynstats / statsobj / perctile analogs.
+
+The reference's aggregation is incremental keyed counting flushed
+periodically (runtime/dynstats.c dyn_inc; runtime/statsobj.c;
+runtime/perctile_stats.c percentile_observe; omsendertrack per-sender
+stats).  At 100 TB the cardinal rule is: NEVER ship rows into the
+groupby shuffle — pre-aggregate inside ``map_batches`` (the combiner),
+then reduce the tiny partials.  These helpers implement that two-phase
+pattern generically, plus exact per-group percentiles and a salted
+variant for skewed keys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
+                  sums: dict[str, str] | None = None,
+                  mins: dict[str, str] | None = None,
+                  maxs: dict[str, str] | None = None,
+                  batch_size: int = 8192):
+    """count/sum/min/max per key group with per-batch partial aggregation.
+
+    ``sums``/``mins``/``maxs`` map source column -> output alias.
+    Returns a Dataset of one row per key combination.  The shuffle moves
+    only |keys|-cardinality partials per batch — a hot key (zipf host)
+    costs the same as a cold one, which is the built-in skew handling
+    (an explicit salt column is only needed for map_groups-style
+    per-group computation, see ``salted_count``).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    sums = sums or {}
+    mins = mins or {}
+    maxs = maxs or {}
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, dropna=False, observed=True)
+        parts = {}
+        if count:
+            parts[count] = g.size()
+        for src, alias in sums.items():
+            parts[alias] = g[src].sum()
+        for src, alias in mins.items():
+            parts[alias] = g[src].min()
+        for src, alias in maxs.items():
+            parts[alias] = g[src].max()
+        out = pd.DataFrame(parts).reset_index()
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    aggs = []
+    if count:
+        aggs.append(Sum(count, alias_name=count))
+    for _, alias in sums.items():
+        aggs.append(Sum(alias, alias_name=alias))
+    for _, alias in mins.items():
+        aggs.append(Min(alias, alias_name=alias))
+    for _, alias in maxs.items():
+        aggs.append(Max(alias, alias_name=alias))
+    return partials.groupby(keys).aggregate(*aggs)
+
+
+def exact_percentiles(ds, keys: list[str], value: str,
+                      percentiles: list[float], prefix: str = "p"):
+    """Exact per-group percentiles (perctile_stats analog,
+    runtime/perctile_stats.c — the reference keeps a ring-buffer window;
+    batch semantics = percentile over the whole group).  Linear
+    interpolation (numpy default == duckdb quantile_cont).
+
+    Requires group count × value width to fit one worker — document the
+    partitioning assumption: keys must be low-cardinality enough that a
+    single group's values fit in memory (true for our event_type-style
+    keys; for high-card keys use a sketch instead).
+    """
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value].to_numpy(dtype=np.float64)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for p in percentiles:
+            row[f"{prefix}{int(p * 100)}"] = [
+                round(float(np.percentile(vals, p * 100)), 6)]
+        return pd.DataFrame(row)
+
+    return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
+
+
+def salted_count(ds, key: str, salt_buckets: int = 16, cnt: str = "cnt"):
+    """Two-phase count with an explicit salt column — the pattern for
+    skewed keys feeding map_groups-style finals (SURVEY.md §7 M5):
+    partial count on (key, salt=hash%S), final sum on key."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import hash64mod
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        salt = hash64mod(df[key].astype(str), salt_buckets)
+        g = df.assign(__salt=salt).groupby([key, "__salt"], dropna=False,
+                                           observed=True)
+        return g.size().rename(cnt).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    # final: sum over salts per key (drop the salt dimension)
+    return (partials.groupby(key).aggregate(Sum(cnt, alias_name=cnt)))
