@@ -1,0 +1,124 @@
+"""Benchmark driver — headline flagship pipeline + per-query timings.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+Headline = flagship parse→enrich→route→deliver→aggregate over the
+synthesized pages table at the scale matching $GRAFT_SF_DIR's sf
+(default /root/testdata/sf0.1 → pages sf0.1 = 1M docs).
+
+--scaling: runs the headline in TWO fresh processes (num_cpus=8 and
+32) on the same input and reports throughput at both + scaling
+efficiency (the N vs 4N cluster criterion evidenced in-sandbox; see
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else 0.1
+
+
+def run_bench() -> None:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # pages scale: follows sf_dir unless overridden (the scaling mode
+    # uses a larger pages table so compute dominates fixed overhead)
+    sf = float(os.environ.get("GRAFT_PAGES_SF", sf_from_dir(sf_dir)))
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import logging
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+    from rsyslog_ray import gen
+    from rsyslog_ray.pipelines.flagship import run_flagship
+    from rsyslog_ray.pipelines.queries import QUERIES
+
+    # ---- headline: flagship over pages at matching sf
+    pages = gen.pages_dir(sf)
+    gen.ensure_pages(sf)  # generated once, reused across runs (page-cache warm)
+    n_docs = gen.rows_for_sf(sf)
+    out = f"/tmp/rsyslog_ray_bench/sf{sf}-cpus{num_cpus}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    # warm the OS page cache so we measure compute+shuffle, not first read
+    for p in gen.ensure_pages(sf):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
+
+    t0 = time.perf_counter()
+    agg = run_flagship(pages, out, resume=False, lineage=True)
+    headline = time.perf_counter() - t0
+    assert len(agg) > 0
+
+    # ---- per-query timings over the driver testdata
+    qtimes: dict[str, float] = {}
+    if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1":
+        for name, fn in QUERIES.items():
+            t0 = time.perf_counter()
+            res = fn(sf_dir)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "flagship parse→enrich→route→aggregate wall time",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1),
+    }))
+    ray.shutdown()
+
+
+def run_scaling() -> None:
+    lo, hi = 8, 32
+    pages_sf = os.environ.get("GRAFT_SCALING_SF", "1.0")
+
+    def one(ncpu: int) -> dict:
+        # flush dirty pages from the previous run and let writeback
+        # settle — otherwise run 2 pays run 1's disk debt
+        os.sync()
+        time.sleep(10)
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_QUERIES="0", GRAFT_PAGES_SF=pages_sf)
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling efficiency (N=8 vs 4N=32 cpus, same input)",
+        "sf": r_lo["sf"],
+        f"sec_{lo}": r_lo["value"],
+        f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_bench()

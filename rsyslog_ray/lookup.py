@@ -64,6 +64,23 @@ class LookupTable:
                 return v
         return self.stub
 
+    # -- Arrow-vectorized (engine hot path; string tables) -------------
+    def lookup_arrow(self, col):
+        """Exact-match lookup on an Arrow string column via
+        ``pc.index_in`` + ``take`` (the bsearch analog, fully in C++).
+        Misses -> stub.  Only for kind="string"; other kinds use the
+        pandas path."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        assert self.kind == "string"
+        if not hasattr(self, "_keys_arr"):
+            self._keys_arr = pa.array(list(self._dict.keys()), pa.string())
+            self._vals_arr = pa.array(list(self._dict.values()), pa.string())
+        idx = pc.index_in(col, value_set=self._keys_arr)
+        return pc.fill_null(pc.take(self._vals_arr, idx),
+                            pa.scalar(self.stub, pa.string()))
+
     # -- vectorized (engine path) --------------------------------------
     def lookup_series(self, keys: pd.Series) -> pd.Series:
         if self.kind == "string":

@@ -29,8 +29,8 @@ import pandas as pd
 
 from .. import sinks as sk
 from ..router import DEFAULT_ROUTES, Router
-from ..stages.enrich import EnrichStage, default_lookups
-from ..stages.parse import parse_pages
+from ..stages.enrich import EnrichFn, default_lookups
+from ..stages.parse import ParseStage
 
 
 def input_shards(pages_dir: str) -> list[str]:
@@ -43,9 +43,8 @@ def run_flagship(
     *,
     routes=None,
     resume: bool = True,
-    parse_batch_size: int = 2048,
-    enrich_concurrency=None,
-    write_concurrency=None,
+    parse_batch_size: int = 8192,
+    write_batch_size: int = 32768,
     lineage: bool = True,
 ) -> pd.DataFrame:
     """Run the flagship job; returns the final per-sink aggregate counts
@@ -58,14 +57,6 @@ def run_flagship(
 
     routes = routes if routes is not None else DEFAULT_ROUTES
     router = Router(routes)
-    # autoscaling actor pools sized to the session: the two pools share
-    # the CPUs with the stateless parse tasks — fixed pools that sum past
-    # the CPU count would deadlock the streaming executor.
-    ncpu = int(ray.cluster_resources().get("CPU", 4))
-    if enrich_concurrency is None:
-        enrich_concurrency = (1, max(1, ncpu // 2))
-    if write_concurrency is None:
-        write_concurrency = (1, max(1, ncpu // 2))
     files = input_shards(pages_dir)
     if not files:
         raise FileNotFoundError(f"no pages-*.parquet under {pages_dir}")
@@ -88,24 +79,27 @@ def run_flagship(
         actor = sk.make_lineage_actor(out_dir, expected, name=lineage_name)
 
     ds = ray.data.read_parquet(pending)
-    ds = parse_pages(ds, batch_size=parse_batch_size)
+    # ONE fused task stage for parse+enrich: stateless tasks spread over
+    # every CPU (an actor pool here would cap the hottest stage at the
+    # pool size — observed 3× slower), zero-copy Arrow in, Arrow out.
     lookups_ref = ray.put(default_lookups())
-    ds = ds.map_batches(
-        EnrichStage,
-        fn_constructor_args=(lookups_ref,),
-        batch_format="pandas",
-        batch_size=parse_batch_size,
-        concurrency=enrich_concurrency,
-    )
+    parse_fn = ParseStage()
+    enrich_fn = EnrichFn(lookups_ref)
+
+    def parse_enrich(batch):
+        return enrich_fn(parse_fn(batch))
+
+    ds = ds.map_batches(parse_enrich, batch_format="pyarrow",
+                        batch_size=parse_batch_size)
+    # stateless-task writer: fuses with parse+enrich into ONE elastic
+    # task operator spread over every CPU. Large write batches: small
+    # batches here explode into thousands of tiny parquet files.
     partials = ds.map_batches(
-        sk.FanoutWriter,
-        fn_constructor_args=(router, out_dir, lineage_name),
-        batch_format="pandas",
-        batch_size=None,  # one batch per block ≈ per input shard
-        concurrency=write_concurrency,
+        sk.FanoutWriter(router, out_dir, lineage_name),
+        batch_format="pyarrow",
+        batch_size=write_batch_size,
     )
-    agg = sk.finalize_aggregates(partials)
-    out = agg.to_pandas()  # small: |sinks| × |kinds| × |keys|
+    out = sk.finalize_aggregates(partials)  # small: |sinks| × |kinds| × |keys|
     if actor is not None:
         ray.kill(actor)
     return out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)

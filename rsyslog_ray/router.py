@@ -126,6 +126,54 @@ def _eval_row(pred: tuple, row: dict) -> bool:
     raise ValueError(f"unknown predicate op {op!r}")
 
 
+def _mask_arrow(pred: tuple, t):
+    """Arrow-vectorized predicate evaluation (pc kernels, null->False)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def nn(arr):  # null -> False, matching the reference comparison rules
+        return pc.fill_null(arr, False)
+
+    op = pred[0]
+    if op == "true":
+        return pa.array(np.ones(len(t), dtype=bool))
+    if op == "and":
+        return pc.and_(_mask_arrow(pred[1], t), _mask_arrow(pred[2], t))
+    if op == "or":
+        return pc.or_(_mask_arrow(pred[1], t), _mask_arrow(pred[2], t))
+    if op == "not":
+        return pc.invert(_mask_arrow(pred[1], t))
+    col = t[pred[1]]
+    if op == "==":
+        return nn(pc.equal(col, pred[2]))
+    if op == "!=":
+        return nn(pc.not_equal(col, pred[2]))
+    if op == ">=":
+        return nn(pc.greater_equal(col, pred[2]))
+    if op == "<=":
+        return nn(pc.less_equal(col, pred[2]))
+    if op == ">":
+        return nn(pc.greater(col, pred[2]))
+    if op == "<":
+        return nn(pc.less(col, pred[2]))
+    if op == "contains":
+        return nn(pc.match_substring(col, pred[2]))
+    if op == "startswith":
+        return nn(pc.starts_with(col, pred[2]))
+    if op == "endswith":
+        return nn(pc.ends_with(col, pred[2]))
+    if op == "regex":
+        return nn(pc.match_substring_regex(col, pred[2]))
+    if op == "isempty":
+        return pc.or_(col.is_null(), nn(pc.equal(col, "")))
+    if op == "in":
+        return nn(pc.is_in(col, value_set=pa.array(pred[2])))
+    if op == "prifilt":
+        return pc.and_(nn(pc.greater_equal(col, pred[2])),
+                       nn(pc.less_equal(col, pred[3])))
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
 class Router:
     """Ordered route program with fan-out + stop semantics."""
 
@@ -146,6 +194,20 @@ class Router:
             out[r.sink] = out[r.sink] | m
             if r.stop:
                 consumed = consumed | m
+        return out
+
+    def masks_arrow(self, t) -> dict:
+        """Arrow-native masks (same semantics; pc kernels throughout)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        consumed = pa.array(np.zeros(len(t), dtype=bool))
+        out = {s: pa.array(np.zeros(len(t), dtype=bool)) for s in self.sinks}
+        for r in self.routes:
+            m = pc.and_not(_mask_arrow(r.pred, t), consumed)
+            out[r.sink] = pc.or_(out[r.sink], m)
+            if r.stop:
+                consumed = pc.or_(consumed, m)
         return out
 
     def route_row(self, row: dict) -> list[str]:

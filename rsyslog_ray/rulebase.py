@@ -65,6 +65,42 @@ class Rulebase:
         return None, {g: None for g, _ in self.fields}
 
     # ------------------------------------------------------------------
+    def parse_table(self, lines) -> dict:
+        """Arrow/RE2-vectorized chain (the engine hot path).
+
+        ``lines``: pa.Array/ChunkedArray of string.  Applies every
+        rule's regex as one ``pc.extract_regex`` pass (RE2, C++), then
+        coalesces per column in rule order — exactly first-match-wins,
+        because an earlier rule's match masks later values.  Returns a
+        dict of arrays: typed fields + ``rule`` + ``parse_ok``.
+        """
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        extracts = []   # (rule, struct_array, valid_mask)
+        claimed = pa.array(np.zeros(len(lines), dtype=bool))
+        rule_col = pa.nulls(len(lines), pa.string())
+        for r, cre in self._compiled:
+            ext = pc.extract_regex(lines, r.pattern)
+            valid = pc.and_not(ext.is_valid(), claimed)  # first match wins
+            extracts.append((r, ext, valid))
+            rule_col = pc.if_else(valid, pa.scalar(r.name, pa.string()), rule_col)
+            claimed = pc.or_(claimed, valid)
+
+        out: dict = {}
+        for g, typ in self.fields:
+            col = pa.nulls(len(lines), pa.string())
+            for r, ext, valid in extracts:
+                if g in r.compiled().groupindex:
+                    col = pc.if_else(valid, pc.struct_field(ext, g), col)
+            out[g] = _cast_arrow(col, typ)
+        out["rule"] = rule_col
+        out["parse_ok"] = claimed
+        return out
+
+    # ------------------------------------------------------------------
     def parse_frame(self, lines: pd.Series) -> pd.DataFrame:
         """Vectorized chain over a batch. Returns typed columns +
         ``rule`` (string, None if unmatched) + ``parse_ok`` (bool)."""
@@ -106,6 +142,25 @@ def _cast_scalar(v, typ: str):
         import datetime as _dt
         return _dt.datetime.strptime(v, TS_FORMAT)
     return v
+
+
+def _cast_arrow(col, typ: str):
+    """Cast an Arrow string column to the rule type (null-preserving)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if typ == "int":
+        return pc.cast(col, pa.int64())
+    if typ == "ts":
+        # "%Y-%m-%dT%H:%M:%S.%fZ": Arrow strptime lacks %f — parse the
+        # seconds prefix, add the microsecond suffix arithmetically
+        secs = pc.strptime(pc.utf8_slice_codeunits(col, 0, 19),
+                           format="%Y-%m-%dT%H:%M:%S", unit="us",
+                           error_is_null=True)
+        micros = pc.cast(pc.utf8_slice_codeunits(col, 20, 26), pa.int64())
+        return pc.cast(pc.add(pc.cast(secs, pa.int64()), micros),
+                       pa.timestamp("us"))
+    return col
 
 
 def _cast_series(s: pd.Series, typ: str) -> pd.Series:

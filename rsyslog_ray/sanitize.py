@@ -42,3 +42,25 @@ def sanitize_series(values):
     s = s.str.translate(_CTRL)
     # strip exactly one trailing newline
     return s.str.replace(r"\n$", "", regex=True, n=1)
+
+
+def sanitize_arrow(binary_arr):
+    """Arrow-vectorized implementation of the same spec.
+
+    Control bytes (C0 minus \\t \\n) are replaced with spaces ON THE
+    BYTES first — safe, because those bytes are never UTF-8
+    continuation bytes, so pre-replacing them cannot merge or split an
+    invalid multi-byte sequence — then the (small) decode-with-replace
+    + U+FFFD mapping runs in pandas, and the single trailing newline is
+    stripped.  Byte-identical to ``sanitize_bytes`` (tested per row).
+
+    ``binary_arr``: pa.Array/ChunkedArray of binary. Returns pandas str
+    Series (the caller decides the final container).
+    """
+    import pyarrow.compute as pc
+
+    cleaned = pc.replace_substring_regex(
+        binary_arr, r"[\x00-\x08\x0B-\x1F]", b" ")
+    s = cleaned.to_pandas().str.decode("utf-8", errors="replace")
+    s = s.str.replace("\ufffd", " ", regex=False)
+    return s.str.replace(r"\n$", "", regex=True, n=1)

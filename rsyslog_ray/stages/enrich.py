@@ -17,6 +17,7 @@ url_host lookup (stubs on miss, lookup.c:396-398).
 from __future__ import annotations
 
 import pandas as pd
+import pyarrow as pa
 
 from .. import schema as S
 from ..lookup import LookupTable
@@ -75,6 +76,49 @@ class EnrichStage:
         batch["region"] = self.lookups["lang_region"].lookup_series(batch["lang"])
         batch["category"] = self.lookups["host_category"].lookup_series(batch["url_host"])
         return batch
+
+
+HOST_RE_ARROW = r"^[a-z][a-z0-9+.-]*://(?P<h>[^/?#:]+)"
+
+
+class EnrichFn:
+    """Stateless-task, Arrow-native variant: a plain callable holding
+    the broadcast ObjectRef, resolved lazily (ray.get of a local object
+    is cheap).
+
+    Use this when the lookup state is small — task stages stay fully
+    elastic and FUSE with neighbouring task stages (an actor pool here
+    would cap the fused parse+enrich pipeline at the pool size).
+    Use ``EnrichStage`` (actor pool) when the state is heavy to
+    deserialize (mmdb-style databases)."""
+
+    def __init__(self, lookups_ref=None):
+        self._ref = lookups_ref
+        self._lk = None
+
+    def _lookups(self):
+        if self._lk is None:
+            if self._ref is None:
+                self._lk = default_lookups()
+            elif isinstance(self._ref, dict):
+                self._lk = self._ref
+            else:
+                import ray
+                self._lk = ray.get(self._ref)
+        return self._lk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lk = self._lookups()
+        host = pc.fill_null(
+            pc.struct_field(pc.extract_regex(batch["url"], HOST_RE_ARROW), "h"),
+            pa.scalar("", pa.string()))
+        region = lk["lang_region"].lookup_arrow(batch["lang"])
+        category = lk["host_category"].lookup_arrow(host)
+        return (batch.append_column("url_host", host)
+                     .append_column("region", region)
+                     .append_column("category", category))
 
 
 def enrich_pages(ds, lookups_ref=None, concurrency=4, batch_size: int = 4096):

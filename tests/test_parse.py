@@ -20,10 +20,11 @@ def test_sanitize_spec():
 
 
 def test_parse_matches_oracle_rowwise():
-    df = gen.gen_batch(np.arange(0, 3000)).to_pandas()
-    out = ParseStage()(df)
-    for i in range(len(df)):
-        rule, fields = PAGES_RULEBASE.parse_row(df["text"].iloc[i])
+    t = gen.gen_batch(np.arange(0, 3000))
+    out = ParseStage()(t).to_pandas()
+    texts = t["text"].to_pylist()
+    for i in range(len(texts)):
+        rule, fields = PAGES_RULEBASE.parse_row(texts[i])
         assert (rule is not None) == bool(out["parse_ok"].iloc[i])
         if rule:
             assert rule == out["rule"].iloc[i]
@@ -32,6 +33,8 @@ def test_parse_matches_oracle_rowwise():
                 assert pd.isna(out["p_status"].iloc[i])
             else:
                 assert fields["p_status"] == out["p_status"].iloc[i]
+            if fields["p_ts"] is not None:
+                assert pd.Timestamp(fields["p_ts"]) == out["p_ts"].iloc[i]
 
 
 def test_extract_byte_identical():
@@ -42,6 +45,6 @@ def test_extract_byte_identical():
 
 
 def test_html_dropped():
-    df = gen.gen_batch(np.arange(0, 100)).to_pandas()
-    out = ParseStage()(df)
-    assert "html" not in out.columns
+    t = gen.gen_batch(np.arange(0, 100))
+    out = ParseStage()(t)
+    assert "html" not in out.schema.names
