@@ -13,6 +13,7 @@ never per-row Python in a hot path, never a driver-side row loop.
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 import pandas as pd
@@ -382,6 +383,196 @@ def q_lineitem_agg(sf_dir):
 
 
 # ======================================================================
+# Training-data operators: dedup / text analysis / similarity / media
+# (first-class components per the build brief; near-dup + ANN entries
+# without exact SQL equivalents are registered WITHOUT an oracle —
+# the driver records a rows-only check and pytest carries the
+# brute-force-oracle comparison: tests/test_dedup_text.py)
+# ======================================================================
+
+def q_dedup_wordset(sf_dir):
+    """Near-dup by word SET (order/multiplicity-insensitive): one keeper
+    per distinct vocabulary — the simplest content-normalizing dedup."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["text"].str.split().map(lambda ws: " ".join(sorted(set(ws))))
+        return pd.DataFrame({"doc_id": df["doc_id"], "k": k})
+
+    return two_phase_agg(ds.map_batches(key, batch_format="pandas"),
+                         ["k"], count="copies",
+                         mins={"doc_id": "keeper_id"}).select_columns(
+        ["keeper_id", "copies"])
+
+
+def q_dedup_minhash(sf_dir):
+    """MinHash(64) + LSH(16x4) near-dup pairs, exact-Jaccard verified
+    (>= 0.8). No SQL oracle (rows-only driver check; pytest compares
+    against the brute-force oracle)."""
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8)
+
+
+def q_dedup_simhash(sf_dir):
+    """SimHash64 pairs with Hamming <= 3 via 4x16-bit chunk banding
+    (pigeonhole-complete). Rows-only driver check."""
+    from ..stages.dedup import simhash_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_pairs(ds, "doc_id", "text", max_hamming=3)
+
+
+def q_text_quality(sf_dir):
+    """Quality features per doc (integer-valued, oracle-checkable):
+    token count, stopword count, longest token."""
+    from ..stages.text import quality_frame
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        q = quality_frame(df)
+        q.insert(0, "doc_id", df["doc_id"])
+        return q
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_text_tokens(sf_dir):
+    """Token counting (whitespace + BPE-ish regex) summed per lang."""
+    from ..stages.text import token_counts_frame
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        t = token_counts_frame(df["text"])
+        t.insert(0, "lang", df["lang"])
+        return t
+
+    return two_phase_agg(ds.map_batches(fx, batch_format="pandas"), ["lang"],
+                         count=None, sums={"ws_tokens": "ws_tokens",
+                                           "bpe_tokens": "bpe_tokens"})
+
+
+def q_text_langid(sf_dir):
+    """Language-ID heuristic (stopword profiles) counted per predicted
+    lang. Deterministic; rows-only driver check (profile scoring is not
+    reasonably SQL-expressible)."""
+    from ..stages.text import lang_id_frame
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pred_lang": lang_id_frame(df["text"])})
+
+    return two_phase_agg(ds.map_batches(fx, batch_format="pandas"),
+                         ["pred_lang"])
+
+
+def q_text_fingerprint(sf_dir):
+    """Winnowing fingerprints (rolling-hash min-per-window) per doc.
+    Rows-only driver check; determinism pinned in pytest."""
+    from ..stages.text import fingerprint_frame
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        f = fingerprint_frame(df["text"])
+        f.insert(0, "doc_id", df["doc_id"])
+        f["min_fp"] = f["min_fp"].astype("int64")  # driver-friendly dtype
+        return f
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_knn_bruteforce(sf_dir):
+    """Exact top-5 cosine neighbors of the first 5 vectors (broadcast
+    query matrix, per-batch GEMM + two-phase top-k). Rows-only driver
+    check (float-rank ties make hash-compare vs SQL brittle); pytest
+    pins it against the numpy oracle."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_bruteforce
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5).to_pandas()
+    queries = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].tolist()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_bruteforce(ds, "embedding", "vec_id", queries, qids, k=5)
+
+
+def q_knn_lsh(sf_dir):
+    """ANN variant: hyperplane-LSH bucketed top-5 (single probe).
+    Rows-only driver check; recall contract tested in pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_lsh
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5).to_pandas()
+    queries = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].tolist()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5)
+
+
+def q_media_features(sf_dir):
+    """Multimodal plumbing: opaque-binary decode stage (stubbed with
+    deterministic byte features) over the synthesized pages table at
+    the matching scale. Rows-only driver check."""
+    from .. import gen
+    from ..stages.multimodal import media_features
+
+    import ray.data
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", "") or 0.01)
+    except ValueError:
+        raise ValueError(
+            f"sf_dir basename must look like 'sf0.01', got {base!r}") from None
+    files = gen.ensure_pages(sf)
+    ds = ray.data.read_parquet(files[:2])
+    out = media_features(ds, "html", concurrency=(1, 4), batch_size=256)
+    return out.select_columns(["url", "media_len", "entropy_milli"])
+
+
+def q_runs_compress(sf_dir):
+    """pmlastmsg 'message repeated n times' as a stream compression:
+    collapse runs of equal event_type per user into (user, island,
+    event_type, n)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id",
+                                          "event_type"])
+
+    def runs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        st = (g["event_type"] != g["event_type"].shift()).cumsum()
+        out = (g.groupby(st).agg(et=("event_type", "first"),
+                                 n=("event_type", "size"))
+               .reset_index(drop=True))
+        out.insert(0, "island", np.arange(1, len(out) + 1, dtype="int64"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(runs, batch_format="pandas")
+
+
+def q_ratelimit_window(sf_dir):
+    """Windowed rate limit (ratelimit interval+burst analog,
+    runtime/ratelimit.c:67-69): keep <= 2 events per (user, hour)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def limit(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["__h"] = g["ts"].dt.floor("h")
+        kept = g.groupby("__h", as_index=False).head(2)
+        return kept[["event_id"]]
+
+    return ds.groupby("user_id").map_groups(limit, batch_format="pandas")
+
+
+# ======================================================================
 # SQL oracles (DuckDB) — names and aliases must match the Ray outputs
 # ======================================================================
 
@@ -520,6 +711,57 @@ SQL: dict[str, str] = {
                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    "dedup_wordset": """
+        SELECT min(doc_id) AS keeper_id, count(*) AS copies
+        FROM documents
+        GROUP BY array_to_string(list_sort(list_distinct(
+                   string_split(text, ' '))), ' ')
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(string_split(text, ' '),
+                    x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS BIGINT)
+                 AS n_stop,
+               CAST(list_max(list_transform(string_split(text, ' '),
+                    x -> length(x))) AS BIGINT) AS longest_len
+        FROM documents
+    """,
+    "text_tokens": """
+        SELECT lang,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS ws_tokens,
+               sum(CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT)) AS bpe_tokens
+        FROM documents GROUP BY lang
+    """,
+    "runs_compress": """
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id ORDER BY min_ord)
+                    AS BIGINT) AS island,
+               et, n
+        FROM (
+          SELECT user_id, island_id,
+                 any_value(event_type) AS et,
+                 CAST(count(*) AS BIGINT) AS n,
+                 min(ord) AS min_ord
+          FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   row_number() OVER w AS ord,
+                   sum(st) OVER w AS island_id
+            FROM (
+              SELECT user_id, ts, event_id, event_type,
+                     CASE WHEN lag(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS st
+              FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+          GROUP BY user_id, island_id)
+    """,
+    "ratelimit_window": """
+        SELECT event_id FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id,
+                 date_trunc('hour', ts) ORDER BY ts, event_id) <= 2
+    """,
 }
 
 
@@ -549,4 +791,16 @@ QUERIES = {
     "union_tagged": q_union_tagged,
     "template_render": q_template_render,
     "lineitem_agg": q_lineitem_agg,
+    "dedup_wordset": q_dedup_wordset,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+    "knn_bruteforce": q_knn_bruteforce,
+    "knn_lsh": q_knn_lsh,
+    "media_features": q_media_features,
+    "runs_compress": q_runs_compress,
+    "ratelimit_window": q_ratelimit_window,
 }

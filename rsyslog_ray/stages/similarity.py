@@ -1,0 +1,139 @@
+"""Similarity search over an embedding column (list<float>).
+
+- knn_bruteforce: exact top-k cosine against a broadcast query matrix —
+  numpy matmul per batch; the baseline and the verify path.
+- lsh_buckets / knn_lsh: random-hyperplane LSH bucketing — the scale
+  path: queries only score against their (multi-probe) buckets.
+
+The query matrix is broadcast ONCE (ray.put) and fetched per task;
+each batch's work is one (batch × dim) @ (dim × q) GEMM — never a
+Python loop over rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _splitmix
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def knn_bruteforce(ds, vec_col: str, id_col: str, queries: np.ndarray,
+                   query_ids: list, k: int = 5):
+    """Exact top-k cosine neighbors for each query vector.
+
+    Two-phase top-k (the combiner pattern): each batch emits its local
+    top-k per query (batch_size × q score matrix → argpartition), the
+    final exact top-k reduces the small partials on the driver.
+    Deterministic tie-break: (-sim, id).
+    """
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    q_ref = ray.put(qm)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        q = ray.get(q_ref)
+        ids = df[id_col].to_numpy()
+        v = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        sim = v @ q.T                                   # (n, nq)
+        out = {"qid": [], "id": [], "sim": []}
+        kk = min(k, len(ids))
+        for j in range(sim.shape[1]):
+            part = np.argpartition(-sim[:, j], kk - 1)[:kk]
+            out["qid"].extend([query_ids[j]] * len(part))
+            out["id"].extend(ids[part])
+            out["sim"].extend(sim[part, j])
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    # final exact reduce (tiny: batches × q × k rows)
+    partials = partials.sort_values(["qid", "sim", "id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("qid", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return top[["qid", "id", "rank"]].reset_index(drop=True)
+
+
+def knn_bruteforce_oracle(ids, vecs, queries, query_ids, k=5) -> pd.DataFrame:
+    v = _normalize(np.stack(vecs).astype(np.float64))
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    sim = v @ q.T
+    rows = {"qid": [], "id": [], "rank": []}
+    ids = np.asarray(ids)
+    for j, qid in enumerate(query_ids):
+        order = sorted(range(len(ids)), key=lambda i: (-sim[i, j], ids[i]))[:k]
+        for r, i in enumerate(order, 1):
+            rows["qid"].append(qid)
+            rows["id"].append(ids[i])
+            rows["rank"].append(r)
+    return pd.DataFrame(rows)
+
+
+# ---------------------------------------------------------------------
+# LSH bucketing (random hyperplanes) — the ANN scale path
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:
+    """Deterministic Gaussian-ish hyperplanes from splitmix streams."""
+    u = _splitmix(np.arange(dim * n_planes * 2, dtype=np.uint64)
+                  + np.uint64(seed * 1_000_003))
+    u = (u.astype(np.float64) / 2.0**64).reshape(2, dim * n_planes)
+    # Box-Muller for proper Gaussian planes
+    g = np.sqrt(-2 * np.log(np.clip(u[0], 1e-12, 1))) * np.cos(2 * np.pi * u[1])
+    return g.reshape(n_planes, dim)
+
+
+def bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (vecs @ planes.T) > 0
+    return (bits.astype(np.uint64)
+            << np.arange(planes.shape[0], dtype=np.uint64)[None, :]).sum(axis=1)
+
+
+def knn_lsh(ds, vec_col: str, id_col: str, queries: np.ndarray,
+            query_ids: list, k: int = 5, n_planes: int = 8):
+    """ANN top-k: score each query only against its hyperplane bucket
+    (single-probe; widen with multi-probe by flipping weakest bits).
+    Trades recall for a |bucket|/N cost reduction; tests measure recall
+    vs knn_bruteforce."""
+    import ray
+
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    planes = hyperplanes(qm.shape[1], n_planes)
+    q_buckets = bucket_of(qm, planes)
+    q_ref = ray.put((qm, q_buckets))
+    p_ref = ray.put(planes)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        q, qb = ray.get(q_ref)
+        pl = ray.get(p_ref)
+        ids = df[id_col].to_numpy()
+        v = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        vb = bucket_of(v, pl)
+        out = {"qid": [], "id": [], "sim": []}
+        for j in range(q.shape[0]):
+            mask = vb == qb[j]
+            if not mask.any():
+                continue
+            sim = v[mask] @ q[j]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            part = np.argpartition(-sim, kk - 1)[:kk]
+            out["qid"].extend([query_ids[j]] * len(part))
+            out["id"].extend(sub_ids[part])
+            out["sim"].extend(sim[part])
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"qid": [], "id": [], "rank": []})
+    partials = partials.sort_values(["qid", "sim", "id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("qid", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return top[["qid", "id", "rank"]].reset_index(drop=True)

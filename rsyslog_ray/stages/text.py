@@ -1,0 +1,120 @@
+"""Text-analysis operators: language-ID, quality, tokens, fingerprints.
+
+Training-data-pipeline staples the reference lacks, expressed as
+vectorized ``map_batches`` kernels over the documents/pages text
+column.  Deterministic by construction (tests pin outputs; the
+SQL-expressible ones also have DuckDB oracles in queries.py).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+from .dedup import _splitmix, hash_str64
+
+# ---------------------------------------------------------------------
+# language id — n-gram/stopword-profile heuristic
+
+LANG_PROFILES = {
+    # tiny deterministic marker sets; a real system ships trained
+    # profiles — the OPERATOR shape (profile broadcast + vectorized
+    # scoring) is what matters at scale
+    "en": {"the", "and", "of", "a", "to", "is", "in"},
+    "de": {"der", "die", "das", "und", "ist", "nicht"},
+    "fr": {"le", "la", "les", "et", "est", "une"},
+    "es": {"el", "los", "las", "es", "una", "y"},
+}
+
+
+def lang_id_frame(texts: pd.Series) -> pd.Series:
+    """Predict language by stopword-profile overlap; 'und' if nothing
+    matches. Ties break by profile order."""
+    toks = texts.str.lower().str.split()
+
+    def score(ws):
+        if not isinstance(ws, list):
+            return "und"
+        s = set(ws)
+        best, best_n = "und", 0
+        for lang, prof in LANG_PROFILES.items():
+            n = len(s & prof)
+            if n > best_n:
+                best, best_n = lang, n
+        return best
+
+    return toks.map(score)
+
+
+# ---------------------------------------------------------------------
+# quality scoring — integer features (SQL-oracle friendly)
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def quality_frame(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    toks = df[text_col].str.split()
+    n_tokens = toks.str.len().fillna(0).astype("int64")
+    stop = set(STOPWORDS)
+    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in stop)
+                      if isinstance(ws, list) else 0).astype("int64")
+    longest = toks.map(lambda ws: max((len(w) for w in ws), default=0)
+                       if isinstance(ws, list) else 0).astype("int64")
+    return pd.DataFrame({
+        "n_tokens": n_tokens,
+        "n_stop": n_stop,
+        "longest_len": longest,
+    }, index=df.index)
+
+
+# ---------------------------------------------------------------------
+# token counting — whitespace + BPE-ish regex
+
+BPE_RE = re.compile(r"[A-Za-z]+|\d+|[^\sA-Za-z\d]")
+
+
+def token_counts_frame(texts: pd.Series) -> pd.DataFrame:
+    ws = texts.str.split().str.len().fillna(0).astype("int64")
+    bpe = texts.str.findall(BPE_RE).str.len().fillna(0).astype("int64")
+    return pd.DataFrame({"ws_tokens": ws, "bpe_tokens": bpe},
+                        index=texts.index)
+
+
+# ---------------------------------------------------------------------
+# document fingerprinting — winnowing (rolling hash, min per window)
+
+FP_K = 5      # char k-grams
+FP_WIN = 8    # winnow window
+
+
+def fingerprint_row(text: str, k: int = FP_K, w: int = FP_WIN) -> list[int]:
+    """Winnowing fingerprint: hash every char k-gram, keep the min of
+    each sliding window of w hashes (rightmost min), dedup preserving
+    order. Standard document-fingerprint scheme for plagiarism/dup
+    detection."""
+    if len(text) < k:
+        return [hash_str64(text)] if text else []
+    hv = np.array([hash_str64(text[i:i + k])
+                   for i in range(len(text) - k + 1)], dtype=np.uint64)
+    if len(hv) <= w:
+        return [int(hv.min())]
+    out, seen = [], set()
+    from numpy.lib.stride_tricks import sliding_window_view
+    wins = sliding_window_view(hv, w)
+    mins = wins.min(axis=1)
+    for m in mins:
+        mi = int(m)
+        if mi not in seen:
+            seen.add(mi)
+            out.append(mi)
+    return out
+
+
+def fingerprint_frame(texts: pd.Series) -> pd.DataFrame:
+    fps = texts.map(fingerprint_row)
+    return pd.DataFrame({
+        "n_fp": fps.str.len().astype("int64"),
+        "min_fp": fps.map(lambda f: min(f) if f else 0).astype("uint64"),
+    }, index=texts.index)

@@ -1,0 +1,156 @@
+"""Dedup, text-analysis and similarity stages vs brute-force oracles."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsyslog_ray.stages import dedup as dd
+from rsyslog_ray.stages import similarity as sim
+from rsyslog_ray.stages import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    return t.to_pandas()
+
+
+def test_minhash_lsh_vs_oracle(ray_session, docs):
+    import ray.data
+
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    got = dd.minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    want = dd.minhash_lsh_pairs_oracle(docs["doc_id"].tolist(),
+                                       docs["text"].tolist(), threshold=0.8)
+    assert got_pairs == want
+    assert len(want) > 0  # corpus contains duplicated texts
+
+
+def test_simhash_vs_oracle(ray_session, docs):
+    import ray.data
+
+    sub = docs.head(200)  # oracle is O(n^2)
+    ds = ray.data.from_pandas(sub[["doc_id", "text"]])
+    got = dd.simhash_pairs(ds, "doc_id", "text", max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    want = dd.simhash_pairs_oracle(sub["doc_id"].tolist(), sub["text"].tolist(), 3)
+    # banding guarantees completeness for d<=3 (pigeonhole over 4 chunks)
+    assert got_pairs == want
+
+
+def test_embedding_neardup(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    df = t.to_pandas()
+    # the synthetic embeddings are near-orthogonal (max cos ~0.39), so
+    # PLANT near-duplicates: perturbed copies of every 10th vector
+    rng = np.random.RandomState(7)
+    copies = df.iloc[::10].copy()
+    copies["vec_id"] = copies["vec_id"] + 100_000
+    copies["embedding"] = copies["embedding"].map(
+        lambda v: (np.asarray(v) + rng.normal(0, 0.01, len(v))).astype(
+            np.float32))
+    df = pd.concat([df, copies], ignore_index=True)
+
+    ds = ray.data.from_pandas(df)
+    got = dd.embedding_neardup_pairs(ds, "vec_id", "embedding", "label",
+                                     threshold=0.95).to_pandas()
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    # oracle: brute force within label
+    want = set()
+    for _, g in df.groupby("label"):
+        ids = g["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack(g["embedding"].to_numpy()[order]).astype(np.float64)
+        v = v / np.linalg.norm(v, axis=1, keepdims=True)
+        s = v @ v.T
+        ia, ib = np.where(np.triu(s >= 0.95, k=1))
+        want |= set(zip(ids[ia], ids[ib]))
+    assert got_pairs == want
+    assert len(want) >= 40  # every planted copy pairs with its source
+
+
+def test_knn_bruteforce_and_lsh_recall(ray_session):
+    import pyarrow.parquet as pq
+    import ray.data
+
+    df = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    queries = np.stack(df["embedding"].head(5).to_numpy())
+    qids = df["vec_id"].head(5).tolist()
+    ds = ray.data.from_pandas(df)
+    got = sim.knn_bruteforce(ds, "embedding", "vec_id", queries, qids, k=5)
+    want = sim.knn_bruteforce_oracle(df["vec_id"].tolist(),
+                                     df["embedding"].tolist(), queries, qids, 5)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["qid", "rank"]).reset_index(drop=True).astype("int64"),
+        want.sort_values(["qid", "rank"]).reset_index(drop=True).astype("int64"))
+    # ANN contract: near-identical vectors share a bucket w.h.p. —
+    # plant perturbed copies and require LSH to find the source; the
+    # base corpus is near-orthogonal so full-recall is not expected
+    # (that's what the brute-force baseline is for).
+    rng = np.random.RandomState(11)
+    pq2 = np.stack([np.asarray(v) + rng.normal(0, 0.005, len(v))
+                    for v in df["embedding"].head(5)])
+    ds2 = ray.data.from_pandas(df)
+    ann = sim.knn_lsh(ds2, "embedding", "vec_id", pq2, qids, k=5, n_planes=6)
+    approx = set(zip(ann["qid"], ann["id"]))
+    found_self = sum((q, q) in approx for q in qids)
+    assert found_self >= 4, (found_self, approx)
+
+
+def test_text_analysis_kernels(docs):
+    t = docs["text"]
+    q = tx.quality_frame(docs)
+    assert (q["n_tokens"] >= q["n_stop"]).all()
+    row0 = t.iloc[0].split()
+    assert q["n_tokens"].iloc[0] == len(row0)
+    assert q["longest_len"].iloc[0] == max(len(w) for w in row0)
+
+    tc = tx.token_counts_frame(t)
+    assert (tc["bpe_tokens"] >= tc["ws_tokens"]).all()
+
+    lid = tx.lang_id_frame(pd.Series([
+        "the cat and the dog of a house",
+        "der hund ist nicht die katze und",
+        "zzz qqq www"]))
+    assert lid.tolist() == ["en", "de", "und"]
+
+    fp = tx.fingerprint_frame(t.head(50))
+    fp2 = tx.fingerprint_frame(t.head(50))
+    pd.testing.assert_frame_equal(fp, fp2)  # deterministic
+    assert (fp["n_fp"] > 0).all()
+
+
+def test_media_stage_plumbing(ray_session, pages_small):
+    import glob
+
+    import ray.data
+
+    from rsyslog_ray.stages.multimodal import (MediaDecodeStage,
+                                               deterministic_features,
+                                               media_features)
+
+    files = sorted(glob.glob(f"{pages_small}/pages-*.parquet"))[:1]
+    ds = ray.data.read_parquet(files)
+    out = media_features(ds, "html", concurrency=(1, 2), batch_size=128)
+    df = out.to_pandas()
+    assert {"media_len", "media_hash", "entropy_milli", "head4"} <= set(df.columns)
+    assert "html" not in df.columns
+    assert len(df) == 2000
+    # oracle parity on a sample row
+    import pyarrow.parquet as pq
+    raw = pq.read_table(files[0]).to_pandas()
+    f0 = deterministic_features(raw["html"].iloc[0])
+    r0 = df[df["media_hash"] == f0["media_hash"]].iloc[0]
+    assert r0["media_len"] == f0["media_len"]
+    # strict mode raises exactly at the decode site
+    stage = MediaDecodeStage(strict=True)
+    import pyarrow as pa
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"html": pa.array([b"xx"], pa.binary())}))
