@@ -10,6 +10,8 @@ loop per row in the hot path.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 
@@ -99,6 +101,52 @@ def anon_ipv4_zero(s: pd.Series) -> pd.Series:
     """Zero the last octet of every IPv4 in the string (zero mode,
     8 mask bits)."""
     return s.str.replace(IPV4_RE, r"\1.0", regex=True)
+
+
+# ---- time formatting (template date formats, runtime/template.h:72-95
+#      — 22 variants in the reference; the common ones as strftime)
+TIME_FORMATS = {
+    "rfc3339": "%Y-%m-%dT%H:%M:%S.%fZ",
+    "mysql": "%Y-%m-%d %H:%M:%S",
+    "pgsql": "%Y-%m-%d %H:%M:%S",
+    "date": "%Y-%m-%d",
+    "hour": "%H",
+    "isoweek": "%V",
+    "wdayname": "%a",
+}
+
+
+def format_time(ts: pd.Series, fmt: str) -> pd.Series:
+    """format_time analog (rainerscript.c:2744) for named formats plus
+    'unixtimestamp' (epoch seconds as string)."""
+    if fmt == "unixtimestamp":
+        return (ts.astype("int64") // 1_000_000).astype(str)
+    return ts.dt.strftime(TIME_FORMATS.get(fmt, fmt))
+
+
+# ---- CSV / JSON escaping (property-replacer options: RFC4180 CSV and
+#      JSON escaping, runtime/template.h:150-169; doEscape template.c:947)
+def csv_escape(s: pd.Series) -> pd.Series:
+    """RFC4180: quote when the field contains comma/quote/newline,
+    doubling inner quotes."""
+    needs = s.str.contains(r'[",\n]', regex=True, na=False)
+    quoted = '"' + s.str.replace('"', '""', regex=False) + '"'
+    return quoted.where(needs, s)
+
+
+def json_string_escape(s: pd.Series) -> pd.Series:
+    return (s.str.replace("\\", "\\\\", regex=False)
+             .str.replace('"', '\\"', regex=False)
+             .str.replace("\n", "\\n", regex=False)
+             .str.replace("\t", "\\t", regex=False))
+
+
+# ---- structured-data parse (mmpstrucdata analog,
+#      plugins/mmpstrucdata/mmpstrucdata.c: RFC5424 SD -> fields)
+def sd_param(sd: pd.Series, param: str) -> pd.Series:
+    """Extract one SD-PARAM value from an RFC5424 STRUCTURED-DATA
+    string: [id k="v" ...] -> v for k == param."""
+    return sd.str.extract(rf'\b{re.escape(param)}="([^"]*)"', expand=False)
 
 
 # ---- hashing (fmhash hash64/hash32, contrib/fmhash/fmhash.c:350-356 —

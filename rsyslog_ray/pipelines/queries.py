@@ -383,6 +383,218 @@ def q_lineitem_agg(sf_dir):
 
 
 # ======================================================================
+# Syslog-core parity: header parse roundtrip, SD parse, PRI decompose,
+# property-replacer options, template formats, remaining lookup kinds,
+# salted aggregation, windowed percentile
+# ======================================================================
+
+def q_syslog_roundtrip(sf_dir):
+    """pmrfc5424 + PRI decompose (tools/pmrfc5424.c, parserParsePRI
+    runtime/parser.c:575): render an RFC5424 line per event, parse it
+    back through the SYSLOG_RULEBASE chain, decompose PRI.  The oracle
+    computes the same fields directly — proving the render→parse cycle
+    is lossless."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..rulebase import SYSLOG_RULEBASE, pri_decompose
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type", "value"])
+
+    def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
+        pri = (df["event_id"] % 192).astype("int64")
+        line = ("<" + pri.astype(str) + ">1 "
+                + df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+                + " host" + (df["user_id"] % 50).astype(str)
+                + " app-" + df["event_type"]
+                + " " + df["event_id"].astype(str)
+                + " ID" + (df["event_id"] % 97).astype(str)
+                + " [meta seq=\"" + df["event_id"].astype(str) + "\"]"
+                + " value=" + df["value"].round(3).astype(str))
+        parsed = SYSLOG_RULEBASE.parse_table(pa.array(line, pa.string()))
+        sev, fac = pri_decompose(parsed["pri"])
+        return pd.DataFrame({
+            "event_id": pc.cast(parsed["procid"], pa.int64()).to_pandas(),
+            "severity": sev.to_pandas(),
+            "facility": fac.to_pandas(),
+            "hostname": parsed["hostname"].to_pandas(),
+            "app_name": parsed["app_name"].to_pandas(),
+            "ts": parsed["ts5424"].to_pandas(),
+            "parse_ok": parsed["parse_ok"].to_pandas(),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pandas")
+
+
+def q_mmpstrucdata(sf_dir):
+    """mmpstrucdata analog (plugins/mmpstrucdata/mmpstrucdata.c): parse
+    RFC5424 STRUCTURED-DATA params out of a rendered SD string."""
+    from ..functions import sd_param
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        sd = ('[evt@1 seq="' + df["event_id"].astype(str)
+              + '" type="' + df["event_type"] + '"]')
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "sd_seq": pd.to_numeric(sd_param(sd, "seq")).astype("int64"),
+            "sd_type": sd_param(sd, "type"),
+        })
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_lookup_regex(sf_dir):
+    """Regex lookup table (runtime/lookup.c:486-: ordered first-matching
+    regex list + stub)."""
+    from ..lookup import LookupTable
+
+    table = LookupTable("regex", [(r"^purch", "buy"), (r"^sign", "join"),
+                                  (r"err", "bad")], stub="other")
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "klass": table.lookup_series(df["event_type"])})
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_lookup_array(sf_dir):
+    """Array lookup table (runtime/lookup.c:418-435: dense uint index,
+    out-of-range -> stub)."""
+    from ..lookup import LookupTable
+
+    vals = ["zero", "one", "two", "three", "four", "five"]
+    table = LookupTable("array", vals, stub="??")
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "slot": table.lookup_series(df["user_id"] % 8)})
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_net_funcs(sf_dir):
+    """num2ipv4 / ipv42num / is_in_subnet analogs (rainerscript net
+    functions): synthesize an IP, roundtrip it, test membership in
+    10.0.0.0/8."""
+    from ..functions import ipv42num, num2ipv4
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        n = (df["user_id"] * 2654435761 + 167772160) % 4294967296
+        ip = num2ipv4(n)
+        back = ipv42num(ip).astype("int64")
+        in10 = (back // 16777216 == 10).astype("int64")
+        return pd.DataFrame({"event_id": df["event_id"], "ip": ip,
+                             "ip_num": back, "in_net10": in10})
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_salted_count(sf_dir):
+    """Salted two-phase aggregation (the skew pattern of SURVEY.md §7
+    M5): partial count on (key, hash-salt), final sum on key — must
+    equal the plain group count exactly (counts are associative)."""
+    from ..stages.aggregate import salted_count
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return salted_count(ds, "event_type", salt_buckets=16)
+
+
+def q_percentile_window(sf_dir):
+    """perctile_stats ring-buffer semantics (runtime/perctile_stats.c:
+    window of the last `windowsize` observations per bucket): p50 of
+    the last 10 values per event_type."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id",
+                                          "value"])
+
+    def win(g: pd.DataFrame) -> pd.DataFrame:
+        last = g.sort_values(["ts", "event_id"]).tail(10)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "p50_last10": [round(float(np.percentile(
+                last["value"].to_numpy(dtype=np.float64), 50)), 6)],
+        })
+
+    return ds.groupby("event_type").map_groups(win, batch_format="pandas")
+
+
+def q_property_replacer(sf_dir):
+    """Property-replacer options (runtime/template.h:125-146,
+    runtime/msg.c:3696): substring, case conversion, field-by-delimiter
+    selection, regex select."""
+    from ..functions import field, substring, toupper
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "sub8": substring(df["text"], 0, 8),
+            "up_src": toupper(df["source"]),
+            "field3": field(df["text"], " ", 3),
+            "re_sel": df["text"].str.extract(r"\b(\w*ar\w*)\b",
+                                             expand=False).fillna(""),
+        })
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_template_json(sf_dir):
+    """tplToJSON analog (runtime/template.c:1027): render a compact
+    JSON object per row (byte-identical to DuckDB's to_json)."""
+    from ..functions import json_string_escape
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        j = ('{"id":' + df["event_id"].astype(str)
+             + ',"et":"' + json_string_escape(df["event_type"]) + '"}')
+        return pd.DataFrame({"event_id": df["event_id"], "j": j})
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_template_csv(sf_dir):
+    """RFC4180 CSV option (template.h:150-154 '#define ...CSV'): props
+    contains quotes, so the escaping path is exercised."""
+    from ..functions import csv_escape
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        line = df["event_id"].astype(str) + "," + csv_escape(df["props"])
+        return pd.DataFrame({"event_id": df["event_id"], "line": line})
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_format_time(sf_dir):
+    """format_time / template date formats (rainerscript.c:2744,
+    template.h:72-95): several named formats + unix epoch."""
+    from ..functions import format_time
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "t_rfc3339": format_time(df["ts"], "rfc3339"),
+            "t_mysql": format_time(df["ts"], "mysql"),
+            "t_date": format_time(df["ts"], "date"),
+            "t_unix": format_time(df["ts"], "unixtimestamp"),
+        })
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+# ======================================================================
 # Training-data operators: dedup / text analysis / similarity / media
 # (first-class components per the build brief; near-dup + ANN entries
 # without exact SQL equivalents are registered WITHOUT an oracle —
@@ -711,6 +923,87 @@ SQL: dict[str, str] = {
                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    "syslog_roundtrip": """
+        SELECT event_id,
+               CAST((event_id % 192) % 8 AS BIGINT) AS severity,
+               CAST((event_id % 192) // 8 AS BIGINT) AS facility,
+               'host' || CAST(user_id % 50 AS VARCHAR) AS hostname,
+               'app-' || event_type AS app_name,
+               ts, TRUE AS parse_ok
+        FROM events
+    """,
+    "mmpstrucdata": """
+        SELECT event_id, event_id AS sd_seq, event_type AS sd_type
+        FROM events
+    """,
+    "lookup_regex": """
+        SELECT event_id,
+               CASE WHEN regexp_matches(event_type, '^purch') THEN 'buy'
+                    WHEN regexp_matches(event_type, '^sign') THEN 'join'
+                    WHEN regexp_matches(event_type, 'err') THEN 'bad'
+                    ELSE 'other' END AS klass
+        FROM events
+    """,
+    "lookup_array": """
+        SELECT event_id,
+               coalesce(list_extract(['zero','one','two','three','four','five'],
+                        CAST(user_id % 8 AS INTEGER) + 1), '??') AS slot
+        FROM events
+    """,
+    "net_funcs": """
+        WITH n AS (SELECT event_id,
+                  (user_id * 2654435761 + 167772160) % 4294967296 AS v
+                   FROM events)
+        SELECT event_id,
+               CAST(v // 16777216 % 256 AS VARCHAR) || '.' ||
+               CAST(v // 65536 % 256 AS VARCHAR) || '.' ||
+               CAST(v // 256 % 256 AS VARCHAR) || '.' ||
+               CAST(v % 256 AS VARCHAR) AS ip,
+               CAST(v AS BIGINT) AS ip_num,
+               CAST(CASE WHEN v // 16777216 = 10 THEN 1 ELSE 0 END AS BIGINT)
+                 AS in_net10
+        FROM n
+    """,
+    "salted_count": """
+        SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    """,
+    "percentile_window": """
+        SELECT event_type,
+               round(CAST(quantile_cont(value, 0.5) AS DOUBLE), 6) AS p50_last10
+        FROM (
+          SELECT event_type, value FROM events
+          QUALIFY row_number() OVER (PARTITION BY event_type
+                    ORDER BY ts DESC, event_id DESC) <= 10)
+        GROUP BY event_type
+    """,
+    "property_replacer": """
+        SELECT doc_id, substr(text, 1, 8) AS sub8, upper(source) AS up_src,
+               split_part(text, ' ', 3) AS field3,
+               regexp_extract(text, '\\b(\\w*ar\\w*)\\b', 1) AS re_sel
+        FROM documents
+    """,
+    "template_json": """
+        SELECT event_id,
+               CAST(to_json(struct_pack(id := event_id, et := event_type))
+                    AS VARCHAR) AS j
+        FROM events
+    """,
+    "template_csv": """
+        SELECT event_id,
+               CAST(event_id AS VARCHAR) || ',' ||
+               CASE WHEN regexp_matches(props, '[",\n]')
+                    THEN '"' || replace(props, '"', '""') || '"'
+                    ELSE props END AS line
+        FROM events
+    """,
+    "format_time": """
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS t_rfc3339,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS t_mysql,
+               strftime(ts, '%Y-%m-%d') AS t_date,
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS t_unix
+        FROM events
+    """,
     "dedup_wordset": """
         SELECT min(doc_id) AS keeper_id, count(*) AS copies
         FROM documents
@@ -791,6 +1084,17 @@ QUERIES = {
     "union_tagged": q_union_tagged,
     "template_render": q_template_render,
     "lineitem_agg": q_lineitem_agg,
+    "syslog_roundtrip": q_syslog_roundtrip,
+    "mmpstrucdata": q_mmpstrucdata,
+    "lookup_regex": q_lookup_regex,
+    "lookup_array": q_lookup_array,
+    "net_funcs": q_net_funcs,
+    "salted_count": q_salted_count,
+    "percentile_window": q_percentile_window,
+    "property_replacer": q_property_replacer,
+    "template_json": q_template_json,
+    "template_csv": q_template_csv,
+    "format_time": q_format_time,
     "dedup_wordset": q_dedup_wordset,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,

@@ -172,6 +172,47 @@ def _cast_series(s: pd.Series, typ: str) -> pd.Series:
 
 
 # ----------------------------------------------------------------------
+# Syslog header rulebases — pmrfc5424 / pmrfc3164 analogs.
+#
+# RFC5424 (reference tools/pmrfc5424.c:105-145 grammar):
+#   <PRI>VERSION SP TIMESTAMP SP HOSTNAME SP APP-NAME SP PROCID SP
+#   MSGID SP [SD]* SP MSG ; NILVALUE is "-".
+# RFC3164 (reference tools/pmrfc3164.c:295-430):
+#   <PRI>Mmm dd hh:mm:ss HOST TAG[pid]: MSG  (legacy BSD; heuristic
+#   HOSTNAME/TAG disambiguation — here: HOST required, TAG word+colon).
+# The chain places 5424 first, 3164 as fallback — the same order the
+# reference recommends (parser chain, runtime/parser.c:613-693).
+SYSLOG_RULEBASE = Rulebase([
+    Rule(
+        "rfc5424",
+        r'^<(?P<pri>\d{1,3})>1 (?P<ts5424>\S+) (?P<hostname>\S+)'
+        r' (?P<app_name>\S+) (?P<procid>\S+) (?P<msgid>\S+)'
+        r' (?P<sd>(?:-|(?:\[[^\]]*\])+)) ?(?P<msg>.*)$',
+        {"pri": "int", "ts5424": "ts"},
+    ),
+    Rule(
+        "rfc3164",
+        r'^<(?P<pri>\d{1,3})>(?P<ts3164>[A-Z][a-z]{2} [ \d]\d'
+        r' \d{2}:\d{2}:\d{2}) (?P<hostname>\S+)'
+        r' (?P<tag>[A-Za-z0-9_./-]+)(?:\[(?P<procid3>\d+)\])?:'
+        r' ?(?P<msg>.*)$',
+        {"pri": "int"},
+    ),
+])
+
+
+def pri_decompose(pri):
+    """severity = pri & 7, facility = pri >> 3 (reference
+    runtime/msg.c PRI handling; parserParsePRI runtime/parser.c:575)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sev = pc.bit_wise_and(pri, 7)
+    fac = pc.shift_right(pri, 3)
+    return sev, fac
+
+
+# ----------------------------------------------------------------------
 # The default rulebase for the pages `text` log line (fixture F4):
 # full weblog line, a truncated variant (no status/bytes — still a
 # successful parse with null fields, pmrfc3164-style lenient fallback),
