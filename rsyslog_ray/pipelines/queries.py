@@ -239,9 +239,20 @@ def q_dedup_exact(sf_dir):
     data dedup op): hash-partition by content, keep min doc_id, count
     copies."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return two_phase_agg(ds, ["text"], count="copies",
-                         mins={"doc_id": "keeper_id"}).select_columns(
-        ["keeper_id", "copies"])
+
+    def h(df: pd.DataFrame) -> pd.DataFrame:
+        # group on the stable 64-bit content hash, not the raw text:
+        # ray's sort-based groupby on long string keys is ~10x slower,
+        # and at 100 TB the shuffle would move full documents
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "th": pd.util.hash_array(df["text"].to_numpy(object)).astype("int64"),
+        })
+
+    return two_phase_agg(ds.map_batches(h, batch_format="pandas"),
+                         ["th"], count="copies",
+                         mins={"doc_id": "keeper_id"})[
+        ["keeper_id", "copies"]]
 
 
 def q_dedup_adjacent(sf_dir):
@@ -320,7 +331,7 @@ def q_topk_orders(sf_dir):
 def q_distinct_types(sf_dir):
     """Distinct event types (unique — a shuffle)."""
     ds = _read(sf_dir, "events", columns=["event_type"])
-    return two_phase_agg(ds, ["event_type"]).select_columns(["event_type"])
+    return two_phase_agg(ds, ["event_type"])[["event_type"]]
 
 
 def q_union_tagged(sf_dir):
@@ -609,12 +620,15 @@ def q_dedup_wordset(sf_dir):
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
         k = df["text"].str.split().map(lambda ws: " ".join(sorted(set(ws))))
-        return pd.DataFrame({"doc_id": df["doc_id"], "k": k})
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "kh": pd.util.hash_array(k.to_numpy(object)).astype("int64"),
+        })
 
     return two_phase_agg(ds.map_batches(key, batch_format="pandas"),
-                         ["k"], count="copies",
-                         mins={"doc_id": "keeper_id"}).select_columns(
-        ["keeper_id", "copies"])
+                         ["kh"], count="copies",
+                         mins={"doc_id": "keeper_id"})[
+        ["keeper_id", "copies"]]
 
 
 def q_dedup_minhash(sf_dir):
@@ -623,7 +637,9 @@ def q_dedup_minhash(sf_dir):
     against the brute-force oracle)."""
     from ..stages.dedup import minhash_lsh_pairs
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # single-file table -> few blocks; split so signature computation
+    # parallelizes (at real scale the input is already many-block)
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
     return minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8)
 
 
@@ -632,7 +648,7 @@ def q_dedup_simhash(sf_dir):
     (pigeonhole-complete). Rows-only driver check."""
     from ..stages.dedup import simhash_pairs
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
     return simhash_pairs(ds, "doc_id", "text", max_hamming=3)
 
 

@@ -20,18 +20,23 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
                   sums: dict[str, str] | None = None,
                   mins: dict[str, str] | None = None,
                   maxs: dict[str, str] | None = None,
-                  batch_size: int = 8192):
+                  batch_size: int = 8192,
+                  driver_reduce: bool = True):
     """count/sum/min/max per key group with per-batch partial aggregation.
 
     ``sums``/``mins``/``maxs`` map source column -> output alias.
-    Returns a Dataset of one row per key combination.  The shuffle moves
-    only |keys|-cardinality partials per batch — a hot key (zipf host)
-    costs the same as a cold one, which is the built-in skew handling
-    (an explicit salt column is only needed for map_groups-style
-    per-group computation, see ``salted_count``).
-    """
-    from ray.data.aggregate import Max, Min, Sum
+    The shuffle moves only |keys|-cardinality partials per batch — a hot
+    key (zipf host) costs the same as a cold one, which is the built-in
+    skew handling (an explicit salt column is only needed for
+    map_groups-style per-group computation, see ``salted_count``).
 
+    ``driver_reduce=True`` (default): the final reduce of the partials
+    runs as one pandas groupby on the driver — right up to ~10^7 keys
+    (this Ray's sort-based ``groupby().aggregate()`` pays ~ms per
+    group, 1000x the pandas cost at medium cardinality).  Set False for
+    genuinely huge key spaces: the final becomes a distributed
+    ``groupby().aggregate()`` and the result a Dataset.
+    """
     sums = sums or {}
     mins = mins or {}
     maxs = maxs or {}
@@ -52,6 +57,23 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
 
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
+
+    if driver_reduce:
+        df = partials.to_pandas()
+        g = df.groupby(keys, dropna=False, observed=True)
+        parts = {}
+        if count:
+            parts[count] = g[count].sum()
+        for _, alias in sums.items():
+            parts[alias] = g[alias].sum()
+        for _, alias in mins.items():
+            parts[alias] = g[alias].min()
+        for _, alias in maxs.items():
+            parts[alias] = g[alias].max()
+        return pd.DataFrame(parts).reset_index()
+
+    from ray.data.aggregate import Max, Min, Sum
+
     aggs = []
     if count:
         aggs.append(Sum(count, alias_name=count))

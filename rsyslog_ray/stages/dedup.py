@@ -45,7 +45,12 @@ def hash_str64(s: str) -> int:
 
 
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
-    return np.array([hash_str64(t) for t in tokens], dtype=np.uint64)
+    """Vectorized stable 64-bit token hashing (pandas siphash with its
+    fixed default key — deterministic across processes/versions, C
+    speed; a per-byte Python FNV here was the dedup bottleneck)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object)).astype(np.uint64)
 
 
 def shingles(text: str, k: int = 3) -> list[str]:
@@ -58,6 +63,24 @@ def shingles(text: str, k: int = 3) -> list[str]:
 
 # ---------------------------------------------------------------------
 # MinHash + LSH
+
+_NPART = 64  # hash-partition fan for bucket/pair shuffles
+
+
+def _distinct_pairs(pairs_ds) -> pd.DataFrame:
+    """Global pair dedup (a pair can surface from several bands/chunks).
+
+    Done on the driver: the pair list is the operator's OUTPUT —
+    orders of magnitude smaller than the corpus, already de-duplicated
+    within each partition.  (A second ray groupby here costs ~10 s of
+    fixed shuffle overhead; if a corpus ever yields driver-breaking
+    pair counts, switch to the hash-partition drop_duplicates pattern
+    used for the bucket stage.)"""
+    df = pairs_ds.to_pandas()
+    if df.empty:
+        return df
+    return df.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+
 
 N_PERM = 64
 LSH_BANDS = 16
@@ -107,9 +130,13 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, threshold: float = 0.8,
     """
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"band": [], "key": [], "id": [], "text": []}
-        for i, t in zip(df[id_col], df[text_col]):
-            sig = minhash_signature(t, k)
-            for b, kk in enumerate(band_keys(sig)):
+        cache: dict[str, list[int]] = {}  # duplicate-heavy corpora: one
+        for i, t in zip(df[id_col], df[text_col]):  # signature per text
+            keys = cache.get(t)
+            if keys is None:
+                keys = band_keys(minhash_signature(t, k))
+                cache[t] = keys
+            for b, kk in enumerate(keys):
                 rows["band"].append(b)
                 rows["key"].append(kk)
                 rows["id"].append(i)
@@ -117,27 +144,57 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, threshold: float = 0.8,
         return pd.DataFrame(rows)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": []}
-        g = g.drop_duplicates("id").sort_values("id")
-        ids = g["id"].tolist()
-        texts = g["text"].tolist()
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
+        # duplicate-heavy corpora: compare DISTINCT texts (O(u^2) with u
+        # = unique texts in the bucket), then expand qualifying text
+        # pairs to id cross-products with numpy — identical texts pair
+        # without any Jaccard call (J == 1).
+        g = g.drop_duplicates("id")
+        groups = g.groupby("text")["id"].apply(
+            lambda s: np.sort(s.to_numpy()))
+        texts = groups.index.tolist()
+        idlists = groups.tolist()
+        a_out, b_out = [], []
+        for x in range(len(texts)):
+            ids_x = idlists[x]
+            if len(ids_x) > 1:  # identical-text pairs
+                ia, ib = np.triu_indices(len(ids_x), 1)
+                a_out.append(ids_x[ia])
+                b_out.append(ids_x[ib])
+            for y in range(x + 1, len(texts)):
                 if jaccard(texts[x], texts[y], k) >= threshold:
-                    out["id_a"].append(ids[x])
-                    out["id_b"].append(ids[y])
-        return pd.DataFrame(out)
+                    aa, bb = np.meshgrid(ids_x, idlists[y], indexing="ij")
+                    lo = np.minimum(aa.ravel(), bb.ravel())
+                    hi = np.maximum(aa.ravel(), bb.ravel())
+                    a_out.append(lo)
+                    b_out.append(hi)
+        if not a_out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(a_out),
+                             "id_b": np.concatenate(b_out)})
 
-    exploded = ds.map_batches(explode, batch_format="pandas")
-    pairs = (exploded.groupby(["band", "key"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    # hash-partition the bucket space: a ray groupby over ~10^5 tiny
+    # (band, key) buckets pays per-group overhead; grouping by a 64-way
+    # hash of the bucket key shuffles identically but runs the inner
+    # per-bucket loop as ONE pandas groupby per partition (C speed)
+    def explode_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = explode(df)
+        out["pk"] = ((np.asarray(out["key"], dtype=np.uint64)
+                      ^ (np.asarray(out["band"], dtype=np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15)))
+                     % np.uint64(_NPART)).astype("int64")
+        return out
 
-    # candidate pairs can appear in several bands -> distinct
-    def dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
+    def part_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _, g in part.groupby(["band", "key"])]
+        res = (pd.concat(outs, ignore_index=True) if outs
+               else bucket_pairs(part.iloc[0:0]))
+        return res.drop_duplicates()
 
-    return (pairs.groupby(["id_a", "id_b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    exploded = ds.map_batches(explode_part, batch_format="pandas")
+    pairs = exploded.groupby("pk").map_groups(part_pairs,
+                                              batch_format="pandas")
+    return _distinct_pairs(pairs)
 
 
 def minhash_lsh_pairs_oracle(ids: list, texts: list, threshold: float = 0.8,
@@ -183,8 +240,12 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
     chunk_value) finds all candidates without an all-pairs pass."""
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"chunk": [], "val": [], "id": [], "sig": []}
+        cache: dict[str, int] = {}
         for i, t in zip(df[id_col], df[text_col]):
-            s = simhash64(t)
+            s = cache.get(t)
+            if s is None:
+                s = simhash64(t)
+                cache[t] = s
             for c in range(4):
                 rows["chunk"].append(c)
                 rows["val"].append((s >> (16 * c)) & 0xFFFF)
@@ -193,23 +254,56 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
         return pd.DataFrame(rows)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        out = {"id_a": [], "id_b": [], "hamming": []}
-        g = g.drop_duplicates("id").sort_values("id")
-        ids, sigs = g["id"].tolist(), g["sig"].tolist()
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
+        # compare DISTINCT signatures, expand to id pairs (see the
+        # minhash bucket_pairs note on duplicate-heavy corpora)
+        g = g.drop_duplicates("id")
+        groups = g.groupby("sig")["id"].apply(
+            lambda s: np.sort(s.to_numpy()))
+        sigs = groups.index.tolist()
+        idlists = groups.tolist()
+        a_out, b_out, h_out = [], [], []
+        for x in range(len(sigs)):
+            ids_x = idlists[x]
+            if len(ids_x) > 1:
+                ia, ib = np.triu_indices(len(ids_x), 1)
+                a_out.append(ids_x[ia])
+                b_out.append(ids_x[ib])
+                h_out.append(np.zeros(len(ia), dtype="int64"))
+            for y in range(x + 1, len(sigs)):
                 d = hamming64(sigs[x], sigs[y])
                 if d <= max_hamming:
-                    out["id_a"].append(ids[x])
-                    out["id_b"].append(ids[y])
-                    out["hamming"].append(d)
-        return pd.DataFrame(out)
+                    aa, bb = np.meshgrid(ids_x, idlists[y], indexing="ij")
+                    lo = np.minimum(aa.ravel(), bb.ravel())
+                    hi = np.maximum(aa.ravel(), bb.ravel())
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    h_out.append(np.full(lo.size, d, dtype="int64"))
+        if not a_out:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(a_out),
+                             "id_b": np.concatenate(b_out),
+                             "hamming": np.concatenate(h_out)})
 
-    exploded = ds.map_batches(explode, batch_format="pandas")
-    pairs = (exploded.groupby(["chunk", "val"])
-             .map_groups(bucket_pairs, batch_format="pandas"))
-    return (pairs.groupby(["id_a", "id_b"])
-            .map_groups(lambda g: g.head(1), batch_format="pandas"))
+    def explode_part(df: pd.DataFrame) -> pd.DataFrame:
+        out = explode(df)
+        out["pk"] = ((np.asarray(out["val"], dtype=np.uint64)
+                      ^ (np.asarray(out["chunk"], dtype=np.uint64)
+                         * np.uint64(0x9E3779B97F4A7C15)))
+                     % np.uint64(_NPART)).astype("int64")
+        return out
+
+    def part_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        outs = [bucket_pairs(g) for _, g in part.groupby(["chunk", "val"])]
+        res = (pd.concat(outs, ignore_index=True) if outs
+               else bucket_pairs(part.iloc[0:0]))
+        return res.drop_duplicates(["id_a", "id_b"])
+
+    exploded = ds.map_batches(explode_part, batch_format="pandas")
+    pairs = exploded.groupby("pk").map_groups(part_pairs,
+                                              batch_format="pandas")
+    return _distinct_pairs(pairs)
 
 
 def simhash_pairs_oracle(ids: list, texts: list, max_hamming: int = 3) -> set[tuple]:

@@ -21,7 +21,7 @@ def test_minhash_lsh_vs_oracle(ray_session, docs):
     import ray.data
 
     ds = ray.data.from_pandas(docs[["doc_id", "text"]])
-    got = dd.minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8).to_pandas()
+    got = dd.minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8)
     got_pairs = set(zip(got["id_a"], got["id_b"]))
     want = dd.minhash_lsh_pairs_oracle(docs["doc_id"].tolist(),
                                        docs["text"].tolist(), threshold=0.8)
@@ -34,7 +34,7 @@ def test_simhash_vs_oracle(ray_session, docs):
 
     sub = docs.head(200)  # oracle is O(n^2)
     ds = ray.data.from_pandas(sub[["doc_id", "text"]])
-    got = dd.simhash_pairs(ds, "doc_id", "text", max_hamming=3).to_pandas()
+    got = dd.simhash_pairs(ds, "doc_id", "text", max_hamming=3)
     got_pairs = set(zip(got["id_a"], got["id_b"]))
     want = dd.simhash_pairs_oracle(sub["doc_id"].tolist(), sub["text"].tolist(), 3)
     # banding guarantees completeness for d<=3 (pigeonhole over 4 chunks)
