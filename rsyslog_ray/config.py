@@ -1,0 +1,186 @@
+"""Declarative pipeline config — the rsyslog.conf analog.
+
+rsyslog users describe a pipeline as config (RainerScript rulesets,
+templates, lookup_table objects, actions); here the same roles live in
+one JSON document, compiled to a Ray Data pipeline (rules -> compiled
+rulebase, lookups -> broadcast LookupTables, routes -> Router,
+output -> FanoutWriter sinks with lineage/resume):
+
+{
+  "input":   {"paths": ["/data/pages-*.parquet"]},
+  "rules":   [{"name": "weblog", "pattern": "^ts=(?P<p_ts>\\S+) ...",
+               "types": {"p_ts": "ts", "p_sev": "int"}}],
+  "source_column": "text",
+  "extract_column": "html",            # optional tag-strip extraction
+  "lookups": {"lang_region": {"kind": "string",
+                              "table": {"en": "amer"}, "stub": ""}},
+  "enrich":  [{"column": "region", "lookup": "lang_region",
+               "key": "lang"},
+              {"column": "url_host", "op": "url_host", "key": "url"}],
+  "routes":  [{"sink": "dead", "pred": ["==", "parse_ok", false],
+               "stop": true},
+              {"sink": "archive", "pred": ["true"]}],
+  "aggregates": [["lang", "lang"], ["bucket", "__bucket"]],
+  "ts_column": "warc_ts",
+  "output":  {"dir": "/tmp/out", "full_sinks": ["archive"],
+              "compression": "zstd"}
+}
+
+Predicates use the Router AST with lists instead of tuples (JSON).
+`load_config` + `run_config` are the API; `python -m rsyslog_ray`
+is the CLI.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import uuid
+
+import pandas as pd
+import pyarrow as pa
+
+from . import sinks as sk
+from .lookup import LookupTable
+from .router import Route, Router
+from .rulebase import Rule, Rulebase
+from .stages.parse import extract_text_arrow
+
+
+def _to_pred(p) -> tuple:
+    """JSON list predicate -> Router tuple AST (recursive)."""
+    if isinstance(p, (list, tuple)):
+        return tuple(_to_pred(x) for x in p)
+    return p
+
+
+class PipelineConfig:
+    def __init__(self, cfg: dict):
+        self.cfg = cfg
+        self.input_paths = cfg["input"]["paths"]
+        self.source_column = cfg.get("source_column", "text")
+        self.extract_column = cfg.get("extract_column")
+        self.ts_column = cfg.get("ts_column", "warc_ts")
+        self.rulebase = Rulebase([
+            Rule(r["name"], r["pattern"], r.get("types", {}))
+            for r in cfg.get("rules", [])
+        ]) if cfg.get("rules") else None
+        self.lookups = {
+            name: LookupTable(spec["kind"],
+                              spec.get("table") or spec.get("values"),
+                              stub=spec.get("stub", ""))
+            for name, spec in cfg.get("lookups", {}).items()
+        }
+        self.enrich = cfg.get("enrich", [])
+        self.routes = [Route(r["sink"], _to_pred(r["pred"]),
+                             bool(r.get("stop", False)))
+                       for r in cfg["routes"]]
+        self.agg_kinds = tuple(tuple(k) for k in cfg.get(
+            "aggregates", [["lang", "lang"]]))
+        out = cfg["output"]
+        self.out_dir = out["dir"]
+        self.full_sinks = tuple(out.get("full_sinks", ("archive", "deadletter")))
+        self.compression = out.get("compression", "zstd")
+
+
+def load_config(path_or_dict) -> PipelineConfig:
+    if isinstance(path_or_dict, dict):
+        return PipelineConfig(path_or_dict)
+    with open(path_or_dict) as fh:
+        return PipelineConfig(json.load(fh))
+
+
+class _ConfigMapFn:
+    """Parse + enrich per the config, as one fused Arrow task stage."""
+
+    def __init__(self, pc_: PipelineConfig, lookups_ref=None):
+        self.c = pc_
+        self._ref = lookups_ref
+        self._lk = None
+
+    def _lookups(self):
+        if self._lk is None:
+            if self._ref is None:
+                self._lk = self.c.lookups
+            else:
+                import ray
+                self._lk = ray.get(self._ref)
+        return self._lk
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = dict(zip(batch.column_names, batch.columns))
+        if self.c.rulebase is not None:
+            parsed = self.c.rulebase.parse_table(batch[self.c.source_column])
+            cols.update(parsed)
+        if self.c.extract_column and self.c.extract_column in cols:
+            cols["extracted"] = pa.array(
+                extract_text_arrow(batch[self.c.extract_column]),
+                type=pa.string())
+            cols.pop(self.c.extract_column)
+        tbl = pa.table(cols)
+        lk = self._lookups()
+        for e in self.c.enrich:
+            if e.get("op") == "url_host":
+                from .stages.enrich import HOST_RE_ARROW
+                val = pc.fill_null(pc.struct_field(
+                    pc.extract_regex(tbl[e["key"]], HOST_RE_ARROW), "h"),
+                    pa.scalar("", pa.string()))
+            else:
+                table = lk[e["lookup"]]
+                if table.kind == "string":
+                    val = table.lookup_arrow(tbl[e["key"]])
+                else:  # other kinds: pandas path on the single column
+                    val = pa.array(
+                        table.lookup_series(tbl[e["key"]].to_pandas()),
+                        pa.string())
+            tbl = tbl.append_column(e["column"], val)
+        return tbl
+
+
+def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
+               lineage: bool = True, batch_size: int = 8192,
+               write_batch_size: int = 32768) -> pd.DataFrame:
+    """Execute a config-described pipeline; returns the per-sink
+    aggregate counts (sink, kind, key, cnt). Ray must already be
+    initialised by the caller."""
+    import ray
+    import ray.data
+
+    c = cfg if isinstance(cfg, PipelineConfig) else load_config(cfg)
+    router = Router(c.routes)
+    files = sorted(sum((glob.glob(p) for p in c.input_paths), []))
+    if not files:
+        raise FileNotFoundError(f"no input files match {c.input_paths}")
+
+    os.makedirs(c.out_dir, exist_ok=True)
+    if resume:
+        pending, _ = sk.plan_resume(files, c.out_dir, router.sinks)
+    else:
+        pending = files
+    if not pending:
+        return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
+
+    lineage_name = None
+    actor = None
+    if lineage:
+        expected = sk.shard_expected_rows(pending)
+        lineage_name = f"lineage-{uuid.uuid4().hex[:8]}"
+        actor = sk.make_lineage_actor(c.out_dir, expected, name=lineage_name)
+
+    lookups_ref = ray.put(c.lookups) if c.lookups else None
+    fn = _ConfigMapFn(c, lookups_ref)
+
+    ds = ray.data.read_parquet(pending)
+    ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    partials = ds.map_batches(
+        sk.FanoutWriter(router, c.out_dir, lineage_name,
+                        compression=c.compression, full_sinks=c.full_sinks,
+                        agg_kinds=c.agg_kinds, ts_col=c.ts_column),
+        batch_format="pyarrow", batch_size=write_batch_size)
+    out = sk.finalize_aggregates(partials)
+    if actor is not None:
+        ray.kill(actor)
+    return out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)

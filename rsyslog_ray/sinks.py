@@ -42,6 +42,7 @@ import os
 import time
 import uuid
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -51,14 +52,25 @@ from .router import Router
 LINEAGE_FILE = "_lineage.jsonl"
 
 
+def shard_id_of(path: str) -> int:
+    """Shard id of an input file: the trailing integer in the basename
+    (pages-00042.parquet -> 42); files without one hash to a stable id."""
+    import re as _re
+    import zlib
+
+    base = os.path.basename(path)
+    m = _re.search(r"(\d+)\D*\.parquet$", base)
+    if m:
+        return int(m.group(1))
+    return zlib.crc32(base.encode()) & 0x7FFFFFFF
+
+
 def shard_expected_rows(files: list[str]) -> dict[int, int]:
     """Read per-shard row counts from parquet footers (metadata only)."""
     out: dict[int, int] = {}
     for f in files:
         md = pq.ParquetFile(f).metadata
-        # shard id from filename pages-NNNNN.parquet
-        base = os.path.basename(f)
-        sid = int(base.split("-")[-1].split(".")[0])
+        sid = shard_id_of(f)
         out[sid] = out.get(sid, 0) + md.num_rows
     return out
 
@@ -141,7 +153,7 @@ def plan_resume(input_files: list[str], out_dir: str,
     done = committed_shards(out_dir)
     pending = []
     for f in input_files:
-        sid = int(os.path.basename(f).split("-")[-1].split(".")[0])
+        sid = shard_id_of(f)
         if sid in done:
             continue
         pending.append(f)
@@ -193,14 +205,22 @@ class FanoutWriter:
     # heavy payload columns excluded from slim sinks
     HEAVY_COLS = ("text", "extracted")
 
+    # dynstats dimensions: (kind label, source column); "__bucket" is
+    # the hour-floor of `ts_col` computed per batch
+    AGG_KINDS = (("lang", "lang"), ("host", "url_host"),
+                 ("bucket", "__bucket"))
+
     def __init__(self, routes, out_dir: str, lineage_name: str | None = None,
                  drop_cols: tuple = ("html",), compression: str = "zstd",
-                 full_sinks: tuple | None = None):
+                 full_sinks: tuple | None = None,
+                 agg_kinds: tuple | None = None, ts_col: str = "warc_ts"):
         self.router = routes if isinstance(routes, Router) else Router(routes)
         self.out_dir = out_dir
         self.drop_cols = drop_cols
         self.compression = compression
         self.full_sinks = self.FULL_SINKS if full_sinks is None else full_sinks
+        self.agg_kinds = self.AGG_KINDS if agg_kinds is None else tuple(agg_kinds)
+        self.ts_col = ts_col
         self.lineage_name = lineage_name
 
     @property
@@ -212,10 +232,18 @@ class FanoutWriter:
 
         wid = uuid.uuid4().hex[:12]
         n = 0
-        # precompute the hour-bucket key once per batch (dynstats key)
-        bucket = pc.strftime(pc.floor_temporal(batch["warc_ts"], unit="hour"),
-                             "%Y-%m-%dT%H:00:00")
-        batch = batch.append_column("__bucket", bucket)
+        if "shard" not in batch.column_names:
+            # inputs without a shard column: whole run = one partition
+            # (resume granularity degrades to run-level; gen-produced
+            # tables always carry `shard`)
+            batch = batch.append_column(
+                "shard", pa.array(np.zeros(len(batch), dtype=np.int32)))
+        if any(col == "__bucket" for _, col in self.agg_kinds):
+            # precompute the hour-bucket key once per batch (dynstats key)
+            bucket = pc.strftime(
+                pc.floor_temporal(batch[self.ts_col], unit="hour"),
+                "%Y-%m-%dT%H:00:00")
+            batch = batch.append_column("__bucket", bucket)
         masks = self.router.masks_arrow(batch)
         keep = [c for c in batch.column_names
                 if c not in self.drop_cols and c != "__bucket"]
@@ -252,7 +280,7 @@ class FanoutWriter:
                 files_per_shard[sid] += 1
             # ---- dynstats partials for this sink (combiner: counts
             # collapse to at most |keys| rows per batch before the shuffle)
-            partials.append(_partials_for(sink, sub))
+            partials.append(_partials_for(sink, sub, self.agg_kinds))
 
         if self.lineage is not None:
             import ray
@@ -281,12 +309,11 @@ def _value_counts(col):
     return vc.field("values").to_pylist(), vc.field("counts").to_pylist()
 
 
-def _partials_for(sink: str, sub: pa.Table) -> pa.Table:
+def _partials_for(sink: str, sub: pa.Table, agg_kinds) -> pa.Table:
     """dynstats partial counts for one sink over one batch (Arrow
     group_by — C++)."""
     outs = []
-    for kind, col in (("lang", "lang"), ("host", "url_host"),
-                      ("bucket", "__bucket")):
+    for kind, col in agg_kinds:
         g = sub.select([col]).group_by(col).aggregate([(col, "count")])
         outs.append(pa.table({
             "sink": pa.array([sink] * len(g), pa.string()),
