@@ -606,6 +606,106 @@ def q_format_time(sf_dir):
 
 
 # ======================================================================
+# Transform extras: json reshape, consistent anon, hmac, capped
+# dynstats, token-bucket ratelimit
+# ======================================================================
+
+def q_flatten_json(sf_dir):
+    """mmjsontransform flatten (mmjsontransform.c:63-71): nested JSON
+    -> dotted keys, rendered canonically (sorted keys, compact)."""
+    from ..stages.transform import flatten_json_series
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].map(lambda s: json.loads(s)["k"])
+        nested = ('{"a":{"k":' + k.astype(str) + '},"b":1}')
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "flat": flatten_json_series(nested)})
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_unflatten_json(sf_dir):
+    """mmjsontransform unflatten: dotted keys -> nested."""
+    from ..stages.transform import unflatten_json_series
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["props"].map(lambda s: json.loads(s)["k"])
+        flat = ('{"a.k":' + k.astype(str) + ',"b":1}')
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "nested": unflatten_json_series(flat)})
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_anon_consistent(sf_dir):
+    """mmanon random-consistent mode (mmanon.c:59-166): every distinct
+    IP maps to a stable pseudonym — keyed hash, no shared state.
+    Rows-only driver check; consistency pinned in pytest."""
+    from ..functions import num2ipv4
+    from ..stages.transform import ConsistentAnonymizer
+
+    an = ConsistentAnonymizer()
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        ip = num2ipv4(df["user_id"] * 7919 % 4294967296)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "anon": an.anonymize("from=" + ip + " ok"),
+        })
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_hmac_sd(sf_dir):
+    """mmrfc5424addhmac analog: keyed digest column per record.
+    Rows-only (DuckDB core lacks HMAC); determinism pinned in pytest."""
+    from ..stages.transform import hmac_column
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        payload = df["event_id"].astype(str) + "|" + df["event_type"]
+        return pd.DataFrame({"event_id": df["event_id"],
+                             "hmac": hmac_column(payload)})
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_dynstats_capped(sf_dir):
+    """dynstats maxCardinality (runtime/dynstats.c:43-45): track at most
+    100 sender keys; the rest fold into __rejected__."""
+    from ..stages.transform import capped_dynstats
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"sender": "u" + df["user_id"].astype(str)})
+
+    counts = two_phase_agg(ds.map_batches(key, batch_format="pandas"),
+                           ["sender"])
+    return capped_dynstats(counts, "sender", "cnt", max_cardinality=100)
+
+
+def q_ratelimit_bucket(sf_dir):
+    """Token-bucket ratelimit, reference semantics (interval+burst,
+    runtime/ratelimit.c): <=3 events per user per 6-hour window, windows
+    opening at the first event. Rows-only driver check (variable window
+    boundaries are not reasonably SQL-expressible); pytest pins a
+    hand-computed case."""
+    from ..stages.ratelimit import ratelimit
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    kept = ratelimit(ds, "user_id", "ts", interval_s=6 * 3600, burst=3,
+                     order_cols=["event_id"])
+    return kept.select_columns(["event_id", "user_id"])
+
+
+# ======================================================================
 # Training-data operators: dedup / text analysis / similarity / media
 # (first-class components per the build brief; near-dup + ANN entries
 # without exact SQL equivalents are registered WITHOUT an oracle —
@@ -939,6 +1039,29 @@ SQL: dict[str, str] = {
                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    "flatten_json": """
+        SELECT event_id,
+               '{"a.k":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                 AS VARCHAR) || ',"b":1}' AS flat
+        FROM events
+    """,
+    "unflatten_json": """
+        SELECT event_id,
+               '{"a":{"k":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                    AS VARCHAR) || '},"b":1}' AS nested
+        FROM events
+    """,
+    "dynstats_capped": """
+        WITH c AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS sender,
+                          count(*) AS cnt FROM events GROUP BY sender),
+             ranked AS (SELECT sender, cnt,
+                               row_number() OVER (ORDER BY sender) AS rn
+                        FROM c)
+        SELECT sender, cnt FROM ranked WHERE rn <= 100
+        UNION ALL
+        SELECT '__rejected__', sum(cnt) FROM ranked WHERE rn > 100
+        HAVING count(*) > 0
+    """,
     "syslog_roundtrip": """
         SELECT event_id,
                CAST((event_id % 192) % 8 AS BIGINT) AS severity,
@@ -1100,6 +1223,12 @@ QUERIES = {
     "union_tagged": q_union_tagged,
     "template_render": q_template_render,
     "lineitem_agg": q_lineitem_agg,
+    "flatten_json": q_flatten_json,
+    "unflatten_json": q_unflatten_json,
+    "anon_consistent": q_anon_consistent,
+    "hmac_sd": q_hmac_sd,
+    "dynstats_capped": q_dynstats_capped,
+    "ratelimit_bucket": q_ratelimit_bucket,
     "syslog_roundtrip": q_syslog_roundtrip,
     "mmpstrucdata": q_mmpstrucdata,
     "lookup_regex": q_lookup_regex,

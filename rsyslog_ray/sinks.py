@@ -135,14 +135,23 @@ def make_lineage_actor(out_dir: str, expected: dict[int, int], name: str | None 
 
 
 def committed_shards(out_dir: str) -> set[int]:
+    """Committed partition ids from the manifest.  Corrupt/truncated
+    lines (crash mid-append — the reference's bad-.qi fixtures,
+    tests/bad_qi/, tests/badqi.sh) are treated as ABSENT: the shard is
+    simply redone, which the idempotent rewrite makes safe."""
     path = os.path.join(out_dir, LINEAGE_FILE)
     done: set[int] = set()
     if os.path.exists(path):
         with open(path) as fh:
             for line in fh:
                 line = line.strip()
-                if line:
-                    done.add(json.loads(line)["partition_id"])
+                if not line:
+                    continue
+                try:
+                    rec = json.loads(line)
+                    done.add(int(rec["partition_id"]))
+                except (ValueError, KeyError, TypeError):
+                    continue  # torn write -> redo that shard
     return done
 
 

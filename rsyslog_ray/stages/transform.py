@@ -1,0 +1,123 @@
+"""Per-record transform operators beyond the parse stage.
+
+- flatten_json / unflatten_json — mmjsontransform analog
+  (plugins/mmjsontransform/mmjsontransform.c:63-71: flatten/unflatten
+  modes with conflict policy "last wins").
+- ConsistentAnonymizer — mmanon random-consistent mode
+  (plugins/mmanon/mmanon.c:59-166): every distinct IPv4 maps to a
+  stable random-looking replacement, consistent ACROSS the whole run.
+  The reference shares one map across worker threads under a mutex;
+  here consistency comes from a keyed HASH (deterministic function of
+  the ip + secret), so no shared mutable state is needed at all —
+  every worker computes the same replacement independently.  This is
+  the scale-correct re-homing of "shared dict under mutex".
+- hmac_column — mmrfc5424addhmac analog: keyed digest per row.
+- capped_dynstats — dynstats maxCardinality semantics
+  (runtime/dynstats.c:43-45): at most `max_cardinality` tracked keys
+  (by first-seen in deterministic key order here — batch semantics);
+  overflow keys are counted in the `__rejected__` bucket instead of
+  being tracked (the reference refuses new metrics the same way).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import hmac as _hmac
+import json
+import re
+
+import numpy as np
+import pandas as pd
+
+IPV4_RE = re.compile(r"\b(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})\b")
+
+
+# ---------------------------------------------------------------------
+# mmjsontransform
+
+def flatten_json(obj, sep: str = ".", prefix: str = "") -> dict:
+    """Nested dict -> single-level dotted keys (lists kept as values)."""
+    out: dict = {}
+    for k, v in obj.items():
+        key = f"{prefix}{sep}{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_json(v, sep, key))
+        else:
+            out[key] = v
+    return out
+
+
+def unflatten_json(flat: dict, sep: str = ".") -> dict:
+    """Dotted keys -> nested dict; conflicts resolve last-wins (the
+    reference's overwrite policy)."""
+    out: dict = {}
+    for k, v in flat.items():
+        parts = str(k).split(sep)
+        cur = out
+        for p in parts[:-1]:
+            nxt = cur.get(p)
+            if not isinstance(nxt, dict):
+                nxt = {}
+                cur[p] = nxt
+            cur = nxt
+        cur[parts[-1]] = v
+    return out
+
+
+def flatten_json_series(s: pd.Series, sep: str = ".") -> pd.Series:
+    return s.map(lambda x: json.dumps(
+        flatten_json(json.loads(x), sep), sort_keys=True, separators=(",", ":")))
+
+
+def unflatten_json_series(s: pd.Series, sep: str = ".") -> pd.Series:
+    return s.map(lambda x: json.dumps(
+        unflatten_json(json.loads(x), sep), sort_keys=True,
+        separators=(",", ":")))
+
+
+# ---------------------------------------------------------------------
+# mmanon random-consistent
+
+class ConsistentAnonymizer:
+    """Replace every IPv4 with a stable pseudonym: the same input ip
+    yields the same output ip in every batch, task and run (keyed
+    BLAKE2 of the address), with no shared state."""
+
+    def __init__(self, secret: bytes = b"rsyslog-ray-anon"):
+        self.secret = secret
+
+    def _repl(self, m: re.Match) -> str:
+        d = hashlib.blake2b(m.group(0).encode(), key=self.secret,
+                            digest_size=4).digest()
+        return f"10.{d[0]}.{d[1]}.{d[2]}"  # pseudonyms live in 10/8
+
+    def anonymize(self, s: pd.Series) -> pd.Series:
+        return s.str.replace(IPV4_RE, self._repl, regex=True)
+
+
+# ---------------------------------------------------------------------
+# mmrfc5424addhmac
+
+def hmac_column(s: pd.Series, key: bytes = b"k", algo: str = "sha256") -> pd.Series:
+    return s.map(lambda v: _hmac.new(key, str(v).encode(), algo).hexdigest())
+
+
+# ---------------------------------------------------------------------
+# dynstats maxCardinality
+
+def capped_dynstats(counts: pd.DataFrame, key: str, cnt: str,
+                    max_cardinality: int,
+                    rejected_key: str = "__rejected__") -> pd.DataFrame:
+    """Apply the cardinality cap to a finished (key, cnt) count table:
+    keep the first `max_cardinality` keys in sorted order, fold the
+    rest into one `__rejected__` bucket (the reference refuses new
+    metrics past the cap and counts the refusals,
+    runtime/dynstats.c:43-45)."""
+    counts = counts.sort_values(key).reset_index(drop=True)
+    if len(counts) <= max_cardinality:
+        return counts
+    kept = counts.iloc[:max_cardinality]
+    rejected = int(counts.iloc[max_cardinality:][cnt].sum())
+    extra = pd.DataFrame({key: [rejected_key], cnt: [rejected]})
+    return (pd.concat([kept, extra], ignore_index=True)
+            .astype({cnt: "int64"}))
