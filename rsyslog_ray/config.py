@@ -163,6 +163,9 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
     if not pending:
         return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
 
+    import time as _time
+
+    t_run0 = _time.perf_counter()
     lineage_name = None
     actor = None
     if lineage:
@@ -181,6 +184,9 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
                         agg_kinds=c.agg_kinds, ts_col=c.ts_column),
         batch_format="pyarrow", batch_size=write_batch_size)
     out = sk.finalize_aggregates(partials)
+    out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
+    sk.write_run_metrics(c.out_dir, out, _time.perf_counter() - t_run0,
+                         len(pending))
     if actor is not None:
         ray.kill(actor)
-    return out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
+    return out

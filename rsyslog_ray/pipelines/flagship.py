@@ -71,6 +71,9 @@ def run_flagship(
         # everything already committed — nothing to (re)do
         return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
 
+    import time as _time
+
+    t_run0 = _time.perf_counter()
     lineage_name = None
     actor = None
     if lineage:
@@ -100,6 +103,9 @@ def run_flagship(
         batch_size=write_batch_size,
     )
     out = sk.finalize_aggregates(partials)  # small: |sinks| × |kinds| × |keys|
+    out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
+    sk.write_run_metrics(out_dir, out, _time.perf_counter() - t_run0,
+                         len(pending))
     if actor is not None:
         ray.kill(actor)
-    return out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
+    return out

@@ -606,6 +606,91 @@ def q_format_time(sf_dir):
 
 
 # ======================================================================
+# Joins (beyond the reference) + windowed/streaming shapes
+# ======================================================================
+
+def q_hash_join(sf_dir):
+    """Partitioned hash join, both sides large (ONE shuffle; bucket =
+    hash(key) % B — the pattern the reference never needed but a
+    complete engine does): orders ⋈ customer."""
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda df: df.rename(columns={"o_custkey": "custkey"}),
+        batch_format="pandas")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    cust = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas")
+    return hash_join(orders, cust, on="custkey", how="inner")
+
+
+def q_broadcast_join(sf_dir):
+    """Broadcast join (small dimension side via ray.put): lineitem ⋈
+    supplier, aggregated per supplier."""
+    import pyarrow.parquet as pq
+
+    from ..stages.join import broadcast_join
+
+    supp = (pq.read_table(f"{sf_dir}/supplier.parquet",
+                          columns=["s_suppkey", "s_name"]).to_pandas()
+            .rename(columns={"s_suppkey": "l_suppkey"}))
+    li = _read(sf_dir, "lineitem", columns=["l_suppkey", "l_quantity"])
+    joined = broadcast_join(li, supp, on="l_suppkey", how="inner")
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "s_name": df["s_name"],
+            "qty_c": (df["l_quantity"] * 100).round().astype("int64"),
+        })
+
+    return two_phase_agg(joined.map_batches(cents, batch_format="pandas"),
+                         ["s_name"], count="cnt", sums={"qty_c": "sum_qty_cents"})
+
+
+def q_asof_join(sf_dir):
+    """As-of join (sparseArray range-lookup generalized, SURVEY §2.7):
+    for each purchase, the user's most recent signup at or before it."""
+    from ..stages.join import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"]
+        [["event_id", "user_id", "ts"]], batch_format="pandas")
+    ev2 = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    signups = ev2.map_batches(
+        lambda df: df[df["event_type"] == "signup"]
+        .assign(last_signup=lambda x: x["ts"])[["user_id", "ts", "last_signup"]],
+        batch_format="pandas")
+    out = asof_join(purchases, signups, key="user_id", ts="ts",
+                    right_cols=["last_signup"])
+    return out.select_columns(["event_id", "user_id", "last_signup"])
+
+
+def q_session_windows(sf_dir):
+    """Session windows (streaming-shape operator, ray_guide streaming
+    section): per user, a >12h gap starts a new session; output session
+    ordinal + event count."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff().dt.total_seconds() > 12 * 3600
+        sid = gap.cumsum() + 1
+        out = (g.groupby(sid).agg(session_start=("ts", "min"),
+                                  n_events=("ts", "size"))
+               .reset_index(drop=True))
+        out.insert(0, "session", np.arange(1, len(out) + 1, dtype="int64"))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+# ======================================================================
 # Transform extras: json reshape, consistent anon, hmac, capped
 # dynstats, token-bucket ratelimit
 # ======================================================================
@@ -1039,6 +1124,43 @@ SQL: dict[str, str] = {
                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    "hash_join": """
+        SELECT o.o_custkey AS custkey, o.o_orderkey, c.c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    "broadcast_join": """
+        SELECT s.s_name, count(*) AS cnt,
+               sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_name
+    """,
+    "asof_join": """
+        SELECT p.event_id, p.user_id,
+               (SELECT max(s.ts) FROM events s
+                WHERE s.user_id = p.user_id AND s.event_type = 'signup'
+                  AND s.ts <= p.ts) AS last_signup
+        FROM events p WHERE p.event_type = 'purchase'
+    """,
+    "session_windows": """
+        SELECT user_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY session_start) AS BIGINT) AS session,
+               session_start, n_events
+        FROM (
+          SELECT user_id, min(ts) AS session_start,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM (
+            SELECT user_id, ts,
+                   sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS sid
+            FROM (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN ts - lag(ts) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > INTERVAL 12 HOUR THEN 1 ELSE 0 END AS gap
+              FROM events))
+          GROUP BY user_id, sid)
+    """,
     "flatten_json": """
         SELECT event_id,
                '{"a.k":' || CAST(CAST(json_extract_string(props, '$.k') AS BIGINT)
@@ -1223,6 +1345,10 @@ QUERIES = {
     "union_tagged": q_union_tagged,
     "template_render": q_template_render,
     "lineitem_agg": q_lineitem_agg,
+    "hash_join": q_hash_join,
+    "broadcast_join": q_broadcast_join,
+    "asof_join": q_asof_join,
+    "session_windows": q_session_windows,
     "flatten_json": q_flatten_json,
     "unflatten_json": q_unflatten_json,
     "anon_consistent": q_anon_consistent,

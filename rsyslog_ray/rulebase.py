@@ -201,6 +201,34 @@ SYSLOG_RULEBASE = Rulebase([
 ])
 
 
+_MONTHS = {m: i + 1 for i, m in enumerate(
+    ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+     "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"])}
+
+
+def parse_ts3164(col: pd.Series, now: "pd.Timestamp") -> pd.Series:
+    """RFC3164 'Mmm dd hh:mm:ss' → timestamp with year inference
+    (reference ParseTIMESTAMP3164, runtime/datetime.c:440: the format
+    carries no year; rsyslog picks the year that puts the stamp closest
+    to 'now', handling the Dec/Jan rollover in both directions)."""
+    parts = col.str.extract(
+        r"^([A-Z][a-z]{2}) ([ \d]\d) (\d{2}):(\d{2}):(\d{2})$")
+    mon = parts[0].map(_MONTHS)
+    # classic syslog year rule (ParseTIMESTAMP3164): a December stamp
+    # read in January belongs to last year; a January stamp read in
+    # December belongs to next year; otherwise the current year.
+    year = pd.Series(now.year, index=col.index)
+    year = year.where(~((mon == 12) & (now.month == 1)), now.year - 1)
+    year = year.where(~((mon == 1) & (now.month == 12)), now.year + 1)
+    return pd.to_datetime(pd.DataFrame({
+        "year": year, "month": mon,
+        "day": pd.to_numeric(parts[1].str.strip(), errors="coerce"),
+        "hour": pd.to_numeric(parts[2], errors="coerce"),
+        "minute": pd.to_numeric(parts[3], errors="coerce"),
+        "second": pd.to_numeric(parts[4], errors="coerce"),
+    }), errors="coerce")
+
+
 def pri_decompose(pri):
     """severity = pri & 7, facility = pri >> 3 (reference
     runtime/msg.c PRI handling; parserParsePRI runtime/parser.c:575)."""

@@ -333,6 +333,29 @@ def _partials_for(sink: str, sub: pa.Table, agg_kinds) -> pa.Table:
     return pa.concat_tables(outs)
 
 
+def write_run_metrics(out_dir: str, agg: pd.DataFrame,
+                      wall_s: float, n_inputs: int) -> dict:
+    """impstats analog (plugins/impstats): one machine-readable metrics
+    record per run, next to the data (_metrics.json)."""
+    per_sink = {}
+    if len(agg):
+        first_kind = agg["kind"].iloc[0]
+        per_sink = (agg[agg["kind"] == first_kind]
+                    .groupby("sink")["cnt"].sum().astype(int).to_dict())
+    rec = {
+        "wall_s": round(wall_s, 3),
+        "input_files": n_inputs,
+        "rows_delivered_per_sink": per_sink,
+        "total_delivered": int(sum(per_sink.values())),
+        "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+    }
+    tmp = os.path.join(out_dir, "_metrics.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_metrics.json"))
+    return rec
+
+
 def finalize_aggregates(partials_ds) -> pd.DataFrame:
     """Final dynstats reduction over the combiner output.
 

@@ -47,3 +47,22 @@ def test_nilvalue_sd():
     assert out["msg"][0].as_py() == "msg after nil sd"
     sev, fac = pri_decompose(out["pri"])
     assert sev[0].as_py() == 0 and fac[0].as_py() == 0
+
+
+def test_rfc3164_year_inference():
+    import pandas as pd
+
+    from rsyslog_ray.rulebase import parse_ts3164
+
+    col = pd.Series(["Dec 31 23:59:58", "Jan  1 00:00:05", "Jun 15 12:00:00"])
+    # reading logs on Jan 2: a Dec 31 stamp is LAST year
+    now = pd.Timestamp("2026-01-02 00:00:00")
+    out = parse_ts3164(col, now)
+    assert out[0] == pd.Timestamp("2025-12-31 23:59:58")
+    assert out[1] == pd.Timestamp("2026-01-01 00:00:05")
+    # reading logs on Dec 30: a Jan 1 stamp is NEXT year
+    now2 = pd.Timestamp("2026-12-30 00:00:00")
+    out2 = parse_ts3164(col, now2)
+    assert out2[0] == pd.Timestamp("2026-12-31 23:59:58")
+    assert out2[1] == pd.Timestamp("2027-01-01 00:00:05")
+    assert out2[2] == pd.Timestamp("2026-06-15 12:00:00")
