@@ -609,6 +609,49 @@ def q_format_time(sf_dir):
 # Joins (beyond the reference) + windowed/streaming shapes
 # ======================================================================
 
+def q_count_distinct(sf_dir):
+    """Exact distinct senders per event type (two-phase distinct —
+    combiner dedup before the shuffle)."""
+    from ..stages.sketch import exact_distinct_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return exact_distinct_per_key(ds, "event_type", "user_id")
+
+
+def q_approx_distinct(sf_dir):
+    """HyperLogLog approximate distinct urls... user_ids: mergeable
+    per-batch sketches (4 KiB each over the wire, any cardinality).
+    Rows-only driver check; the error bound vs exact is pinned in
+    pytest."""
+    from ..stages.sketch import approx_distinct
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"metric": ["approx_distinct_users"],
+                         "estimate": [int(round(est))]})
+
+
+def q_join_topk(sf_dir):
+    """Composite showcase (TPC-H-q3-ish): hash join orders⋈customer,
+    aggregate revenue per segment, exact ordering."""
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    orders = orders.map_batches(
+        lambda df: pd.DataFrame({
+            "custkey": df["o_custkey"],
+            "price_c": (df["o_totalprice"] * 100).round().astype("int64")}),
+        batch_format="pandas")
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda df: df.rename(columns={"c_custkey": "custkey"}),
+        batch_format="pandas")
+    joined = hash_join(orders, cust, on="custkey", how="inner")
+    agg = two_phase_agg(joined, ["c_mktsegment"], count="orders",
+                        sums={"price_c": "revenue_cents"})
+    return agg.sort_values("revenue_cents", ascending=False).reset_index(drop=True)
+
+
 def q_hash_join(sf_dir):
     """Partitioned hash join, both sides large (ONE shuffle; bucket =
     hash(key) % B — the pattern the reference never needed but a
@@ -1124,6 +1167,17 @@ SQL: dict[str, str] = {
                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    "count_distinct": """
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+               AS distinct_cnt
+        FROM events GROUP BY event_type
+    """,
+    "join_topk": """
+        SELECT c.c_mktsegment, count(*) AS orders,
+               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
     "hash_join": """
         SELECT o.o_custkey AS custkey, o.o_orderkey, c.c_name
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1345,6 +1399,9 @@ QUERIES = {
     "union_tagged": q_union_tagged,
     "template_render": q_template_render,
     "lineitem_agg": q_lineitem_agg,
+    "count_distinct": q_count_distinct,
+    "approx_distinct": q_approx_distinct,
+    "join_topk": q_join_topk,
     "hash_join": q_hash_join,
     "broadcast_join": q_broadcast_join,
     "asof_join": q_asof_join,

@@ -154,3 +154,26 @@ def test_media_stage_plumbing(ray_session, pages_small):
     import pyarrow as pa
     with pytest.raises(NotImplementedError):
         stage(pa.table({"html": pa.array([b"xx"], pa.binary())}))
+
+
+def test_hll_error_bound(ray_session):
+    import numpy as np
+    import ray.data
+
+    from rsyslog_ray.stages.sketch import HLL, approx_distinct
+
+    # direct: known cardinalities within ~5% at p=12
+    for true_n in (100, 5_000, 50_000):
+        h = HLL(12).add_array(np.arange(true_n).astype(str).astype(object))
+        err = abs(h.estimate() - true_n) / true_n
+        assert err < 0.05, (true_n, h.estimate())
+    # merge property: sketch(A) ∪ sketch(B) == sketch(A∪B)
+    a = HLL(12).add_array(np.arange(0, 30000).astype(str).astype(object))
+    b = HLL(12).add_array(np.arange(20000, 60000).astype(str).astype(object))
+    both = HLL(12).add_array(np.arange(0, 60000).astype(str).astype(object))
+    assert a.merge(b).estimate() == both.estimate()
+    # distributed path vs exact
+    df = pd.DataFrame({"v": (np.arange(40000) % 12345).astype(str)})
+    ds = ray.data.from_pandas(df).repartition(8)
+    est = approx_distinct(ds, "v")
+    assert abs(est - 12345) / 12345 < 0.05, est
