@@ -89,8 +89,10 @@ def run_bench() -> None:
 
 
 def run_scaling() -> None:
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     pages_sf = os.environ.get("GRAFT_SCALING_SF", "1.0")
+    trials = int(os.environ.get("GRAFT_SCALING_TRIALS", "2"))
 
     def one(ncpu: int) -> dict:
         # flush dirty pages from the previous run and let writeback
@@ -104,10 +106,14 @@ def run_scaling() -> None:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    r_lo, r_hi = one(lo), one(hi)
+    # best-of-N per level: this VM's disk writeback noise swings wall
+    # time ±40%; min is the least-contaminated measure of the pipeline
+    r_lo = min((one(lo) for _ in range(trials)), key=lambda r: r["value"])
+    r_hi = min((one(hi) for _ in range(trials)), key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     print(json.dumps({
-        "metric": "scaling efficiency (N=8 vs 4N=32 cpus, same input)",
+        "metric": f"scaling efficiency (N={lo} vs 4N={hi} cpus, same "
+                  f"input, best of {trials})",
         "sf": r_lo["sf"],
         f"sec_{lo}": r_lo["value"],
         f"sec_{hi}": r_hi["value"],
