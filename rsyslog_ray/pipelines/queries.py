@@ -609,6 +609,46 @@ def q_format_time(sf_dir):
 # Joins (beyond the reference) + windowed/streaming shapes
 # ======================================================================
 
+def q_group_topk(sf_dir):
+    """Top-2 users by event count per event_type (grouped top-k —
+    partition-wise sort+head after a keyed count)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    counts = two_phase_agg(ds, ["event_type", "user_id"], count="n")
+
+    # counts is a small driver frame: exact top-k with deterministic
+    # tie-break (n desc, user_id asc)
+    top = (counts.sort_values(["event_type", "n", "user_id"],
+                              ascending=[True, False, True])
+           .groupby("event_type").head(2).reset_index(drop=True))
+    top["rank"] = top.groupby("event_type").cumcount() + 1
+    return top.astype({"n": "int64", "rank": "int64"})
+
+
+def q_explode_words(sf_dir):
+    """S_FOREACH / flat_map analog (runtime/ruleset.c:377-402 iterates
+    JSON arrays per message): explode documents into words, count per
+    word, top... full counts for the 30-word vocabulary."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["text"].str.split().explode()
+        return pd.DataFrame({"word": s[s.notna()]})
+
+    return two_phase_agg(ds.map_batches(explode, batch_format="pandas"),
+                         ["word"])
+
+
+def q_distinct_pairs(sf_dir):
+    """Multi-column distinct (unique over a composite key)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates()
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    return parts.drop_duplicates().reset_index(drop=True)
+
+
 def q_count_distinct(sf_dir):
     """Exact distinct senders per event type (two-phase distinct —
     combiner dedup before the shuffle)."""
@@ -1167,6 +1207,22 @@ SQL: dict[str, str] = {
                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    "group_topk": """
+        SELECT event_type, user_id, n,
+               CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY n DESC, user_id) AS BIGINT) AS rank
+        FROM (SELECT event_type, user_id, count(*) AS n
+              FROM events GROUP BY event_type, user_id)
+        QUALIFY rank <= 2
+    """,
+    "explode_words": """
+        SELECT w AS word, count(*) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        GROUP BY w
+    """,
+    "distinct_pairs": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     "count_distinct": """
         SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
                AS distinct_cnt
@@ -1399,6 +1455,9 @@ QUERIES = {
     "union_tagged": q_union_tagged,
     "template_render": q_template_render,
     "lineitem_agg": q_lineitem_agg,
+    "group_topk": q_group_topk,
+    "explode_words": q_explode_words,
+    "distinct_pairs": q_distinct_pairs,
     "count_distinct": q_count_distinct,
     "approx_distinct": q_approx_distinct,
     "join_topk": q_join_topk,

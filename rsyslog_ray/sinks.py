@@ -105,6 +105,12 @@ def make_lineage_actor(out_dir: str, expected: dict[int, int], name: str | None 
                     and self.seen[shard] >= self.expected.get(shard, -1)):
                 self._commit(shard)
 
+        def report_many(self, entries: list[tuple]) -> None:
+            """One RPC per write batch: [(shard, rows_in, sink_rows,
+            n_files), ...]."""
+            for shard, rows_in, sink_rows, n_files in entries:
+                self.report(shard, rows_in, sink_rows, n_files)
+
         def _commit(self, shard: int) -> None:
             rec = {
                 "partition_id": shard,
@@ -293,13 +299,10 @@ class FanoutWriter:
 
         if self.lineage is not None:
             import ray
-            refs = [
-                self.lineage.report.remote(
-                    sid, shard_counts[sid],
-                    sink_shard_rows[sid], files_per_shard[sid])
-                for sid in shard_counts
-            ]
-            ray.get(refs)  # backpressure: don't outrun the commit log
+            entries = [(sid, shard_counts[sid], sink_shard_rows[sid],
+                        files_per_shard[sid]) for sid in shard_counts]
+            # one RPC per batch; ray.get = backpressure on the commit log
+            ray.get(self.lineage.report_many.remote(entries))
 
         if partials:
             return pa.concat_tables(partials)
