@@ -82,6 +82,7 @@ class PipelineConfig:
         self.out_dir = out["dir"]
         self.full_sinks = tuple(out.get("full_sinks", ("archive", "deadletter")))
         self.compression = out.get("compression", "zstd")
+        self.formats = out.get("formats", {})  # sink -> parquet|csv|jsonl
 
 
 def load_config(path_or_dict) -> PipelineConfig:
@@ -181,7 +182,8 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
     partials = ds.map_batches(
         sk.FanoutWriter(router, c.out_dir, lineage_name,
                         compression=c.compression, full_sinks=c.full_sinks,
-                        agg_kinds=c.agg_kinds, ts_col=c.ts_column),
+                        agg_kinds=c.agg_kinds, ts_col=c.ts_column,
+                        formats=c.formats),
         batch_format="pyarrow", batch_size=write_batch_size)
     out = sk.finalize_aggregates(partials)
     out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)

@@ -609,6 +609,46 @@ def q_format_time(sf_dir):
 # Joins (beyond the reference) + windowed/streaming shapes
 # ======================================================================
 
+def q_multi_join(sf_dir):
+    """Join composition (TPC-H-q5 shape): lineitem ⋈ supplier ⋈ nation
+    ⋈ region — three broadcast dimension hops chained in ONE map stage
+    (a star join never needs a shuffle when the dimensions are small)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = (supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+           .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+           [["s_suppkey", "n_name", "r_name"]]
+           .rename(columns={"s_suppkey": "l_suppkey"}))
+    ref = ray.put(dim)
+
+    class J:
+        def __init__(self):
+            self._d = None
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._d is None:
+                self._d = ray.get(ref)
+            m = df.merge(self._d, on="l_suppkey", how="inner")
+            return pd.DataFrame({
+                "r_name": m["r_name"],
+                "n_name": m["n_name"],
+                "rev_c": (m["l_extendedprice"] * (1 - m["l_discount"]) * 100)
+                .round().astype("int64"),
+            })
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    return two_phase_agg(ds.map_batches(J(), batch_format="pandas"),
+                         ["r_name", "n_name"], count="cnt",
+                         sums={"rev_c": "revenue_cents"})
+
+
 def q_group_topk(sf_dir):
     """Top-2 users by event count per event_type (grouped top-k —
     partition-wise sort+head after a keyed count)."""
@@ -1207,6 +1247,16 @@ SQL: dict[str, str] = {
                sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
+    "multi_join": """
+        SELECT r.r_name, n.n_name, count(*) AS cnt,
+               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS revenue_cents
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, n.n_name
+    """,
     "group_topk": """
         SELECT event_type, user_id, n,
                CAST(row_number() OVER (PARTITION BY event_type
@@ -1455,6 +1505,7 @@ QUERIES = {
     "union_tagged": q_union_tagged,
     "template_render": q_template_render,
     "lineitem_agg": q_lineitem_agg,
+    "multi_join": q_multi_join,
     "group_topk": q_group_topk,
     "explode_words": q_explode_words,
     "distinct_pairs": q_distinct_pairs,

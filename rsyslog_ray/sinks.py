@@ -228,7 +228,8 @@ class FanoutWriter:
     def __init__(self, routes, out_dir: str, lineage_name: str | None = None,
                  drop_cols: tuple = ("html",), compression: str = "zstd",
                  full_sinks: tuple | None = None,
-                 agg_kinds: tuple | None = None, ts_col: str = "warc_ts"):
+                 agg_kinds: tuple | None = None, ts_col: str = "warc_ts",
+                 formats: dict | None = None):
         self.router = routes if isinstance(routes, Router) else Router(routes)
         self.out_dir = out_dir
         self.drop_cols = drop_cols
@@ -236,7 +237,26 @@ class FanoutWriter:
         self.full_sinks = self.FULL_SINKS if full_sinks is None else full_sinks
         self.agg_kinds = self.AGG_KINDS if agg_kinds is None else tuple(agg_kinds)
         self.ts_col = ts_col
+        # per-sink output format (omfile template choice analog):
+        # "parquet" (default) | "csv" | "jsonl"
+        self.formats = formats or {}
         self.lineage_name = lineage_name
+
+    def _write(self, grp: pa.Table, d: str, stem: str, fmt: str) -> None:
+        if fmt == "csv":
+            from pyarrow import csv as pacsv
+            tmp = os.path.join(d, stem + ".csv.inprogress")
+            pacsv.write_csv(grp, tmp)
+            os.replace(tmp, os.path.join(d, stem + ".csv"))
+        elif fmt == "jsonl":
+            tmp = os.path.join(d, stem + ".jsonl.inprogress")
+            grp.to_pandas().to_json(tmp, orient="records", lines=True,
+                                    date_format="iso")
+            os.replace(tmp, os.path.join(d, stem + ".jsonl"))
+        else:
+            tmp = os.path.join(d, stem + ".parquet.inprogress")
+            pq.write_table(grp, tmp, compression=self.compression)
+            os.replace(tmp, os.path.join(d, stem + ".parquet"))
 
     @property
     def lineage(self):
@@ -279,6 +299,7 @@ class FanoutWriter:
             cols = keep if sink in self.full_sinks else slim_keep
             out_tbl = sub.select(cols)
             # ---- write one file per (sink, shard) present in this batch
+            fmt = self.formats.get(sink, "parquet")
             shard_vals, _ = _value_counts(sub["shard"])
             for sid in shard_vals:
                 sid = int(sid)
@@ -286,10 +307,7 @@ class FanoutWriter:
                 d = os.path.join(self.out_dir, sink, f"shard={sid}")
                 os.makedirs(d, exist_ok=True)
                 n += 1
-                fp = os.path.join(d, f"part-{wid}-{n:05d}.parquet")
-                tmp = fp + ".inprogress"
-                pq.write_table(grp, tmp, compression=self.compression)
-                os.replace(tmp, fp)
+                self._write(grp, d, f"part-{wid}-{n:05d}", fmt)
                 sink_shard_rows[sid][sink] = (
                     sink_shard_rows[sid].get(sink, 0) + len(grp))
                 files_per_shard[sid] += 1
@@ -357,6 +375,35 @@ def write_run_metrics(out_dir: str, agg: pd.DataFrame,
         json.dump(rec, fh, indent=1)
     os.replace(tmp, os.path.join(out_dir, "_metrics.json"))
     return rec
+
+
+def compact_sink(out_dir: str, sink: str, compression: str = "zstd") -> dict:
+    """Compact each shard's part files into one file (omfile
+    size-rotation hygiene analog, tools/omfile.c:320-322): streaming
+    runs leave one file per (write batch × shard); compaction rewrites
+    each shard dir to a single ``compact-<n>.parquet`` atomically
+    (write tmp, swap, then unlink the parts — a reader sees either the
+    parts or the compact file, never neither)."""
+    import glob as _glob
+
+    stats = {"shards": 0, "files_before": 0, "files_after": 0}
+    for shard_dir in sorted(_glob.glob(os.path.join(out_dir, sink, "shard=*"))):
+        parts = sorted(_glob.glob(os.path.join(shard_dir, "part-*.parquet")))
+        if len(parts) <= 1:
+            stats["files_after"] += len(parts)
+            continue
+        tables = [pq.read_table(p) for p in parts]
+        merged = pa.concat_tables(tables, promote_options="default")
+        tmp = os.path.join(shard_dir, "compact.inprogress")
+        pq.write_table(merged, tmp, compression=compression)
+        final = os.path.join(shard_dir, f"compact-{len(parts)}.parquet")
+        os.replace(tmp, final)
+        for p in parts:
+            os.unlink(p)
+        stats["shards"] += 1
+        stats["files_before"] += len(parts)
+        stats["files_after"] += 1
+    return stats
 
 
 def finalize_aggregates(partials_ds) -> pd.DataFrame:

@@ -1,0 +1,59 @@
+"""Per-sink output formats (csv/jsonl) + shard compaction."""
+
+import glob
+import json
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+from rsyslog_ray import sinks as sk
+from rsyslog_ray.config import run_config
+from rsyslog_ray.pipelines.flagship import run_flagship
+
+
+def test_sink_formats_csv_jsonl(ray_session, pages_small, tmp_path):
+    out = str(tmp_path / "fmt_out")
+    cfg = {
+        "input": {"paths": [os.path.join(pages_small, "pages-*.parquet")]},
+        "routes": [
+            {"sink": "csvsink", "pred": ["==", "lang", "de"]},
+            {"sink": "jsonsink", "pred": ["==", "lang", "fr"]},
+            {"sink": "rest", "pred": ["true"]},
+        ],
+        "aggregates": [["lang", "lang"]],
+        "output": {"dir": out, "full_sinks": [],
+                   "formats": {"csvsink": "csv", "jsonsink": "jsonl"}},
+    }
+    agg = run_config(cfg, lineage=False)
+    de = int(agg[(agg["sink"] == "csvsink") & (agg["kind"] == "lang")]["cnt"].sum())
+
+    csvs = glob.glob(os.path.join(out, "csvsink", "shard=*", "*.csv"))
+    assert csvs and not glob.glob(os.path.join(out, "csvsink", "shard=*", "*.parquet"))
+    rows = sum(len(pd.read_csv(f)) for f in csvs)
+    assert rows == de
+
+    jls = glob.glob(os.path.join(out, "jsonsink", "shard=*", "*.jsonl"))
+    assert jls
+    rec = json.loads(open(jls[0]).readline())
+    assert rec["lang"] == "fr" and "url" in rec
+
+    assert glob.glob(os.path.join(out, "rest", "shard=*", "*.parquet"))
+
+
+def test_compaction(ray_session, pages_small, tmp_path):
+    out = str(tmp_path / "cmp_out")
+    run_flagship(pages_small, out)
+    before = glob.glob(os.path.join(out, "archive", "shard=*", "*.parquet"))
+    urls_before = sorted(sum((pq.read_table(f, columns=["url"])["url"].to_pylist()
+                              for f in before), []))
+    stats = sk.compact_sink(out, "archive")
+    after = glob.glob(os.path.join(out, "archive", "shard=*", "*.parquet"))
+    urls_after = sorted(sum((pq.read_table(f, columns=["url"])["url"].to_pylist()
+                             for f in after), []))
+    assert urls_before == urls_after            # lossless
+    assert len(after) <= len(before)
+    assert stats["files_after"] <= stats["files_before"] or stats["shards"] == 0
+    # idempotent: second pass is a no-op
+    stats2 = sk.compact_sink(out, "archive")
+    assert stats2["shards"] == 0
