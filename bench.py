@@ -70,10 +70,15 @@ def run_bench() -> None:
     if os.environ.get("GRAFT_BENCH_QUERIES", "1") == "1":
         for name, fn in QUERIES.items():
             t0 = time.perf_counter()
-            res = fn(sf_dir)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-            qtimes[name] = round(time.perf_counter() - t0, 3)
+            try:
+                res = fn(sf_dir)
+                if hasattr(res, "to_pandas"):
+                    res.to_pandas()
+                qtimes[name] = round(time.perf_counter() - t0, 3)
+            except Exception as ex:  # one broken query must not sink the record
+                print(f"# bench: query {name} failed: {type(ex).__name__}: {ex}",
+                      file=sys.stderr)
+                qtimes[name] = -1.0
 
     print(json.dumps({
         "metric": "flagship parse→enrich→route→aggregate wall time",
