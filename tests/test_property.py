@@ -1,0 +1,91 @@
+"""Property-based armor (hypothesis): engine == per-row oracle on
+ARBITRARY inputs, not just generator-shaped ones.
+
+Mirrors the reference's fuzzing strategy (tools/fuzz_rsyslog_message.c)
+at the spec level: random bytes through sanitize/extract, random
+strings through the rule chain, random rows through the router.
+"""
+
+import hypothesis.strategies as st
+import pandas as pd
+import pyarrow as pa
+from hypothesis import HealthCheck, given, settings
+
+from rsyslog_ray.rulebase import PAGES_RULEBASE, SYSLOG_RULEBASE
+from rsyslog_ray.router import Route, Router
+from rsyslog_ray.sanitize import sanitize_bytes
+from rsyslog_ray.stages.parse import extract_text_arrow, extract_text_row
+
+SET = settings(max_examples=60, deadline=None,
+               suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(st.lists(st.binary(min_size=0, max_size=400), min_size=1, max_size=40))
+@SET
+def test_extract_byte_identity_on_arbitrary_bytes(payloads):
+    eng = extract_text_arrow(pa.array(payloads, pa.binary())).tolist()
+    for raw, got in zip(payloads, eng):
+        assert extract_text_row(raw) == got
+
+
+@given(st.lists(st.text(min_size=0, max_size=200)
+                .map(lambda s: s.replace("\x00", " ")),
+                min_size=1, max_size=40))
+@SET
+def test_rule_chain_matches_oracle_on_arbitrary_text(lines):
+    # the chain must agree with the per-row oracle on ANY input line
+    out = PAGES_RULEBASE.parse_table(pa.array(lines, pa.string()))
+    rules = out["rule"].to_pylist()
+    ok = out["parse_ok"].to_pylist()
+    for i, line in enumerate(lines):
+        rn, fields = PAGES_RULEBASE.parse_row(line)
+        assert (rn is not None) == ok[i], repr(line)
+        assert rn == rules[i] or (rn is None and rules[i] is None), repr(line)
+
+
+@given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=30))
+@SET
+def test_syslog_chain_never_crashes(lines):
+    out = SYSLOG_RULEBASE.parse_table(pa.array(lines, pa.string()))
+    assert len(out["parse_ok"]) == len(lines)
+
+
+_row = st.fixed_dictionaries({
+    "s": st.one_of(st.none(), st.text(max_size=30)),
+    "n": st.one_of(st.none(), st.integers(min_value=-10**6, max_value=10**6),
+                   st.floats(allow_nan=False, allow_infinity=False,
+                             width=32)),
+    "b": st.booleans(),
+})
+
+_ROUTES = [
+    Route("r1", ("==", "b", True), stop=True),
+    Route("r2", ("contains", "s", "x")),
+    Route("r3", (">=", "n", 0)),
+    Route("r4", ("or", ("isempty", "s"), ("not", ("<", "n", 100)))),
+    Route("r5", ("regex", "s", r"[aeiou]{2}")),
+    Route("r6", ("true",)),
+]
+
+
+@given(st.lists(_row, min_size=1, max_size=50))
+@SET
+def test_router_masks_match_row_oracle(rows):
+    df = pd.DataFrame(rows)
+    router = Router(_ROUTES)
+    masks = router.masks(df)
+    for i in range(len(df)):
+        row = df.iloc[i].to_dict()
+        want = set(router.route_row(row))
+        got = {s for s in router.sinks if bool(masks[s].iloc[i])}
+        assert got == want, (row, got, want)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@SET
+def test_sanitize_invariants(raw):
+    s = sanitize_bytes(raw)
+    assert "\x00" not in s
+    assert not s.endswith("\n") or raw.endswith(b"\n\n")
+    for ch in s:
+        assert ord(ch) >= 0x20 or ch in "\t\n"
