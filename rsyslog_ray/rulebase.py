@@ -137,10 +137,16 @@ def _cast_scalar(v, typ: str):
     if v is None:
         return None
     if typ == "int":
-        return int(v)
+        try:
+            return int(v)
+        except ValueError:
+            return None
     if typ == "ts":
         import datetime as _dt
-        return _dt.datetime.strptime(v, TS_FORMAT)
+        try:
+            return _dt.datetime.strptime(v, TS_FORMAT)
+        except ValueError:
+            return None  # malformed stamp -> null field, row still parsed
     return v
 
 
@@ -150,10 +156,19 @@ def _cast_arrow(col, typ: str):
     import pyarrow.compute as pc
 
     if typ == "int":
-        return pc.cast(col, pa.int64())
+        # non-numeric capture (a rulebase may type a loose group as
+        # int) -> null, matching the oracle's int() failure
+        valid = pc.fill_null(pc.match_substring_regex(col, r"^-?\d+$"), False)
+        return pc.cast(pc.if_else(valid, col, pa.scalar(None, pa.string())),
+                       pa.int64())
     if typ == "ts":
-        # "%Y-%m-%dT%H:%M:%S.%fZ": Arrow strptime lacks %f — parse the
-        # seconds prefix, add the microsecond suffix arithmetically
+        # "%Y-%m-%dT%H:%M:%S.%fZ": Arrow strptime lacks %f — validate
+        # the WHOLE stamp first (malformed -> null, matching the
+        # oracle's strptime failure), then parse the seconds prefix and
+        # add the microsecond suffix arithmetically
+        valid = pc.fill_null(pc.match_substring_regex(
+            col, r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z$"), False)
+        col = pc.if_else(valid, col, pa.scalar(None, pa.string()))
         secs = pc.strptime(pc.utf8_slice_codeunits(col, 0, 19),
                            format="%Y-%m-%dT%H:%M:%S", unit="us",
                            error_is_null=True)

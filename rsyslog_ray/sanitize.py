@@ -69,12 +69,14 @@ def sanitize_arrow(binary_arr):
 
     if isinstance(binary_arr, pa.ChunkedArray):
         binary_arr = binary_arr.combine_chunks()
-    dirty_mask = pc.match_substring_regex(
-        binary_arr, r"[\x00-\x08\x0B-\x1F\x80-\xFF]")
+    # null payloads stay null (real-corpus rows can lack the column)
+    null_np = binary_arr.is_null().to_numpy(zero_copy_only=False)
+    dirty_mask = pc.fill_null(pc.match_substring_regex(
+        binary_arr, r"[\x00-\x08\x0B-\x1F\x80-\xFF]"), False)
     dirty_np = dirty_mask.to_numpy(zero_copy_only=False)
 
     out = np.empty(len(binary_arr), dtype=object)
-    clean_idx = np.nonzero(~dirty_np)[0]
+    clean_idx = np.nonzero(~dirty_np & ~null_np)[0]
     if len(clean_idx):
         clean = pc.cast(binary_arr.take(pa.array(clean_idx)), pa.string())
         out[clean_idx] = clean.to_pandas().to_numpy(dtype=object)

@@ -342,14 +342,23 @@ def _value_counts(col):
 def _partials_for(sink: str, sub: pa.Table, agg_kinds) -> pa.Table:
     """dynstats partial counts for one sink over one batch (Arrow
     group_by — C++)."""
+    import pyarrow.compute as pc
+
     outs = []
     for kind, col in agg_kinds:
-        g = sub.select([col]).group_by(col).aggregate([(col, "count")])
+        # count_all, NOT count: arrow's "count" counts non-null VALUES,
+        # so the null-key group would report 0 and its rows would vanish
+        # from delivery totals. Null keys count under "" (the stub
+        # convention, matching the reference's onEmpty handling).
+        g = sub.select([col]).group_by(col).aggregate([([], "count_all")])
+        key = pc.fill_null(g[col].cast(pa.string()),
+                           pa.scalar("", pa.string()))
+        cnt = g["count_all"].cast(pa.int64())
         outs.append(pa.table({
             "sink": pa.array([sink] * len(g), pa.string()),
             "kind": pa.array([kind] * len(g), pa.string()),
-            "key": g[col].cast(pa.string()),
-            "cnt": g[f"{col}_count"].cast(pa.int64()),
+            "key": key,
+            "cnt": cnt,
         }))
     return pa.concat_tables(outs)
 

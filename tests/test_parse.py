@@ -48,3 +48,43 @@ def test_html_dropped():
     t = gen.gen_batch(np.arange(0, 100))
     out = ParseStage()(t)
     assert "html" not in out.schema.names
+
+
+def test_null_rows_survive_hot_path():
+    """Real-corpus rows can have null url/html/text/lang — the pipeline
+    annotates and routes them instead of crashing."""
+    import pyarrow as pa
+
+    from rsyslog_ray.stages.enrich import EnrichFn
+
+    t = pa.table({
+        "url": pa.array(["https://a.com/x", None, "nota url"]),
+        "warc_ts": pa.array([pd.Timestamp("2026-01-01")] * 3,
+                            pa.timestamp("us")),
+        "html": pa.array([b"<p>hi</p>", None, b""], pa.binary()),
+        "text": pa.array(['ts=x host=h app=a sev=3 msg="m"', None, ""]),
+        "lang": pa.array(["en", None, "xx"]),
+        "shard": pa.array([0, 0, 0], pa.int32()),
+    })
+    out = EnrichFn(None)(ParseStage()(t)).to_pandas()
+    assert out["extracted"].iloc[1] is None       # null html -> null
+    assert out["extracted"].iloc[2] == ""         # empty html -> empty
+    assert out["url_host"].iloc[1] == ""          # null url -> stub
+    assert out["region"].iloc[1] == ""            # null lang -> stub
+    assert not out["parse_ok"].iloc[1]            # null text -> unparsed
+
+
+def test_null_keys_counted_in_partials():
+    """Arrow 'count' counts values not rows: the null-key dynstats group
+    must still contribute its rows (folded into the "" bucket)."""
+    import pyarrow as pa
+
+    from rsyslog_ray.sinks import _partials_for
+
+    t = pa.table({
+        "lang": pa.array(["en", None, None, ""]),
+        "url_host": pa.array(["h", "h", None, "h"]),
+    })
+    p = _partials_for("s", t, (("lang", "lang"),)).to_pandas()
+    assert int(p["cnt"].sum()) == 4                 # every row counted
+    assert int(p[p["key"] == ""]["cnt"].sum()) == 3  # None+None+"" fold

@@ -37,10 +37,19 @@ def test_rule_chain_matches_oracle_on_arbitrary_text(lines):
     out = PAGES_RULEBASE.parse_table(pa.array(lines, pa.string()))
     rules = out["rule"].to_pylist()
     ok = out["parse_ok"].to_pylist()
+    cols = {g: out[g].to_pylist() for g, _ in PAGES_RULEBASE.fields}
     for i, line in enumerate(lines):
         rn, fields = PAGES_RULEBASE.parse_row(line)
         assert (rn is not None) == ok[i], repr(line)
         assert rn == rules[i] or (rn is None and rules[i] is None), repr(line)
+        for g, v in fields.items():
+            got = cols[g][i]
+            if v is None:
+                assert got is None, (repr(line), g, got)
+            elif hasattr(v, "isoformat"):
+                assert got == v, (repr(line), g, got, v)
+            else:
+                assert got == v, (repr(line), g, got, v)
 
 
 @given(st.lists(st.text(min_size=0, max_size=120), min_size=1, max_size=30))
