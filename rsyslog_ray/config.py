@@ -59,6 +59,11 @@ class PipelineConfig:
     def __init__(self, cfg: dict):
         self.cfg = cfg
         self.input_paths = cfg["input"]["paths"]
+        # "parquet" (default) or "textlog": raw log files split into
+        # lines (imfile analog), optionally multiline-assembled via
+        # input.multiline_start (startmsg.regex readMode)
+        self.input_format = cfg["input"].get("format", "parquet")
+        self.multiline_start = cfg["input"].get("multiline_start")
         self.source_column = cfg.get("source_column", "text")
         self.extract_column = cfg.get("extract_column")
         self.ts_column = cfg.get("ts_column", "warc_ts")
@@ -157,6 +162,15 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
         raise FileNotFoundError(f"no input files match {c.input_paths}")
 
     os.makedirs(c.out_dir, exist_ok=True)
+    if c.input_format == "textlog":
+        # text inputs have no parquet footers -> no per-shard expected
+        # counts; no lineage, and a rerun is a FRESH run: wipe the sink
+        # dirs so reprocessing can't append duplicates
+        resume = False
+        lineage = False
+        import shutil
+        for s in router.sinks:
+            shutil.rmtree(os.path.join(c.out_dir, s), ignore_errors=True)
     if resume:
         pending, _ = sk.plan_resume(files, c.out_dir, router.sinks)
     else:
@@ -177,7 +191,21 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
     lookups_ref = ray.put(c.lookups) if c.lookups else None
     fn = _ConfigMapFn(c, lookups_ref)
 
-    ds = ray.data.read_parquet(pending)
+    if c.input_format == "textlog":
+        from .sources.textlog import assemble_multiline, read_log_lines
+
+        ds = read_log_lines(pending)
+        if c.multiline_start:
+            ds = assemble_multiline(ds, c.multiline_start)
+            ds = ds.map_batches(
+                lambda df: df.rename(columns={"record": c.source_column}),
+                batch_format="pandas")
+        elif c.source_column != "line":
+            ds = ds.map_batches(
+                lambda df: df.rename(columns={"line": c.source_column}),
+                batch_format="pandas")
+    else:
+        ds = ray.data.read_parquet(pending)
     ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
     partials = ds.map_batches(
         sk.FanoutWriter(router, c.out_dir, lineage_name,
