@@ -67,9 +67,14 @@ class PipelineConfig:
         self.source_column = cfg.get("source_column", "text")
         self.extract_column = cfg.get("extract_column")
         self.ts_column = cfg.get("ts_column", "warc_ts")
+        def _rule(r: dict) -> Rule:
+            if "sample" in r:  # liblognorm sample syntax front-end
+                from .rulebase import lognorm_rule
+                return lognorm_rule(r["name"], r["sample"])
+            return Rule(r["name"], r["pattern"], r.get("types", {}))
+
         self.rulebase = Rulebase([
-            Rule(r["name"], r["pattern"], r.get("types", {}))
-            for r in cfg.get("rules", [])
+            _rule(r) for r in cfg.get("rules", [])
         ]) if cfg.get("rules") else None
         self.lookups = {
             name: LookupTable(spec["kind"],

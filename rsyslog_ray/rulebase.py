@@ -36,6 +36,60 @@ class Rule:
         return re.compile(self.pattern)
 
 
+_LOGNORM_TYPES = {
+    # liblognorm parser-type subset -> (regex fragment, our cast type)
+    "word": (r"\S+", "str"),
+    "number": (r"-?\d+", "int"),
+    "float": (r"-?\d+(?:\.\d+)?", "str"),
+    "ipv4": (r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "str"),
+    "quoted-string": (r'"[^"]*"', "str"),
+    "rest": (r".*", "str"),
+    "alpha": (r"[A-Za-z]+", "str"),
+    "iso8601us": (r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z", "ts"),
+}
+
+_LOGNORM_FIELD = re.compile(r"%([A-Za-z_][A-Za-z0-9_]*):([a-z0-9-]+)(?::([^%]*))?%")
+
+
+def lognorm_rule(name: str, sample: str) -> Rule:
+    """Compile one liblognorm-style sample line into a Rule.
+
+    Supports the common subset of the sample syntax the reference's
+    mmnormalize rulebases use (plugins/mmnormalize/mmnormalize.c
+    rule=[...] arrays; liblognorm v2 samples):
+
+        %field:word%  %n:number%  %ip:ipv4%  %msg:rest%
+        %t:iso8601us% %q:quoted-string% %c:char-to:,%
+
+    Literal text between fields is regex-escaped; the whole sample is
+    anchored (first-match-wins chain semantics as in parse_table).
+    """
+    out = []
+    types: dict[str, str] = {}
+    pos = 0
+    for m in _LOGNORM_FIELD.finditer(sample):
+        out.append(re.escape(sample[pos:m.start()]))
+        field, ptype, arg = m.group(1), m.group(2), m.group(3)
+        if ptype == "char-to":
+            if not arg:
+                raise ValueError(f"char-to needs a delimiter: {m.group(0)}")
+            frag, cast = rf"[^{re.escape(arg)}]*", "str"
+        elif ptype in _LOGNORM_TYPES:
+            frag, cast = _LOGNORM_TYPES[ptype]
+        else:
+            raise ValueError(f"unsupported lognorm type {ptype!r}")
+        out.append(f"(?P<{field}>{frag})")
+        types[field] = cast
+        pos = m.end()
+    out.append(re.escape(sample[pos:]))
+    return Rule(name, "^" + "".join(out) + "$", types)
+
+
+def lognorm_rulebase(samples: list[tuple[str, str]]) -> "Rulebase":
+    """Ordered (name, sample) pairs -> compiled first-match-wins chain."""
+    return Rulebase([lognorm_rule(n, s) for n, s in samples])
+
+
 class Rulebase:
     """Ordered first-match-wins rule chain, compiled ahead of time."""
 

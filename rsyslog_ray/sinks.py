@@ -242,7 +242,30 @@ class FanoutWriter:
         self.formats = formats or {}
         self.lineage_name = lineage_name
 
+    WRITE_RETRIES = 3
+
     def _write(self, grp: pa.Table, d: str, stem: str, fmt: str) -> None:
+        """Write with bounded retry + backoff (action suspend/retry
+        analog, runtime/action.c:863-1015: iResumeInterval escalation).
+        Transient FS errors retry; persistent ones raise after the last
+        attempt — Ray then retries the task, and a truly dead
+        filesystem fails the run loudly rather than dropping rows."""
+        import sys as _sys
+        import time as _time
+
+        last = None
+        for attempt in range(self.WRITE_RETRIES):
+            try:
+                return self._write_once(grp, d, stem, fmt)
+            except OSError as ex:
+                last = ex
+                print(f"# sink write retry {attempt + 1}/"
+                      f"{self.WRITE_RETRIES} for {d}/{stem}: {ex}",
+                      file=_sys.stderr)
+                _time.sleep(0.1 * (4 ** attempt))
+        raise last
+
+    def _write_once(self, grp: pa.Table, d: str, stem: str, fmt: str) -> None:
         if fmt == "csv":
             from pyarrow import csv as pacsv
             tmp = os.path.join(d, stem + ".csv.inprogress")
