@@ -1,0 +1,104 @@
+"""Connector sinks — the network-delivery shapes, transport-injected.
+
+The reference's network sinks share one protocol: batch rows
+(bulkmode/maxbytes), deliver with begin/commit transactions, retry with
+escalating suspend on transport failure, and quarantine per-item
+rejects to an error file instead of losing or re-looping them
+(reference plugins/omelasticsearch/omelasticsearch.c:227-253 bulkmode +
+retryfailures + errorfile; plugins/omkafka/omkafka.c:228-278
+failedMsgFile; runtime/action.c:863-1015 suspend/resume).
+
+No network exists in this environment, so the TRANSPORT is an injected
+callable and the default strict transport raises NotImplementedError at
+the exact call site a real client (requests/kafka producer) would
+occupy.  Everything around it — batching, flush thresholds, bounded
+retry with backoff, per-item dead-lettering, delivery accounting — is
+real and tested.
+
+Use as an actor-pool stage:
+    ds.map_batches(ConnectorSink, fn_constructor_kwargs=dict(
+        transport=my_send_fn, batch_rows=500, error_file=...),
+        batch_format="pandas", concurrency=(1, N), batch_size=2048)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pandas as pd
+
+
+def strict_transport(payloads: list[dict]) -> list[tuple[int, str]]:
+    """Placeholder for the real client; a deployment replaces this with
+    e.g. an HTTP bulk POST or a Kafka produce loop."""
+    raise NotImplementedError(
+        "no network transport in this environment; inject one "
+        "(transport=callable(list[dict]) -> list[(index, error)])")
+
+
+class TransportSuspended(RuntimeError):
+    """Raised when delivery keeps failing past the retry budget — the
+    action-DISABLED state (runtime/action.c:663-741)."""
+
+
+class ConnectorSink:
+    """Batching, transactional, retrying delivery stage.
+
+    ``transport(payloads)`` delivers a bulk of row-dicts and returns a
+    list of (index, error_message) for per-item REJECTS (empty list =
+    all delivered). Raising from transport = transient transport
+    failure -> bounded retry with escalating backoff, then
+    TransportSuspended.
+
+    Per-item rejects append to ``error_file`` as JSONL (errorfile
+    analog) and are not retried. The stage's output batch is the
+    delivery accounting (rows_delivered / rows_rejected per call).
+
+    NOTE: the errorfile is a shared append target — with a
+    ``concurrency`` pool, O_APPEND keeps lines intact on Linux but
+    inter-actor ordering is arbitrary; use per-actor paths if order
+    matters.
+    """
+
+    def __init__(self, transport=None, batch_rows: int = 500,
+                 error_file: str | None = None, max_retries: int = 3,
+                 backoff_base_s: float = 0.1):
+        self.transport = transport or strict_transport
+        self.batch_rows = batch_rows
+        self.error_file = error_file
+        self.max_retries = max_retries
+        self.backoff_base_s = backoff_base_s
+
+    # -- the begin/do/commit cycle for one bulk -----------------------
+    def _deliver_bulk(self, payloads: list[dict]) -> tuple[int, int]:
+        last = None
+        for attempt in range(self.max_retries):
+            try:
+                rejects = self.transport(payloads)
+                break
+            except NotImplementedError:
+                raise
+            except Exception as ex:  # transient transport failure
+                last = ex
+                time.sleep(self.backoff_base_s * (4 ** attempt))
+        else:
+            raise TransportSuspended(
+                f"transport failed {self.max_retries} times: {last}")
+        if rejects and self.error_file:
+            with open(self.error_file, "a") as fh:
+                for idx, err in rejects:
+                    fh.write(json.dumps({"error": err,
+                                         "payload": payloads[idx]}) + "\n")
+        return len(payloads) - len(rejects), len(rejects)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        payloads = batch.to_dict("records")
+        delivered = rejected = 0
+        for lo in range(0, len(payloads), self.batch_rows):
+            d, r = self._deliver_bulk(payloads[lo:lo + self.batch_rows])
+            delivered += d
+            rejected += r
+        return pd.DataFrame({"rows_delivered": [delivered],
+                             "rows_rejected": [rejected]})
