@@ -93,6 +93,7 @@ class PipelineConfig:
         self.full_sinks = tuple(out.get("full_sinks", ("archive", "deadletter")))
         self.compression = out.get("compression", "zstd")
         self.formats = out.get("formats", {})  # sink -> parquet|csv|jsonl
+        self.partition_by = out.get("partition_by", {})  # sink -> column
 
 
 def load_config(path_or_dict) -> PipelineConfig:
@@ -216,7 +217,7 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
         sk.FanoutWriter(router, c.out_dir, lineage_name,
                         compression=c.compression, full_sinks=c.full_sinks,
                         agg_kinds=c.agg_kinds, ts_col=c.ts_column,
-                        formats=c.formats),
+                        formats=c.formats, partition_by=c.partition_by),
         batch_format="pyarrow", batch_size=write_batch_size)
     out = sk.finalize_aggregates(partials)
     out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)

@@ -176,7 +176,12 @@ def plan_resume(input_files: list[str], out_dir: str,
             d = os.path.join(out_dir, s, f"shard={sid}")
             if os.path.isdir(d):
                 for p in os.listdir(d):
-                    os.unlink(os.path.join(d, p))
+                    fp = os.path.join(d, p)
+                    if os.path.isdir(fp):       # dynafile partition dirs
+                        import shutil
+                        shutil.rmtree(fp, ignore_errors=True)
+                    else:
+                        os.unlink(fp)
     return pending, done
 
 
@@ -229,7 +234,8 @@ class FanoutWriter:
                  drop_cols: tuple = ("html",), compression: str = "zstd",
                  full_sinks: tuple | None = None,
                  agg_kinds: tuple | None = None, ts_col: str = "warc_ts",
-                 formats: dict | None = None):
+                 formats: dict | None = None,
+                 partition_by: dict | None = None):
         self.router = routes if isinstance(routes, Router) else Router(routes)
         self.out_dir = out_dir
         self.drop_cols = drop_cols
@@ -240,6 +246,10 @@ class FanoutWriter:
         # per-sink output format (omfile template choice analog):
         # "parquet" (default) | "csv" | "jsonl"
         self.formats = formats or {}
+        # dynafile analog (tools/omfile.c:133-192 template-computed
+        # paths + handle cache): sink -> column whose VALUE becomes a
+        # hive subdirectory under the shard dir
+        self.partition_by = partition_by or {}
         self.lineage_name = lineage_name
 
     WRITE_RETRIES = 3
@@ -321,19 +331,36 @@ class FanoutWriter:
                 continue
             cols = keep if sink in self.full_sinks else slim_keep
             out_tbl = sub.select(cols)
-            # ---- write one file per (sink, shard) present in this batch
+            # ---- write one file per (sink, shard[, dynafile key])
             fmt = self.formats.get(sink, "parquet")
+            dyn_col = self.partition_by.get(sink)
             shard_vals, _ = _value_counts(sub["shard"])
             for sid in shard_vals:
                 sid = int(sid)
-                grp = out_tbl.filter(pc.equal(sub["shard"], sid))
+                smask = pc.equal(sub["shard"], sid)
+                grp = out_tbl.filter(smask)
                 d = os.path.join(self.out_dir, sink, f"shard={sid}")
-                os.makedirs(d, exist_ok=True)
-                n += 1
-                self._write(grp, d, f"part-{wid}-{n:05d}", fmt)
+                if dyn_col is None:
+                    os.makedirs(d, exist_ok=True)
+                    n += 1
+                    self._write(grp, d, f"part-{wid}-{n:05d}", fmt)
+                    files_per_shard[sid] += 1
+                else:
+                    keycol = sub.filter(smask)[dyn_col]
+                    for kv in pc.unique(pc.fill_null(
+                            keycol.cast(pa.string()), "")):
+                        kvs = kv.as_py()
+                        kmask = pc.fill_null(pc.equal(
+                            pc.fill_null(keycol.cast(pa.string()), ""),
+                            kvs), False)
+                        kgrp = grp.filter(kmask)
+                        kd = os.path.join(d, f"{dyn_col}={kvs or '__null__'}")
+                        os.makedirs(kd, exist_ok=True)
+                        n += 1
+                        self._write(kgrp, kd, f"part-{wid}-{n:05d}", fmt)
+                        files_per_shard[sid] += 1
                 sink_shard_rows[sid][sink] = (
                     sink_shard_rows[sid].get(sink, 0) + len(grp))
-                files_per_shard[sid] += 1
             # ---- dynstats partials for this sink (combiner: counts
             # collapse to at most |keys| rows per batch before the shuffle)
             partials.append(_partials_for(sink, sub, self.agg_kinds))

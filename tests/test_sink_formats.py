@@ -57,3 +57,31 @@ def test_compaction(ray_session, pages_small, tmp_path):
     # idempotent: second pass is a no-op
     stats2 = sk.compact_sink(out, "archive")
     assert stats2["shards"] == 0
+
+
+def test_dynafile_partitioning(ray_session, pages_small, tmp_path):
+    """omfile dynafile analog: a sink's output path computed from a
+    column value (tools/omfile.c:133-192)."""
+    out = str(tmp_path / "dyn_out")
+    cfg = {
+        "input": {"paths": [os.path.join(pages_small, "pages-*.parquet")]},
+        "routes": [{"sink": "bylang", "pred": ["true"]}],
+        "aggregates": [["lang", "lang"]],
+        "output": {"dir": out, "full_sinks": [],
+                   "partition_by": {"bylang": "lang"}},
+    }
+    agg = run_config(cfg, lineage=False)
+    langs = set(agg[agg["kind"] == "lang"]["key"])
+    import glob as g
+    dirs = {os.path.basename(os.path.dirname(p)) for p in
+            g.glob(os.path.join(out, "bylang", "shard=*", "lang=*", "*.parquet"))}
+    assert dirs == {f"lang={l}" for l in langs}
+    # each partition dir holds only its language
+    one = g.glob(os.path.join(out, "bylang", "shard=0", "lang=de", "*.parquet"))
+    df = pd.concat([pq.read_table(f).to_pandas() for f in one])
+    assert (df["lang"] == "de").all()
+    # totals preserved across the partition split
+    total = sum(len(pq.read_table(f).to_pandas()) for f in
+                g.glob(os.path.join(out, "bylang", "shard=*", "lang=*",
+                                    "*.parquet")))
+    assert total == int(agg[agg["kind"] == "lang"]["cnt"].sum())
