@@ -226,6 +226,20 @@ def q_ratelimit_burst(sf_dir):
     return ds.groupby("user_id").map_groups(head5, batch_format="pandas")
 
 
+def q_interval_once(sf_dir):
+    """execOnlyOnceEveryInterval analog (runtime/action.c:535-546):
+    keep only the FIRST event per user per hour."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def first_per_hour(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["__h"] = g["ts"].dt.floor("h")
+        return g.groupby("__h", as_index=False).head(1)[["event_id"]]
+
+    return ds.groupby("user_id").map_groups(first_per_hour,
+                                            batch_format="pandas")
+
+
 def q_sample_nth(sf_dir):
     """execOnlyEveryNthTime analog (runtime/action.c:370-385): keep
     every 10th event by id."""
@@ -1192,6 +1206,11 @@ SQL: dict[str, str] = {
         SELECT event_id, user_id FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5
     """,
+    "interval_once": """
+        SELECT event_id FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id,
+                 date_trunc('hour', ts) ORDER BY ts, event_id) = 1
+    """,
     "sample_nth": """
         SELECT event_id, event_type FROM events WHERE event_id % 10 = 0
     """,
@@ -1495,6 +1514,7 @@ QUERIES = {
     "percentiles": q_percentiles,
     "mmcount": q_mmcount,
     "ratelimit_burst": q_ratelimit_burst,
+    "interval_once": q_interval_once,
     "sample_nth": q_sample_nth,
     "dedup_exact": q_dedup_exact,
     "dedup_adjacent": q_dedup_adjacent,
