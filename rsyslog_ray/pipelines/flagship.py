@@ -6,7 +6,7 @@ streaming ``ray.data`` pipeline over the pages Parquet table:
   read_parquet(shards)                         # prune nothing: all 5 cols used
     -> ParseStage        (map_batches, vectorized rule chain + extract;
                           drops the wide html column immediately after)
-    -> EnrichStage       (actor pool; broadcast lookup tables via ray.put)
+    -> EnrichFn          (stateless tasks; broadcast lookup tables via ray.put)
     -> FanoutWriter      (actor pool; single-pass routed writes to all
                           sinks + per-shard lineage commit; emits
                           dynstats partials)
