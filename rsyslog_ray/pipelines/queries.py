@@ -1063,7 +1063,7 @@ def q_knn_lsh(sf_dir):
     queries = np.stack(head["embedding"].to_numpy())
     qids = head["vec_id"].tolist()
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5)
+    return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5, n_probes=4)
 
 
 def q_media_features(sf_dir):

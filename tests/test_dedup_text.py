@@ -102,6 +102,14 @@ def test_knn_bruteforce_and_lsh_recall(ray_session):
     approx = set(zip(ann["qid"], ann["id"]))
     found_self = sum((q, q) in approx for q in qids)
     assert found_self >= 4, (found_self, approx)
+    # multiprobe recovers at least the single-probe results and finds
+    # every self-match (weakest-bit flips catch boundary neighbors)
+    ds3 = ray.data.from_pandas(df)
+    mp = sim.knn_lsh(ds3, "embedding", "vec_id", pq2, qids, k=5,
+                     n_planes=6, n_probes=4)
+    mp_pairs = set(zip(mp["qid"], mp["id"]))
+    assert sum((q, q) in mp_pairs for q in qids) == len(qids)
+    assert len(mp_pairs) >= len(approx)
 
 
 def test_text_analysis_kernels(docs):
