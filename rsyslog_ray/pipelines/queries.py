@@ -1129,7 +1129,8 @@ def q_ratelimit_window(sf_dir):
 SQL: dict[str, str] = {
     "parse_json": """
         SELECT event_type, count(*) AS cnt,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k
         FROM events GROUP BY event_type
     """,
     "fields_split": """
@@ -1263,13 +1264,14 @@ SQL: dict[str, str] = {
     """,
     "lineitem_agg": """
         SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-               sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_cents
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,
     "multi_join": """
         SELECT r.r_name, n.n_name, count(*) AS cnt,
-               sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
-                        AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS revenue_cents
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey
@@ -1299,7 +1301,8 @@ SQL: dict[str, str] = {
     """,
     "join_topk": """
         SELECT c.c_mktsegment, count(*) AS orders,
-               sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS revenue_cents
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,
@@ -1309,7 +1312,8 @@ SQL: dict[str, str] = {
     """,
     "broadcast_join": """
         SELECT s.s_name, count(*) AS cnt,
-               sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS sum_qty_cents
+               CAST(sum(CAST(round(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+                 AS sum_qty_cents
         FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY s.s_name
     """,
@@ -1360,8 +1364,8 @@ SQL: dict[str, str] = {
                         FROM c)
         SELECT sender, cnt FROM ranked WHERE rn <= 100
         UNION ALL
-        SELECT '__rejected__', sum(cnt) FROM ranked WHERE rn > 100
-        HAVING count(*) > 0
+        SELECT '__rejected__', CAST(sum(cnt) AS BIGINT) FROM ranked
+        WHERE rn > 100 HAVING count(*) > 0
     """,
     "syslog_roundtrip": """
         SELECT event_id,
@@ -1462,9 +1466,11 @@ SQL: dict[str, str] = {
     """,
     "text_tokens": """
         SELECT lang,
-               sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS ws_tokens,
-               sum(CAST(len(regexp_extract_all(text,
-                   '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT)) AS bpe_tokens
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS ws_tokens,
+               CAST(sum(CAST(len(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS BIGINT))
+                    AS BIGINT) AS bpe_tokens
         FROM documents GROUP BY lang
     """,
     "runs_compress": """

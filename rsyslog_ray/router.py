@@ -58,7 +58,9 @@ def _mask(pred: tuple, df: pd.DataFrame) -> pd.Series:
     if op == "==":
         return (col == pred[2]).fillna(False).astype(bool)
     if op == "!=":
-        return (col != pred[2]).fillna(False).astype(bool)
+        # null != v is True in pandas object compare (no NaN to fill) —
+        # force null->False to match _eval_row and _mask_arrow
+        return ((col != pred[2]) & col.notna()).astype(bool)
     if op in (">=", "<=", ">", "<"):
         c = pd.to_numeric(col, errors="coerce")
         cmp = {">=": c.ge, "<=": c.le, ">": c.gt, "<": c.lt}[op](pred[2])

@@ -101,8 +101,13 @@ def make_lineage_actor(out_dir: str, expected: dict[int, int], name: str | None 
             for s, r in sink_rows.items():
                 sr[s] = sr.get(s, 0) + r
             self.files[shard] = self.files.get(shard, 0) + n_files
-            if (shard not in self.committed
-                    and self.seen[shard] >= self.expected.get(shard, -1)):
+            # never auto-commit a shard absent from the expected map: a
+            # default/mis-resolved shard id would otherwise commit on its
+            # first batch, and a crash mid-run would resume past rows it
+            # never wrote (silent data loss)
+            exp = self.expected.get(shard)
+            if (exp is not None and shard not in self.committed
+                    and self.seen[shard] >= exp):
                 self._commit(shard)
 
         def report_many(self, entries: list[tuple]) -> None:

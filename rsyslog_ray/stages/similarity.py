@@ -24,6 +24,23 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def _topk_ties(sim: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the exact top-kk rows by (-sim, id).
+
+    A bare argpartition cut is tie-arbitrary: with > kk rows tied at
+    the kk-th similarity, the batch-local cut could drop the smaller-id
+    row the documented (-sim, id) tie-break keeps.  Take every row at or
+    above the kk-th similarity, then lexsort the (tiny) candidate set.
+    """
+    if kk >= len(ids):
+        cand = np.arange(len(ids))
+    else:
+        kth = np.partition(sim, len(ids) - kk)[len(ids) - kk]
+        cand = np.flatnonzero(sim >= kth)
+    order = cand[np.lexsort((ids[cand], -sim[cand]))]
+    return order[:kk]
+
+
 def knn_bruteforce(ds, vec_col: str, id_col: str, queries: np.ndarray,
                    query_ids: list, k: int = 5):
     """Exact top-k cosine neighbors for each query vector.
@@ -46,7 +63,7 @@ def knn_bruteforce(ds, vec_col: str, id_col: str, queries: np.ndarray,
         out = {"qid": [], "id": [], "sim": []}
         kk = min(k, len(ids))
         for j in range(sim.shape[1]):
-            part = np.argpartition(-sim[:, j], kk - 1)[:kk]
+            part = _topk_ties(sim[:, j], ids, kk)
             out["qid"].extend([query_ids[j]] * len(part))
             out["id"].extend(ids[part])
             out["sim"].extend(sim[part, j])
@@ -138,7 +155,7 @@ def knn_lsh(ds, vec_col: str, id_col: str, queries: np.ndarray,
             sim = v[mask] @ q[j]
             sub_ids = ids[mask]
             kk = min(k, len(sub_ids))
-            part = np.argpartition(-sim, kk - 1)[:kk]
+            part = _topk_ties(sim, sub_ids, kk)
             out["qid"].extend([query_ids[j]] * len(part))
             out["id"].extend(sub_ids[part])
             out["sim"].extend(sim[part])
