@@ -103,6 +103,17 @@ def anon_ipv4_zero(s: pd.Series) -> pd.Series:
     return s.str.replace(IPV4_RE, r"\1.0", regex=True)
 
 
+# full (uncompressed) 8-hextet IPv6: keep the first 4 hextets, zero the
+# interface-identifier half (64 mask bits — mmanon's ipv6.bits default)
+IPV6_RE = r"\b((?:[0-9A-Fa-f]{1,4}:){4})(?:[0-9A-Fa-f]{1,4}:){3}[0-9A-Fa-f]{1,4}\b"
+
+
+def anon_ipv6_zero(s: pd.Series) -> pd.Series:
+    """mmanon IPv6 zero mode (plugins/mmanon/mmanon.c:100-166): zero
+    the low 64 bits of every full-form IPv6 in the string."""
+    return s.str.replace(IPV6_RE, r"\g<1>0:0:0:0", regex=True)
+
+
 # ---- time formatting (template date formats, runtime/template.h:72-95
 #      — 22 variants in the reference; the common ones as strftime)
 TIME_FORMATS = {
@@ -132,6 +143,16 @@ def csv_escape(s: pd.Series) -> pd.Series:
     needs = s.str.contains(r'[",\n]', regex=True, na=False)
     quoted = '"' + s.str.replace('"', '""', regex=False) + '"'
     return quoted.where(needs, s)
+
+
+def sql_escape(s: pd.Series, mode: str = "std") -> pd.Series:
+    """SQL-escaping template option (template.c:947-951 doSQLEscape):
+    'std' doubles single quotes (stdSQL); 'mysql' also backslash-escapes
+    backslash and quote (the reference's MySQL mode)."""
+    if mode == "mysql":
+        return (s.str.replace("\\", "\\\\", regex=False)
+                 .str.replace("'", "\\'", regex=False))
+    return s.str.replace("'", "''", regex=False)
 
 
 def json_string_escape(s: pd.Series) -> pd.Series:

@@ -80,15 +80,17 @@ def unflatten_json_series(s: pd.Series, sep: str = ".") -> pd.Series:
 
 class ConsistentAnonymizer:
     """Replace every IPv4 with a stable pseudonym: the same input ip
-    yields the same output ip in every batch, task and run (keyed
-    BLAKE2 of the address), with no shared state."""
+    yields the same output ip in every batch, task and run, with no
+    shared state.  The reference keeps one random map under a mutex
+    across threads; any deterministic map satisfies the same
+    consistency contract — we derive the pseudonym from md5(salt+ip)
+    bytes so the spec is also exactly replicable in SQL (DuckDB md5)."""
 
-    def __init__(self, secret: bytes = b"rsyslog-ray-anon"):
-        self.secret = secret
+    def __init__(self, salt: str = ""):
+        self.salt = salt
 
     def _repl(self, m: re.Match) -> str:
-        d = hashlib.blake2b(m.group(0).encode(), key=self.secret,
-                            digest_size=4).digest()
+        d = hashlib.md5((self.salt + m.group(0)).encode()).digest()
         return f"10.{d[0]}.{d[1]}.{d[2]}"  # pseudonyms live in 10/8
 
     def anonymize(self, s: pd.Series) -> pd.Series:
@@ -100,6 +102,15 @@ class ConsistentAnonymizer:
 
 def hmac_column(s: pd.Series, key: bytes = b"k", algo: str = "sha256") -> pd.Series:
     return s.map(lambda v: _hmac.new(key, str(v).encode(), algo).hexdigest())
+
+
+def keyed_digest(s: pd.Series, key: str = "k") -> pd.Series:
+    """sha256(key || payload) keyed digest — the oracle-exact variant
+    of the mmrfc5424addhmac signature column (DuckDB core has sha256
+    but no HMAC, so the driver-checked query uses this spec; true
+    RFC2104 HMAC stays available as hmac_column)."""
+    kb = key.encode()
+    return s.map(lambda v: hashlib.sha256(kb + str(v).encode()).hexdigest())
 
 
 # ---------------------------------------------------------------------

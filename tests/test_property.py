@@ -98,3 +98,18 @@ def test_sanitize_invariants(raw):
     assert not s.endswith("\n") or raw.endswith(b"\n\n")
     for ch in s:
         assert ord(ch) >= 0x20 or ch in "\t\n"
+
+
+def test_catalog_ordering_contract():
+    """The driver's correctness gate checks the FIRST 50 queries()
+    entries: every oracle-backed entry must sit inside that window and
+    every in-window entry must have an oracle (rows-only entries go to
+    the tail)."""
+    from rsyslog_ray.pipelines.queries import QUERIES, SQL
+
+    names = list(QUERIES)
+    head = names[:50]
+    assert all(n in SQL for n in head), \
+        [n for n in head if n not in SQL]
+    assert set(SQL) <= set(head)          # no oracle-backed entry past 50
+    assert set(SQL) == set(head)          # exactly the checked window

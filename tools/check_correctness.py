@@ -29,6 +29,25 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+def driver_hash(df: pd.DataFrame) -> tuple:
+    """Dtype-SENSITIVE value hash approximating the driver's gate: the
+    tolerant compare below hid the HUGEINT-vs-int64 oracle mismatches
+    round 1 (values equal, hashes differ).  Columns sorted by name,
+    rows sorted, datetimes normalized to us (the driver demonstrably
+    tolerates tz-less datetime width), ints/floats NOT coerced."""
+    df = df.reindex(sorted(df.columns), axis=1).copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif str(df[c].dtype) == "string":
+            df[c] = df[c].astype(object)
+        elif str(df[c].dtype).startswith(("Int", "UInt")):
+            df[c] = df[c].astype("int64")  # nullable-int wrapper only
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return tuple(int(pd.util.hash_pandas_object(df[c], index=False).sum())
+                 for c in df.columns)
+
+
 def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
     if isinstance(res, pd.DataFrame):
@@ -61,7 +80,8 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
-            got = normalize(to_pandas(fn(sf_dir)))
+            raw_got = to_pandas(fn(sf_dir))
+            got = normalize(raw_got.copy())
         except Exception as ex:
             print(f"FAIL {name}: ray error: {type(ex).__name__}: {ex}")
             failures += 1
@@ -70,7 +90,8 @@ def main() -> int:
             print(f"ok?  {name}: rows-only ({len(got)} rows, no oracle)")
             continue
         try:
-            want = normalize(con.sql(sqls[name]).df())
+            raw_want = con.sql(sqls[name]).df()
+            want = normalize(raw_want.copy())
         except Exception as ex:
             print(f"FAIL {name}: sql error: {ex}")
             failures += 1
@@ -86,10 +107,18 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=False, atol=1e-6)
-            print(f"PASS {name} ({len(got)} rows)")
         except AssertionError as ex:
             print(f"FAIL {name}: values differ: {str(ex).splitlines()[-1]}")
             failures += 1
+            continue
+        if driver_hash(raw_got) != driver_hash(raw_want):
+            dg = {c: str(raw_got[c].dtype) for c in raw_got.columns}
+            dw = {c: str(raw_want[c].dtype) for c in raw_want.columns}
+            print(f"FAIL {name}: values match but dtype-sensitive hash "
+                  f"differs (engine {dg} vs oracle {dw})")
+            failures += 1
+            continue
+        print(f"PASS {name} ({len(got)} rows)")
     ray.shutdown()
     return 1 if failures else 0
 
