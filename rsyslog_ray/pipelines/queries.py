@@ -656,18 +656,14 @@ def q_multi_join(sf_dir):
 
 
 def q_group_topk(sf_dir):
-    """Top-2 users by event count per event_type (grouped top-k —
-    partition-wise sort+head after a keyed count)."""
-    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
-    counts = two_phase_agg(ds, ["event_type", "user_id"], count="n")
+    """Top-2 users by event count per event_type (grouped top-k).
+    group_topk is adaptive: driver-side exact top-k below its partial
+    threshold, distributed keyed map_groups above it (pytest exercises
+    the distributed path at inflated cardinality)."""
+    from ..stages.aggregate import group_topk
 
-    # counts is a small driver frame: exact top-k with deterministic
-    # tie-break (n desc, user_id asc)
-    top = (counts.sort_values(["event_type", "n", "user_id"],
-                              ascending=[True, False, True])
-           .groupby("event_type").head(2).reset_index(drop=True))
-    top["rank"] = top.groupby("event_type").cumcount() + 1
-    return top.astype({"n": "int64", "rank": "int64"})
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return group_topk(ds, "event_type", "user_id", k=2, cnt="n")
 
 
 def q_explode_words(sf_dir):
@@ -685,14 +681,13 @@ def q_explode_words(sf_dir):
 
 
 def q_distinct_pairs(sf_dir):
-    """Multi-column distinct (unique over a composite key)."""
+    """Multi-column distinct (unique over a composite key).
+    distinct_rows is adaptive: driver drop_duplicates below its
+    partial threshold, hash-partitioned distributed dedup above it."""
+    from ..stages.sketch import distinct_rows
+
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
-
-    def part(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates()
-
-    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
-    return parts.drop_duplicates().reset_index(drop=True)
+    return distinct_rows(ds, ["user_id", "event_type"])
 
 
 def q_count_distinct(sf_dir):
@@ -1039,7 +1034,7 @@ def q_media_features(sf_dir):
             f"sf_dir basename must look like 'sf0.01', got {base!r}") from None
     files = gen.ensure_pages(sf)
     ds = ray.data.read_parquet(files[:2])
-    out = media_features(ds, "html", concurrency=(1, 4), batch_size=256)
+    out = media_features(ds, "html", concurrency=(1, 8), batch_size=512)
     return out.select_columns(["url", "media_len", "entropy_milli"])
 
 

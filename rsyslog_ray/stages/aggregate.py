@@ -109,6 +109,44 @@ def exact_percentiles(ds, keys: list[str], value: str,
     return ds.groupby(keys).map_groups(per_group, batch_format="pandas")
 
 
+def group_topk(ds, group: str, item: str, k: int, cnt: str = "n",
+               driver_threshold: int = 2_000_000):
+    """Top-k items per group by count (n desc, item asc tie-break),
+    with an adaptive final: the (group, item) count partials are
+    materialized and counted; below ``driver_threshold`` the exact
+    top-k runs as one pandas pass on the driver, above it the counts
+    stay a Dataset (distributed final reduce) and the per-group head
+    runs as a keyed map_groups — each group's counts fit one worker
+    (the partitioning assumption: items-per-group, not total items)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([group, item], dropna=False, observed=True)
+                .size().rename(cnt).reset_index())
+
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+
+    if partials.count() <= driver_threshold:
+        counts = partials.to_pandas().groupby([group, item])[cnt].sum().reset_index()
+        top = (counts.sort_values([group, cnt, item],
+                                  ascending=[True, False, True])
+               .groupby(group).head(k).reset_index(drop=True))
+        top["rank"] = top.groupby(group).cumcount() + 1
+        return top.astype({cnt: "int64", "rank": "int64"})
+
+    from ray.data.aggregate import Sum
+
+    counts_ds = partials.groupby([group, item]).aggregate(
+        Sum(cnt, alias_name=cnt))
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values([cnt, item], ascending=[False, True])
+             .head(k).reset_index(drop=True))
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g.astype({cnt: "int64"})
+
+    return counts_ds.groupby(group).map_groups(head_k,
+                                               batch_format="pandas")
+
+
 def salted_count(ds, key: str, salt_buckets: int = 16, cnt: str = "cnt"):
     """Two-phase count with an explicit salt column — the pattern for
     skewed keys feeding map_groups-style finals (SURVEY.md §7 M5):

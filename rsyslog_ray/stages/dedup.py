@@ -67,19 +67,24 @@ def shingles(text: str, k: int = 3) -> list[str]:
 _NPART = 64  # hash-partition fan for bucket/pair shuffles
 
 
-def _distinct_pairs(pairs_ds) -> pd.DataFrame:
-    """Global pair dedup (a pair can surface from several bands/chunks).
+def distributed_pair_dedup(pairs_ds, npart: int = 64):
+    """Global pair dedup WITHOUT a driver collect: hash-partition on
+    (id_a, id_b), drop duplicates per partition.  A pair surfacing from
+    several bands/chunks lands in one partition, so the dedup is exact;
+    the shuffle moves only (id_a, id_b[, extras]) rows."""
+    gold = np.uint64(0x9E3779B97F4A7C15)
 
-    Done on the driver: the pair list is the operator's OUTPUT —
-    orders of magnitude smaller than the corpus, already de-duplicated
-    within each partition.  (A second ray groupby here costs ~10 s of
-    fixed shuffle overhead; if a corpus ever yields driver-breaking
-    pair counts, switch to the hash-partition drop_duplicates pattern
-    used for the bucket stage.)"""
-    df = pairs_ds.to_pandas()
-    if df.empty:
-        return df
-    return df.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    def add_ppk(df: pd.DataFrame) -> pd.DataFrame:
+        ppk = (((df["id_a"].to_numpy().astype(np.uint64) * gold)
+                ^ df["id_b"].to_numpy().astype(np.uint64))
+               % np.uint64(npart)).astype("int64")
+        return df.assign(ppk=ppk)
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["id_a", "id_b"]).drop(columns=["ppk"])
+
+    return (pairs_ds.map_batches(add_ppk, batch_format="pandas")
+            .groupby("ppk").map_groups(drop, batch_format="pandas"))
 
 
 N_PERM = 64
@@ -111,6 +116,17 @@ def band_keys(sig: np.ndarray) -> list[int]:
     return out
 
 
+def band_keys_matrix(sigs: np.ndarray) -> np.ndarray:
+    """Vectorized band_keys for a (n, N_PERM) signature matrix ->
+    (n, LSH_BANDS) uint64 keys (same fold as the scalar version)."""
+    m = sigs.reshape(len(sigs), LSH_BANDS, LSH_ROWS)
+    h = np.broadcast_to(np.arange(1, LSH_BANDS + 1, dtype=np.uint64),
+                        (len(sigs), LSH_BANDS)).copy()
+    for r in range(LSH_ROWS):
+        h = _splitmix(h ^ m[:, :, r])
+    return h
+
+
 def jaccard(a: str, b: str, k: int = 3) -> float:
     sa, sb = set(shingles(a, k)), set(shingles(b, k))
     if not sa and not sb:
@@ -121,80 +137,88 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, threshold: float = 0.8,
                       k: int = 3):
     """Near-dup pairs (id_a < id_b, true Jaccard >= threshold) found via
-    MinHash-LSH.  Shuffle moves only (band, key, id, sig) rows — 64×8B
-    signature per doc, never the text; verification re-reads only
-    candidate shingle sets (here: signatures ride along; exact Jaccard
-    is computed from text fetched per candidate group, so the text
-    column is carried into the explode — at 100 TB swap the carry for a
-    gather against the source table keyed by id).
-    """
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"band": [], "key": [], "id": [], "text": []}
-        cache: dict[str, list[int]] = {}  # duplicate-heavy corpora: one
-        for i, t in zip(df[id_col], df[text_col]):  # signature per text
-            keys = cache.get(t)
-            if keys is None:
-                keys = band_keys(minhash_signature(t, k))
-                cache[t] = keys
-            for b, kk in enumerate(keys):
-                rows["band"].append(b)
-                rows["key"].append(kk)
-                rows["id"].append(i)
-                rows["text"].append(t)
-        return pd.DataFrame(rows)
+    MinHash-LSH, 100-TB shaped:
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # duplicate-heavy corpora: compare DISTINCT texts (O(u^2) with u
-        # = unique texts in the bucket), then expand qualifying text
-        # pairs to id cross-products with numpy — identical texts pair
-        # without any Jaccard call (J == 1).
-        g = g.drop_duplicates("id")
-        groups = g.groupby("text")["id"].apply(
-            lambda s: np.sort(s.to_numpy()))
-        texts = groups.index.tolist()
-        idlists = groups.tolist()
+    1. signature+banding per batch -> explode to (pk, band, key, id) —
+       the ONLY thing the bucket shuffle moves is four ints per
+       (doc, band); the text never leaves its source block;
+    2. candidate pairs per hash-partitioned bucket space (64-way pk:
+       a ray groupby over ~10^5 tiny (band, key) buckets would pay
+       per-group overhead; one pandas groupby per partition is C speed);
+    3. global pair dedup by hash partition (distributed_pair_dedup —
+       no driver collect of the band-inflated pair stream);
+    4. exact-Jaccard verify against texts GATHERED by candidate id
+       from the source (a broadcast id-set filter scan; candidates
+       scale with near-dup density, not corpus size — the one driver
+       materialization left is the operator's own output).
+    """
+    import ray
+
+    def sig_explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        cache: dict[str, np.ndarray] = {}  # one signature per text
+        sig_rows = []
+        for t in df[text_col]:
+            s = cache.get(t)
+            if s is None:
+                s = minhash_signature(t, k)
+                cache[t] = s
+            sig_rows.append(s)
+        keys = band_keys_matrix(np.stack(sig_rows))          # (n, 16)
+        n = len(ids)
+        band = np.tile(np.arange(LSH_BANDS, dtype=np.uint64), n)
+        key = keys.reshape(-1)
+        pk = ((key ^ (band * np.uint64(0x9E3779B97F4A7C15)))
+              % np.uint64(_NPART)).astype("int64")
+        return pd.DataFrame({"pk": pk,
+                             "band": band.astype("int64"),
+                             "key": key.view(np.int64),
+                             "id": np.repeat(ids, LSH_BANDS)})
+
+    def part_cands(part: pd.DataFrame) -> pd.DataFrame:
         a_out, b_out = [], []
-        for x in range(len(texts)):
-            ids_x = idlists[x]
-            if len(ids_x) > 1:  # identical-text pairs
-                ia, ib = np.triu_indices(len(ids_x), 1)
-                a_out.append(ids_x[ia])
-                b_out.append(ids_x[ib])
-            for y in range(x + 1, len(texts)):
-                if jaccard(texts[x], texts[y], k) >= threshold:
-                    aa, bb = np.meshgrid(ids_x, idlists[y], indexing="ij")
-                    lo = np.minimum(aa.ravel(), bb.ravel())
-                    hi = np.maximum(aa.ravel(), bb.ravel())
-                    a_out.append(lo)
-                    b_out.append(hi)
+        for _, g in part.groupby(["band", "key"]):
+            u = np.sort(pd.unique(g["id"].to_numpy()))
+            if len(u) > 1:
+                ia, ib = np.triu_indices(len(u), 1)
+                a_out.append(u[ia])
+                b_out.append(u[ib])
         if not a_out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64")})
         return pd.DataFrame({"id_a": np.concatenate(a_out),
-                             "id_b": np.concatenate(b_out)})
+                             "id_b": np.concatenate(b_out)}).drop_duplicates()
 
-    # hash-partition the bucket space: a ray groupby over ~10^5 tiny
-    # (band, key) buckets pays per-group overhead; grouping by a 64-way
-    # hash of the bucket key shuffles identically but runs the inner
-    # per-bucket loop as ONE pandas groupby per partition (C speed)
-    def explode_part(df: pd.DataFrame) -> pd.DataFrame:
-        out = explode(df)
-        out["pk"] = ((np.asarray(out["key"], dtype=np.uint64)
-                      ^ (np.asarray(out["band"], dtype=np.uint64)
-                         * np.uint64(0x9E3779B97F4A7C15)))
-                     % np.uint64(_NPART)).astype("int64")
-        return out
-
-    def part_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(g) for _, g in part.groupby(["band", "key"])]
-        res = (pd.concat(outs, ignore_index=True) if outs
-               else bucket_pairs(part.iloc[0:0]))
-        return res.drop_duplicates()
-
-    exploded = ds.map_batches(explode_part, batch_format="pandas")
-    pairs = exploded.groupby("pk").map_groups(part_pairs,
+    exploded = ds.map_batches(sig_explode, batch_format="pandas")
+    cands = exploded.groupby("pk").map_groups(part_cands,
                                               batch_format="pandas")
-    return _distinct_pairs(pairs)
+    pairs = distributed_pair_dedup(cands, _NPART).to_pandas()
+    if pairs.empty:
+        return pairs.reset_index(drop=True)
+
+    # gather candidate texts: broadcast the (small) id set, scan the
+    # source once keeping only candidates
+    cand_ids = ray.put(frozenset(
+        np.union1d(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
+        .tolist()))
+
+    def gather(df: pd.DataFrame) -> pd.DataFrame:
+        wanted = ray.get(cand_ids)
+        return df[df[id_col].isin(wanted)][[id_col, text_col]]
+
+    texts = ds.map_batches(gather, batch_format="pandas").to_pandas()
+    sh = {i: set(shingles(t, k))
+          for i, t in zip(texts[id_col], texts[text_col])}
+
+    def _jac(a, b):
+        sa, sb = sh[a], sh[b]
+        if not sa and not sb:
+            return 1.0
+        return len(sa & sb) / len(sa | sb)
+
+    keep = [_jac(a, b) >= threshold
+            for a, b in zip(pairs["id_a"], pairs["id_b"])]
+    return pairs[keep].reset_index(drop=True)
 
 
 def minhash_lsh_pairs_oracle(ids: list, texts: list, threshold: float = 0.8,
@@ -303,7 +327,7 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
     exploded = ds.map_batches(explode_part, batch_format="pandas")
     pairs = exploded.groupby("pk").map_groups(part_pairs,
                                               batch_format="pandas")
-    return _distinct_pairs(pairs)
+    return distributed_pair_dedup(pairs, _NPART).to_pandas().reset_index(drop=True)
 
 
 def simhash_pairs_oracle(ids: list, texts: list, max_hamming: int = 3) -> set[tuple]:

@@ -82,15 +82,66 @@ def approx_distinct(ds, col: str, p: int = 12) -> float:
     return acc.estimate()
 
 
-def exact_distinct_per_key(ds, key: str, col: str):
+DRIVER_THRESHOLD = 2_000_000  # partial rows above which finals go distributed
+
+
+def exact_distinct_per_key(ds, key: str, col: str, npart: int = 64,
+                           driver_threshold: int = DRIVER_THRESHOLD):
     """Exact distinct-count per key via two-phase distinct: per-batch
-    (key, value) dedup (the combiner), then a final distinct + count —
-    small as long as per-key distinct values fit the driver (use
-    approx_distinct beyond that)."""
+    (key, value) dedup (the combiner), then an ADAPTIVE final — the
+    combiner output is materialized (it is the post-dedup partial
+    stream, not the corpus) and counted; below ``driver_threshold``
+    rows the final distinct runs as one pandas pass on the driver,
+    above it the (key, value) space is hash-partitioned so each
+    partition dedups independently and only per-key partial counts
+    reach the driver (per-key counts are bounded by key cardinality).
+    Beyond exactness budgets, use approx_distinct."""
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         return df[[key, col]].drop_duplicates()
 
-    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    out = (parts.drop_duplicates().groupby(key).size()
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    if partials.count() <= driver_threshold:
+        parts = partials.to_pandas()
+        out = (parts.drop_duplicates().groupby(key).size()
+               .rename("distinct_cnt").reset_index())
+        return out.astype({"distinct_cnt": "int64"})
+
+    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[[key, col]], index=False).to_numpy()
+        return df.assign(__pk=(h % np.uint64(npart)).astype("int64"))
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates([key, col])
+        return (u.groupby(key).size().rename("part_cnt").reset_index())
+
+    parts2 = (partials.map_batches(add_pk, batch_format="pandas")
+              .groupby("__pk").map_groups(count_part, batch_format="pandas")
+              .to_pandas())
+    out = (parts2.groupby(key)["part_cnt"].sum()
            .rename("distinct_cnt").reset_index())
     return out.astype({"distinct_cnt": "int64"})
+
+
+def distinct_rows(ds, cols: list[str], npart: int = 64,
+                  driver_threshold: int = DRIVER_THRESHOLD):
+    """Exact multi-column distinct with the same adaptive final:
+    combiner dedup per batch, then driver drop_duplicates when the
+    partials are small, else a hash-partitioned distributed dedup
+    (equal rows land in one partition, so the dedup is exact)."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df[cols].drop_duplicates()
+
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    if partials.count() <= driver_threshold:
+        return (partials.to_pandas().drop_duplicates()
+                .reset_index(drop=True))
+
+    def add_pk(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[cols], index=False).to_numpy()
+        return df.assign(__pk=(h % np.uint64(npart)).astype("int64"))
+
+    def drop(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(cols).drop(columns="__pk")
+
+    return (partials.map_batches(add_pk, batch_format="pandas")
+            .groupby("__pk").map_groups(drop, batch_format="pandas"))

@@ -13,7 +13,6 @@ import re
 import numpy as np
 import pandas as pd
 
-from .dedup import _splitmix, hash_str64
 
 # ---------------------------------------------------------------------
 # language id — n-gram/stopword-profile heuristic
@@ -89,27 +88,37 @@ FP_K = 5      # char k-grams
 FP_WIN = 8    # winnow window
 
 
+_FNV_OFF = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _fnv_kgram_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    """FNV-1a of every byte k-gram: k vectorized passes over the byte
+    array instead of one Python FNV call per k-gram (the round-1
+    fingerprint bottleneck — per-row Python × O(len))."""
+    n = len(data) - k + 1
+    with np.errstate(over="ignore"):
+        h = np.full(n, _FNV_OFF, dtype=np.uint64)
+        for j in range(k):
+            h = (h ^ data[j:j + n].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
 def fingerprint_row(text: str, k: int = FP_K, w: int = FP_WIN) -> list[int]:
-    """Winnowing fingerprint: hash every char k-gram, keep the min of
-    each sliding window of w hashes (rightmost min), dedup preserving
-    order. Standard document-fingerprint scheme for plagiarism/dup
-    detection."""
-    if len(text) < k:
-        return [hash_str64(text)] if text else []
-    hv = np.array([hash_str64(text[i:i + k])
-                   for i in range(len(text) - k + 1)], dtype=np.uint64)
+    """Winnowing fingerprint: hash every utf-8 byte k-gram, keep the
+    min of each sliding window of w hashes, dedup preserving order.
+    Standard document-fingerprint scheme for plagiarism/dup detection.
+    (Byte k-grams == char k-grams on ASCII; the spec is bytes so the
+    hash pass vectorizes.)"""
+    enc = np.frombuffer(text.encode(), dtype=np.uint8)
+    if len(enc) < k:
+        return [int(_fnv_kgram_hashes(enc, len(enc))[0])] if len(enc) else []
+    hv = _fnv_kgram_hashes(enc, k)
     if len(hv) <= w:
         return [int(hv.min())]
-    out, seen = [], set()
     from numpy.lib.stride_tricks import sliding_window_view
-    wins = sliding_window_view(hv, w)
-    mins = wins.min(axis=1)
-    for m in mins:
-        mi = int(m)
-        if mi not in seen:
-            seen.add(mi)
-            out.append(mi)
-    return out
+    mins = sliding_window_view(hv, w).min(axis=1)
+    return [int(m) for m in pd.unique(mins)]  # first-occurrence order
 
 
 def fingerprint_frame(texts: pd.Series) -> pd.DataFrame:

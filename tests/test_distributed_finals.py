@@ -1,0 +1,58 @@
+"""Distributed finals: the adaptive operators must produce identical
+results through the driver path (small partials) and the distributed
+path (hash-partitioned dedup / keyed map_groups), exercised here by
+forcing driver_threshold=0."""
+
+import numpy as np
+import pandas as pd
+
+
+def _truth(df):
+    dd = df.drop_duplicates()
+    distinct = dd.groupby("k").size().rename("distinct_cnt").reset_index()
+    counts = df.groupby(["k", "v"]).size().rename("n").reset_index()
+    top = (counts.sort_values(["k", "n", "v"], ascending=[True, False, True])
+           .groupby("k").head(3).reset_index(drop=True))
+    top["rank"] = top.groupby("k").cumcount() + 1
+    return dd, distinct, top
+
+
+def test_distributed_finals_match_driver_path(ray_session):
+    import ray.data
+
+    from rsyslog_ray.stages.aggregate import group_topk
+    from rsyslog_ray.stages.sketch import distinct_rows, exact_distinct_per_key
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 20000).astype(str),
+                       "v": rng.integers(0, 900, 20000).astype("int64")})
+    dd, distinct, top = _truth(df)
+
+    def mk():
+        return ray.data.from_pandas(df).repartition(8)
+
+    # exact_distinct_per_key: distributed == driver == pandas truth
+    for thr in (0, 10**9):
+        out = exact_distinct_per_key(mk(), "k", "v", driver_threshold=thr)
+        got = out.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got, distinct.sort_values("k").reset_index(drop=True),
+            check_dtype=False)
+
+    # distinct_rows: distributed path returns a Dataset
+    out = distinct_rows(mk(), ["k", "v"], driver_threshold=0)
+    got = out.to_pandas()
+    assert set(map(tuple, got.values)) == set(map(tuple, dd.values))
+    assert len(got) == len(dd)
+
+    # group_topk: distributed keyed head == driver exact top-k
+    for thr in (0, 10**9):
+        out = group_topk(mk(), "k", "v", k=3, cnt="n", driver_threshold=thr)
+        got = out.to_pandas() if not isinstance(out, pd.DataFrame) else out
+        got = (got.sort_values(["k", "rank"]).reset_index(drop=True)
+               [["k", "v", "n", "rank"]].astype({"n": "int64",
+                                                 "rank": "int64"}))
+        pd.testing.assert_frame_equal(
+            got, top[["k", "v", "n", "rank"]].astype({"n": "int64",
+                                                      "rank": "int64"}),
+            check_dtype=False)
