@@ -48,6 +48,75 @@ def replace(s: pd.Series, find: str, repl: str) -> pd.Series:
     return s.str.replace(find, repl, regex=False)
 
 
+# ---- property-replacer options (runtime/template.h:125-146; applied
+#      in runtime/msg.c:4350-4650 MsgGetProp) ---------------------------
+
+NOMATCH_DFLT = "**NO MATCH**"  # TPL_REGEX_NOMATCH_USE_DFLTSTR
+
+
+def re_select(s: pd.Series, pattern: str, match_no: int = 0,
+              submatch: int = 0, nomatch: str = "dflt") -> pd.Series:
+    """Regex-select (template.h:127-139): pick match #``match_no``'s
+    group #``submatch`` (0 = whole match); ``nomatch`` policy one of
+    'dflt' ('**NO MATCH**'), 'blank', 'field' (whole input), 'zero'
+    ('0') — TPL_REGEX_NOMATCH_*.  Vectorized via str.extractall."""
+    st = s.astype("string").fillna("")
+    ex = st.str.extractall("(" + pattern + ")")
+    # wrapping adds group 1 = whole match, so column index == submatch
+    hit = ex[ex.index.get_level_values("match") == match_no]
+    sel = hit.droplevel("match").iloc[:, submatch].reindex(st.index)
+    if nomatch == "field":
+        return sel.fillna(st).astype(object)
+    fill = {"dflt": NOMATCH_DFLT, "blank": "", "zero": "0"}[nomatch]
+    return sel.fillna(fill).astype(object)
+
+
+def substring_end(s: pd.Series, from_end: int, length: int) -> pd.Series:
+    """End-relative substring (template.h:141 bFromPosEndRelative):
+    ``length`` chars starting ``from_end`` chars before the end."""
+    stop = None if length >= from_end else -(from_end - length)
+    return s.str.slice(-from_end, stop)
+
+
+def fixed_width(s: pd.Series, width: int) -> pd.Series:
+    """Space-pad to ``width`` when shorter (template.h:142 bFixedWidth)."""
+    return s.str.pad(width, side="right")
+
+
+def compress_sp(s: pd.Series) -> pd.Series:
+    """Compress runs of spaces to one (bCompressSP, msg.c:4635)."""
+    return s.str.replace(r" +", " ", regex=True)
+
+
+CC_RE = r"[\x00-\x1f\x7f]"
+
+
+def drop_cc(s: pd.Series) -> pd.Series:
+    """Remove control characters (bDropCC, msg.c:4401)."""
+    return s.str.replace(CC_RE, "", regex=True)
+
+
+def space_cc(s: pd.Series) -> pd.Series:
+    """Control characters -> space (bSpaceCC, msg.c:4430)."""
+    return s.str.replace(CC_RE, " ", regex=True)
+
+
+def escape_cc(s: pd.Series, octal: bool = False) -> pd.Series:
+    """Control characters -> '#' + 3-digit decimal (or octal) char
+    code (bEscapeCC / bEscapeCCOctal, msg.c:4461-4502)."""
+    fmt = (lambda c: f"#{ord(c.group(0)):03o}") if octal else \
+          (lambda c: f"#{ord(c.group(0)):03d}")
+    return s.str.replace(CC_RE, fmt, regex=True)
+
+
+def sp_if_no_1st_sp(s: pd.Series) -> pd.Series:
+    """Emit a single space unless the field already starts with one
+    (bSPIffNo1stSP, msg.c:4353 — the RFC3164 'no space after tag'
+    compatibility hack)."""
+    return pd.Series(np.where(s.str.startswith(" "), " ", ""),
+                     index=s.index)
+
+
 def field(s: pd.Series, delim: str, n: int) -> pd.Series:
     """Nth field (1-based) by delimiter — doFunct_field
     (rainerscript.c:2625); missing field -> empty string (the
@@ -65,6 +134,47 @@ def re_match(s: pd.Series, pattern: str) -> pd.Series:
 def re_extract(s: pd.Series, pattern: str, group: int = 1) -> pd.Series:
     return s.str.extract(f"({pattern})" if group == 0 else pattern,
                          expand=True).iloc[:, group - 1 if group > 0 else 0]
+
+
+def wrap(s: pd.Series, wrapper: str, escaper: str | None = None) -> pd.Series:
+    """doFunct_Wrap (rainerscript.c:4493): wrapper prepended+appended;
+    the 3-arg form first replaces wrapper occurrences in the source
+    with the escaper."""
+    if escaper is not None:
+        s = s.str.replace(wrapper, escaper, regex=False)
+    return wrapper + s + wrapper
+
+
+def int2hex(n: pd.Series) -> pd.Series:
+    """doFunct_Int2Hex (rainerscript.c:4471): lowercase hex string."""
+    return pd.to_numeric(n, errors="coerce").fillna(0).astype("int64").map(
+        lambda v: format(v, "x"))
+
+
+def split(s: pd.Series, delim: str) -> pd.Series:
+    """doFunct_split (rainerscript.c:4504): delimiter split to an
+    array value (a list column here)."""
+    return s.str.split(delim, regex=False)
+
+
+def b64_encode(s: pd.Series) -> pd.Series:
+    import base64
+
+    return s.map(lambda v: base64.b64encode(str(v).encode()).decode())
+
+
+def b64_decode(s: pd.Series) -> pd.Series:
+    """doFunct_Base64Dec (rainerscript.c:4503); invalid input -> ''."""
+    import base64
+
+    def dec(v):
+        try:
+            return base64.b64decode(str(v), validate=True).decode("utf-8",
+                                                                  "replace")
+        except Exception:
+            return ""
+
+    return s.map(dec)
 
 
 # ---- casts (cstr / cnum / cbool)
@@ -92,6 +202,76 @@ def ipv42num(s: pd.Series) -> pd.Series:
     return (parts[0] * 16777216 + parts[1] * 65536 + parts[2] * 256 + parts[3])
 
 
+def is_in_subnet(s: pd.Series, cidr: str) -> pd.Series:
+    """Real CIDR membership test (doFunct_is_in_subnet,
+    rainerscript.c:4505 / grammar impl with inet_pton): IPv4 path is
+    fully vectorized (octet extract + mask compare); IPv6 nets fall
+    back to per-row ipaddress (rare path, correctness first).  Invalid
+    addresses -> False, like the reference's early-out."""
+    import ipaddress
+
+    net = ipaddress.ip_network(cidr, strict=False)
+    if net.version == 4:
+        parts = s.astype("string").str.extract(
+            r"^(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})$")
+        nums = parts.apply(pd.to_numeric, errors="coerce")
+        valid = nums.notna().all(axis=1) & (nums <= 255).all(axis=1)
+        v = (nums[0].fillna(0) * 16777216 + nums[1].fillna(0) * 65536
+             + nums[2].fillna(0) * 256 + nums[3].fillna(0)).astype("int64")
+        ok = ((v & int(net.netmask)) == int(net.network_address)) & valid
+        return ok.fillna(False).astype(bool)
+
+    def chk(v):
+        try:
+            return ipaddress.ip_address(str(v)) in net
+        except ValueError:
+            return False
+
+    return s.map(chk)
+
+
+# ---- URL decomposition (ffaup faup_* field functions,
+#      contrib/ffaup/ffaup.c:306-315: scheme credential subdomain
+#      domain domain_without_tld host tld port resource_path
+#      query_string fragment) — one vectorized regex pass + label math
+URL_RE = (r"^(?:(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*)://)?"
+          r"(?:(?P<credential>[^@/?#]+)@)?"
+          r"(?P<host>[^/:?#]*)"
+          r"(?::(?P<port>\d+))?"
+          r"(?P<resource_path>/[^?#]*)?"
+          r"(?:\?(?P<query_string>[^#]*))?"
+          r"(?:#(?P<fragment>.*))?$")
+
+
+def faup_decompose(url: pd.Series) -> pd.DataFrame:
+    """Full URL decomposition: every ffaup field as a column (empty
+    string where absent).  domain = last two host labels, tld = last
+    label, subdomain = the rest — the label heuristic ffaup uses for
+    non-publicsuffix hosts."""
+    parts = url.astype("string").str.extract(URL_RE)
+    host = parts["host"].fillna("")
+    labels = host.str.split(".")
+    n = labels.str.len().fillna(0)
+    tld = labels.str[-1].where(n >= 2, "").fillna("")
+    dom2 = labels.str[-2].where(n >= 2, "").fillna("")
+    domain = (dom2 + "." + tld).where(n >= 2, host)
+    sub = labels.str[:-2].str.join(".").where(n > 2, "")
+    out = pd.DataFrame({
+        "scheme": parts["scheme"].fillna(""),
+        "credential": parts["credential"].fillna(""),
+        "subdomain": sub.fillna(""),
+        "domain": domain.fillna(""),
+        "domain_without_tld": dom2,
+        "host": host,
+        "tld": tld,
+        "port": parts["port"].fillna(""),
+        "resource_path": parts["resource_path"].fillna(""),
+        "query_string": parts["query_string"].fillna(""),
+        "fragment": parts["fragment"].fillna(""),
+    }, index=url.index)
+    return out.astype(object)
+
+
 # ---- anonymization (mmanon zero-mode analog,
 #      plugins/mmanon/mmanon.c:59-166: mask low bits of IPv4s in text)
 IPV4_RE = r"\b(\d{1,3}\.\d{1,3}\.\d{1,3})\.\d{1,3}\b"
@@ -114,24 +294,62 @@ def anon_ipv6_zero(s: pd.Series) -> pd.Series:
     return s.str.replace(IPV6_RE, r"\g<1>0:0:0:0", regex=True)
 
 
-# ---- time formatting (template date formats, runtime/template.h:72-95
-#      — 22 variants in the reference; the common ones as strftime)
+# ---- time formatting: ALL 22 template date formats
+#      (runtime/template.h:72-95 tplFmt*; rendering semantics from
+#      runtime/msg.c:1639-1736 getTimeReported and
+#      runtime/datetime.c:777-1000 formatTimestamp*).  Timestamps here
+#      are tz-naive and treated as UTC, so the TZ-offset formats render
+#      the UTC constants.
 TIME_FORMATS = {
-    "rfc3339": "%Y-%m-%dT%H:%M:%S.%fZ",
-    "mysql": "%Y-%m-%d %H:%M:%S",
+    # strftime-expressible ones (glibc %e = space-padded day, matching
+    # formatTimestamp3164's RFC3164 day rendering)
+    "default": "%b %e %H:%M:%S",
+    "rfc3164": "%b %e %H:%M:%S",
+    "rfc3164-buggyday": "%b %d %H:%M:%S",   # buggy = zero-padded day
+    "mysql": "%Y%m%d%H%M%S",                # 14-digit, datetime.c:777
     "pgsql": "%Y-%m-%d %H:%M:%S",
-    "date": "%Y-%m-%d",
-    "hour": "%H",
-    "isoweek": "%V",
+    "rfc3339": "%Y-%m-%dT%H:%M:%S.%fZ",
+    "secfrac": "%f",
     "wdayname": "%a",
+    "year": "%Y",
+    "month": "%m",
+    "day": "%d",
+    "hour": "%H",
+    "minute": "%M",
+    "second": "%S",
+    "ordinal": "%j",                        # daysInYear[] is 3-digit
+    "isoweek": "%V",
+    "isoweekyear": "%G",
+    "date": "%Y-%m-%d",                     # repo extra (not in ref)
 }
 
 
+def _wday_sun0(ts: pd.Series) -> pd.Series:
+    """Weekday with 0 = Sunday (datetime.c:1175 getWeekdayNbr)."""
+    return (ts.dt.dayofweek + 1) % 7
+
+
 def format_time(ts: pd.Series, fmt: str) -> pd.Series:
-    """format_time analog (rainerscript.c:2744) for named formats plus
-    'unixtimestamp' (epoch seconds as string)."""
+    """All reference template date formats by name (plus any literal
+    strftime pattern).  'unixtimestamp' = epoch seconds; 'week' is the
+    reference's own pin-jan1 week number (datetime.c:1229 getWeek),
+    distinct from both %U and %V."""
     if fmt == "unixtimestamp":
         return (ts.astype("int64") // 1_000_000).astype(str)
+    if fmt == "wday":
+        return _wday_sun0(ts).astype(str)
+    if fmt == "tzoffshour" or fmt == "tzoffsmin":
+        return pd.Series("00", index=ts.index)
+    if fmt == "tzoffsdirection":
+        return pd.Series("+", index=ts.index)
+    if fmt == "week":
+        yday0 = ts.dt.dayofyear - 1
+        cur_dow = _wday_sun0(ts)
+        jan1 = pd.to_datetime(dict(year=ts.dt.year, month=1, day=1))
+        jan1.index = ts.index
+        jan1_dow = (jan1.dt.dayofweek + 1) % 7
+        week = (yday0 + 6) // 7 + (cur_dow < jan1_dow).astype(int)
+        return week.astype(str).str.zfill(2)
     return ts.dt.strftime(TIME_FORMATS.get(fmt, fmt))
 
 

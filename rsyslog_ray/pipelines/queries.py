@@ -62,7 +62,10 @@ def q_fields_split(sf_dir):
 
 def q_scalar_funcs(sf_dir):
     """String function library (grammar/rainerscript.c:4467-4510):
-    toupper, strlen, substring as computed columns."""
+    toupper, strlen, substring, int2hex, wrap, base64 encode/decode
+    roundtrip as computed columns."""
+    from ..functions import b64_decode, b64_encode, int2hex, wrap
+
     ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name", "c_mktsegment"])
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
@@ -71,6 +74,10 @@ def q_scalar_funcs(sf_dir):
             "uname": toupper(df["c_name"]),
             "name_len": df["c_name"].str.len().astype("int64"),
             "seg3": substring(df["c_mktsegment"], 0, 3),
+            "hex_key": int2hex(df["c_custkey"]),
+            "wseg": wrap(df["c_mktsegment"], '"'),
+            "b64": b64_encode(df["c_name"]),
+            "b64rt": b64_decode(b64_encode(df["c_name"])),
         })
 
     return ds.map_batches(fx, batch_format="pandas")
@@ -528,40 +535,71 @@ def q_lookup_kinds(sf_dir):
 
 
 def q_net_funcs(sf_dir):
-    """num2ipv4 / ipv42num / is_in_subnet analogs (rainerscript net
-    functions): synthesize an IP, roundtrip it, test membership in
-    10.0.0.0/8."""
-    from ..functions import ipv42num, num2ipv4
+    """Net + URL function library: num2ipv4/ipv42num roundtrip, REAL
+    CIDR is_in_subnet (octet-aligned /8 and the non-aligned /12,
+    rainerscript.c:4505), and the full ffaup URL decomposition
+    (contrib/ffaup/ffaup.c:306-315) — the oracle rebuilds every part
+    from the raw components, so the regex decompose is genuinely
+    checked."""
+    from ..functions import faup_decompose, ipv42num, is_in_subnet, num2ipv4
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type"])
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         n = (df["user_id"] * 2654435761 + 167772160) % 4294967296
         ip = num2ipv4(n)
         back = ipv42num(ip).astype("int64")
-        in10 = (back // 16777216 == 10).astype("int64")
-        return pd.DataFrame({"event_id": df["event_id"], "ip": ip,
-                             "ip_num": back, "in_net10": in10})
+        tld = df["user_id"].mod(3).map({0: "com", 1: "org", 2: "net"})
+        url = ("https://u" + df["user_id"].astype(str) + ".example." + tld
+               + ":8080/p/" + df["event_id"].astype(str)
+               + "?q=" + df["event_type"])
+        u = faup_decompose(url)
+        return pd.DataFrame({
+            "event_id": df["event_id"], "ip": ip, "ip_num": back,
+            "in_net10": is_in_subnet(ip, "10.0.0.0/8").astype("int64"),
+            "in_net172": is_in_subnet(ip, "172.16.0.0/12").astype("int64"),
+            "u_scheme": u["scheme"], "u_sub": u["subdomain"],
+            "u_domain": u["domain"], "u_tld": u["tld"],
+            "u_port": u["port"], "u_path": u["resource_path"],
+            "u_query": u["query_string"],
+        })
 
     return ds.map_batches(fx, batch_format="pandas")
 
 
 def q_property_replacer(sf_dir):
-    """Property-replacer options (runtime/template.h:125-146,
-    runtime/msg.c:3696): substring, case conversion, field-by-delimiter
-    selection, regex select."""
-    from ..functions import field, substring, toupper
+    """Property-replacer options (runtime/template.h:125-146, applied
+    in runtime/msg.c:4350-4650): substring, case conversion,
+    field-by-delimiter, regex-select with match# / submatch# and every
+    no-match policy, end-relative substring, fixed width, the
+    control-char options (drop/space/escape) and space compression."""
+    from ..functions import (compress_sp, drop_cc, escape_cc, field,
+                             fixed_width, re_select, space_cc,
+                             substring, substring_end, toupper)
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
+        cc_in = df["source"] + "\ta  b"   # inject a CC + space run
         return pd.DataFrame({
             "doc_id": df["doc_id"],
             "sub8": substring(df["text"], 0, 8),
             "up_src": toupper(df["source"]),
             "field3": field(df["text"], " ", 3),
-            "re_sel": df["text"].str.extract(r"\b(\w*ar\w*)\b",
-                                             expand=False).fillna(""),
+            "re_sel": re_select(df["text"], r"\b(\w*ar\w*)\b",
+                                0, 1, "blank"),
+            "re_m2": re_select(df["text"], r"\b(\w*ar\w*)\b",
+                               1, 1, "blank"),
+            "re_miss": re_select(df["source"], r"(zz[0-9]+)",
+                                 0, 1, "field"),
+            "re_zero": re_select(df["source"], r"(qq)", 0, 1, "zero"),
+            "sub_end4": substring_end(df["text"], 8, 4),
+            "fixw": fixed_width(df["source"], 10),
+            "cc_drop": drop_cc(cc_in),
+            "cc_space": space_cc(cc_in),
+            "cc_esc": escape_cc(cc_in),
+            "sp_comp": compress_sp(space_cc(cc_in)),
         })
 
     return ds.map_batches(fx, batch_format="pandas")
@@ -590,20 +628,25 @@ def q_template_formats(sf_dir):
 
 
 def q_format_time(sf_dir):
-    """format_time / template date formats (rainerscript.c:2744,
-    template.h:72-95): several named formats + unix epoch."""
+    """ALL 22 reference template date formats (template.h:72-95
+    tplFmt*, rendering per msg.c:1639-1736 / datetime.c:777-1000),
+    rendered as one vectorized pass; the TZ formats are the UTC
+    constants because the data is tz-naive."""
     from ..functions import format_time
 
     ds = _read(sf_dir, "events", columns=["event_id", "ts"])
 
+    FMTS = ["rfc3339", "mysql", "pgsql", "rfc3164", "rfc3164-buggyday",
+            "unixtimestamp", "secfrac", "wdayname", "wday", "year",
+            "month", "day", "hour", "minute", "second", "ordinal",
+            "week", "isoweek", "isoweekyear", "tzoffshour", "tzoffsmin",
+            "tzoffsdirection"]
+
     def fx(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"],
-            "t_rfc3339": format_time(df["ts"], "rfc3339"),
-            "t_mysql": format_time(df["ts"], "mysql"),
-            "t_date": format_time(df["ts"], "date"),
-            "t_unix": format_time(df["ts"], "unixtimestamp"),
-        })
+        out = {"event_id": df["event_id"]}
+        for f in FMTS:
+            out["t_" + f.replace("-", "_")] = format_time(df["ts"], f)
+        return pd.DataFrame(out)
 
     return ds.map_batches(fx, batch_format="pandas")
 
@@ -1077,7 +1120,11 @@ SQL: dict[str, str] = {
     "scalar_funcs": """
         SELECT c_custkey, upper(c_name) AS uname,
                CAST(length(c_name) AS BIGINT) AS name_len,
-               substr(c_mktsegment, 1, 3) AS seg3
+               substr(c_mktsegment, 1, 3) AS seg3,
+               lower(to_hex(c_custkey)) AS hex_key,
+               '"' || c_mktsegment || '"' AS wseg,
+               to_base64(encode(c_name)) AS b64,
+               c_name AS b64rt
         FROM customer
     """,
     "regex_extract": """
@@ -1344,8 +1391,10 @@ SQL: dict[str, str] = {
         FROM events
     """,
     "net_funcs": """
-        WITH n AS (SELECT event_id,
-                  (user_id * 2654435761 + 167772160) % 4294967296 AS v
+        WITH n AS (SELECT event_id, user_id, event_type,
+                  (user_id * 2654435761 + 167772160) % 4294967296 AS v,
+                  CASE user_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                       ELSE 'net' END AS tld
                    FROM events)
         SELECT event_id,
                CAST(v // 16777216 % 256 AS VARCHAR) || '.' ||
@@ -1354,14 +1403,43 @@ SQL: dict[str, str] = {
                CAST(v % 256 AS VARCHAR) AS ip,
                CAST(v AS BIGINT) AS ip_num,
                CAST(CASE WHEN v // 16777216 = 10 THEN 1 ELSE 0 END AS BIGINT)
-                 AS in_net10
+                 AS in_net10,
+               CAST(CASE WHEN v >= 2886729728 AND v <= 2886860799
+                    THEN 1 ELSE 0 END AS BIGINT) AS in_net172,
+               'https' AS u_scheme,
+               'u' || CAST(user_id AS VARCHAR) AS u_sub,
+               'example.' || tld AS u_domain,
+               tld AS u_tld,
+               '8080' AS u_port,
+               '/p/' || CAST(event_id AS VARCHAR) AS u_path,
+               'q=' || event_type AS u_query
         FROM n
     """,
     "property_replacer": """
+        WITH b AS (SELECT doc_id, text, source,
+                          source || chr(9) || 'a  b' AS cc_in
+                   FROM documents)
         SELECT doc_id, substr(text, 1, 8) AS sub8, upper(source) AS up_src,
                split_part(text, ' ', 3) AS field3,
-               regexp_extract(text, '\\b(\\w*ar\\w*)\\b', 1) AS re_sel
-        FROM documents
+               regexp_extract(text, '\\b(\\w*ar\\w*)\\b', 1) AS re_sel,
+               coalesce(list_extract(
+                   regexp_extract_all(text, '\\b(\\w*ar\\w*)\\b', 1), 2), '')
+                 AS re_m2,
+               CASE WHEN regexp_matches(source, 'zz[0-9]+')
+                    THEN regexp_extract(source, '(zz[0-9]+)', 1)
+                    ELSE source END AS re_miss,
+               CASE WHEN regexp_matches(source, 'qq')
+                    THEN regexp_extract(source, '(qq)', 1)
+                    ELSE '0' END AS re_zero,
+               substr(text, length(text) - 7, 4) AS sub_end4,
+               CASE WHEN length(source) >= 10 THEN source
+                    ELSE rpad(source, 10, ' ') END AS fixw,
+               replace(cc_in, chr(9), '') AS cc_drop,
+               replace(cc_in, chr(9), ' ') AS cc_space,
+               replace(cc_in, chr(9), '#009') AS cc_esc,
+               regexp_replace(replace(cc_in, chr(9), ' '), ' +', ' ', 'g')
+                 AS sp_comp
+        FROM b
     """,
     "template_formats": """
         SELECT event_id,
@@ -1377,9 +1455,33 @@ SQL: dict[str, str] = {
     "format_time": """
         SELECT event_id,
                strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS t_rfc3339,
-               strftime(ts, '%Y-%m-%d %H:%M:%S') AS t_mysql,
-               strftime(ts, '%Y-%m-%d') AS t_date,
-               CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR) AS t_unix
+               strftime(ts, '%Y%m%d%H%M%S') AS t_mysql,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS t_pgsql,
+               strftime(ts, '%b') || ' ' ||
+                 lpad(CAST(day(ts) AS VARCHAR), 2, ' ') || ' ' ||
+                 strftime(ts, '%H:%M:%S') AS t_rfc3164,
+               strftime(ts, '%b %d %H:%M:%S') AS t_rfc3164_buggyday,
+               CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR)
+                 AS t_unixtimestamp,
+               strftime(ts, '%f') AS t_secfrac,
+               strftime(ts, '%a') AS t_wdayname,
+               CAST(dayofweek(ts) AS VARCHAR) AS t_wday,
+               strftime(ts, '%Y') AS t_year,
+               strftime(ts, '%m') AS t_month,
+               strftime(ts, '%d') AS t_day,
+               strftime(ts, '%H') AS t_hour,
+               strftime(ts, '%M') AS t_minute,
+               strftime(ts, '%S') AS t_second,
+               strftime(ts, '%j') AS t_ordinal,
+               lpad(CAST((dayofyear(ts) - 1 + 6) // 7 +
+                    CASE WHEN dayofweek(ts) <
+                              dayofweek(make_date(year(ts), 1, 1))
+                         THEN 1 ELSE 0 END AS VARCHAR), 2, '0') AS t_week,
+               lpad(CAST(weekofyear(ts) AS VARCHAR), 2, '0') AS t_isoweek,
+               CAST(isoyear(ts) AS VARCHAR) AS t_isoweekyear,
+               '00' AS t_tzoffshour,
+               '00' AS t_tzoffsmin,
+               '+' AS t_tzoffsdirection
         FROM events
     """,
     "dedup_wordset": """

@@ -419,9 +419,15 @@ def _partials_for(sink: str, sub: pa.Table, agg_kinds) -> pa.Table:
 
 
 def write_run_metrics(out_dir: str, agg: pd.DataFrame,
-                      wall_s: float, n_inputs: int) -> dict:
+                      wall_s: float, n_inputs: int,
+                      impstats_formats: tuple = ("legacy", "cee",
+                                                 "prometheus")) -> dict:
     """impstats analog (plugins/impstats): one machine-readable metrics
-    record per run, next to the data (_metrics.json)."""
+    record per run (_metrics.json) plus the reference's line formats
+    (statsobj.h:67-86 legacy/CEE/JSON/Prometheus) as _impstats.<fmt>
+    next to the data."""
+    from .stats import StatsObject
+
     per_sink = {}
     if len(agg):
         first_kind = agg["kind"].iloc[0]
@@ -438,16 +444,30 @@ def write_run_metrics(out_dir: str, agg: pd.DataFrame,
     with open(tmp, "w") as fh:
         json.dump(rec, fh, indent=1)
     os.replace(tmp, os.path.join(out_dir, "_metrics.json"))
+
+    so = StatsObject("raylog", origin="core.action")
+    for sink, n in sorted(per_sink.items()):
+        so.set_ctr(f"{sink}.delivered", n)
+    so.set_ctr("input_files", n_inputs)
+    for fmt in impstats_formats:
+        tmp = os.path.join(out_dir, f"_impstats.{fmt}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(so.render(fmt) + "\n")
+        os.replace(tmp, os.path.join(out_dir, f"_impstats.{fmt}"))
     return rec
 
 
-def compact_sink(out_dir: str, sink: str, compression: str = "zstd") -> dict:
-    """Compact each shard's part files into one file (omfile
-    size-rotation hygiene analog, tools/omfile.c:320-322): streaming
-    runs leave one file per (write batch × shard); compaction rewrites
-    each shard dir to a single ``compact-<n>.parquet`` atomically
-    (write tmp, swap, then unlink the parts — a reader sees either the
-    parts or the compact file, never neither)."""
+def compact_sink(out_dir: str, sink: str, compression: str = "zstd",
+                 max_bytes: int | None = None) -> dict:
+    """Compact each shard's part files (omfile size-rotation analog,
+    tools/omfile.c:320-322 iSizeLimit): streaming runs leave one file
+    per (write batch × shard); compaction rewrites each shard dir into
+    compact files atomically (write tmp, swap, then unlink the parts —
+    a reader sees either the parts or the compact files, never
+    neither).  ``max_bytes`` is the size-rotation limit: parts are
+    greedily binned so each compact file's INPUT bytes stay under the
+    limit, rolling to ``compact-<n>.<k>.parquet`` like the reference
+    rolls the outchannel when iSizeLimit trips (None = one file)."""
     import glob as _glob
 
     stats = {"shards": 0, "files_before": 0, "files_after": 0}
@@ -456,17 +476,32 @@ def compact_sink(out_dir: str, sink: str, compression: str = "zstd") -> dict:
         if len(parts) <= 1:
             stats["files_after"] += len(parts)
             continue
-        tables = [pq.read_table(p) for p in parts]
-        merged = pa.concat_tables(tables, promote_options="default")
-        tmp = os.path.join(shard_dir, "compact.inprogress")
-        pq.write_table(merged, tmp, compression=compression)
-        final = os.path.join(shard_dir, f"compact-{len(parts)}.parquet")
-        os.replace(tmp, final)
+        # size-rotation binning (input-size heuristic: parquet in ≈ out)
+        bins: list[list[str]] = [[]]
+        acc = 0
+        for p in parts:
+            sz = os.path.getsize(p)
+            if max_bytes and bins[-1] and acc + sz > max_bytes:
+                bins.append([])
+                acc = 0
+            bins[-1].append(p)
+            acc += sz
+        finals = []
+        for k, group in enumerate(bins):
+            merged = pa.concat_tables([pq.read_table(p) for p in group],
+                                      promote_options="default")
+            tmp = os.path.join(shard_dir, f"compact.{k}.inprogress")
+            pq.write_table(merged, tmp, compression=compression)
+            suffix = f"compact-{len(parts)}.parquet" if len(bins) == 1 \
+                else f"compact-{len(parts)}.{k}.parquet"
+            final = os.path.join(shard_dir, suffix)
+            os.replace(tmp, final)
+            finals.append(final)
         for p in parts:
             os.unlink(p)
         stats["shards"] += 1
         stats["files_before"] += len(parts)
-        stats["files_after"] += 1
+        stats["files_after"] += len(finals)
     return stats
 
 

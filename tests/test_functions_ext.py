@@ -1,0 +1,127 @@
+"""New scalar-function surface: property-replacer options, date
+formats, net/url functions (reference parity cited per function)."""
+
+import pandas as pd
+import pytest
+
+
+def test_re_select_policies():
+    from rsyslog_ray.functions import NOMATCH_DFLT, re_select
+
+    s = pd.Series(["a1 b2 c3", "xyz", None])
+    # match#/submatch#
+    assert re_select(s, r"([a-z])(\d)", 0, 0).tolist()[0] == "a1"
+    assert re_select(s, r"([a-z])(\d)", 1, 2).tolist()[0] == "2"
+    assert re_select(s, r"([a-z])(\d)", 2, 1).tolist()[0] == "c"
+    # no-match policies (row 'xyz' has no digit match)
+    assert re_select(s, r"(\d)", 0, 1, "dflt").tolist()[1] == NOMATCH_DFLT
+    assert re_select(s, r"(\d)", 0, 1, "blank").tolist()[1] == ""
+    assert re_select(s, r"(\d)", 0, 1, "field").tolist()[1] == "xyz"
+    assert re_select(s, r"(\d)", 0, 1, "zero").tolist()[1] == "0"
+    # null input behaves as empty field
+    assert re_select(s, r"(\d)", 0, 1, "blank").tolist()[2] == ""
+
+
+def test_substring_fixed_width_cc():
+    from rsyslog_ray.functions import (compress_sp, drop_cc, escape_cc,
+                                       fixed_width, sp_if_no_1st_sp,
+                                       space_cc, substring_end)
+
+    s = pd.Series(["abcdefghij"])
+    assert substring_end(s, 4, 2).tolist() == ["gh"]   # 4-from-end, len 2
+    assert substring_end(s, 4, 4).tolist() == ["ghij"]
+    assert fixed_width(pd.Series(["ab"]), 5).tolist() == ["ab   "]
+    assert fixed_width(pd.Series(["abcdef"]), 5).tolist() == ["abcdef"]
+    cc = pd.Series(["a\tb\x01c  d"])
+    assert drop_cc(cc).tolist() == ["abc  d"]
+    assert space_cc(cc).tolist() == ["a b c  d"]
+    assert escape_cc(cc).tolist() == ["a#009b#001c  d"]
+    assert escape_cc(cc, octal=True).tolist() == ["a#011b#001c  d"]
+    assert compress_sp(cc).tolist() == ["a\tb\x01c d"]
+    assert sp_if_no_1st_sp(pd.Series([" x", "y"])).tolist() == [" ", ""]
+
+
+def test_scalar_gaps():
+    from rsyslog_ray.functions import (b64_decode, b64_encode, int2hex,
+                                       split, wrap)
+
+    assert int2hex(pd.Series([255, 16])).tolist() == ["ff", "10"]
+    assert wrap(pd.Series(["x"]), '"').tolist() == ['"x"']
+    # 3-arg wrap: escape wrapper occurrences first (rainerscript.c:4493)
+    assert wrap(pd.Series(['a"b']), '"', "'").tolist() == ['"a\'b"']
+    e = b64_encode(pd.Series(["hello"]))
+    assert e.tolist() == ["aGVsbG8="]
+    assert b64_decode(e).tolist() == ["hello"]
+    assert b64_decode(pd.Series(["!!notb64!!"])).tolist() == [""]
+    assert split(pd.Series(["a,b,c"]), ",").tolist() == [["a", "b", "c"]]
+
+
+def test_is_in_subnet():
+    from rsyslog_ray.functions import is_in_subnet
+
+    s = pd.Series(["10.1.2.3", "172.16.0.1", "172.32.0.1", "not-an-ip",
+                   "10.300.0.1"])
+    assert is_in_subnet(s, "10.0.0.0/8").tolist() == [True, False, False,
+                                                      False, False]
+    assert is_in_subnet(s, "172.16.0.0/12").tolist() == [False, True, False,
+                                                         False, False]
+    v6 = pd.Series(["2001:db8::1", "2001:db9::1", "bogus"])
+    assert is_in_subnet(v6, "2001:db8::/32").tolist() == [True, False, False]
+
+
+def test_faup_decompose():
+    from rsyslog_ray.functions import faup_decompose
+
+    u = faup_decompose(pd.Series([
+        "https://user:pw@www.news.example.co:8443/a/b?x=1&y=2#frag",
+        "example.com",
+        "http://localhost/x",
+    ]))
+    r0 = u.iloc[0]
+    assert r0["scheme"] == "https" and r0["credential"] == "user:pw"
+    assert r0["host"] == "www.news.example.co"
+    assert r0["subdomain"] == "www.news" and r0["domain"] == "example.co"
+    assert r0["domain_without_tld"] == "example" and r0["tld"] == "co"
+    assert r0["port"] == "8443" and r0["resource_path"] == "/a/b"
+    assert r0["query_string"] == "x=1&y=2" and r0["fragment"] == "frag"
+    r1 = u.iloc[1]
+    assert r1["scheme"] == "" and r1["domain"] == "example.com"
+    r2 = u.iloc[2]
+    assert r2["host"] == "localhost" and r2["domain"] == "localhost"
+    assert r2["tld"] == "" and r2["subdomain"] == ""
+
+
+def test_format_time_all_named():
+    from rsyslog_ray.functions import format_time
+
+    ts = pd.Series(pd.to_datetime(["2026-01-04 05:06:07.123456",
+                                   "2026-08-16 23:59:59.000001"]))
+    got = {f: format_time(ts, f).tolist() for f in
+           ["rfc3164", "rfc3164-buggyday", "mysql", "pgsql", "secfrac",
+            "wdayname", "wday", "ordinal", "week", "isoweek",
+            "isoweekyear", "tzoffsdirection"]}
+    assert got["rfc3164"][0] == "Jan  4 05:06:07"     # space-padded day
+    assert got["rfc3164-buggyday"][0] == "Jan 04 05:06:07"
+    assert got["mysql"][0] == "20260104050607"        # 14-digit
+    assert got["pgsql"][0] == "2026-01-04 05:06:07"
+    assert got["secfrac"] == ["123456", "000001"]
+    assert got["wdayname"] == ["Sun", "Sun"]
+    assert got["wday"] == ["0", "0"]                  # 0 = Sunday
+    assert got["ordinal"] == ["004", "228"]
+    assert got["isoweek"][0] == "01"
+    assert got["isoweekyear"][0] == "2026"
+    assert got["tzoffsdirection"] == ["+", "+"]
+    # reference getWeek pins Jan 1 as week start (datetime.c:1229):
+    # 2026-01-01 is a Thursday (jan1Dow=4); Jan 4 is Sunday (dow 0 < 4)
+    # -> ((3+6)//7)+1 = 2
+    assert got["week"][0] == "02"
+
+
+def test_mmanon_ipv6_zero():
+    from rsyslog_ray.functions import anon_ipv6_zero
+
+    s = pd.Series(["x 2001:db8:1:2:3:4:5:6 y", "no v6 here",
+                   "fe80:0:0:1:aaaa:bbbb:cccc:dddd end"])
+    out = anon_ipv6_zero(s)
+    assert out.tolist() == ["x 2001:db8:1:2:0:0:0:0 y", "no v6 here",
+                            "fe80:0:0:1:0:0:0:0 end"]

@@ -85,3 +85,31 @@ def test_dynafile_partitioning(ray_session, pages_small, tmp_path):
                 g.glob(os.path.join(out, "bylang", "shard=*", "lang=*",
                                     "*.parquet")))
     assert total == int(agg[agg["kind"] == "lang"]["cnt"].sum())
+
+
+def test_compact_size_rotation(tmp_path):
+    """omfile iSizeLimit analog: compaction rolls a new file when the
+    binned input bytes would exceed max_bytes."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray import sinks as sk
+
+    shard = tmp_path / "s" / "shard=0"
+    shard.mkdir(parents=True)
+    for i in range(6):
+        t = pa.table({"x": pa.array(range(1000), pa.int64()),
+                      "part": pa.array([i] * 1000, pa.int64())})
+        pq.write_table(t, str(shard / f"part-{i:03d}.parquet"))
+    one = (shard / "part-000.parquet").stat().st_size
+    stats = sk.compact_sink(str(tmp_path), "s", max_bytes=int(one * 2.5))
+    assert stats["files_before"] == 6
+    assert stats["files_after"] == 3          # 2+2+2 parts per bin
+    outs = sorted(shard.glob("compact-*.parquet"))
+    assert len(outs) == 3
+    total = sum(pq.read_table(str(p)).num_rows for p in outs)
+    assert total == 6000
+    # all original rows survive exactly once
+    allp = pd.concat([pq.read_table(str(p)).to_pandas() for p in outs])
+    assert sorted(allp["part"].unique()) == [0, 1, 2, 3, 4, 5]
