@@ -99,6 +99,10 @@ class PipelineConfig:
 def load_config(path_or_dict) -> PipelineConfig:
     if isinstance(path_or_dict, dict):
         return PipelineConfig(path_or_dict)
+    if str(path_or_dict).endswith(".conf"):
+        from .rainerconf import parse_rainer
+        with open(path_or_dict) as fh:
+            return PipelineConfig(parse_rainer(fh.read()))
     with open(path_or_dict) as fh:
         return PipelineConfig(json.load(fh))
 

@@ -1,0 +1,313 @@
+"""Minimal RainerScript text front-end — rsyslog.conf to pipeline dict.
+
+The reference's user surface is the RainerScript config language
+(grammar/grammar.y, grammar/rainerscript.c); the repo's native surface
+is the JSON document of config.py.  This module closes the UX gap for
+the most-used subset: a .conf text compiles to the same dict
+``load_config`` takes, routes landing on the existing Router tuple AST.
+
+Supported statements (reference grammar sites cited):
+
+- ``# comments``
+- ``module(load="...")`` — recorded, not acted on (module binding is
+  implicit here)
+- ``global(workDirectory="/out")`` — output directory
+- ``input(type="imfile" file="/glob" format="parquet|textlog"
+  startmsg.regex="^...")`` — input block (grammar.y input object)
+- ``if COND then { action(...) [stop] ... }`` — expression filter
+  (grammar.y:if_stmt, cnfexprEval rainerscript.c:3878-4110) with
+  ``==  !=  <=  >=  <  >  contains  startswith  endswith``,
+  ``re_match($prop, "ere")``, and/or/not, parentheses
+- ``:prop, [!]op, "value" action(...)`` — classic property filter
+  (PROPFILT, runtime/ruleset.c:424-500; ops contains/isequal/
+  startswith/regex)
+- ``action(type="omfile" file="sinkname" [stop])`` — file sink; the
+  sink name is the file param's last path component
+- ``action(type="omdiscard")`` — compiles to a stop route on the
+  virtual ``discard`` sink (counts only)
+- bare ``action(...)`` — unconditional route (the ``*.*`` catch-all)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+_TOKEN_RE = re.compile(r"""
+    (?P<comment>\#[^\n]*)
+  | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<prop>\$[A-Za-z_][A-Za-z0-9_!.-]*)
+  | (?P<word>[A-Za-z_][A-Za-z0-9_.-]*)
+  | (?P<op>==|!=|<=|>=|<|>|=)
+  | (?P<punct>[(){},;:!*.])
+  | (?P<ws>\s+)
+""", re.VERBOSE)
+
+
+def _tokenize(text: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(text):
+        m = _TOKEN_RE.match(text, i)
+        if not m:
+            raise SyntaxError(f"bad config char {text[i]!r} at offset {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind in ("ws", "comment"):
+            continue
+        val = m.group()
+        if kind == "string":
+            # only quote/backslash escapes — \d etc. stays a regex escape
+            val = val[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+        out.append((kind, val))
+    return out
+
+
+class _P:
+    def __init__(self, toks):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, k=0):
+        j = self.i + k
+        return self.toks[j] if j < len(self.toks) else ("eof", "")
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, val):
+        t = self.next()
+        if t[1] != val:
+            raise SyntaxError(f"expected {val!r}, got {t[1]!r}")
+        return t
+
+    # -- object parameter lists:  name(k="v" k2="v2") ------------------
+    def params(self) -> dict:
+        self.expect("(")
+        out = {}
+        while self.peek()[1] != ")":
+            key = self.next()[1]
+            # dotted keys (startmsg.regex) come through word tokens
+            self.expect("=")
+            out[key] = self.next()[1]
+        self.expect(")")
+        return out
+
+    # -- expressions ---------------------------------------------------
+    def cond(self):
+        t = self.or_term()
+        return t
+
+    def or_term(self):
+        left = self.and_term()
+        while self.peek()[1] == "or":
+            self.next()
+            left = ("or", left, self.and_term())
+        return left
+
+    def and_term(self):
+        left = self.unary()
+        while self.peek()[1] == "and":
+            self.next()
+            left = ("and", left, self.unary())
+        return left
+
+    def unary(self):
+        k, v = self.peek()
+        if v == "not":
+            self.next()
+            return ("not", self.unary())
+        if v == "(":
+            self.next()
+            c = self.cond()
+            self.expect(")")
+            return c
+        if v == "re_match":
+            self.next()
+            self.expect("(")
+            prop = self.next()[1].lstrip("$")
+            self.expect(",")
+            pat = self.next()[1]
+            self.expect(")")
+            return ("regex", prop, pat)
+        return self.comparison()
+
+    def comparison(self):
+        k, v = self.next()
+        if k != "prop":
+            raise SyntaxError(f"expected $property, got {v!r}")
+        prop = v.lstrip("$")
+        opk, op = self.next()
+        if op in ("contains", "startswith", "endswith"):
+            val = self.next()[1]
+            return (op, prop, val)
+        if op not in ("==", "!=", "<=", ">=", "<", ">"):
+            raise SyntaxError(f"unknown comparison op {op!r}")
+        vk, vv = self.next()
+        if vk == "num":
+            val = float(vv) if "." in vv else int(vv)
+        elif vv in ("on", "off") and op in ("==", "!="):
+            val = vv == "on"   # boolean sugar for flag columns
+        else:
+            val = vv
+        return (op, prop, val)
+
+
+_PROPFILT_OPS = {  # runtime/ruleset.c:424-500 FIOP_*
+    "contains": "contains",
+    "isequal": "==",
+    "startswith": "startswith",
+    "regex": "regex",
+    "ereregex": "regex",
+}
+
+
+def _sink_of(params: dict) -> tuple[str, bool]:
+    """action params -> (sink name, implicit stop)."""
+    typ = params.get("type", "omfile")
+    if typ == "omdiscard":
+        return "discard", True
+    f = params.get("file") or params.get("dynafile") or params.get("sink")
+    if not f:
+        raise SyntaxError(f"action(type={typ!r}) needs file=/sink=")
+    base = os.path.basename(f)
+    return os.path.splitext(base)[0], False
+
+
+def parse_rainer(text: str) -> dict:
+    """Compile RainerScript text to the config.py pipeline dict."""
+    p = _P(_tokenize(text))
+    cfg: dict = {"input": {"paths": []}, "routes": [],
+                 "output": {"dir": "/tmp/raylog-out"}}
+    modules: list[str] = []
+
+    def actions_block(pred):
+        """{ action(...) [stop] ... } or a single action(...)"""
+        stops_pending = []
+        if p.peek()[1] == "{":
+            p.next()
+            while p.peek()[1] != "}":
+                stmt = p.peek()[1]
+                if stmt == "action":
+                    p.next()
+                    prm = p.params()
+                    sink, istop = _sink_of(prm)
+                    stops_pending.append([sink, pred, istop])
+                elif stmt == "stop":
+                    p.next()
+                    if stops_pending:
+                        stops_pending[-1][2] = True
+                    else:  # bare stop: consume matching rows, no sink
+                        stops_pending.append(["discard", pred, True])
+                else:
+                    raise SyntaxError(f"unexpected {stmt!r} in action block")
+            p.expect("}")
+        else:
+            p.expect("action")
+            prm = p.params()
+            sink, istop = _sink_of(prm)
+            stops_pending.append([sink, pred, istop])
+            if p.peek()[1] == "stop":
+                p.next()
+                stops_pending[-1][2] = True
+        for sink, pr, st in stops_pending:
+            cfg["routes"].append({"sink": sink, "pred": _pred_json(pr),
+                                  "stop": bool(st)})
+
+    def _pred_json(t):
+        if isinstance(t, tuple):
+            return [_pred_json(x) for x in t]
+        return t
+
+    while p.peek()[0] != "eof":
+        k, v = p.peek()
+        if v == "module":
+            p.next()
+            mod = p.params().get("load", "")
+            modules.append(mod)
+            if mod == "pmpages":  # built-in parser binding, like a pm*
+                from .rulebase import PAGES_RULEBASE
+                cfg["rules"] = [{"name": r.name, "pattern": r.pattern,
+                                 "types": r.types}
+                                for r in PAGES_RULEBASE.rules]
+                cfg.setdefault("source_column", "text")
+                cfg.setdefault("extract_column", "html")
+        elif v == "parser":
+            # parser(name=".." pattern=".." types="col:ty,..") or
+            # parser(name=".." sample="%f:ty% ...") — liblognorm style
+            p.next()
+            prm = p.params()
+            rule: dict = {"name": prm.get("name", "rule")}
+            if "sample" in prm:
+                rule["sample"] = prm["sample"]
+            else:
+                rule["pattern"] = prm["pattern"]
+                if prm.get("types"):
+                    rule["types"] = dict(kv.split(":", 1)
+                                         for kv in prm["types"].split(","))
+            cfg.setdefault("rules", []).append(rule)
+            if prm.get("source"):
+                cfg["source_column"] = prm["source"]
+        elif v == "global":
+            p.next()
+            prm = p.params()
+            if "workDirectory" in prm:
+                cfg["output"]["dir"] = prm["workDirectory"]
+        elif v == "input":
+            p.next()
+            prm = p.params()
+            if "file" in prm:
+                cfg["input"]["paths"].append(prm["file"])
+            if prm.get("format"):
+                cfg["input"]["format"] = prm["format"]
+            if prm.get("startmsg.regex"):
+                cfg["input"]["multiline_start"] = prm["startmsg.regex"]
+        elif v == "if":
+            p.next()
+            pred = p.cond()
+            p.expect("then")
+            actions_block(pred)
+        elif v == ":":  # :prop, [!]op, "value"  action(...)
+            p.next()
+            prop = p.next()[1]
+            p.expect(",")
+            neg = False
+            if p.peek()[1] == "!":
+                p.next()
+                neg = True
+            op = p.next()[1]
+            p.expect(",")
+            val = p.next()[1]
+            base = (_PROPFILT_OPS[op], prop, val)
+            actions_block(("not", base) if neg else base)
+        elif v == "*":  # *.* catch-all selector
+            p.next()
+            if p.peek()[1] == ".":
+                p.next()
+            # consume the second '*' of *.*
+            if p.peek()[1] == "*":
+                p.next()
+            actions_block(("true",))
+        elif v == "action":
+            actions_block(("true",))
+        elif v == ";":
+            p.next()
+        else:
+            raise SyntaxError(f"unexpected top-level token {v!r}")
+
+    if modules:
+        cfg["modules"] = modules
+    return cfg
+
+
+def load_rainer(path_or_text: str):
+    """Parse a .conf file (or literal text) to a PipelineConfig."""
+    from .config import load_config
+
+    text = path_or_text
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as fh:
+            text = fh.read()
+    return load_config(parse_rainer(text))
