@@ -62,11 +62,44 @@ def test_token_bucket_semantics():
         "2026-01-01 00:00:10",  #                   -> keep (2/2)
         "2026-01-01 00:00:20",  # burst exhausted   -> drop
         "2026-01-01 00:00:59",  #                   -> drop
-        "2026-01-01 00:01:00",  # window reset      -> keep
-        "2026-01-01 00:03:00",  # next window       -> keep
+        "2026-01-01 00:01:00",  # NOT past begin+interval (strict >,
+        #                         ratelimit.c:2436) -> still dropped
+        "2026-01-01 00:03:00",  # expiry -> reset   -> keep
     ])
-    keep = token_bucket_keep(pd.Series(ts), interval_s=60, burst=2)
-    assert keep.tolist() == [True, True, False, False, True, True]
+    keep, summaries = __import__(
+        "rsyslog_ray.stages.ratelimit", fromlist=["token_bucket_eval"]
+    ).token_bucket_eval(pd.Series(ts), interval_s=60, burst=2)
+    assert keep.tolist() == [True, True, False, False, False, True]
+    # tellLostCnt record for the expired window: 3 drops
+    assert len(summaries) == 1 and summaries[0]["lost"] == 3
+
+
+def test_ratelimit_severity_floor_and_summaries(ray_session):
+    import ray.data
+
+    from rsyslog_ray.stages.ratelimit import (ratelimit,
+                                              ratelimit_lost_records)
+
+    ts = pd.to_datetime(["2026-01-01 00:00:%02d" % i for i in range(6)]
+                        + ["2026-01-01 01:00:00"])
+    df = pd.DataFrame({"k": ["a"] * 7, "ts": ts,
+                       "sev": [7, 7, 2, 7, 7, 1, 7],
+                       "i": range(7)})
+    # severity floor 3: sev<3 rows bypass AND consume no budget
+    ds = ray.data.from_pandas(df)
+    kept = ratelimit(ds, "k", "ts", interval_s=60, burst=2,
+                     order_cols=["i"], severity_col="sev",
+                     severity_threshold=3).to_pandas()
+    # subject rows (sev>=3): i=0,1 kept, i=3,4,6 -> 3 dropped? i=6 is a
+    # new window (t=01:00 > 00:00+60s) -> kept; bypass rows i=2,5 kept
+    assert sorted(kept["i"]) == [0, 1, 2, 5, 6]
+    # lost records carry the reference message text
+    ds2 = ray.data.from_pandas(df[["k", "ts", "i"]])
+    lost = ratelimit_lost_records(ds2, "k", "ts", interval_s=60, burst=2,
+                                  order_cols=["i"]).to_pandas()
+    assert len(lost) == 1 and lost["lost"].iloc[0] == 4
+    assert "messages lost due to rate-limiting (2 allowed within 60" \
+        in lost["msg"].iloc[0]
 
 
 def test_corrupt_manifest_resume(ray_session, pages_small, tmp_path):
