@@ -171,10 +171,10 @@ EVENT_ROUTES = [
 
 def q_route_fanout(sf_dir):
     """Full router semantics over events: fan-out + stop; output =
-    per-sink delivered-row counts (the action-queue delivery totals)."""
-    import ray.data
-    from ray.data.aggregate import Sum
-
+    per-sink delivered-row counts (the action-queue delivery totals).
+    Final reduce on the driver: |sinks| partial rows per batch —
+    a distributed groupby here costs seconds of fixed overhead for a
+    4-row result (CLAUDE.md invariant 3)."""
     router = Router(EVENT_ROUTES)
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
@@ -183,8 +183,9 @@ def q_route_fanout(sf_dir):
         return pd.DataFrame({"sink": list(masks),
                              "cnt": [int(m.sum()) for m in masks.values()]})
 
-    parts = ds.map_batches(partial, batch_format="pandas")
-    return parts.groupby("sink").aggregate(Sum("cnt", alias_name="cnt"))
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (parts.groupby("sink", as_index=False)["cnt"].sum()
+            .astype({"cnt": "int64"}))
 
 
 # ======================================================================

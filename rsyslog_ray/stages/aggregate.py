@@ -147,12 +147,14 @@ def group_topk(ds, group: str, item: str, k: int, cnt: str = "n",
                                                batch_format="pandas")
 
 
-def salted_count(ds, key: str, salt_buckets: int = 16, cnt: str = "cnt"):
+def salted_count(ds, key: str, salt_buckets: int = 16, cnt: str = "cnt",
+                 driver_reduce: bool = True):
     """Two-phase count with an explicit salt column — the pattern for
     skewed keys feeding map_groups-style finals (SURVEY.md §7 M5):
-    partial count on (key, salt=hash%S), final sum on key."""
-    from ray.data.aggregate import Sum
-
+    partial count on (key, salt=hash%S), final sum on key.  The final
+    is a driver pandas groupby by default (|keys|×|salts| partial rows;
+    CLAUDE.md invariant 3); set driver_reduce=False for huge key
+    spaces."""
     from ..functions import hash64mod
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -162,5 +164,10 @@ def salted_count(ds, key: str, salt_buckets: int = 16, cnt: str = "cnt"):
         return g.size().rename(cnt).reset_index()
 
     partials = ds.map_batches(partial, batch_format="pandas")
-    # final: sum over salts per key (drop the salt dimension)
+    if driver_reduce:
+        df = partials.to_pandas()
+        return (df.groupby(key, as_index=False)[cnt].sum()
+                .astype({cnt: "int64"}))
+    from ray.data.aggregate import Sum
+
     return (partials.groupby(key).aggregate(Sum(cnt, alias_name=cnt)))
