@@ -35,15 +35,23 @@ def _read(sf_dir: str, table: str, columns=None):
 
 def q_parse_json(sf_dir):
     """mmjsonparse analog (plugins/mmjsonparse/mmjsonparse.c:210-254):
-    parse the JSON props column, lift $!k, aggregate per event_type."""
+    parse the JSON props column, lift $!k, aggregate per event_type.
+    Fast path: a vectorized regex lifts the scalar `"k": <int>` member
+    (RE2 speed); rows the regex can't serve fall back to one
+    json.loads — same values, no per-row Python on the common shape."""
     ds = _read(sf_dir, "events", columns=["event_type", "props"])
 
     def parse(df: pd.DataFrame) -> pd.DataFrame:
-        # vectorized-enough JSON lift: one json.loads per row is the
-        # mmjsonparse per-msg cost; columnar lift afterwards
-        k = df["props"].map(lambda s: json.loads(s).get("k"))
+        k = pd.to_numeric(
+            df["props"].str.extract(r'"k"\s*:\s*(-?\d+)[,}\s]',
+                                    expand=False), errors="coerce")
+        miss = k.isna()
+        if miss.any():
+            k = k.copy()
+            k[miss] = df["props"][miss].map(
+                lambda s: json.loads(s).get("k"))
         return pd.DataFrame({"event_type": df["event_type"],
-                             "k": pd.to_numeric(k).astype("int64")})
+                             "k": k.astype("int64")})
 
     ds = ds.map_batches(parse, batch_format="pandas")
     return two_phase_agg(ds, ["event_type"], count="cnt", sums={"k": "sum_k"})

@@ -96,6 +96,18 @@ class ConsistentAnonymizer:
     def anonymize(self, s: pd.Series) -> pd.Series:
         return s.str.replace(IPV4_RE, self._repl, regex=True)
 
+    def _repl6(self, m: re.Match) -> str:
+        # keep the network half, pseudonymize the interface identifier
+        # (mmanon ipv6 random-consistent, low 64 bits) from md5 bytes
+        d = hashlib.md5((self.salt + m.group(0)).encode()).digest()
+        tail = ":".join(format((d[i] << 8) | d[i + 1], "x")
+                        for i in (0, 2, 4, 6))
+        return m.group(1) + tail
+
+    def anonymize_ipv6(self, s: pd.Series) -> pd.Series:
+        from ..functions import IPV6_RE
+        return s.str.replace(IPV6_RE, self._repl6, regex=True)
+
 
 # ---------------------------------------------------------------------
 # mmrfc5424addhmac

@@ -132,3 +132,19 @@ def test_corrupt_manifest_resume(ray_session, pages_small, tmp_path):
     # and the rerun completes, restoring a full manifest
     run_flagship(pages_small, out)
     assert sk.committed_shards(out) >= {0, 1, 2, 3, 4}
+
+
+def test_consistent_anonymizer_ipv6():
+    an = ConsistentAnonymizer()
+    s = pd.Series(["x 2001:db8:1:2:3:4:5:6 y", "2001:db8:1:2:3:4:5:6 again",
+                   "other fe80:0:0:1:2:3:4:5"])
+    out = an.anonymize_ipv6(s)
+    a0 = out.iloc[0].split()[1]
+    a1 = out.iloc[1].split()[0]
+    assert a0 == a1                              # consistent pseudonym
+    assert a0.startswith("2001:db8:1:2:")        # network half kept
+    assert a0 != "2001:db8:1:2:3:4:5:6"          # iid replaced
+    assert out.iloc[2].startswith("other fe80:0:0:1:")
+    # fresh instance agrees (no shared state)
+    assert an.anonymize_ipv6(s).tolist() == \
+        ConsistentAnonymizer().anonymize_ipv6(s).tolist()
