@@ -1085,9 +1085,37 @@ def q_media_features(sf_dir):
         raise ValueError(
             f"sf_dir basename must look like 'sf0.01', got {base!r}") from None
     files = gen.ensure_pages(sf)
-    ds = ray.data.read_parquet(files[:2])
+    # split the (few) input files into enough blocks to feed the pool —
+    # 2 files would otherwise mean parallelism 2 regardless of pool size
+    ds = ray.data.read_parquet(files[:2], override_num_blocks=16)
+    # autoscaling pool: a FIXED pool that fills num_cpus deadlocks the
+    # streaming executor (read tasks starve) on small sessions
     out = media_features(ds, "html", concurrency=(1, 8), batch_size=512)
     return out.select_columns(["url", "media_len", "entropy_milli"])
+
+
+def q_dedup_embed(sf_dir):
+    """Embedding-cosine near-dup for an UNBLOCKED corpus: multiprobe
+    hyperplane-LSH blocking → per-bucket GEMM verify → distributed
+    pair dedup.  The synthetic embeddings are near-orthogonal, so
+    deterministic perturbed copies are planted first (the corpus-with-
+    duplicates shape); rows-only driver check, recall pinned in
+    pytest (test_dedup_text)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from ..stages.dedup import embedding_neardup_lsh
+
+    df = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    rng = np.random.RandomState(13)
+    copies = df.iloc[::10].copy()
+    copies["vec_id"] = copies["vec_id"] + 1_000_000
+    copies["embedding"] = copies["embedding"].map(
+        lambda v: (np.asarray(v) + rng.normal(0, 0.01, len(v)))
+        .astype(np.float32))
+    df = pd.concat([df, copies], ignore_index=True)
+    ds = ray.data.from_pandas(df[["vec_id", "embedding"]]).repartition(16)
+    return embedding_neardup_lsh(ds, "vec_id", "embedding", threshold=0.95)
 
 
 def q_runs_compress(sf_dir):
@@ -1644,4 +1672,5 @@ QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh": q_knn_lsh,
     "media_features": q_media_features,
+    "dedup_embed": q_dedup_embed,
 }

@@ -344,13 +344,68 @@ def simhash_pairs_oracle(ids: list, texts: list, max_hamming: int = 3) -> set[tu
 # ---------------------------------------------------------------------
 # Embedding cosine near-dup
 
+def embedding_neardup_lsh(ds, id_col: str, vec_col: str,
+                          threshold: float = 0.95, n_planes: int = 8,
+                          n_probes: int = 3, seed: int = 11):
+    """Near-dup pairs (cosine >= threshold) for an UNBLOCKED corpus:
+    multiprobe hyperplane-LSH blocking, then per-bucket GEMM verify.
+
+    Each vector lands in its own bucket plus the buckets reached by
+    flipping its (n_probes - 1) weakest-margin plane bits — near-dup
+    vectors sit close to the same hyperplanes, so the flipped buckets
+    recover pairs a single-probe split would separate.  The shuffle
+    moves (bucket, id, vec); verification is a bucket-local normalized
+    matmul; pair dedup is the hash-partitioned distributed pass.
+    Partitioning assumption: one bucket's vectors fit one worker —
+    raise n_planes for denser corpora."""
+    from .similarity import _normalize, bucket_of, hyperplanes
+
+    planes_holder: dict = {}
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        v = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        planes = planes_holder.get("p")
+        if planes is None:
+            planes = hyperplanes(v.shape[1], n_planes, seed)
+            planes_holder["p"] = planes
+        margins = v @ planes.T                       # (n, planes)
+        base = bucket_of(v, planes)
+        ids = df[id_col].to_numpy()
+        rows_b, rows_i, rows_v = [], [], []
+        order = np.argsort(np.abs(margins), axis=1)[:, :max(0, n_probes - 1)]
+        for j in range(len(ids)):
+            buckets = {int(base[j])}
+            for bit in order[j]:
+                buckets.add(int(base[j]) ^ (1 << int(bit)))
+            for b in buckets:
+                rows_b.append(b)
+                rows_i.append(ids[j])
+                rows_v.append(v[j])
+        return pd.DataFrame({"b": np.array(rows_b, dtype="int64"),
+                             "id": rows_i, "v": rows_v})
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("id")
+        ids = g["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        v = np.stack(g["v"].to_numpy()[order])
+        sim = v @ v.T
+        ia, ib = np.where(np.triu(sim >= threshold, k=1))
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    exploded = ds.map_batches(explode, batch_format="pandas")
+    pairs = exploded.groupby("b").map_groups(bucket_pairs,
+                                             batch_format="pandas")
+    return distributed_pair_dedup(pairs, _NPART).to_pandas().reset_index(drop=True)
+
+
 def embedding_neardup_pairs(ds, id_col: str, vec_col: str, bucket_col: str,
                             threshold: float = 0.95):
     """Pairs with cosine >= threshold within each bucket (per-label
     blocking): numpy matmul per group — the brute-force verify path.
     Partitioning assumption: each bucket's vectors fit one worker; for
-    unblocked corpora add LSH hyperplane bucketing first (see
-    similarity.lsh_buckets)."""
+    unblocked corpora use embedding_neardup_lsh above."""
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = g[id_col].to_numpy()
         order = np.argsort(ids)

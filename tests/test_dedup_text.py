@@ -185,3 +185,39 @@ def test_hll_error_bound(ray_session):
     ds = ray.data.from_pandas(df).repartition(8)
     est = approx_distinct(ds, "v")
     assert abs(est - 12345) / 12345 < 0.05, est
+
+
+def test_embedding_neardup_lsh_unblocked(ray_session):
+    """The unblocked-corpus scale path: multiprobe LSH blocking + per-
+    bucket GEMM must recover every planted near-dup pair (recall 1.0 on
+    this data) with zero false positives (the verify is exact)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    t = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    df = t.to_pandas()
+    rng = np.random.RandomState(11)
+    copies = df.iloc[::10].copy()
+    copies["vec_id"] = copies["vec_id"] + 100_000
+    copies["embedding"] = copies["embedding"].map(
+        lambda v: (np.asarray(v) + rng.normal(0, 0.01, len(v))).astype(
+            np.float32))
+    df = pd.concat([df, copies], ignore_index=True)
+
+    # brute-force oracle over the WHOLE corpus (no label blocking)
+    ids = df["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids_s = ids[order]
+    v = np.stack(df["embedding"].to_numpy()[order]).astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    s = v @ v.T
+    ia, ib = np.where(np.triu(s >= 0.95, k=1))
+    want = set(zip(ids_s[ia], ids_s[ib]))
+    assert len(want) >= 40
+
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = dd.embedding_neardup_lsh(ds, "vec_id", "embedding",
+                                   threshold=0.95, n_planes=8, n_probes=3)
+    got_pairs = set(zip(got["id_a"], got["id_b"]))
+    assert got_pairs <= want            # exact verify -> no false pos
+    assert len(got_pairs) == len(want)  # multiprobe recovers them all
