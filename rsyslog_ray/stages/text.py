@@ -30,21 +30,26 @@ LANG_PROFILES = {
 
 def lang_id_frame(texts: pd.Series) -> pd.Series:
     """Predict language by stopword-profile overlap; 'und' if nothing
-    matches. Ties break by profile order."""
-    toks = texts.str.lower().str.split()
-
-    def score(ws):
-        if not isinstance(ws, list):
-            return "und"
-        s = set(ws)
-        best, best_n = "und", 0
-        for lang, prof in LANG_PROFILES.items():
-            n = len(s & prof)
-            if n > best_n:
-                best, best_n = lang, n
-        return best
-
-    return toks.map(score)
+    matches. Ties break by profile order.  Vectorized: one explode +
+    per-row distinct, then an isin/groupby count per profile and a
+    single argmax over the (rows × langs) score matrix — no per-row
+    Python set math."""
+    idx = texts.index
+    toks = texts.str.lower().str.split().explode()
+    pairs = (toks.reset_index().drop_duplicates()
+             .set_index("index").iloc[:, 0])  # distinct (row, token)
+    langs = list(LANG_PROFILES)
+    scores = np.zeros((len(idx), len(langs)), dtype=np.int64)
+    pos = pd.Series(np.arange(len(idx)), index=idx)
+    rows = pos.reindex(pairs.index).to_numpy()
+    for j, lang in enumerate(langs):
+        hit = pairs.isin(LANG_PROFILES[lang]).to_numpy()
+        if hit.any():
+            np.add.at(scores[:, j], rows[hit], 1)
+    best = scores.argmax(axis=1)            # first max -> profile order
+    pred = np.array(langs, dtype=object)[best]
+    pred[scores.max(axis=1) == 0] = "und"
+    return pd.Series(pred, index=idx)
 
 
 # ---------------------------------------------------------------------
@@ -54,13 +59,25 @@ STOPWORDS = ("the", "a", "of", "and", "to")
 
 
 def quality_frame(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    toks = df[text_col].str.split()
+    """Integer quality features, vectorized: one explode feeds both the
+    stopword count and the longest-token length (str.len + groupby
+    max), no per-row token loops."""
+    texts = df[text_col]
+    toks = texts.str.split()
     n_tokens = toks.str.len().fillna(0).astype("int64")
-    stop = set(STOPWORDS)
-    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in stop)
-                      if isinstance(ws, list) else 0).astype("int64")
-    longest = toks.map(lambda ws: max((len(w) for w in ws), default=0)
-                       if isinstance(ws, list) else 0).astype("int64")
+    ex = toks.explode()
+    exlen = ex.str.len()
+    pos = pd.Series(np.arange(len(texts)), index=texts.index)
+    rows = pos.reindex(ex.index).to_numpy()
+    n_stop = np.zeros(len(texts), dtype=np.int64)
+    hit = ex.isin(STOPWORDS).to_numpy()
+    if hit.any():
+        np.add.at(n_stop, rows[hit], 1)
+    longest = np.zeros(len(texts), dtype=np.int64)
+    ok = exlen.notna().to_numpy()
+    if ok.any():
+        np.maximum.at(longest, rows[ok],
+                      exlen.fillna(0).astype("int64").to_numpy()[ok])
     return pd.DataFrame({
         "n_tokens": n_tokens,
         "n_stop": n_stop,
