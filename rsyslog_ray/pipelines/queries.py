@@ -416,19 +416,28 @@ def q_union_tagged(sf_dir):
 # ======================================================================
 
 def q_template_render(sf_dir):
-    """Template rendering (template.c:863 + date formats
-    template.h:72-95): constant+field concatenation with a formatted
-    date — the omfile line format as a computed column."""
+    """Template rendering through the REAL template engine
+    (template.py: %property% text syntax, tplToString semantics,
+    template.c:863): constant+field concatenation with date options —
+    the omfile line format as a computed column."""
+    from ..functions import format_time
+    from ..template import Template
+
+    tpl = Template("order=%o_orderkey% status=%o_orderstatus%"
+                   " date=%d% cents=%cents%")
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_orderstatus", "o_orderdate",
                         "o_totalprice"])
 
     def render(df: pd.DataFrame) -> pd.DataFrame:
-        line = ("order=" + df["o_orderkey"].astype(str)
-                + " status=" + df["o_orderstatus"]
-                + " date=" + df["o_orderdate"].dt.strftime("%Y-%m-%d")
-                + " cents=" + (df["o_totalprice"] * 100).round().astype("int64").astype(str))
-        return pd.DataFrame({"o_orderkey": df["o_orderkey"], "line": line})
+        aug = pd.DataFrame({
+            "o_orderkey": df["o_orderkey"],
+            "o_orderstatus": df["o_orderstatus"],
+            "d": format_time(df["o_orderdate"], "date"),
+            "cents": (df["o_totalprice"] * 100).round().astype("int64"),
+        })
+        return pd.DataFrame({"o_orderkey": df["o_orderkey"],
+                             "line": tpl.render(aug)})
 
     return ds.map_batches(render, batch_format="pandas")
 

@@ -182,6 +182,7 @@ def parse_rainer(text: str) -> dict:
     cfg: dict = {"input": {"paths": []}, "routes": [],
                  "output": {"dir": "/tmp/raylog-out"}}
     modules: list[str] = []
+    tpl_refs: list[tuple[str, str]] = []  # (sink, template name)
 
     def actions_block(pred):
         """{ action(...) [stop] ... } or a single action(...)"""
@@ -194,6 +195,8 @@ def parse_rainer(text: str) -> dict:
                     p.next()
                     prm = p.params()
                     sink, istop = _sink_of(prm)
+                    if prm.get("template"):
+                        tpl_refs.append((sink, prm["template"]))
                     stops_pending.append([sink, pred, istop])
                 elif stmt == "stop":
                     p.next()
@@ -208,6 +211,8 @@ def parse_rainer(text: str) -> dict:
             p.expect("action")
             prm = p.params()
             sink, istop = _sink_of(prm)
+            if prm.get("template"):
+                tpl_refs.append((sink, prm["template"]))
             stops_pending.append([sink, pred, istop])
             if p.peek()[1] == "stop":
                 p.next()
@@ -234,6 +239,15 @@ def parse_rainer(text: str) -> dict:
                                 for r in PAGES_RULEBASE.rules]
                 cfg.setdefault("source_column", "text")
                 cfg.setdefault("extract_column", "html")
+        elif v == "template":
+            # template(name=".." type="string" string="...%prop%...") —
+            # compiled eagerly so syntax errors surface at config time
+            p.next()
+            prm = p.params()
+            from .template import parse_template
+            parse_template(prm.get("string", ""))
+            cfg.setdefault("templates", {})[prm["name"]] = \
+                prm.get("string", "")
         elif v == "parser":
             # parser(name=".." pattern=".." types="col:ty,..") or
             # parser(name=".." sample="%f:ty% ...") — liblognorm style
@@ -299,6 +313,15 @@ def parse_rainer(text: str) -> dict:
 
     if modules:
         cfg["modules"] = modules
+    # resolve action template= references to declared templates — the
+    # sink then writes template-rendered .log lines instead of parquet
+    for sink, name in tpl_refs:
+        tpls = cfg.get("templates", {})
+        if name not in tpls:
+            raise SyntaxError(f"action references undeclared template "
+                              f"{name!r}")
+        cfg["output"].setdefault("formats", {})[sink] = \
+            {"template": tpls[name]}
     return cfg
 
 

@@ -249,8 +249,10 @@ class FanoutWriter:
         self.agg_kinds = self.AGG_KINDS if agg_kinds is None else tuple(agg_kinds)
         self.ts_col = ts_col
         # per-sink output format (omfile template choice analog):
-        # "parquet" (default) | "csv" | "jsonl"
+        # "parquet" (default) | "csv" | "jsonl" |
+        # {"template": "<%prop% text>"} (rendered lines -> .log)
         self.formats = formats or {}
+        self._tpls: dict = {}  # compiled Template cache (per worker)
         # dynafile analog (tools/omfile.c:133-192 template-computed
         # paths + handle cache): sink -> column whose VALUE becomes a
         # hive subdirectory under the shard dir
@@ -280,8 +282,22 @@ class FanoutWriter:
                 _time.sleep(0.1 * (4 ** attempt))
         raise last
 
-    def _write_once(self, grp: pa.Table, d: str, stem: str, fmt: str) -> None:
-        if fmt == "csv":
+    def _write_once(self, grp: pa.Table, d: str, stem: str, fmt) -> None:
+        if isinstance(fmt, dict) and "template" in fmt:
+            # omfile line output through the template engine
+            from .template import Template
+            tpl = self._tpls.get(fmt["template"])
+            if tpl is None:
+                tpl = Template(fmt["template"])
+                self._tpls[fmt["template"]] = tpl
+            lines = tpl.render(grp.to_pandas())
+            tmp = os.path.join(d, stem + ".log.inprogress")
+            with open(tmp, "w") as fh:
+                fh.write("\n".join(lines.astype(str).tolist()))
+                if len(lines):
+                    fh.write("\n")
+            os.replace(tmp, os.path.join(d, stem + ".log"))
+        elif fmt == "csv":
             from pyarrow import csv as pacsv
             tmp = os.path.join(d, stem + ".csv.inprogress")
             pacsv.write_csv(grp, tmp)

@@ -84,3 +84,39 @@ def test_rainer_runs_end_to_end(ray_session, pages_small, tmp_path):
                                   agg2.reset_index(drop=True))
     assert set(agg["sink"]) == {"dead", "errors", "archive"}
     assert os.path.isdir(str(tmp_path / "rainer_out" / "archive"))
+
+
+def test_rainer_template_sink(ray_session, pages_small, tmp_path):
+    """template() objects wired to action(template=...) render .log
+    lines through the template engine (omfile line-output analog)."""
+    import glob
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rulebase import PAGES_RULEBASE
+
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="PAGES/pages-*.parquet")
+    template(name="line" type="string"
+             string="%p_host% sev=%p_sev% %p_msg:::uppercase%")
+    if $p_sev <= 3 then action(type="omfile" file="errors"
+                               template="line")
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("PAGES", pages_small)
+    cfg = parse_rainer(conf)
+    cfg["rules"] = [{"name": r.name, "pattern": r.pattern, "types": r.types}
+                    for r in PAGES_RULEBASE.rules]
+    cfg["source_column"] = "text"
+    cfg["extract_column"] = "html"
+    cfg["output"]["full_sinks"] = ["errors", "archive"]
+    run_config(cfg, resume=False, lineage=False)
+    logs = glob.glob(str(tmp_path / "o" / "errors" / "**" / "*.log"),
+                     recursive=True)
+    assert logs
+    line = open(logs[0]).readline().strip()
+    # host, numeric severity, uppercased message
+    parts = line.split(" sev=")
+    assert parts[0].startswith("h")
+    sev, msg = parts[1].split(" ", 1)
+    assert int(sev) <= 3
+    assert msg == msg.upper() and msg
