@@ -55,6 +55,49 @@ def _to_pred(p) -> tuple:
     return p
 
 
+# ---------------------------------------------------------------------
+# `set $x = expr` computed columns (S_SET, grammar.y set_stmt):
+# expression AST = ["prop", name] | ["lit", v] | ["concat", a, b] |
+# ["call", fname, [args...]] — evaluated vectorized per batch.
+
+def _set_registry() -> dict:
+    from . import functions as F
+
+    return {
+        "toupper": F.toupper, "tolower": F.tolower, "strlen": F.strlen,
+        "ltrim": F.ltrim, "rtrim": F.rtrim, "substring": F.substring,
+        "replace": F.replace, "field": F.field, "int2hex": F.int2hex,
+        "b64_encode": F.b64_encode, "b64_decode": F.b64_decode,
+        "num2ipv4": F.num2ipv4, "ipv42num": F.ipv42num, "wrap": F.wrap,
+        "cstr": F.cstr, "cnum": F.cnum, "hash64mod": F.hash64mod,
+    }
+
+
+def eval_set_expr(expr, get):
+    """Evaluate a set-expression AST; ``get(name)`` yields the column
+    as a pandas Series.  Returns a Series or a scalar (callers
+    broadcast scalars)."""
+    op = expr[0]
+    if op == "prop":
+        return get(expr[1])
+    if op == "lit":
+        return expr[1]
+    if op == "concat":
+        a = eval_set_expr(expr[1], get)
+        b = eval_set_expr(expr[2], get)
+        if isinstance(a, pd.Series) or isinstance(b, pd.Series):
+            sa = a.astype(str) if isinstance(a, pd.Series) else str(a)
+            sb = b.astype(str) if isinstance(b, pd.Series) else str(b)
+            return sa + sb
+        return str(a) + str(b)
+    if op == "call":
+        fn = _set_registry().get(expr[1])
+        if fn is None:
+            raise ValueError(f"unknown function in set: {expr[1]!r}")
+        return fn(*[eval_set_expr(x, get) for x in expr[2]])
+    raise ValueError(f"bad set expression op {op!r}")
+
+
 class PipelineConfig:
     def __init__(self, cfg: dict):
         self.cfg = cfg
@@ -83,6 +126,7 @@ class PipelineConfig:
             for name, spec in cfg.get("lookups", {}).items()
         }
         self.enrich = cfg.get("enrich", [])
+        self.computed = cfg.get("computed", [])  # set $x = expr specs
         self.routes = [Route(r["sink"], _to_pred(r["pred"]),
                              bool(r.get("stop", False)))
                        for r in cfg["routes"]]
@@ -153,6 +197,21 @@ class _ConfigMapFn:
                         table.lookup_series(tbl[e["key"]].to_pandas()),
                         pa.string())
             tbl = tbl.append_column(e["column"], val)
+        for spec in self.c.computed:
+            cache: dict = {}
+
+            def get(name, _t=tbl, _c=cache):
+                s = _c.get(name)
+                if s is None:
+                    s = _t[name].to_pandas()
+                    _c[name] = s
+                return s
+
+            res = eval_set_expr(spec["expr"], get)
+            if not isinstance(res, pd.Series):
+                res = pd.Series([res] * len(tbl))
+            tbl = tbl.append_column(spec["column"],
+                                    pa.Array.from_pandas(res))
         return tbl
 
 

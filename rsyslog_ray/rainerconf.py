@@ -40,7 +40,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<prop>\$[A-Za-z_][A-Za-z0-9_!.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<op>==|!=|<=|>=|<|>|=)
-  | (?P<punct>[(){},;:!*.])
+  | (?P<punct>[(){},;:!*.&])
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -94,6 +94,35 @@ class _P:
             out[key] = self.next()[1]
         self.expect(")")
         return out
+
+    # -- value expressions (set $x = ...) ------------------------------
+    def value_expr(self):
+        """term (& term)* — RainerScript string concat."""
+        t = self.value_term()
+        while self.peek()[1] == "&":
+            self.next()
+            rhs = self.value_term()
+            t = ("concat", t, rhs)
+        return t
+
+    def value_term(self):
+        k, v = self.next()
+        if k == "prop":
+            return ("prop", v.lstrip("$"))
+        if k == "string":
+            return ("lit", v)
+        if k == "num":
+            return ("lit", float(v) if "." in v else int(v))
+        if k == "word" and self.peek()[1] == "(":
+            self.expect("(")
+            args = []
+            while self.peek()[1] != ")":
+                args.append(self.value_expr())
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect(")")
+            return ("call", v, args)
+        raise SyntaxError(f"bad value expression at {v!r}")
 
     # -- expressions ---------------------------------------------------
     def cond(self):
@@ -222,7 +251,7 @@ def parse_rainer(text: str) -> dict:
                                   "stop": bool(st)})
 
     def _pred_json(t):
-        if isinstance(t, tuple):
+        if isinstance(t, (tuple, list)):
             return [_pred_json(x) for x in t]
         return t
 
@@ -278,6 +307,17 @@ def parse_rainer(text: str) -> dict:
                 cfg["input"]["format"] = prm["format"]
             if prm.get("startmsg.regex"):
                 cfg["input"]["multiline_start"] = prm["startmsg.regex"]
+        elif v == "set":
+            # set $x = EXPR;  (S_SET, grammar.y:set_stmt — computed
+            # column; RainerScript & concat and scalar function calls)
+            p.next()
+            target = p.next()[1].lstrip("$")
+            p.expect("=")
+            expr = p.value_expr()
+            if p.peek()[1] == ";":
+                p.next()
+            cfg.setdefault("computed", []).append(
+                {"column": target, "expr": _pred_json(expr)})
         elif v == "if":
             p.next()
             pred = p.cond()

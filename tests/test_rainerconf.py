@@ -120,3 +120,41 @@ def test_rainer_template_sink(ray_session, pages_small, tmp_path):
     sev, msg = parts[1].split(" ", 1)
     assert int(sev) <= 3
     assert msg == msg.upper() and msg
+
+
+def test_set_statements(ray_session, pages_small, tmp_path):
+    """set $x = expr (S_SET): computed columns from the .conf front-end
+    — function calls, & concatenation, routable downstream."""
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rulebase import PAGES_RULEBASE
+
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="PAGES/pages-*.parquet")
+    set $app_up = toupper($p_app);
+    set $tag = $p_host & "/" & $app_up;
+    set $f2 = field($p_msg, " ", 2);
+    if $app_up == "NGINX" then action(type="omfile" file="nginx")
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("PAGES", pages_small)
+    cfg = parse_rainer(conf)
+    assert cfg["computed"][0] == {"column": "app_up",
+                                  "expr": ["call", "toupper",
+                                           [["prop", "p_app"]]]}
+    cfg["rules"] = [{"name": r.name, "pattern": r.pattern, "types": r.types}
+                    for r in PAGES_RULEBASE.rules]
+    cfg["source_column"] = "text"
+    cfg["extract_column"] = "html"
+    cfg["output"]["full_sinks"] = ["nginx", "archive"]
+    run_config(cfg, resume=False, lineage=False)
+
+    import glob
+
+    import pyarrow.parquet as pq
+    files = glob.glob(str(tmp_path / "o" / "nginx" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    t = pq.read_table(files[0]).to_pandas()
+    assert (t["app_up"] == "NGINX").all()
+    assert (t["tag"] == t["p_host"] + "/" + t["app_up"]).all()
+    assert (t["f2"] == t["p_msg"].str.split(" ").str[1].fillna("")).all()
