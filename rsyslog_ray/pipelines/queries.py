@@ -1078,6 +1078,23 @@ def q_knn_lsh(sf_dir):
     return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5, n_probes=4)
 
 
+def q_knn_ivf(sf_dir):
+    """IVF ANN variant: k-means coarse quantizer (fit on a driver-side
+    sample, centroids broadcast) + probed-cluster search.  Rows-only
+    driver check; recall contract and full-probe==bruteforce equality
+    pinned in pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_ivf
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5).to_pandas()
+    queries = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].tolist()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_ivf(ds, "embedding", "vec_id", queries, qids, k=5,
+                   n_centroids=16, n_probe=4)
+
+
 def q_media_features(sf_dir):
     """Multimodal plumbing: opaque-binary decode stage (stubbed with
     deterministic byte features) over the synthesized pages table at
@@ -1680,6 +1697,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "knn_lsh": q_knn_lsh,
+    "knn_ivf": q_knn_ivf,
     "media_features": q_media_features,
     "dedup_embed": q_dedup_embed,
 }

@@ -94,6 +94,84 @@ def knn_bruteforce_oracle(ids, vecs, queries, query_ids, k=5) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------
+# IVF (inverted-file) ANN — k-means coarse quantizer + probed clusters
+
+def kmeans_fit(vecs: np.ndarray, k: int, iters: int = 8,
+               seed: int = 5) -> np.ndarray:
+    """Deterministic Lloyd k-means on normalized vectors (splitmix-
+    seeded init — no RNG state).  Returns (k, dim) normalized
+    centroids; empty clusters re-seed from the farthest points."""
+    v = _normalize(np.asarray(vecs, dtype=np.float64))
+    n = len(v)
+    init = (_splitmix(np.arange(k, dtype=np.uint64)
+                      + np.uint64(seed * 7919)) % np.uint64(n)).astype(int)
+    cent = v[np.unique(init)]
+    while len(cent) < k:                      # collision fallback
+        cent = np.vstack([cent, v[(len(cent) * 131) % n]])
+    for _ in range(iters):
+        sim = v @ cent.T
+        assign = sim.argmax(axis=1)
+        new = np.zeros_like(cent)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                new[c] = v[m].mean(axis=0)
+            else:                              # re-seed empty cluster
+                new[c] = v[sim.max(axis=1).argmin()]
+        cent = _normalize(new)
+    return cent
+
+
+def knn_ivf(ds, vec_col: str, id_col: str, queries: np.ndarray,
+            query_ids: list, k: int = 5, n_centroids: int = 16,
+            n_probe: int = 4, sample_size: int = 4096, iters: int = 8,
+            seed: int = 5):
+    """IVF ANN top-k: a k-means coarse quantizer is fit on a driver-side
+    sample, centroids broadcast; each batch assigns its vectors to
+    their nearest centroid and scores a query only against vectors in
+    that query's ``n_probe`` closest clusters.  Cost ≈ brute force ×
+    (n_probe / n_centroids); the index is just the centroid matrix —
+    nothing is materialized per row.  Same exact (-sim, id) local
+    tie-break + tiny driver reduce as knn_bruteforce."""
+    import ray
+
+    sample = np.stack(
+        ds.limit(sample_size).to_pandas()[vec_col].to_numpy())
+    cent = kmeans_fit(sample, n_centroids, iters, seed)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]  # (nq, p)
+    ref = ray.put((qm, cent, probes))
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        q, c, pr = ray.get(ref)
+        ids = df[id_col].to_numpy()
+        v = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        assign = (v @ c.T).argmax(axis=1)
+        out = {"qid": [], "id": [], "sim": []}
+        for j in range(q.shape[0]):
+            mask = np.isin(assign, pr[j])
+            if not mask.any():
+                continue
+            sim = v[mask] @ q[j]
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            part = _topk_ties(sim, sub_ids, kk)
+            out["qid"].extend([query_ids[j]] * len(part))
+            out["id"].extend(sub_ids[part])
+            out["sim"].extend(sim[part])
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"qid": [], "id": [], "rank": []})
+    partials = partials.sort_values(["qid", "sim", "id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("qid", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return top[["qid", "id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------
 # LSH bucketing (random hyperplanes) — the ANN scale path
 
 def hyperplanes(dim: int, n_planes: int = 12, seed: int = 7) -> np.ndarray:

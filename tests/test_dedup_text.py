@@ -221,3 +221,31 @@ def test_embedding_neardup_lsh_unblocked(ray_session):
     got_pairs = set(zip(got["id_a"], got["id_b"]))
     assert got_pairs <= want            # exact verify -> no false pos
     assert len(got_pairs) == len(want)  # multiprobe recovers them all
+
+
+def test_knn_ivf_recall(ray_session):
+    """IVF ANN: centroid-probed search must find every self-match and
+    reach high overlap with brute force at n_probe=4/16 centroids."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    df = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    queries = np.stack(df["embedding"].head(5).to_numpy())
+    qids = df["vec_id"].head(5).tolist()
+    exact = sim.knn_bruteforce_oracle(df["vec_id"].tolist(),
+                                      df["embedding"].tolist(),
+                                      queries, qids, 5)
+    exact_pairs = set(zip(exact["qid"], exact["id"]))
+
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = sim.knn_ivf(ds, "embedding", "vec_id", queries, qids, k=5,
+                      n_centroids=16, n_probe=4)
+    got_pairs = set(zip(got["qid"], got["id"]))
+    assert sum((q, q) in got_pairs for q in qids) == len(qids)  # self
+    overlap = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert overlap >= 0.5, overlap
+    # full probe == brute force exactly (every cluster searched)
+    ds2 = ray.data.from_pandas(df).repartition(4)
+    full = sim.knn_ivf(ds2, "embedding", "vec_id", queries, qids, k=5,
+                       n_centroids=16, n_probe=16)
+    assert full.to_dict() == exact.to_dict()
