@@ -119,12 +119,17 @@ class PipelineConfig:
         self.rulebase = Rulebase([
             _rule(r) for r in cfg.get("rules", [])
         ]) if cfg.get("rules") else None
-        self.lookups = {
-            name: LookupTable(spec["kind"],
-                              spec.get("table") or spec.get("values"),
-                              stub=spec.get("stub", ""))
-            for name, spec in cfg.get("lookups", {}).items()
-        }
+        def _lookup(spec: dict) -> LookupTable:
+            if "file" in spec:  # reference .lkp_tbl JSON file format
+                from .lookup import load_lookup_file
+                return load_lookup_file(spec["file"],
+                                        stub=spec.get("stub"))
+            return LookupTable(spec["kind"],
+                               spec.get("table") or spec.get("values"),
+                               stub=spec.get("stub", ""))
+
+        self.lookups = {name: _lookup(spec)
+                        for name, spec in cfg.get("lookups", {}).items()}
         self.enrich = cfg.get("enrich", [])
         self.computed = cfg.get("computed", [])  # set $x = expr specs
         self.routes = [Route(r["sink"], _to_pred(r["pred"]),

@@ -37,8 +37,11 @@ class LookupTable:
         if kind == "string":
             self._dict = dict(mapping)
         elif kind == "array":
-            # mapping: list[value] indexed by uint key
+            # mapping: list[value] indexed by uint key; ``offset`` is
+            # the base index (the reference uses the table's first
+            # sorted index as base, lookup.c:555-575)
             self._arr = list(mapping)
+            self.offset = 0
         elif kind == "sparseArray":
             # mapping: dict[int lower-bound -> value]; probe maps to the
             # greatest bound <= probe (range lookup, np.searchsorted)
@@ -54,7 +57,7 @@ class LookupTable:
         if self.kind == "string":
             return self._dict.get(key, self.stub)
         if self.kind == "array":
-            i = int(key)
+            i = int(key) - self.offset
             return self._arr[i] if 0 <= i < len(self._arr) else self.stub
         if self.kind == "sparseArray":
             i = int(np.searchsorted(self._bounds, int(key), side="right")) - 1
@@ -86,10 +89,10 @@ class LookupTable:
         if self.kind == "string":
             return keys.map(self._dict).fillna(self.stub)
         if self.kind == "array":
-            arr = pd.Series(self._arr)
             k = pd.to_numeric(keys, errors="coerce")
-            out = k.map(lambda i: self._arr[int(i)]
-                        if pd.notna(i) and 0 <= int(i) < len(self._arr)
+            off = self.offset
+            out = k.map(lambda i: self._arr[int(i) - off]
+                        if pd.notna(i) and 0 <= int(i) - off < len(self._arr)
                         else self.stub)
             return out
         if self.kind == "sparseArray":
@@ -111,3 +114,54 @@ class LookupTable:
             out.loc[hit_idx] = v
             unmatched.loc[hit_idx] = False
         return out
+
+
+def load_lookup_file(path_or_text: str, stub: str | None = None) -> LookupTable:
+    """Load the reference's lookup-table JSON file format
+    (runtime/lookup.c:760-800 lookupReadFile: {"version", "nomatch",
+    "type": string|array|sparseArray|regex, "table": [{"index": ...,
+    "value"|"tag": ...}]}; default type = string, regex rows use
+    "tag").  Array tables may start at any index — the reference uses
+    the first (sorted) index as the base offset (lookup.c:555-575);
+    holes resolve to the nomatch stub.
+
+    Hot reload (reload_lookup_table(), lookup.c:151-162 rwlock swap)
+    becomes: call this again and re-``ray.put`` — the next run's
+    workers fetch the new broadcast object.
+    """
+    import json
+    import os
+
+    if os.path.exists(path_or_text):
+        with open(path_or_text) as fh:
+            doc = json.load(fh)
+    else:
+        doc = json.loads(path_or_text)
+    kind = doc.get("type", "string")
+    nomatch = doc.get("nomatch", "") if stub is None else stub
+    rows = doc.get("table", [])
+    if kind == "string":
+        return LookupTable("string",
+                           {str(r["index"]): str(r["value"]) for r in rows},
+                           stub=nomatch)
+    if kind == "array":
+        if not rows:
+            return LookupTable("array", [], stub=nomatch)
+        items = sorted((int(r["index"]), str(r["value"])) for r in rows)
+        base = items[0][0]
+        vals = [nomatch] * (items[-1][0] - base + 1)
+        for i, v in items:
+            vals[i - base] = v
+        t = LookupTable("array", vals, stub=nomatch)
+        t.offset = base
+        return t
+    if kind == "sparseArray":
+        return LookupTable("sparseArray",
+                           {int(r["index"]): str(r["value"]) for r in rows},
+                           stub=nomatch)
+    if kind == "regex":
+        return LookupTable("regex",
+                           [(str(r["index"]), str(r.get("tag",
+                                                        r.get("value"))))
+                            for r in rows], stub=nomatch)
+    raise ValueError(f"unknown lookup table type {kind!r}")

@@ -268,6 +268,13 @@ def parse_rainer(text: str) -> dict:
                                 for r in PAGES_RULEBASE.rules]
                 cfg.setdefault("source_column", "text")
                 cfg.setdefault("extract_column", "html")
+        elif v == "lookup_table":
+            # lookup_table(name=".." file="x.lkp_tbl") — the reference's
+            # JSON table file format (runtime/lookup.c lookupReadFile)
+            p.next()
+            prm = p.params()
+            cfg.setdefault("lookups", {})[prm["name"]] = \
+                {"file": prm["file"]}
         elif v == "template":
             # template(name=".." type="string" string="...%prop%...") —
             # compiled eagerly so syntax errors surface at config time

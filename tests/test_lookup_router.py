@@ -70,3 +70,47 @@ def test_router_masks_match_rowwise():
     # stop semantics: row 1 is spam -> nothing else; row 2 unparsed -> dead only
     assert masks["spam"].iloc[1] and not masks["all"].iloc[1]
     assert masks["dead"].iloc[2] and not masks["en_news"].iloc[2]
+
+
+def test_load_lookup_file_reference_format(tmp_path):
+    """The reference's .lkp_tbl JSON format (runtime/lookup.c
+    lookupReadFile): string default, offset-based array, sparseArray,
+    regex with 'tag'."""
+    import pandas as pd
+
+    from rsyslog_ray.lookup import load_lookup_file
+
+    s = load_lookup_file('{"nomatch":"unk","table":['
+                         '{"index":"a","value":"A"},'
+                         '{"index":"b","value":"B"}]}')
+    assert s.lookup("a") == "A" and s.lookup("zz") == "unk"
+
+    # array with non-zero base and a hole (reference uses the first
+    # sorted index as offset; holes -> nomatch)
+    a = load_lookup_file('{"type":"array","nomatch":"-",'
+                         '"table":[{"index":5,"value":"five"},'
+                         '{"index":7,"value":"seven"}]}')
+    assert a.lookup(5) == "five" and a.lookup(7) == "seven"
+    assert a.lookup(6) == "-" and a.lookup(4) == "-" and a.lookup(8) == "-"
+    assert a.lookup_series(pd.Series([5, 6, 7, 99])).tolist() == \
+        ["five", "-", "seven", "-"]
+
+    sp = load_lookup_file('{"type":"sparseArray","nomatch":"lo",'
+                          '"table":[{"index":10,"value":"ten"},'
+                          '{"index":20,"value":"twenty"}]}')
+    assert sp.lookup(15) == "ten" and sp.lookup(25) == "twenty"
+    assert sp.lookup(3) == "lo"
+
+    r = load_lookup_file('{"type":"regex","nomatch":"other","table":['
+                         '{"index":"^foo","tag":"F"},'
+                         '{"index":"bar$","tag":"B"}]}')
+    assert r.lookup("foox") == "F" and r.lookup("xxbar") == "B"
+    assert r.lookup("zzz") == "other"
+
+    # from an actual file + reload-by-rebuild semantics
+    p = tmp_path / "t.lkp_tbl"
+    p.write_text('{"table":[{"index":"k","value":"v1"}]}')
+    t1 = load_lookup_file(str(p))
+    assert t1.lookup("k") == "v1"
+    p.write_text('{"table":[{"index":"k","value":"v2"}]}')
+    assert load_lookup_file(str(p)).lookup("k") == "v2"  # reload = rebuild
