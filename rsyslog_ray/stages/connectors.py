@@ -38,6 +38,75 @@ def strict_transport(payloads: list[dict]) -> list[tuple[int, str]]:
         "(transport=callable(list[dict]) -> list[(index, error)])")
 
 
+class TcpSyslogTransport:
+    """omfwd TCP transport (tools/omfwd.c) — a REAL socket client:
+    renders each payload row to a syslog line and sends it
+    octet-counted (RFC6587 ``<len> <msg>``, omfwd's
+    TCP_FRAMING_OCTET_COUNTING) or LF-framed.  Connects lazily ONCE
+    per actor; any socket error closes the connection and re-raises so
+    ConnectorSink's bounded retry reconnects and resends the bulk —
+    omfwd's resume-after-suspend behavior (at-least-once on the bulk,
+    like the reference's unacked-resend on reconnect)."""
+
+    def __init__(self, host: str, port: int, render=None,
+                 framing: str = "octet-counted", ack: bool = False):
+        self.addr = (host, port)
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        assert framing in ("octet-counted", "lf")
+        self.framing = framing
+        # ack=True: RELP-style confirmed delivery (plugins/omrelp) —
+        # plain TCP silently loses data buffered into a dead socket
+        # (the documented omfwd limitation); with ack the bulk ends
+        # with a zero-length frame and the peer must answer "ACK\n",
+        # so an unconfirmed bulk raises and the retry resends it
+        # (at-least-once; exactly-once needs downstream dedup).
+        self.ack = ack
+        self._sock = None
+
+    def _connected(self):
+        import socket
+
+        if self._sock is None:
+            self._sock = socket.create_connection(self.addr, timeout=10)
+        return self._sock
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        chunks = []
+        for rec in payloads:
+            line = self.render(rec)
+            if self.framing == "octet-counted":
+                data = line.encode()
+                chunks.append(b"%d %s" % (len(data), data))
+            else:
+                chunks.append(line.replace("\n", "\\n").encode() + b"\n")
+        if self.ack:
+            chunks.append(b"0 ")               # end-of-batch frame
+        try:
+            s = self._connected()
+            s.sendall(b"".join(chunks))
+            if self.ack:
+                buf = b""
+                while not buf.endswith(b"\n"):
+                    got = s.recv(16)
+                    if not got:
+                        raise ConnectionError("peer closed before ack")
+                    buf += got
+                if buf != b"ACK\n":
+                    raise ConnectionError(f"bad ack {buf!r}")
+        except OSError:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+            raise
+        return []  # stream transport: no per-item rejects
+
+    def close(self):
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+
 class TransportSuspended(RuntimeError):
     """Raised when delivery keeps failing past the retry budget — the
     action-DISABLED state (runtime/action.c:663-741)."""

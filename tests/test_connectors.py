@@ -87,3 +87,126 @@ def test_as_ray_stage(ray_session):
         ConnectorSink(transport=transport, batch_rows=200),
         batch_format="pandas", batch_size=500).to_pandas()
     assert out["rows_delivered"].sum() == 1000
+
+
+class _TcpCollector:
+    """Local TCP server collecting octet-counted frames; in ack mode a
+    zero-length frame (end-of-batch) is answered with ACK\n."""
+
+    def __init__(self, fail_first_conn=False, ack=False):
+        import socket
+        import threading
+
+        self.msgs = []
+        self.ack = ack
+        self.fail_first = fail_first_conn
+        self._nconn = 0
+        self.srv = socket.socket()
+        self.srv.bind(("127.0.0.1", 0))
+        self.srv.listen(8)
+        self.port = self.srv.getsockname()[1]
+        self._stop = False
+        self.t = threading.Thread(target=self._loop, daemon=True)
+        self.t.start()
+
+    def _loop(self):
+        while not self._stop:
+            try:
+                c, _ = self.srv.accept()
+            except OSError:
+                return
+            self._nconn += 1
+            if self.fail_first and self._nconn == 1:
+                c.close()                      # simulate peer reset
+                continue
+            buf = b""
+            while True:
+                b = c.recv(65536)
+                if not b:
+                    break
+                buf += b
+                while True:
+                    sp = buf.find(b" ")
+                    if sp < 0:
+                        break
+                    n = int(buf[:sp])
+                    if len(buf) < sp + 1 + n:
+                        break
+                    payload = buf[sp + 1:sp + 1 + n]
+                    buf = buf[sp + 1 + n:]
+                    if n == 0:                 # end-of-batch frame
+                        if self.ack:
+                            c.sendall(b"ACK\n")
+                    else:
+                        self.msgs.append(payload.decode())
+            c.close()
+
+    def stop(self):
+        self._stop = True
+        self.srv.close()
+        self.t.join(timeout=2)
+
+    def messages(self):
+        return list(self.msgs)
+
+
+def test_tcp_syslog_transport_real_socket(ray_session):
+    """omfwd over a REAL localhost TCP socket: octet-counted framing,
+    one connection per actor, every row delivered."""
+    import ray.data
+
+    from rsyslog_ray.stages.connectors import (ConnectorSink,
+                                               TcpSyslogTransport)
+
+    srv = _TcpCollector()
+    try:
+        df = pd.DataFrame({"msg": [f"event {i}" for i in range(1000)],
+                           "sev": [i % 8 for i in range(1000)]})
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = ds.map_batches(
+            ConnectorSink,
+            fn_constructor_kwargs=dict(
+                transport=TcpSyslogTransport(
+                    "127.0.0.1", srv.port,
+                    render=lambda r: f"<{r['sev']}> {r['msg']}"),
+                batch_rows=100),
+            batch_format="pandas", concurrency=(1, 2),
+            batch_size=512).to_pandas()
+        assert out["rows_delivered"].sum() == 1000
+        import time
+        for _ in range(50):            # wait for the server to drain
+            if len(srv.messages()) >= 1000:
+                break
+            time.sleep(0.1)
+        msgs = srv.messages()
+        assert len(msgs) == 1000
+        assert sorted(msgs) == sorted(f"<{i % 8}> event {i}"
+                                      for i in range(1000))
+    finally:
+        srv.stop()
+
+
+def test_tcp_transport_reconnects_after_reset():
+    """Peer reset -> transport raises -> ConnectorSink retry reconnects
+    and resends the bulk (omfwd resume-after-suspend)."""
+    import time
+
+    from rsyslog_ray.stages.connectors import (ConnectorSink,
+                                               TcpSyslogTransport)
+
+    srv = _TcpCollector(fail_first_conn=True, ack=True)
+    try:
+        sink = ConnectorSink(
+            transport=TcpSyslogTransport("127.0.0.1", srv.port,
+                                         render=lambda r: r["m"],
+                                         ack=True),
+            batch_rows=10, backoff_base_s=0.01)
+        out = sink(pd.DataFrame({"m": ["a", "b", "c"]}))
+        assert out["rows_delivered"].iloc[0] == 3
+        for _ in range(50):
+            if len(srv.messages()) >= 3:
+                break
+            time.sleep(0.1)
+        assert srv.messages() == ["a", "b", "c"]
+    finally:
+        srv.stop()
