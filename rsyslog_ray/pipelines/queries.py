@@ -59,13 +59,18 @@ def q_parse_json(sf_dir):
 
 def q_fields_split(sf_dir):
     """mmfields analog (plugins/mmfields/mmfields.c:54-71): split text on
-    the separator, take field 1, count per value."""
+    the separator, take field 1, count per value — zero-copy Arrow
+    (split_pattern + list_element)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "documents", columns=["text"])
 
-    def f1(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"f1": field(df["text"], " ", 1)})
+    def f1(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["text"], " ")
+        return pa.table({"f1": pc.list_element(parts, 0)})
 
-    return two_phase_agg(ds.map_batches(f1, batch_format="pandas"), ["f1"])
+    return two_phase_agg(ds.map_batches(f1, batch_format="pyarrow"), ["f1"])
 
 
 def q_scalar_funcs(sf_dir):
@@ -138,31 +143,39 @@ def q_anon_modes(sf_dir):
 
 def q_filter_contains(sf_dir):
     """FIOP_CONTAINS (runtime/typedefs.h:170-180): docs containing
-    'spark', counted per lang."""
+    'spark', counted per lang — Arrow match_substring, zero-copy."""
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "documents", columns=["text", "lang"])
     ds = ds.map_batches(
-        lambda df: df[df["text"].str.contains("spark", regex=False)][["lang"]],
-        batch_format="pandas")
+        lambda t: t.filter(pc.match_substring(t["text"], "spark"))
+        .select(["lang"]),
+        batch_format="pyarrow")
     return two_phase_agg(ds, ["lang"])
 
 
 def q_filter_regex(sf_dir):
-    """FIOP_REGEX: ERE filter on event_type."""
+    """FIOP_REGEX: ERE filter on event_type (Arrow RE2 kernel)."""
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
     return ds.map_batches(
-        lambda df: df[df["event_type"].str.contains(r"^(?:purchase|signup)$",
-                                                    regex=True)],
-        batch_format="pandas")
+        lambda t: t.filter(pc.match_substring_regex(
+            t["event_type"], r"^(?:purchase|signup)$")),
+        batch_format="pyarrow")
 
 
 def q_filter_prifilt(sf_dir):
     """prifilt analog (runtime/ruleset.c:403): numeric band filter —
-    'error'-class events with low value."""
+    'error'-class events with low value (Arrow kernels)."""
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
     return ds.map_batches(
-        lambda df: df[(df["event_type"] == "error") & (df["value"] < 10.0)]
-        [["event_id"]],
-        batch_format="pandas")
+        lambda t: t.filter(pc.and_(pc.equal(t["event_type"], "error"),
+                                   pc.less(t["value"], 10.0)))
+        .select(["event_id"]),
+        batch_format="pyarrow")
 
 
 # ======================================================================
@@ -292,10 +305,19 @@ def q_interval_once(sf_dir):
 
 def q_sample_nth(sf_dir):
     """execOnlyEveryNthTime analog (runtime/action.c:370-385): keep
-    every 10th event by id."""
+    every 10th event by id (Arrow modulo-compare, zero-copy)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
-    return ds.map_batches(lambda df: df[df["event_id"] % 10 == 0],
-                          batch_format="pandas")
+
+    def nth(t: pa.Table) -> pa.Table:
+        # x % 10 == 0 via x - (x // 10) * 10 (integer divide truncates)
+        mod = pc.subtract(t["event_id"],
+                          pc.multiply(pc.divide(t["event_id"], 10), 10))
+        return t.filter(pc.equal(mod, 0))
+
+    return ds.map_batches(nth, batch_format="pyarrow")
 
 
 def q_dedup_exact(sf_dir):
