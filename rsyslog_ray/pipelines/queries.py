@@ -1100,6 +1100,18 @@ def q_knn_lsh(sf_dir):
     return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5, n_probes=4)
 
 
+def q_approx_percentiles(sf_dir):
+    """perctile_stats at unbounded scale: DDSketch-style mergeable
+    quantile sketches per (batch, key) — O(bins) over the wire
+    regardless of observation count.  Rows-only driver check; the
+    relative-error bound vs exact quantiles is pinned in pytest."""
+    from ..stages.sketch import approx_percentiles
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = approx_percentiles(ds, "event_type", "value", [0.5, 0.95])
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_knn_ivf(sf_dir):
     """IVF ANN variant: k-means coarse quantizer (fit on a driver-side
     sample, centroids broadcast) + probed-cluster search.  Rows-only
@@ -1722,4 +1734,5 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "media_features": q_media_features,
     "dedup_embed": q_dedup_embed,
+    "approx_percentiles": q_approx_percentiles,
 }

@@ -80,3 +80,81 @@ def assemble_multiline_oracle(lines: list[str], start_pattern: str) -> list[str]
         else:
             records[-1].append(line)
     return ["\n".join(r) for r in records]
+
+
+# ---------------------------------------------------------------------
+# Network-stream framing (imtcp/imptcp analogs)
+
+def split_octet_counted(data: bytes):
+    """RFC6587 octet-counted framing parser (imtcp/imptcp
+    TCP_FRAMING_OCTET_COUNTING, reference runtime/tcps_sess.c:374-460
+    processDataRcvd: digits, one space, exactly <len> message octets).
+    Returns (frames, remainder) — the remainder is an incomplete
+    trailing frame to prepend to the next read (the per-session
+    inputState the reference keeps)."""
+    frames = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        sp = data.find(b" ", pos)
+        if sp < 0 or not data[pos:sp].isdigit() or sp == pos:
+            break  # incomplete/invalid length header -> keep as remainder
+        ln = int(data[pos:sp])
+        end = sp + 1 + ln
+        if end > n:
+            break  # frame not fully received yet
+        frames.append(data[sp + 1:end].decode("utf-8", errors="replace"))
+        pos = end
+    return frames, data[pos:]
+
+
+def split_lf_framed(data: bytes):
+    """LF framing (TCP_FRAMING_OCTET_STUFFING, the traditional mode):
+    newline-delimited; the trailing partial line is the remainder."""
+    parts = data.split(b"\n")
+    rem = parts.pop()
+    return [p.decode("utf-8", errors="replace") for p in parts], rem
+
+
+class TcpCapture:
+    """Bounded imtcp analog for a batch engine: ``.port`` is bound at
+    construction (so senders can connect), ``capture(max_conns)``
+    accepts sessions, frames each byte stream (keeping the
+    per-connection remainder exactly like the reference's per-session
+    input state, tcps_sess.c), and returns a Dataset of
+    (record, peer, session) when the peers close.  A daemon would loop
+    forever; a batch capture stops after ``max_conns`` sessions."""
+
+    def __init__(self, bind_host: str = "127.0.0.1", port: int = 0,
+                 framing: str = "octet-counted"):
+        import socket
+
+        self._srv = socket.socket()
+        self._srv.bind((bind_host, port))
+        self._srv.listen(16)
+        self.port = self._srv.getsockname()[1]
+        self._split = (split_octet_counted if framing == "octet-counted"
+                       else split_lf_framed)
+
+    def capture(self, max_conns: int):
+        import ray.data
+
+        rows = {"record": [], "peer": [], "session": []}
+        try:
+            for session in range(max_conns):
+                conn, peer = self._srv.accept()
+                buf = b""
+                while True:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    frames, buf = self._split(buf)
+                    for f in frames:
+                        rows["record"].append(f)
+                        rows["peer"].append(f"{peer[0]}:{peer[1]}")
+                        rows["session"].append(session)
+                conn.close()
+        finally:
+            self._srv.close()
+        return ray.data.from_pandas(pd.DataFrame(rows))

@@ -145,3 +145,96 @@ def distinct_rows(ds, cols: list[str], npart: int = 64,
 
     return (partials.map_batches(add_pk, batch_format="pandas")
             .groupby("__pk").map_groups(drop, batch_format="pandas"))
+
+
+# ---------------------------------------------------------------------
+# DDSketch-style quantile sketch — perctile_stats at unbounded scale
+
+class QuantileSketch:
+    """Log-binned quantile sketch with bounded RELATIVE error
+    (DDSketch scheme): bin(x) = ceil(log_gamma(x)), gamma =
+    (1+a)/(1-a) for accuracy ``a``; counts merge by addition, so
+    per-batch sketches reduce like HLL.  The scale path for
+    perctile_stats (runtime/perctile_stats.c) when a group's values no
+    longer fit one worker: the sketch is O(log(range)/a) bins no
+    matter how many observations.  Non-negative values (latencies,
+    sizes — the reference's percentile domains); zeros tracked
+    exactly."""
+
+    def __init__(self, rel_err: float = 0.01,
+                 bins: dict | None = None, zeros: int = 0):
+        self.rel_err = rel_err
+        self.gamma = (1 + rel_err) / (1 - rel_err)
+        self._lg = np.log(self.gamma)
+        self.bins: dict[int, int] = bins or {}
+        self.zeros = zeros
+
+    def add_array(self, vals) -> "QuantileSketch":
+        v = np.asarray(vals, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if (v < 0).any():
+            raise ValueError("QuantileSketch: negative values unsupported")
+        self.zeros += int((v == 0).sum())
+        pos = v[v > 0]
+        if len(pos):
+            idx = np.ceil(np.log(pos) / self._lg).astype(np.int64)
+            uniq, cnt = np.unique(idx, return_counts=True)
+            for i, c in zip(uniq, cnt):
+                self.bins[int(i)] = self.bins.get(int(i), 0) + int(c)
+        return self
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        assert abs(self.gamma - other.gamma) < 1e-12
+        out = dict(self.bins)
+        for i, c in other.bins.items():
+            out[i] = out.get(i, 0) + c
+        return QuantileSketch(self.rel_err, out, self.zeros + other.zeros)
+
+    @property
+    def count(self) -> int:
+        return self.zeros + sum(self.bins.values())
+
+    def quantile(self, q: float) -> float:
+        n = self.count
+        if n == 0:
+            return float("nan")
+        rank = q * (n - 1)
+        if rank < self.zeros:
+            return 0.0
+        seen = self.zeros
+        for i in sorted(self.bins):
+            seen += self.bins[i]
+            if seen > rank:
+                # bin midpoint: gamma^i * 2/(gamma+1) has rel err <= a
+                return float(self.gamma ** i * 2 / (self.gamma + 1))
+        i = max(self.bins)
+        return float(self.gamma ** i * 2 / (self.gamma + 1))
+
+
+def approx_percentiles(ds, key: str, value: str, percentiles,
+                       rel_err: float = 0.01) -> pd.DataFrame:
+    """Per-key approximate percentiles via mergeable sketches: one
+    sketch per (batch, key) crosses the wire (O(bins) each), merged on
+    the driver — no per-group value materialization anywhere."""
+    import json as _json
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"k": [], "sk": [], "z": []}
+        for k, g in df.groupby(key, dropna=False, observed=True):
+            s = QuantileSketch(rel_err).add_array(g[value].to_numpy())
+            rows["k"].append(k)
+            rows["sk"].append(_json.dumps(s.bins))
+            rows["z"].append(s.zeros)
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    out = {key: [], **{f"p{int(p * 100)}": [] for p in percentiles}}
+    for k, g in parts.groupby("k"):
+        acc = QuantileSketch(rel_err)
+        for sk, z in zip(g["sk"], g["z"]):
+            acc = acc.merge(QuantileSketch(
+                rel_err, {int(i): c for i, c in _json.loads(sk).items()}, z))
+        out[key].append(k)
+        for p in percentiles:
+            out[f"p{int(p * 100)}"].append(acc.quantile(p))
+    return pd.DataFrame(out)

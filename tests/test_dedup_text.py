@@ -249,3 +249,36 @@ def test_knn_ivf_recall(ray_session):
     full = sim.knn_ivf(ds2, "embedding", "vec_id", queries, qids, k=5,
                        n_centroids=16, n_probe=16)
     assert full.to_dict() == exact.to_dict()
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """DDSketch-style quantiles: relative error <= 2*rel_err vs exact
+    on skewed data; merge property; distributed path agrees."""
+    import ray.data
+
+    from rsyslog_ray.stages.sketch import QuantileSketch, approx_percentiles
+
+    rng = np.random.RandomState(5)
+    vals = np.exp(rng.normal(3, 1.5, 50000))   # lognormal, heavy tail
+    s = QuantileSketch(0.01).add_array(vals)
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(vals, q)
+        got = s.quantile(q)
+        assert abs(got - exact) / exact < 0.03, (q, got, exact)
+    # merge(A, B) == sketch(A + B)
+    a = QuantileSketch(0.01).add_array(vals[:20000])
+    b = QuantileSketch(0.01).add_array(vals[20000:])
+    m = a.merge(b)
+    assert m.count == len(vals)
+    assert m.quantile(0.9) == s.quantile(0.9)
+    # zeros tracked exactly
+    z = QuantileSketch(0.01).add_array(np.array([0.0] * 90 + [100.0] * 10))
+    assert z.quantile(0.5) == 0.0 and z.quantile(0.95) > 90
+    # distributed per-key path
+    df = pd.DataFrame({"k": np.repeat(["a", "b"], 25000), "v": vals})
+    ds = ray.data.from_pandas(df).repartition(8)
+    out = approx_percentiles(ds, "k", "v", [0.5, 0.99]).set_index("k")
+    for k in ("a", "b"):
+        sub = df[df["k"] == k]["v"]
+        assert abs(out.loc[k, "p50"] - np.quantile(sub, 0.5)) \
+            / np.quantile(sub, 0.5) < 0.03

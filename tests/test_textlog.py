@@ -42,3 +42,62 @@ def test_multiline_assembly(ray_session, tmp_path):
     b = out[out["path"].str.endswith("b.log")].sort_values("record_no")
     assert b["record"].iloc[0] == "leading junk without a date"
     assert b["n_lines"].tolist() == [1, 2]
+
+
+def test_octet_counted_framing_parser():
+    """RFC6587 parser: exact frames, partial-frame remainder, invalid
+    header stops cleanly (tcps_sess.c processDataRcvd semantics)."""
+    from rsyslog_ray.sources.textlog import (split_lf_framed,
+                                             split_octet_counted)
+
+    frames, rem = split_octet_counted(b"5 hello3 abc")
+    assert frames == ["hello", "abc"] and rem == b""
+    # partial trailing frame stays as remainder
+    frames, rem = split_octet_counted(b"5 hello10 incomp")
+    assert frames == ["hello"] and rem == b"10 incomp"
+    # partial length header
+    frames, rem = split_octet_counted(b"12")
+    assert frames == [] and rem == b"12"
+    # invalid header -> nothing consumed past the valid prefix
+    frames, rem = split_octet_counted(b"3 abcxyz junk")
+    assert frames == ["abc"] and rem == b"xyz junk"
+    # LF framing keeps the trailing partial
+    frames, rem = split_lf_framed(b"a\nb\npartial")
+    assert frames == ["a", "b"] and rem == b"partial"
+
+
+def test_tcp_capture_to_parse(ray_session):
+    """imtcp end-to-end: octet-framed syslog over a REAL socket ->
+    capture -> Dataset -> the RFC5424 rulebase chain."""
+    import socket
+    import threading
+
+    import pyarrow as pa
+
+    from rsyslog_ray.rulebase import SYSLOG_RULEBASE
+    from rsyslog_ray.sources.textlog import TcpCapture
+
+    cap = TcpCapture()
+
+    def send(n0, n):
+        c = socket.create_connection(("127.0.0.1", cap.port))
+        for i in range(n0, n0 + n):
+            msg = (f"<34>1 2026-03-01T10:00:{i % 60:02d}.000Z host{i} "
+                   f"app - ID{i} - value={i}").encode()
+            c.sendall(b"%d %s" % (len(msg), msg))
+        c.close()
+
+    t1 = threading.Thread(target=send, args=(0, 40))
+    t2 = threading.Thread(target=send, args=(100, 40))
+    t1.start(); t2.start()
+    ds = cap.capture(max_conns=2)
+    t1.join(); t2.join()
+    df = ds.to_pandas()
+    assert len(df) == 80 and df["session"].nunique() == 2
+    parsed = SYSLOG_RULEBASE.parse_table(
+        pa.array(df["record"].tolist(), pa.string()))
+    ok = parsed["parse_ok"].to_pandas()
+    assert ok.all()
+    hosts = parsed["hostname"].to_pandas()
+    assert set(hosts) == {f"host{i}" for i in
+                          list(range(40)) + list(range(100, 140))}
