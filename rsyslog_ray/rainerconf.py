@@ -184,6 +184,40 @@ class _P:
         return (op, prop, val)
 
 
+# classic syslog selector tables (RFC3164 §4.1.1; the reference's
+# decodeSyslogName tables in runtime/srutils.c syslog_*_names)
+FACILITIES = {"kern": 0, "user": 1, "mail": 2, "daemon": 3, "auth": 4,
+              "syslog": 5, "lpr": 6, "news": 7, "uucp": 8, "cron": 9,
+              "authpriv": 10, "ftp": 11, "local0": 16, "local1": 17,
+              "local2": 18, "local3": 19, "local4": 20, "local5": 21,
+              "local6": 22, "local7": 23}
+SEVERITIES = {"emerg": 0, "panic": 0, "alert": 1, "crit": 2, "err": 3,
+              "error": 3, "warning": 4, "warn": 4, "notice": 5,
+              "info": 6, "debug": 7}
+
+
+def _selector_pred(fac: str, sev: str):
+    """`fac.sev` selector semantics (runtime/ruleset.c:403 PRIFILT):
+    facility matches AND severity is at least as severe (numerically
+    <= the named level); '*' wildcards either side; sev 'none' means
+    exclude the facility entirely (compiles to a never-true severity
+    band here since it only makes sense combined in classic conf)."""
+    clauses = []
+    if fac != "*":
+        clauses.append(("==", "facility", FACILITIES[fac]))
+    if sev != "*":
+        if sev == "none":
+            clauses.append(("prifilt", "severity", -1, -1))
+        else:
+            clauses.append(("prifilt", "severity", 0, SEVERITIES[sev]))
+    if not clauses:
+        return ("true",)
+    pred = clauses[0]
+    for c in clauses[1:]:
+        pred = ("and", pred, c)
+    return pred
+
+
 _PROPFILT_OPS = {  # runtime/ruleset.c:424-500 FIOP_*
     "contains": "contains",
     "isequal": "==",
@@ -276,14 +310,33 @@ def parse_rainer(text: str) -> dict:
             cfg.setdefault("lookups", {})[prm["name"]] = \
                 {"file": prm["file"]}
         elif v == "template":
-            # template(name=".." type="string" string="...%prop%...") —
-            # compiled eagerly so syntax errors surface at config time
+            # template(name=".." type="string" string="...%prop%...") or
+            # template(name=".." type="list") { constant() property() }
+            # — compiled eagerly so syntax errors surface at config time
             p.next()
             prm = p.params()
-            from .template import parse_template
-            parse_template(prm.get("string", ""))
-            cfg.setdefault("templates", {})[prm["name"]] = \
-                prm.get("string", "")
+            if prm.get("type") == "list":
+                entries = []
+                p.expect("{")
+                while p.peek()[1] != "}":
+                    kind = p.next()[1]
+                    eprm = p.params()
+                    if kind == "constant":
+                        entries.append({"constant": eprm.get("value", "")})
+                    elif kind == "property":
+                        entries.append(eprm)
+                    else:
+                        raise SyntaxError(
+                            f"unexpected {kind!r} in list template")
+                p.expect("}")
+                from .template import Template
+                Template.from_list(entries)      # validate
+                cfg.setdefault("templates_list", {})[prm["name"]] = entries
+            else:
+                from .template import parse_template
+                parse_template(prm.get("string", ""))
+                cfg.setdefault("templates", {})[prm["name"]] = \
+                    prm.get("string", "")
         elif v == "parser":
             # parser(name=".." pattern=".." types="col:ty,..") or
             # parser(name=".." sample="%f:ty% ...") — liblognorm style
@@ -343,14 +396,26 @@ def parse_rainer(text: str) -> dict:
             val = p.next()[1]
             base = (_PROPFILT_OPS[op], prop, val)
             actions_block(("not", base) if neg else base)
-        elif v == "*":  # *.* catch-all selector
+        elif v == "*":  # *.sev selector (incl. the *.* catch-all)
             p.next()
+            sev = "*"
             if p.peek()[1] == ".":
                 p.next()
-            # consume the second '*' of *.*
-            if p.peek()[1] == "*":
+                sev = p.next()[1]
+            actions_block(_selector_pred("*", sev))
+        elif k == "word" and "." in v and \
+                v.split(".", 1)[0] in FACILITIES and \
+                v.split(".", 1)[1] in (set(SEVERITIES) | {"*", "none", ""}):
+            # classic `facility.severity action(...)` selector line
+            # ("mail.*" lexes as word "mail." + punct "*")
+            p.next()
+            fac, sev = v.split(".", 1)
+            if sev == "":
+                if p.peek()[1] != "*":
+                    raise SyntaxError(f"bad selector {v!r}")
                 p.next()
-            actions_block(("true",))
+                sev = "*"
+            actions_block(_selector_pred(fac, sev))
         elif v == "action":
             actions_block(("true",))
         elif v == ";":
@@ -363,12 +428,14 @@ def parse_rainer(text: str) -> dict:
     # resolve action template= references to declared templates — the
     # sink then writes template-rendered .log lines instead of parquet
     for sink, name in tpl_refs:
-        tpls = cfg.get("templates", {})
-        if name not in tpls:
+        if name in cfg.get("templates", {}):
+            spec = {"template": cfg["templates"][name]}
+        elif name in cfg.get("templates_list", {}):
+            spec = {"template_list": cfg["templates_list"][name]}
+        else:
             raise SyntaxError(f"action references undeclared template "
                               f"{name!r}")
-        cfg["output"].setdefault("formats", {})[sink] = \
-            {"template": tpls[name]}
+        cfg["output"].setdefault("formats", {})[sink] = spec
     return cfg
 
 

@@ -283,14 +283,21 @@ class FanoutWriter:
         raise last
 
     def _write_once(self, grp: pa.Table, d: str, stem: str, fmt) -> None:
-        if isinstance(fmt, dict) and "template" in fmt:
-            # omfile line output through the template engine
+        if isinstance(fmt, dict) and ("template" in fmt
+                                      or "template_list" in fmt):
+            # omfile line output through the template engine; list
+            # templates whose fields carry jsonf render n/v objects
             from .template import Template
-            tpl = self._tpls.get(fmt["template"])
+            key = json.dumps(fmt, sort_keys=True)
+            tpl = self._tpls.get(key)
             if tpl is None:
-                tpl = Template(fmt["template"])
-                self._tpls[fmt["template"]] = tpl
-            lines = tpl.render(grp.to_pandas())
+                tpl = (Template(fmt["template"]) if "template" in fmt
+                       else Template.from_list(fmt["template_list"]))
+                self._tpls[key] = tpl
+            jsonf = any("jsonf" in e.opts for e in tpl.entries
+                        if e.const is None)
+            lines = (tpl.render_jsonf(grp.to_pandas()) if jsonf
+                     else tpl.render(grp.to_pandas()))
             tmp = os.path.join(d, stem + ".log.inprogress")
             with open(tmp, "w") as fh:
                 fh.write("\n".join(lines.astype(str).tolist()))

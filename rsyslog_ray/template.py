@@ -55,13 +55,17 @@ _NOMATCH = {"DFLT": "dflt", "BLANK": "blank", "FIELD": "field",
 
 class TplEntry:
     def __init__(self, const=None, prop=None, frm=None, to=None,
-                 opts=(), regex=None):
+                 opts=(), regex=None, outname=None, datatype="string",
+                 on_empty="keep"):
         self.const = const
         self.prop = prop
         self.frm = frm
         self.to = to
         self.opts = tuple(opts)
         self.regex = regex  # (type, match#, submatch#, nomatch, pattern)
+        self.outname = outname or prop      # jsonf field name override
+        self.datatype = datatype            # string|number|bool|auto
+        self.on_empty = on_empty            # keep|skip|null
 
 
 def parse_template(text: str) -> list[TplEntry]:
@@ -189,19 +193,71 @@ class Template:
 
     def render_jsonf(self, df: pd.DataFrame) -> pd.Series:
         """Name/value JSON object per row from the field entries
-        (constants are skipped, as tplToJSON does)."""
-        parts = []
+        (constants are skipped, as tplToJSON does).  Honors the
+        list-template per-field options (template.h:170-183):
+        ``datatype`` string/number/bool/auto and ``onEmpty``
+        keep/skip/null."""
+        body = None
         for e in self.entries:
             if e.const is not None or e.prop is None:
                 continue
-            vals = _apply_entry(e, df)
-            frag = ('"' + e.prop + '":"'
-                    + json_string_escape(vals.astype("string").fillna(""))
-                    + '"')
-            parts.append(frag)
-        if not parts:
+            vals = _apply_entry(e, df).astype("string").fillna("")
+            name = '"' + str(e.outname) + '":'
+            if e.datatype == "number":
+                rendered = vals.where(vals != "", "0")
+            elif e.datatype == "bool":
+                truthy = vals.str.lower().isin(["1", "true", "on", "yes"])
+                rendered = pd.Series(np.where(truthy, "true", "false"),
+                                     index=df.index)
+            elif e.datatype == "auto":
+                numeric = vals.str.fullmatch(r"-?\d+(\.\d+)?").fillna(False)
+                quoted = '"' + json_string_escape(vals) + '"'
+                rendered = vals.where(numeric, quoted)
+            else:
+                rendered = '"' + json_string_escape(vals) + '"'
+            frag = name + rendered.astype("string")
+            empty = vals == ""
+            if e.on_empty == "null":
+                frag = frag.mask(empty, name + "null")
+            elif e.on_empty == "skip":
+                frag = frag.mask(empty, "")
+            if body is None:
+                body = frag
+            else:
+                sep = pd.Series(np.where((body != "") & (frag != ""),
+                                         ",", ""), index=df.index)
+                body = body + sep + frag
+        if body is None:
             return pd.Series("{}", index=df.index, dtype=object)
-        body = parts[0]
-        for p in parts[1:]:
-            body = body + "," + p
         return ("{" + body + "}").astype(object)
+
+    @classmethod
+    def from_list(cls, entries_spec: list[dict], name: str = "t"):
+        """List-type template (template(type="list") { constant()
+        property() ... }): each spec is {"constant": v} or {"name": ..,
+        "outname", "format", "datatype", "onEmpty", "dateFormat",
+        "caseConversion", "position.from", "position.to"}."""
+        t = cls.__new__(cls)
+        t.name = name
+        t.entries = []
+        for s in entries_spec:
+            if "constant" in s:
+                t.entries.append(TplEntry(const=s["constant"]))
+                continue
+            opts = []
+            if s.get("dateFormat"):
+                opts.append("date-" + s["dateFormat"])
+            if s.get("caseConversion") == "upper":
+                opts.append("uppercase")
+            elif s.get("caseConversion") == "lower":
+                opts.append("lowercase")
+            if s.get("format") in ("jsonf", "json", "csv"):
+                opts.append(s["format"])
+            frm = s.get("position.from", "")
+            to = s.get("position.to", "")
+            t.entries.append(TplEntry(
+                prop=s["name"], frm=str(frm), to=str(to), opts=opts,
+                outname=s.get("outname"),
+                datatype=s.get("datatype", "string"),
+                on_empty=s.get("onEmpty", "keep")))
+        return t

@@ -158,3 +158,71 @@ def test_set_statements(ray_session, pages_small, tmp_path):
     assert (t["app_up"] == "NGINX").all()
     assert (t["tag"] == t["p_host"] + "/" + t["app_up"]).all()
     assert (t["f2"] == t["p_msg"].str.split(" ").str[1].fillna("")).all()
+
+
+def test_classic_selectors():
+    """Classic syslog.conf selector lines: facility.severity with
+    at-least-as-severe semantics and wildcards."""
+    cfg = parse_rainer('''
+    mail.err action(type="omfile" file="mailerr")
+    mail.* action(type="omfile" file="allmail")
+    *.crit action(type="omfile" file="crit")
+    local0.warning action(type="omfile" file="l0")
+    ''')
+    r = cfg["routes"]
+    assert r[0]["pred"] == ["and", ["==", "facility", 2],
+                            ["prifilt", "severity", 0, 3]]
+    assert r[1]["pred"] == ["==", "facility", 2]
+    assert r[2]["pred"] == ["prifilt", "severity", 0, 2]
+    assert r[3]["pred"] == ["and", ["==", "facility", 16],
+                            ["prifilt", "severity", 0, 4]]
+
+    # semantics through the Router on a parsed frame
+    import pandas as pd
+
+    from rsyslog_ray.config import _to_pred
+    from rsyslog_ray.router import Route, Router
+
+    df = pd.DataFrame({"facility": [2, 2, 4, 2], "severity": [3, 6, 1, 0]})
+    router = Router([Route(x["sink"], _to_pred(x["pred"])) for x in r])
+    masks = router.masks(df)
+    assert masks["mailerr"].tolist() == [True, False, False, True]
+    assert masks["allmail"].tolist() == [True, True, False, True]
+    assert masks["crit"].tolist() == [False, False, True, True]
+
+
+def test_list_template_jsonf_sink(ray_session, pages_small, tmp_path):
+    """template(type="list") with jsonf fields renders n/v JSON lines
+    through the sink (tplToJSON end-to-end)."""
+    import glob
+    import json as _json
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rulebase import PAGES_RULEBASE
+
+    conf = '''
+    global(workDirectory="OUT")
+    input(type="imfile" file="PAGES/pages-*.parquet")
+    template(name="j" type="list") {
+        property(name="p_host" outname="host" format="jsonf")
+        property(name="p_sev" outname="severity" format="jsonf"
+                 datatype="number")
+        property(name="p_msg" outname="msg" format="jsonf"
+                 onEmpty="null")
+    }
+    if $p_sev <= 3 then action(type="omfile" file="errors" template="j")
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("PAGES", pages_small)
+    cfg = parse_rainer(conf)
+    cfg["rules"] = [{"name": r.name, "pattern": r.pattern, "types": r.types}
+                    for r in PAGES_RULEBASE.rules]
+    cfg["source_column"] = "text"
+    cfg["extract_column"] = "html"
+    cfg["output"]["full_sinks"] = ["errors", "archive"]
+    run_config(cfg, resume=False, lineage=False)
+    logs = glob.glob(str(tmp_path / "o" / "errors" / "**" / "*.log"),
+                     recursive=True)
+    assert logs
+    rec = _json.loads(open(logs[0]).readline())
+    assert set(rec) == {"host", "severity", "msg"}
+    assert isinstance(rec["severity"], int) and rec["severity"] <= 3

@@ -84,3 +84,32 @@ def test_parse_roundtrip_entry_count():
     es = parse_template("a%b%c%d:1:2%e")
     kinds = [(e.const is not None) for e in es]
     assert kinds == [True, False, True, False, True]
+
+
+def test_list_template_datatype_onempty():
+    """List-type templates: outname, datatype number/bool/auto,
+    onEmpty keep/skip/null (template.h:170-183)."""
+    import json
+
+    from rsyslog_ray.template import Template
+
+    df = pd.DataFrame({
+        "host": ["web01", "", "db"],
+        "sev": ["3", "7", ""],
+        "flag": ["on", "0", "true"],
+        "mixed": ["42", "abc", ""],
+    })
+    t = Template.from_list([
+        {"name": "host", "outname": "hostname", "format": "jsonf"},
+        {"name": "sev", "datatype": "number", "onEmpty": "skip"},
+        {"name": "flag", "datatype": "bool"},
+        {"name": "mixed", "datatype": "auto", "onEmpty": "null"},
+    ])
+    out = t.render_jsonf(df)
+    r0 = json.loads(out.iloc[0])
+    assert r0 == {"hostname": "web01", "sev": 3, "flag": True, "mixed": 42}
+    r1 = json.loads(out.iloc[1])
+    assert r1 == {"hostname": "", "sev": 7, "flag": False, "mixed": "abc"}
+    r2 = json.loads(out.iloc[2])
+    assert r2 == {"hostname": "db", "flag": True, "mixed": None}
+    assert "sev" not in r2                       # onEmpty=skip
