@@ -1501,7 +1501,7 @@ SQL: dict[str, str] = {
                CAST(v AS BIGINT) AS ip_num,
                CAST(CASE WHEN v // 16777216 = 10 THEN 1 ELSE 0 END AS BIGINT)
                  AS in_net10,
-               CAST(CASE WHEN v >= 2886729728 AND v <= 2886860799
+               CAST(CASE WHEN v >= 2886729728 AND v <= 2887778303
                     THEN 1 ELSE 0 END AS BIGINT) AS in_net172,
                'https' AS u_scheme,
                'u' || CAST(user_id AS VARCHAR) AS u_sub,
