@@ -422,10 +422,15 @@ def sql_escape(s: pd.Series, mode: str = "std") -> pd.Series:
 
 
 def json_string_escape(s: pd.Series) -> pd.Series:
-    return (s.str.replace("\\", "\\\\", regex=False)
-             .str.replace('"', '\\"', regex=False)
-             .str.replace("\n", "\\n", regex=False)
-             .str.replace("\t", "\\t", regex=False))
+    s = (s.str.replace("\\", "\\\\", regex=False)
+          .str.replace('"', '\\"', regex=False)
+          .str.replace("\n", "\\n", regex=False)
+          .str.replace("\t", "\\t", regex=False)
+          .str.replace("\r", "\\r", regex=False))
+    # remaining control chars must be \u-escaped or the JSON is invalid
+    # (found by the template fuzz test)
+    return s.str.replace(r"[\x00-\x1f]",
+                         lambda m: "\\u%04x" % ord(m.group(0)), regex=True)
 
 
 # ---- structured-data parse (mmpstrucdata analog,

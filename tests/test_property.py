@@ -113,3 +113,53 @@ def test_catalog_ordering_contract():
         [n for n in head if n not in SQL]
     assert set(SQL) <= set(head)          # no oracle-backed entry past 50
     assert set(SQL) == set(head)          # exactly the checked window
+
+
+@given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
+                                               max_codepoint=0x2ff),
+                        max_size=80), min_size=0, max_size=30),
+       st.integers(min_value=1, max_value=64))
+@SET
+def test_octet_framing_roundtrip_arbitrary_chunking(msgs, chunk):
+    """RFC6587 parser: any frame stream cut at ANY byte boundaries
+    reassembles to exactly the original messages (the per-session
+    remainder invariant)."""
+    from rsyslog_ray.sources.textlog import split_octet_counted
+
+    stream = b"".join(b"%d %s" % (len(m.encode()), m.encode())
+                      for m in msgs)
+    out, buf = [], b""
+    for i in range(0, len(stream), chunk):
+        buf += stream[i:i + chunk]
+        frames, buf = split_octet_counted(buf)
+        out.extend(frames)
+    assert out == msgs
+    assert buf == b""
+
+
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=20),
+       st.lists(st.integers(min_value=-5, max_value=10**6),
+                min_size=1, max_size=20))
+@SET
+def test_template_render_never_crashes(texts, nums):
+    """Template rendering over arbitrary frames: stable row count, no
+    exceptions, constants always present."""
+    import pandas as pd
+
+    from rsyslog_ray.template import Template
+
+    n = min(len(texts), len(nums))
+    df = pd.DataFrame({"msg": texts[:n], "val": nums[:n]})
+    for ttext in ("pre %msg% mid %val% post",
+                  "%msg:1:5% | %msg:::uppercase,drop-cc,compressspace%",
+                  "%msg:F,44:2% %val:::csv%",
+                  r"%msg:R,ere,0,0,BLANK:(\w+)--end%",
+                  "%msg:::secpath-replace% 100%%"):
+        out = Template(ttext).render(df)
+        assert len(out) == n
+        assert out.notna().all()
+    jf = Template("%msg:::jsonf%%val:::jsonf%").render_jsonf(df)
+    import json as _json
+    for v in jf:
+        rec = _json.loads(v)          # always valid JSON
+        assert set(rec) == {"msg", "val"}
