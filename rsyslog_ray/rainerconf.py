@@ -246,6 +246,19 @@ def parse_rainer(text: str) -> dict:
                  "output": {"dir": "/tmp/raylog-out"}}
     modules: list[str] = []
     tpl_refs: list[tuple[str, str]] = []  # (sink, template name)
+    rulesets: dict[str, list] = {}        # name -> compiled routes
+    target = [cfg["routes"]]              # route emission target stack
+
+    def _splice_call(name, pred):
+        """Inline a named ruleset's routes, ANDing the guarding
+        condition onto each (call-under-if only fires when true)."""
+        if name not in rulesets:
+            raise SyntaxError(f"call of undeclared ruleset {name!r}")
+        for r in rulesets[name]:
+            combined = (r["pred"] if pred == ("true",)
+                        else ["and", _pred_json(pred), r["pred"]])
+            target[-1].append({"sink": r["sink"], "pred": combined,
+                               "stop": r["stop"]})
 
     def actions_block(pred):
         """{ action(...) [stop] ... } or a single action(...)"""
@@ -267,9 +280,17 @@ def parse_rainer(text: str) -> dict:
                         stops_pending[-1][2] = True
                     else:  # bare stop: consume matching rows, no sink
                         stops_pending.append(["discard", pred, True])
+                elif stmt == "call":
+                    p.next()
+                    _splice_call(p.next()[1], pred)
                 else:
                     raise SyntaxError(f"unexpected {stmt!r} in action block")
             p.expect("}")
+        elif p.peek()[1] == "call":
+            p.next()
+            _splice_call(p.next()[1], pred)
+            if p.peek()[1] == ";":
+                p.next()
         else:
             p.expect("action")
             prm = p.params()
@@ -281,15 +302,15 @@ def parse_rainer(text: str) -> dict:
                 p.next()
                 stops_pending[-1][2] = True
         for sink, pr, st in stops_pending:
-            cfg["routes"].append({"sink": sink, "pred": _pred_json(pr),
-                                  "stop": bool(st)})
+            target[-1].append({"sink": sink, "pred": _pred_json(pr),
+                               "stop": bool(st)})
 
     def _pred_json(t):
         if isinstance(t, (tuple, list)):
             return [_pred_json(x) for x in t]
         return t
 
-    while p.peek()[0] != "eof":
+    def statement():
         k, v = p.peek()
         if v == "module":
             p.next()
@@ -371,18 +392,44 @@ def parse_rainer(text: str) -> dict:
             # set $x = EXPR;  (S_SET, grammar.y:set_stmt — computed
             # column; RainerScript & concat and scalar function calls)
             p.next()
-            target = p.next()[1].lstrip("$")
+            set_col = p.next()[1].lstrip("$")
             p.expect("=")
             expr = p.value_expr()
             if p.peek()[1] == ";":
                 p.next()
             cfg.setdefault("computed", []).append(
-                {"column": target, "expr": _pred_json(expr)})
+                {"column": set_col, "expr": _pred_json(expr)})
         elif v == "if":
+            # if COND then BLOCK [else BLOCK] (grammar.y if_stmt):
+            # else-routes carry the negated condition
             p.next()
             pred = p.cond()
             p.expect("then")
             actions_block(pred)
+            if p.peek()[1] == "else":
+                p.next()
+                actions_block(("not", pred))
+        elif v == "ruleset":
+            # ruleset(name="x") { statements } — routes collected under
+            # the name; `call x` splices them (S_CALL/omruleset analog:
+            # inlining preserves order + stop semantics)
+            p.next()
+            prm = p.params()
+            rs: list = []
+            target.append(rs)
+            p.expect("{")
+            try:
+                while p.peek()[1] != "}":
+                    statement()
+            finally:
+                target.pop()
+            p.expect("}")
+            rulesets[prm["name"]] = rs
+        elif v == "call":
+            p.next()
+            _splice_call(p.next()[1], ("true",))
+            if p.peek()[1] == ";":
+                p.next()
         elif v == ":":  # :prop, [!]op, "value"  action(...)
             p.next()
             prop = p.next()[1]
@@ -422,6 +469,9 @@ def parse_rainer(text: str) -> dict:
             p.next()
         else:
             raise SyntaxError(f"unexpected top-level token {v!r}")
+
+    while p.peek()[0] != "eof":
+        statement()
 
     if modules:
         cfg["modules"] = modules

@@ -226,3 +226,37 @@ def test_list_template_jsonf_sink(ray_session, pages_small, tmp_path):
     rec = _json.loads(open(logs[0]).readline())
     assert set(rec) == {"host", "severity", "msg"}
     assert isinstance(rec["severity"], int) and rec["severity"] <= 3
+
+
+def test_ruleset_call_and_else():
+    """ruleset()/call (S_CALL, spliced with the guarding condition
+    ANDed on) and if/then/else (else carries the negated condition)."""
+    cfg = parse_rainer('''
+    ruleset(name="sec") {
+        mail.err action(type="omfile" file="mailerr")
+        if $sev <= 1 then { action(type="omfile" file="page") stop }
+    }
+    if $app == "sshd" then call sec;
+    if $sev <= 3 then action(type="omfile" file="err")
+    else action(type="omfile" file="rest")
+    *.* action(type="omfile" file="archive")
+    ''')
+    r = cfg["routes"]
+    assert r[0]["sink"] == "mailerr"
+    assert r[0]["pred"][0] == "and" and r[0]["pred"][1] == \
+        ["==", "app", "sshd"]
+    assert r[1] == {"sink": "page",
+                    "pred": ["and", ["==", "app", "sshd"],
+                             ["<=", "sev", 1]], "stop": True}
+    assert r[2]["pred"] == ["<=", "sev", 3]
+    assert r[3] == {"sink": "rest", "pred": ["not", ["<=", "sev", 3]],
+                    "stop": False}
+    assert r[4]["pred"] == ["true"]
+    # unconditional call splices verbatim
+    cfg2 = parse_rainer('''
+    ruleset(name="x") { *.crit action(type="omfile" file="c") }
+    call x;
+    ''')
+    assert cfg2["routes"] == [{"sink": "c",
+                               "pred": ["prifilt", "severity", 0, 2],
+                               "stop": False}]
