@@ -6,7 +6,11 @@ Prints ONE JSON line:
 
 Headline = flagship parse→enrich→route→deliver→aggregate over the
 synthesized pages table at the scale matching $GRAFT_SF_DIR's sf
-(default /root/testdata/sf0.1 → pages sf0.1 = 1M docs).
+(default /root/testdata/sf0.1 → pages sf0.1 = 1M docs).  Best-of-2
+within one Ray session: the first run pays one-time Python-worker
+import (~2 s across 32 workers), the min measures the warm engine —
+the steady-state throughput a long-lived daemon (like the reference)
+actually runs at.
 
 --scaling: runs the headline in TWO fresh processes (num_cpus=8 and
 32) on the same input and reports throughput at both + scaling
@@ -60,11 +64,12 @@ def run_bench() -> None:
             while fh.read(1 << 24):
                 pass
 
-    # best-of-2: single draws swing ±20% with disk writeback phase
-    # (BASELINE.md "calibration"); the min is the least-contaminated
-    # measure of the pipeline itself
+    # best-of-N (default 2): single draws swing ±20% with disk
+    # writeback phase (BASELINE.md "calibration"); the min is the
+    # least-contaminated measure of the pipeline itself.  The scaling
+    # harness sets GRAFT_HEADLINE_TRIALS=1 — it does its own best-of-N.
     headline = None
-    for trial in range(2):
+    for trial in range(int(os.environ.get("GRAFT_HEADLINE_TRIALS", "2"))):
         shutil.rmtree(out, ignore_errors=True)
         os.sync()
         t0 = time.perf_counter()
@@ -113,7 +118,9 @@ def run_scaling() -> None:
         os.sync()
         time.sleep(10)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_QUERIES="0", GRAFT_PAGES_SF=pages_sf)
+                   GRAFT_BENCH_QUERIES="0", GRAFT_PAGES_SF=pages_sf,
+                   GRAFT_HEADLINE_TRIALS=os.environ.get(
+                       "GRAFT_HEADLINE_TRIALS", "1"))
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout
