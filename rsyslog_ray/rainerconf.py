@@ -9,23 +9,37 @@ the most-used subset: a .conf text compiles to the same dict
 Supported statements (reference grammar sites cited):
 
 - ``# comments``
-- ``module(load="...")`` — recorded, not acted on (module binding is
-  implicit here)
+- ``module(load="...")`` — recorded; ``pmpages`` binds the built-in
+  pages rulebase like a pm* parser module would
 - ``global(workDirectory="/out")`` — output directory
 - ``input(type="imfile" file="/glob" format="parquet|textlog"
   startmsg.regex="^...")`` — input block (grammar.y input object)
-- ``if COND then { action(...) [stop] ... }`` — expression filter
+- ``parser(name=".." pattern=".." types="col:ty,..")`` or
+  ``parser(name=".." sample="%f:ty% ...")`` — parse-rule declaration
+- ``template(name=".." type="string" string="...%prop%...")`` and
+  block-form ``template(name=".." type="list") { constant()
+  property(...) }`` — compiled by template.py; bound to sinks via
+  ``action(... template="name")`` (rendered .log line output, jsonf
+  templates render n/v JSON)
+- ``lookup_table(name=".." file="x.lkp_tbl")`` — the reference's JSON
+  table file format (runtime/lookup.c lookupReadFile)
+- ``set $x = expr;`` — computed column (S_SET): $props, literals,
+  ``&`` concat and scalar function calls, evaluated vectorized
+- ``if COND then BLOCK [else BLOCK]`` — expression filter
   (grammar.y:if_stmt, cnfexprEval rainerscript.c:3878-4110) with
   ``==  !=  <=  >=  <  >  contains  startswith  endswith``,
-  ``re_match($prop, "ere")``, and/or/not, parentheses
+  ``re_match($prop, "ere")``, and/or/not, parentheses; else carries
+  the negated condition
 - ``:prop, [!]op, "value" action(...)`` — classic property filter
-  (PROPFILT, runtime/ruleset.c:424-500; ops contains/isequal/
-  startswith/regex)
-- ``action(type="omfile" file="sinkname" [stop])`` — file sink; the
-  sink name is the file param's last path component
-- ``action(type="omdiscard")`` — compiles to a stop route on the
-  virtual ``discard`` sink (counts only)
-- bare ``action(...)`` — unconditional route (the ``*.*`` catch-all)
+  (PROPFILT, runtime/ruleset.c:424-500)
+- ``facility.severity action(...)`` — classic syslog.conf selectors
+  (at-least-as-severe semantics, ``*`` wildcards, ``none``)
+- ``ruleset(name="x") { ... }`` + ``call x;`` — named route groups
+  spliced at the call site; a call under ``if`` ANDs the guard onto
+  every spliced route (S_CALL/omruleset)
+- ``action(type="omfile" file="sinkname" [template="t"] [stop])``,
+  ``action(type="omdiscard")``, bare ``action(...)`` and ``*.*``
+  catch-alls
 """
 
 from __future__ import annotations
