@@ -1100,6 +1100,18 @@ def q_knn_lsh(sf_dir):
     return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5, n_probes=4)
 
 
+def q_window_hopping(sf_dir):
+    """Event-time hopping windows (2h window, 1h hop) over events —
+    the overlapping-window generalization of dynstats_bucket.
+    Rows-only driver check; a pandas oracle pins the semantics in
+    pytest (test_distributed_finals)."""
+    from ..stages.aggregate import hopping_window_count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    out = hopping_window_count(ds, "ts", 7200, 3600, keys=["event_type"])
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
+
+
 def q_approx_percentiles(sf_dir):
     """perctile_stats at unbounded scale: DDSketch-style mergeable
     quantile sketches per (batch, key) — O(bins) over the wire
@@ -1735,4 +1747,5 @@ QUERIES = {
     "media_features": q_media_features,
     "dedup_embed": q_dedup_embed,
     "approx_percentiles": q_approx_percentiles,
+    "window_hopping": q_window_hopping,
 }

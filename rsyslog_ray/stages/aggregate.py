@@ -171,3 +171,42 @@ def salted_count(ds, key: str, salt_buckets: int = 16, cnt: str = "cnt",
     from ray.data.aggregate import Sum
 
     return (partials.groupby(key).aggregate(Sum(cnt, alias_name=cnt)))
+
+
+def hopping_window_count(ds, ts_col: str, window_s: float, hop_s: float,
+                         keys: list[str] | None = None, cnt: str = "cnt",
+                         driver_reduce: bool = True):
+    """Event-time hopping-window counts (tumbling when hop == window):
+    each event lands in window_s/hop_s overlapping windows; the explode
+    is a numpy repeat inside the combiner, so the shuffle moves only
+    (window_start, keys) partial counts — dynstats_bucket generalized
+    to overlapping windows (the streaming-aggregate shape the reference
+    approximates with interval flushes, statsobj timer flush)."""
+    assert window_s % hop_s == 0, "window must be a multiple of hop"
+    k = int(window_s // hop_s)
+    keys = keys or []
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # unit-robust epoch seconds (parquet gives us-resolution frames,
+        # from_pandas gives ns — int64 division would differ 1000x)
+        t = (df[ts_col] - pd.Timestamp(0)) // pd.Timedelta(seconds=1)
+        last = (t // int(hop_s)) * int(hop_s)        # latest window start
+        starts = (np.repeat(last.to_numpy(), k)
+                  - np.tile(np.arange(k, dtype=np.int64) * int(hop_s),
+                            len(df)))
+        cols = {"window_start": pd.to_datetime(starts, unit="s")}
+        for key in keys:
+            cols[key] = np.repeat(df[key].to_numpy(), k)
+        e = pd.DataFrame(cols)
+        g = e.groupby(["window_start"] + keys, dropna=False, observed=True)
+        return g.size().rename(cnt).reset_index()
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+    if driver_reduce:
+        df = partials.to_pandas()
+        return (df.groupby(["window_start"] + keys, as_index=False)[cnt]
+                .sum().astype({cnt: "int64"}))
+    from ray.data.aggregate import Sum
+
+    return (partials.groupby(["window_start"] + keys)
+            .aggregate(Sum(cnt, alias_name=cnt)))

@@ -56,3 +56,39 @@ def test_distributed_finals_match_driver_path(ray_session):
             got, top[["k", "v", "n", "rank"]].astype({"n": "int64",
                                                       "rank": "int64"}),
             check_dtype=False)
+
+
+def test_hopping_window_count(ray_session):
+    """Hopping windows: each event counted in window/hop overlapping
+    windows; tumbling (hop == window) equals a plain time bucket."""
+    import ray.data
+
+    from rsyslog_ray.stages.aggregate import hopping_window_count
+
+    ts = pd.to_datetime(["2026-01-01 00:00:05", "2026-01-01 00:00:35",
+                         "2026-01-01 00:01:05", "2026-01-01 00:01:50"])
+    df = pd.DataFrame({"ts": ts, "k": ["a", "a", "b", "a"]})
+    ds = ray.data.from_pandas(df)
+    # window 60s, hop 30s -> each event in 2 windows
+    out = hopping_window_count(ds, "ts", 60, 30, keys=["k"])
+    out["window_start"] = out["window_start"].astype(str)
+    got = {(r.window_start, r.k): r.cnt for r in out.itertuples()}
+    # pandas oracle
+    want: dict = {}
+    for t, key in zip(ts, df["k"]):
+        sec = int(t.timestamp())
+        last = sec // 30 * 30
+        for w in (last, last - 30):
+            ws = str(pd.Timestamp(w, unit="s"))
+            want[(ws, key)] = want.get((ws, key), 0) + 1
+    assert got == want
+    # tumbling == floor-bucket counts
+    ds2 = ray.data.from_pandas(df)
+    tumb = hopping_window_count(ds2, "ts", 60, 60)
+    bucket = df.groupby(df["ts"].dt.floor("60s")).size()
+    assert sorted(tumb["cnt"]) == sorted(bucket.values)
+    # distributed final agrees
+    ds3 = ray.data.from_pandas(df).repartition(2)
+    dist = hopping_window_count(ds3, "ts", 60, 30, keys=["k"],
+                                driver_reduce=False).to_pandas()
+    assert dist["cnt"].sum() == out["cnt"].sum()
