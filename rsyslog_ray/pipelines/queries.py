@@ -1100,6 +1100,22 @@ def q_knn_lsh(sf_dir):
     return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5, n_probes=4)
 
 
+def q_curation(sf_dir):
+    """Composed LLM-corpus curation pipeline (pipelines/curation.py:
+    quality gate -> exact dedup -> MinHash near-dup removal -> curated
+    parquet) over documents; returns the per-stage funnel counts.
+    Rows-only driver check; planted-duplicate semantics pinned in
+    tests/test_curation.py."""
+    import tempfile
+
+    from .curation import run_curation
+
+    out = tempfile.mkdtemp(prefix="raylog_curation_")
+    stats = run_curation(f"{sf_dir}/documents.parquet", out)
+    return pd.DataFrame({"stage": list(stats),
+                         "value": [int(v) for v in stats.values()]})
+
+
 def q_window_hopping(sf_dir):
     """Event-time hopping windows (2h window, 1h hop) over events —
     the overlapping-window generalization of dynstats_bucket.
@@ -1748,4 +1764,5 @@ QUERIES = {
     "dedup_embed": q_dedup_embed,
     "approx_percentiles": q_approx_percentiles,
     "window_hopping": q_window_hopping,
+    "curation": q_curation,
 }
