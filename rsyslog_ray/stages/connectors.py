@@ -107,6 +107,69 @@ class TcpSyslogTransport:
             self._sock = None
 
 
+class EsBulkTransport:
+    """omelasticsearch bulk transport — the REAL wire protocol over
+    HTTP (plugins/omelasticsearch/omelasticsearch.c bulkmode:227-253):
+    POST /_bulk with ndjson action+source pairs, parse the per-item
+    statuses from the response and return rejects (status >= 300) for
+    errorfile quarantine — the retryfailures/errorfile semantics on the
+    actual payload format.  Uses stdlib http.client; the connection is
+    opened lazily once per actor and re-opened on error (suspend/
+    resume through ConnectorSink's bounded retry)."""
+
+    def __init__(self, host: str, port: int, index: str = "raylog",
+                 id_field: str | None = None):
+        self.host = host
+        self.port = port
+        self.index = index
+        self.id_field = id_field
+        self._conn = None
+
+    def _connected(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(self.host, self.port,
+                                                    timeout=10)
+        return self._conn
+
+    def payload_lines(self, payloads: list[dict]) -> bytes:
+        lines = []
+        for rec in payloads:
+            action: dict = {"index": {"_index": self.index}}
+            if self.id_field is not None and self.id_field in rec:
+                action["index"]["_id"] = str(rec[self.id_field])
+            lines.append(json.dumps(action))
+            lines.append(json.dumps(rec, default=str))
+        return ("\n".join(lines) + "\n").encode()
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        body = self.payload_lines(payloads)
+        try:
+            c = self._connected()
+            c.request("POST", "/_bulk", body=body,
+                      headers={"Content-Type": "application/x-ndjson"})
+            resp = c.getresponse()
+            data = resp.read()
+            if resp.status >= 300:
+                raise ConnectionError(f"bulk HTTP {resp.status}")
+        except OSError:
+            try:
+                if self._conn is not None:
+                    self._conn.close()
+            finally:
+                self._conn = None
+            raise
+        doc = json.loads(data)
+        rejects = []
+        if doc.get("errors"):
+            for i, item in enumerate(doc.get("items", [])):
+                st = item.get("index", {})
+                if int(st.get("status", 200)) >= 300:
+                    rejects.append((i, json.dumps(st.get("error", {}))))
+        return rejects
+
+
 class TransportSuspended(RuntimeError):
     """Raised when delivery keeps failing past the retry budget — the
     action-DISABLED state (runtime/action.c:663-741)."""

@@ -210,3 +210,118 @@ def test_tcp_transport_reconnects_after_reset():
         assert srv.messages() == ["a", "b", "c"]
     finally:
         srv.stop()
+
+
+class _EsServer:
+    """Minimal localhost _bulk endpoint: parses ndjson pairs, indexes
+    docs, rejects any doc whose msg contains 'reject' with status 400
+    (the per-item failure path), and can fail the first request with
+    HTTP 503 (the transient transport path)."""
+
+    def __init__(self, fail_first=False):
+        import http.server
+        import json as _json
+        import threading
+
+        srv_self = self
+        self.docs = []
+        self.fail_first = fail_first
+        self._nreq = 0
+
+        class H(http.server.BaseHTTPRequestHandler):
+            def do_POST(h):
+                srv_self._nreq += 1
+                n = int(h.headers["Content-Length"])
+                body = h.rfile.read(n).decode()
+                if srv_self.fail_first and srv_self._nreq == 1:
+                    h.send_response(503)
+                    h.end_headers()
+                    return
+                lines = [l for l in body.split("\n") if l]
+                items, errors = [], False
+                for a, d in zip(lines[::2], lines[1::2]):
+                    doc = _json.loads(d)
+                    if "reject" in str(doc.get("msg", "")):
+                        errors = True
+                        items.append({"index": {"status": 400,
+                                                "error": {"type": "bad"}}})
+                    else:
+                        srv_self.docs.append(doc)
+                        items.append({"index": {"status": 201}})
+                out = _json.dumps({"errors": errors,
+                                   "items": items}).encode()
+                h.send_response(200)
+                h.send_header("Content-Length", str(len(out)))
+                h.end_headers()
+                h.wfile.write(out)
+
+            def log_message(h, *a):
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+        self.port = self.httpd.server_address[1]
+        self.t = threading.Thread(target=self.httpd.serve_forever,
+                                  daemon=True)
+        self.t.start()
+
+    def stop(self):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+def test_es_bulk_transport_real_http(ray_session, tmp_path):
+    """omelasticsearch bulk over real HTTP: ndjson wire format,
+    per-item rejects quarantined to the errorfile, delivery counts."""
+    import json as _json
+
+    import ray.data
+
+    from rsyslog_ray.stages.connectors import ConnectorSink, EsBulkTransport
+
+    srv = _EsServer()
+    err = str(tmp_path / "errors.jsonl")
+    try:
+        df = pd.DataFrame({
+            "id": range(200),
+            "msg": [("reject me" if i % 50 == 0 else f"event {i}")
+                    for i in range(200)],
+        })
+        ds = ray.data.from_pandas(df).repartition(2)
+        out = ds.map_batches(
+            ConnectorSink,
+            fn_constructor_kwargs=dict(
+                transport=EsBulkTransport("127.0.0.1", srv.port,
+                                          index="logs", id_field="id"),
+                batch_rows=64, error_file=err),
+            batch_format="pandas", concurrency=(1, 2),
+            batch_size=128).to_pandas()
+        assert out["rows_delivered"].sum() == 196
+        assert out["rows_rejected"].sum() == 4
+        import time
+        for _ in range(50):
+            if len(srv.docs) >= 196:
+                break
+            time.sleep(0.1)
+        assert len(srv.docs) == 196
+        assert {d["id"] for d in srv.docs} == \
+            {i for i in range(200) if i % 50 != 0}
+        quarantined = [_json.loads(l) for l in open(err)]
+        assert len(quarantined) == 4
+        assert all("bad" in q["error"] for q in quarantined)
+    finally:
+        srv.stop()
+
+
+def test_es_bulk_retries_transient_503():
+    from rsyslog_ray.stages.connectors import ConnectorSink, EsBulkTransport
+
+    srv = _EsServer(fail_first=True)
+    try:
+        sink = ConnectorSink(
+            transport=EsBulkTransport("127.0.0.1", srv.port),
+            batch_rows=10, backoff_base_s=0.01)
+        out = sink(pd.DataFrame({"id": [1, 2], "msg": ["a", "b"]}))
+        assert out["rows_delivered"].iloc[0] == 2
+        assert len(srv.docs) == 2
+    finally:
+        srv.stop()
