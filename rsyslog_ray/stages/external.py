@@ -95,6 +95,48 @@ class ExternalTransformStage:
             pass
 
 
+class HttpRequestStage:
+    """http_request() scalar analog (plugins/fmhttp/fmhttp.c:156-158)
+    as an actor-pool enrich stage: one persistent HTTP connection per
+    actor (opened lazily, re-opened on error), one GET per row against
+    the url column; failures yield '' like the reference's error path.
+    Only resolve distinct urls per batch — the remote is the rate
+    limiter, so identical urls must not fan out N requests."""
+
+    def __init__(self, host: str, port: int, url_col: str = "url",
+                 out_col: str = "http_body"):
+        self.host = host
+        self.port = port
+        self.url_col = url_col
+        self.out_col = out_col
+        self._conn = None
+
+    def _get(self, path: str) -> str:
+        import http.client
+
+        try:
+            if self._conn is None:
+                self._conn = http.client.HTTPConnection(
+                    self.host, self.port, timeout=10)
+            self._conn.request("GET", path)
+            resp = self._conn.getresponse()
+            body = resp.read().decode("utf-8", "replace")
+            return body if resp.status < 300 else ""
+        except OSError:
+            try:
+                if self._conn is not None:
+                    self._conn.close()
+            finally:
+                self._conn = None
+            return ""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        uniq = {u: self._get(u) for u in df[self.url_col].unique()}
+        out = df.copy(deep=False)
+        out[self.out_col] = df[self.url_col].map(uniq)
+        return out
+
+
 def external_transform(ds, argv: list[str], input_cols: list[str],
                        concurrency=(1, 4), batch_size: int = 1024):
     """Attach the external-program stage as an autoscaling actor pool."""
