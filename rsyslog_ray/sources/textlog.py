@@ -19,6 +19,7 @@ indentation (readMode, imfile.c:399-400).  Batch re-expression:
 
 from __future__ import annotations
 
+import os
 import re
 
 import pandas as pd
@@ -158,3 +159,34 @@ class TcpCapture:
         finally:
             self._srv.close()
         return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+class UnixSockCapture:
+    """Bounded imuxsock analog (plugins/imuxsock/imuxsock.c: the
+    /dev/log SOCK_DGRAM listener — one datagram per syslog message, no
+    framing needed): bind an AF_UNIX datagram socket at construction,
+    ``capture(n)`` reads n datagrams and returns them as Dataset rows.
+    A daemon loops forever; the batch capture is bounded."""
+
+    def __init__(self, path: str):
+        import socket
+
+        self.path = path
+        if os.path.exists(path):
+            os.unlink(path)
+        self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        self._sock.bind(path)
+
+    def capture(self, n_msgs: int):
+        import ray.data
+
+        rows = []
+        try:
+            for _ in range(n_msgs):
+                data = self._sock.recv(65536)
+                rows.append(data.decode("utf-8", errors="replace"))
+        finally:
+            self._sock.close()
+            if os.path.exists(self.path):
+                os.unlink(self.path)
+        return ray.data.from_pandas(pd.DataFrame({"record": rows}))

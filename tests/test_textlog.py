@@ -101,3 +101,36 @@ def test_tcp_capture_to_parse(ray_session):
     hosts = parsed["hostname"].to_pandas()
     assert set(hosts) == {f"host{i}" for i in
                           list(range(40)) + list(range(100, 140))}
+
+
+def test_unix_sock_capture(ray_session, tmp_path):
+    """imuxsock analog: datagrams over a REAL AF_UNIX socket, one
+    message per datagram, into the syslog rulebase."""
+    import socket
+    import threading
+
+    import pyarrow as pa
+
+    from rsyslog_ray.rulebase import SYSLOG_RULEBASE
+    from rsyslog_ray.sources.textlog import UnixSockCapture
+
+    path = str(tmp_path / "devlog")
+    cap = UnixSockCapture(path)
+
+    def send():
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        for i in range(25):
+            c.sendto((f"<13>1 2026-04-01T00:00:{i:02d}.000Z h{i} app - "
+                      f"ID{i} - msg {i}").encode(), path)
+        c.close()
+
+    t = threading.Thread(target=send)
+    t.start()
+    ds = cap.capture(25)
+    t.join()
+    df = ds.to_pandas()
+    assert len(df) == 25
+    parsed = SYSLOG_RULEBASE.parse_table(
+        pa.array(df["record"].tolist(), pa.string()))
+    assert parsed["parse_ok"].to_pandas().all()
+    assert set(parsed["hostname"].to_pandas()) == {f"h{i}" for i in range(25)}
