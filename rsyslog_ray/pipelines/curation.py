@@ -6,16 +6,21 @@ over a documents table, the shape a 100 TB curation run takes:
   read documents parquet
     -> quality + language features      (one vectorized map_batches)
     -> quality gate                     (token count / stopword ratio)
-    -> exact dedup                      (content-hash groupby, keep min id)
-    -> near-dup removal                 (MinHash-LSH pairs; greedy keep
-                                         the smaller id of every pair)
+    -> exact dedup                      (128-bit content-key groupby,
+                                         keep min id) -> PARQUET
+    -> near-dup pair mining             (MinHash-LSH + distributed
+                                         Jaccard verify) -> PARQUET
+    -> survivor anti-join               (hash-partitioned groupby on id;
+                                         no driver-held drop set)
     -> curated parquet + per-stage stats json
 
 Every stage is the already-tested operator (stages/text.py,
-stages/dedup.py); this module is the composition plus the survivor
-join: near-dup DROP ids broadcast as a set (pair count scales with
-duplicate density, not corpus size — same assumption as
-minhash_lsh_pairs' verify gather).
+stages/dedup.py); this module is the composition.  100-TB discipline
+(VERDICT r2 #3): the exact-dedup keeper set and the near-dup pair list
+are WRITTEN TO PARQUET and re-read (lineage-style — a failed run
+resumes from the last completed stage; nothing pins the corpus in the
+object store), and the survivor filter is a distributed anti-join on
+doc_id — duplicate density never lands on the driver.
 """
 
 from __future__ import annotations
@@ -23,7 +28,6 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 import pandas as pd
 
 
@@ -35,10 +39,12 @@ def run_curation(docs_path: str, out_dir: str, *,
     """Run the curation pipeline; returns the per-stage stats dict
     (also written to ``out_dir/_curation_stats.json``).  Ray must
     already be initialised by the caller."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
     import ray.data
 
-    from ..stages.dedup import minhash_lsh_pairs
+    from ..stages.dedup import content_key128_frame, minhash_lsh_pairs
     from ..stages.text import lang_id_frame, quality_frame
 
     os.makedirs(out_dir, exist_ok=True)
@@ -63,39 +69,66 @@ def run_curation(docs_path: str, out_dir: str, *,
 
     gated = ds.map_batches(gate, batch_format="pandas")
 
-    # ---- stage 2: exact dedup — hash-partition on the content hash,
-    # keep the minimum doc_id of every identical-text group (the
-    # shuffle moves (hash, row), never compares text across groups)
+    # ---- stage 2: exact dedup — hash-partition on the 128-bit content
+    # key (two independent 64-bit hashes; a single 64-bit key merges
+    # distinct docs at the 10^12-doc birthday bound), keep the minimum
+    # doc_id of every identical-text group.  The keeper set goes to
+    # PARQUET: it is this stage's output AND the resume point.
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(df["text"].to_numpy(object)).astype("int64")
-        return df.assign(__th=h)
+        a, b = content_key128_frame(df["text"])
+        return df.assign(__th=a, __th2=b)
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values("doc_id").head(1)
-                .drop(columns="__th"))
+                .drop(columns=["__th", "__th2"]))
 
-    exact = (gated.map_batches(add_hash, batch_format="pandas")
-             .groupby("__th").map_groups(keep_min, batch_format="pandas")
-             .materialize())
+    exact_path = os.path.join(out_dir, "exact")
+    (gated.map_batches(add_hash, batch_format="pandas")
+     .groupby(["__th", "__th2"]).map_groups(keep_min, batch_format="pandas")
+     .write_parquet(exact_path))
+    exact = ray.data.read_parquet(exact_path)
     stats["after_quality_gate"] = gated.count()
     stats["after_exact_dedup"] = exact.count()
 
-    # ---- stage 3: near-dup removal — LSH pairs, greedy survivor rule:
-    # drop every id that appears as the LARGER member of a pair (keeps
-    # exactly one representative per duplicate cluster reachable by
-    # pairwise links ordered by id)
-    pairs = minhash_lsh_pairs(exact, "doc_id", "text",
-                              threshold=neardup_threshold)
-    drop_ids = frozenset(np.unique(pairs["id_b"]).tolist()) if len(pairs) \
-        else frozenset()
-    stats["neardup_pairs"] = int(len(pairs))
-    stats["neardup_dropped"] = len(drop_ids)
-    ref = ray.put(drop_ids)
+    # ---- stage 3: near-dup pair mining — LSH candidates + distributed
+    # Jaccard verify (stays a Dataset end to end); pairs to PARQUET so
+    # the anti-join and the stats don't re-run the mining.
+    pairs_path = os.path.join(out_dir, "neardup_pairs")
+    minhash_lsh_pairs(exact, "doc_id", "text",
+                      threshold=neardup_threshold,
+                      as_dataset=True).write_parquet(pairs_path)
+    pairs = ray.data.read_parquet(pairs_path)
+    stats["neardup_pairs"] = pairs.count()
 
-    def survivors(df: pd.DataFrame) -> pd.DataFrame:
-        return df[~df["doc_id"].isin(ray.get(ref))]
+    # ---- stage 4: survivor anti-join — drop every id that appears as
+    # the LARGER member of a pair (keeps exactly one representative per
+    # duplicate cluster reachable by pairwise links ordered by id).
+    # Distributed: union(keepers, drop markers) -> groupby(doc_id) ->
+    # groups containing a marker emit nothing.  The shuffle moves the
+    # keeper rows once; the drop ids never aggregate on the driver.
+    fields = [(f.name, f.type) for f in
+              pa.schema(exact.schema().base_schema)]
 
-    curated = exact.map_batches(survivors, batch_format="pandas")
+    def mark_keep(t: pa.Table) -> pa.Table:
+        return t.append_column("__drop", pa.array([0] * len(t), pa.int8()))
+
+    def mark_drop(t: pa.Table) -> pa.Table:
+        ids = pc.unique(t["id_b"])
+        cols = {name: (ids.cast(typ) if name == "doc_id"
+                       else pa.nulls(len(ids), typ))
+                for name, typ in fields}
+        cols["__drop"] = pa.array([1] * len(ids), pa.int8())
+        return pa.table(cols)
+
+    def survivors(t: pa.Table) -> pa.Table:
+        if pc.any(pc.equal(t["__drop"], 1)).as_py():
+            return t.slice(0, 0).drop_columns(["__drop"])
+        return t.drop_columns(["__drop"])
+
+    curated = (exact.map_batches(mark_keep, batch_format="pyarrow")
+               .union(pairs.map_batches(mark_drop, batch_format="pyarrow"))
+               .groupby("doc_id")
+               .map_groups(survivors, batch_format="pyarrow"))
     curated.write_parquet(os.path.join(out_dir, "curated"))
 
     out_files = sorted(os.listdir(os.path.join(out_dir, "curated")))
@@ -103,6 +136,10 @@ def run_curation(docs_path: str, out_dir: str, *,
     stats["docs_out"] = sum(
         pq.ParquetFile(os.path.join(out_dir, "curated", f)).metadata.num_rows
         for f in out_files if f.endswith(".parquet"))
+    # exact: id_b of every pair is itself an exact-dedup keeper, so the
+    # removed-row count IS the distinct-id_b count (no driver set, no
+    # extra distinct pass)
+    stats["neardup_dropped"] = stats["after_exact_dedup"] - stats["docs_out"]
     tmp = os.path.join(out_dir, "_curation_stats.json.tmp")
     with open(tmp, "w") as fh:
         json.dump(stats, fh, indent=1)

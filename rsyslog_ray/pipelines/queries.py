@@ -324,21 +324,15 @@ def q_dedup_exact(sf_dir):
     """Exact dedup (pmlastmsg/bRepMsgRed global analog + the training-
     data dedup op): hash-partition by content, keep min doc_id, count
     copies."""
+    from ..stages.dedup import exact_dedup
+
+    # group on the 128-bit content key (two independent 64-bit
+    # siphashes), not the raw text: ray's sort-based groupby on long
+    # string keys is ~10x slower, at 100 TB the shuffle would move full
+    # documents, and a SINGLE 64-bit hash silently merges distinct docs
+    # at the 10^12-doc birthday bound (see dedup.content_key128_frame)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def h(df: pd.DataFrame) -> pd.DataFrame:
-        # group on the stable 64-bit content hash, not the raw text:
-        # ray's sort-based groupby on long string keys is ~10x slower,
-        # and at 100 TB the shuffle would move full documents
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "th": pd.util.hash_array(df["text"].to_numpy(object)).astype("int64"),
-        })
-
-    return two_phase_agg(ds.map_batches(h, batch_format="pandas"),
-                         ["th"], count="copies",
-                         mins={"doc_id": "keeper_id"})[
-        ["keeper_id", "copies"]]
+    return exact_dedup(ds, "doc_id", "text")
 
 
 def q_ratelimit_summary(sf_dir):
@@ -984,17 +978,23 @@ def q_ratelimit_bucket(sf_dir):
 def q_dedup_wordset(sf_dir):
     """Near-dup by word SET (order/multiplicity-insensitive): one keeper
     per distinct vocabulary — the simplest content-normalizing dedup."""
+    from ..stages.dedup import content_key128_frame
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def key(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["text"].str.split().map(lambda ws: " ".join(sorted(set(ws))))
-        return pd.DataFrame({
-            "doc_id": df["doc_id"],
-            "kh": pd.util.hash_array(k.to_numpy(object)).astype("int64"),
-        })
+        # vocabulary key per row via explode + C-level dedup/sort/regroup
+        # (no per-row Python lambda), then the 128-bit content key
+        e = df["text"].str.split().explode().dropna()
+        f = (pd.DataFrame({"i": e.index, "w": e.to_numpy()})
+             .drop_duplicates().sort_values(["i", "w"]))
+        k = (f.groupby("i")["w"].agg(" ".join)
+             .reindex(df.index, fill_value=""))
+        a, b = content_key128_frame(k)
+        return pd.DataFrame({"doc_id": df["doc_id"], "kh": a, "kh2": b})
 
     return two_phase_agg(ds.map_batches(key, batch_format="pandas"),
-                         ["kh"], count="copies",
+                         ["kh", "kh2"], count="copies",
                          mins={"doc_id": "keeper_id"})[
         ["keeper_id", "copies"]]
 

@@ -44,6 +44,48 @@ def hash_str64(s: str) -> int:
     return h
 
 
+# second independent siphash key for the 128-bit content key (pandas
+# hash_key must be exactly 16 chars; the default is "0123456789123456")
+_HASH_KEY2 = "raylog-dedup-2nd"
+
+
+def content_key128_frame(texts: pd.Series | np.ndarray, h1=None, h2=None
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Two INDEPENDENT 64-bit content hashes = one 128-bit dedup key.
+
+    A single 64-bit hash is not collision-safe at target scale: at
+    10^12 documents the birthday bound makes ~10^4-10^5 colliding pairs
+    *expected*, each silently merging two distinct documents (the
+    reference never dedups on a hash alone — pmlastmsg compares the
+    actual message, plugins/pmlastmsg/pmlastmsg.c).  Two independent
+    siphash keys push the expected collision count at 10^12 docs to
+    ~10^-15.  ``h1``/``h2`` are injectable for tests (forcing a primary
+    collision proves the secondary key keeps distinct texts apart).
+    """
+    arr = texts.to_numpy(object) if hasattr(texts, "to_numpy") else \
+        np.asarray(texts, dtype=object)
+    a = (h1(arr) if h1 is not None else pd.util.hash_array(arr))
+    b = (h2(arr) if h2 is not None else
+         pd.util.hash_array(arr, hash_key=_HASH_KEY2))
+    return np.asarray(a).astype("int64"), np.asarray(b).astype("int64")
+
+
+def exact_dedup(ds, id_col: str, text_col: str, *, count: str = "copies",
+                keeper: str = "keeper_id", h1=None, h2=None):
+    """Exact dedup on the 128-bit content key: keep min id per
+    identical-content group, count copies.  The shuffle moves
+    (key_hi, key_lo, id) — never the text."""
+    from .aggregate import two_phase_agg
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = content_key128_frame(df[text_col], h1, h2)
+        return pd.DataFrame({id_col: df[id_col], "th": a, "th2": b})
+
+    return two_phase_agg(ds.map_batches(key, batch_format="pandas"),
+                         ["th", "th2"], count=count,
+                         mins={id_col: keeper})[[keeper, count]]
+
+
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
     """Vectorized stable 64-bit token hashing (pandas siphash with its
     fixed default key — deterministic across processes/versions, C
@@ -135,7 +177,7 @@ def jaccard(a: str, b: str, k: int = 3) -> float:
 
 
 def minhash_lsh_pairs(ds, id_col: str, text_col: str, threshold: float = 0.8,
-                      k: int = 3):
+                      k: int = 3, as_dataset: bool = False):
     """Near-dup pairs (id_a < id_b, true Jaccard >= threshold) found via
     MinHash-LSH, 100-TB shaped:
 
@@ -147,12 +189,17 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, threshold: float = 0.8,
        per-group overhead; one pandas groupby per partition is C speed);
     3. global pair dedup by hash partition (distributed_pair_dedup —
        no driver collect of the band-inflated pair stream);
-    4. exact-Jaccard verify against texts GATHERED by candidate id
-       from the source (a broadcast id-set filter scan; candidates
-       scale with near-dup density, not corpus size — the one driver
-       materialization left is the operator's own output).
+    4. DISTRIBUTED exact-Jaccard verify: a fixed-size Bloom filter of
+       candidate ids (built from per-batch partials OR-reduced on the
+       driver — O(filter bits), NOT O(candidates)) prunes the source
+       scan, then two hash-partitioned id-joins attach text_a and
+       text_b to each pair and the Jaccard check runs inside the
+       second join's map_groups.  Nothing proportional to duplicate
+       density ever lands on the driver; the only driver collect is
+       the operator's own verified output.
     """
     import ray
+    import ray.data
 
     def sig_explode(df: pd.DataFrame) -> pd.DataFrame:
         ids = df[id_col].to_numpy()
@@ -192,33 +239,146 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, threshold: float = 0.8,
     exploded = ds.map_batches(sig_explode, batch_format="pandas")
     cands = exploded.groupby("pk").map_groups(part_cands,
                                               batch_format="pandas")
-    pairs = distributed_pair_dedup(cands, _NPART).to_pandas()
-    if pairs.empty:
-        return pairs.reset_index(drop=True)
+    # materialize ONCE: pairs feed both the bloom build and the joins
+    # (object-store blocks, distributed — not a driver collect)
+    pairs_ds = distributed_pair_dedup(cands, _NPART).materialize()
+    empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                          "id_b": pd.Series([], dtype="int64")})
+    if pairs_ds.count() == 0:
+        return ray.data.from_pandas(empty) if as_dataset else empty
 
-    # gather candidate texts: broadcast the (small) id set, scan the
-    # source once keeping only candidates
-    cand_ids = ray.put(frozenset(
-        np.union1d(pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy())
-        .tolist()))
+    verified = verify_pairs_jaccard(ds, pairs_ds, id_col, text_col,
+                                    threshold=threshold, k=k)
+    if as_dataset:
+        return verified
+    return (verified.to_pandas().sort_values(["id_a", "id_b"])
+            .reset_index(drop=True))
 
-    def gather(df: pd.DataFrame) -> pd.DataFrame:
-        wanted = ray.get(cand_ids)
-        return df[df[id_col].isin(wanted)][[id_col, text_col]]
 
-    texts = ds.map_batches(gather, batch_format="pandas").to_pandas()
-    sh = {i: set(shingles(t, k))
-          for i, t in zip(texts[id_col], texts[text_col])}
+# ---------------------------------------------------------------------
+# distributed pair verify (Bloom-pruned id-join; no driver gather)
 
-    def _jac(a, b):
-        sa, sb = sh[a], sh[b]
-        if not sa and not sb:
-            return 1.0
-        return len(sa & sb) / len(sa | sb)
+_BLOOM_BITS = 1 << 23          # 1 MiB packed — fixed driver memory
+_BLOOM_SEEDS = (np.uint64(0xA076_1D64_78BD_642F),
+                np.uint64(0xE703_7ED1_A0B4_28DB))
 
-    keep = [_jac(a, b) >= threshold
-            for a, b in zip(pairs["id_a"], pairs["id_b"])]
-    return pairs[keep].reset_index(drop=True)
+
+def _bloom_positions(ids: np.ndarray, m_bits: int):
+    u = ids.astype(np.uint64)
+    return [( _splitmix(u ^ s) % np.uint64(m_bits)).astype(np.int64)
+            for s in _BLOOM_SEEDS]
+
+
+def _bloom_build(pairs_ds, m_bits: int = _BLOOM_BITS) -> np.ndarray:
+    """Fixed-size Bloom filter over both pair id columns: per-batch
+    packed-bitmap partials, OR-reduced on the driver.  Driver memory is
+    O(m_bits) regardless of candidate count; false positives only cost
+    extra (id, text) rows in the join shuffle, never correctness."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits, dtype=bool)
+        both = np.concatenate([df["id_a"].to_numpy(),
+                               df["id_b"].to_numpy()])
+        for pos in _bloom_positions(both, m_bits):
+            bits[pos] = True
+        # bitorder="little": byte b holds bits 8b..8b+7 LSB-first, so
+        # membership is (bloom[pos//8] >> (pos%8)) & 1
+        return pd.DataFrame(
+            {"bloom": [np.packbits(bits, bitorder="little").tobytes()]})
+
+    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+    parts = pairs_ds.map_batches(partial, batch_format="pandas")
+    for b in parts.iter_batches(batch_format="pandas"):
+        for buf in b["bloom"]:
+            bloom |= np.frombuffer(buf, dtype=np.uint8)
+    return bloom
+
+
+def verify_pairs_jaccard(docs_ds, pairs_ds, id_col: str, text_col: str, *,
+                         threshold: float, k: int = 3):
+    """Exact-Jaccard verify of candidate (id_a, id_b) pairs WITHOUT any
+    driver-side text gather: Bloom-prune the corpus scan to candidate
+    ids, then two sort-based id-joins (union + groupby) attach text_a
+    and text_b; the Jaccard check runs inside the second join's
+    map_groups.  Returns a Dataset of verified (id_a, id_b).
+    Partitioning assumption: one id's pair fan-in fits one worker
+    (true unless a single document near-dups a constant fraction of
+    the corpus — salt id_b in that regime)."""
+    import ray
+
+    bloom_ref = ray.put(_bloom_build(pairs_ds))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        bloom = ray.get(bloom_ref)
+        ids = df[id_col].to_numpy()
+        keep = np.ones(len(df), dtype=bool)
+        for pos in _bloom_positions(ids, _BLOOM_BITS):
+            keep &= ((bloom[pos // 8] >> (pos % 8)) & 1).astype(bool)
+        out = df[keep]
+        return pd.DataFrame({"key": out[id_col].to_numpy(),
+                             "id_a": np.full(keep.sum(), -1, dtype="int64"),
+                             "id_b": np.full(keep.sum(), -1, dtype="int64"),
+                             "t": out[text_col].to_numpy()})
+
+    # candidate (+Bloom-FP) texts; materialized so both joins reuse the
+    # pruned scan instead of re-reading the corpus
+    docs_f = docs_ds.map_batches(prune, batch_format="pandas").materialize()
+
+    def pairs_keyed_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["id_a"], "id_a": df["id_a"],
+                             "id_b": df["id_b"],
+                             "t": np.full(len(df), "", dtype=object)})
+
+    def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["id_a"] < 0]
+        prs = g[g["id_a"] >= 0]
+        if doc.empty or prs.empty:   # Bloom FP doc, or id missing
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "ta": pd.Series([], dtype=object)})
+        return pd.DataFrame({"key": prs["id_b"].to_numpy(),
+                             "id_a": prs["id_a"].to_numpy(),
+                             "id_b": prs["id_b"].to_numpy(),
+                             "ta": np.full(len(prs), doc["t"].iloc[0],
+                                           dtype=object)})
+
+    with_ta = (pairs_ds.map_batches(pairs_keyed_a, batch_format="pandas")
+               .union(docs_f)
+               .groupby("key").map_groups(attach_a, batch_format="pandas"))
+
+    def docs_as_b(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["key"],
+                             "id_a": df["id_a"], "id_b": df["id_b"],
+                             "ta": df["t"]})
+
+    def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["id_a"] < 0]
+        prs = g[g["id_a"] >= 0]
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64")})
+        if doc.empty or prs.empty:
+            return empty
+        sb = set(shingles(doc["ta"].iloc[0], k))
+        cache: dict[str, set] = {}
+        keep_a, keep_b = [], []
+        for a, b_, ta in zip(prs["id_a"], prs["id_b"], prs["ta"]):
+            sa = cache.get(ta)
+            if sa is None:
+                sa = set(shingles(ta, k))
+                cache[ta] = sa
+            j = 1.0 if not sa and not sb else \
+                len(sa & sb) / len(sa | sb)
+            if j >= threshold:
+                keep_a.append(a)
+                keep_b.append(b_)
+        if not keep_a:
+            return empty
+        return pd.DataFrame({"id_a": np.asarray(keep_a, dtype="int64"),
+                             "id_b": np.asarray(keep_b, dtype="int64")})
+
+    return (with_ta.union(docs_f.map_batches(docs_as_b,
+                                             batch_format="pandas"))
+            .groupby("key").map_groups(verify_b, batch_format="pandas"))
 
 
 def minhash_lsh_pairs_oracle(ids: list, texts: list, threshold: float = 0.8,
@@ -257,6 +417,81 @@ def hamming64(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
 
 
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming_tile(sa: np.ndarray, sb: np.ndarray) -> np.ndarray:
+    """(len(sa), len(sb)) Hamming-distance matrix over uint64 sigs:
+    XOR broadcast + byte-LUT popcount — C speed, no Python pair loop."""
+    x = np.ascontiguousarray(sa[:, None] ^ sb[None, :])
+    return _POPCNT8[x.view(np.uint8).reshape(len(sa), len(sb), 8)].sum(
+        axis=2, dtype=np.int64)
+
+
+def _close_sig_pairs(sigs: np.ndarray, max_hamming: int, exclude_chunk: int,
+                     cap: int = 4096, tile: int = 1024):
+    """Index pairs (x < y, hamming) over DISTINCT signatures with
+    distance <= max_hamming.
+
+    m <= cap: tiled vectorized Hamming matrix (tiles bound the
+    temporary to tile^2 x 8 bytes — CLAUDE.md: giant flat temporaries
+    lose on this host).  m > cap (a degenerate bucket — short/similar
+    docs piling distinct-but-close sigs onto one 16-bit chunk value):
+    sub-band the 48 bits OUTSIDE the shared chunk into max_hamming+1
+    slices; pigeonhole guarantees any qualifying pair matches exactly
+    on at least one slice, so grouping by slice value finds every pair
+    without the m^2 pass."""
+    m = len(sigs)
+    if m < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64), \
+            np.empty(0, np.int64)
+    if m <= cap:
+        xs_o, ys_o, hs_o = [], [], []
+        for i0 in range(0, m, tile):
+            a = sigs[i0:i0 + tile]
+            for j0 in range(i0, m, tile):
+                h = _hamming_tile(a, sigs[j0:j0 + tile])
+                xs, ys = np.where(h <= max_hamming)
+                gx, gy = xs + i0, ys + j0
+                keep = gx < gy
+                xs_o.append(gx[keep])
+                ys_o.append(gy[keep])
+                hs_o.append(h[xs[keep], ys[keep]])
+        return (np.concatenate(xs_o), np.concatenate(ys_o),
+                np.concatenate(hs_o))
+    # degenerate bucket: sub-band the non-shared 48 bits
+    other = [c for c in range(4) if c != exclude_chunk]
+    bits48 = np.zeros(m, dtype=np.uint64)
+    for pos, c in enumerate(other):
+        bits48 |= (((sigs >> np.uint64(16 * c)) & np.uint64(0xFFFF))
+                   << np.uint64(16 * pos))
+    n_slices = max_hamming + 1
+    width = 48 // n_slices
+    seen: set[tuple[int, int]] = set()
+    xs_o, ys_o, hs_o = [], [], []
+    for s in range(n_slices):
+        sub = (bits48 >> np.uint64(width * s)) & np.uint64((1 << width) - 1)
+        order = np.argsort(sub, kind="stable")
+        sv = sub[order]
+        starts = np.flatnonzero(np.r_[True, sv[1:] != sv[:-1]])
+        ends = np.r_[starts[1:], m]
+        for lo, hi in zip(starts, ends):
+            if hi - lo < 2:
+                continue
+            idx = np.sort(order[lo:hi])
+            gx, gy, gh = _close_sig_pairs(sigs[idx], max_hamming,
+                                          exclude_chunk, cap=2**62,
+                                          tile=tile)
+            for x, y, hd in zip(idx[gx], idx[gy], gh):
+                if (x, y) not in seen:
+                    seen.add((x, y))
+                    xs_o.append(x)
+                    ys_o.append(y)
+                    hs_o.append(hd)
+    return (np.asarray(xs_o, np.int64), np.asarray(ys_o, np.int64),
+            np.asarray(hs_o, np.int64))
+
+
 def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
     Banding: 4 chunks of 16 bits — any pair within distance 3 shares at
@@ -277,31 +512,31 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
                 rows["sig"].append(s)
         return pd.DataFrame(rows)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        # compare DISTINCT signatures, expand to id pairs (see the
-        # minhash bucket_pairs note on duplicate-heavy corpora)
+    def bucket_pairs(g: pd.DataFrame, chunk_idx: int) -> pd.DataFrame:
+        # compare DISTINCT signatures (vectorized XOR+popcount, with a
+        # sub-band fallback for degenerate buckets), then expand to id
+        # pairs (see the minhash bucket_pairs note on duplicate-heavy
+        # corpora)
         g = g.drop_duplicates("id")
         groups = g.groupby("sig")["id"].apply(
             lambda s: np.sort(s.to_numpy()))
-        sigs = groups.index.tolist()
+        sigs = groups.index.to_numpy().astype(np.uint64)
         idlists = groups.tolist()
         a_out, b_out, h_out = [], [], []
-        for x in range(len(sigs)):
-            ids_x = idlists[x]
+        for ids_x in idlists:
             if len(ids_x) > 1:
                 ia, ib = np.triu_indices(len(ids_x), 1)
                 a_out.append(ids_x[ia])
                 b_out.append(ids_x[ib])
                 h_out.append(np.zeros(len(ia), dtype="int64"))
-            for y in range(x + 1, len(sigs)):
-                d = hamming64(sigs[x], sigs[y])
-                if d <= max_hamming:
-                    aa, bb = np.meshgrid(ids_x, idlists[y], indexing="ij")
-                    lo = np.minimum(aa.ravel(), bb.ravel())
-                    hi = np.maximum(aa.ravel(), bb.ravel())
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    h_out.append(np.full(lo.size, d, dtype="int64"))
+        xs, ys, hs = _close_sig_pairs(sigs, max_hamming, chunk_idx)
+        for x, y, d in zip(xs, ys, hs):
+            aa, bb = np.meshgrid(idlists[x], idlists[y], indexing="ij")
+            lo = np.minimum(aa.ravel(), bb.ravel())
+            hi = np.maximum(aa.ravel(), bb.ravel())
+            a_out.append(lo)
+            b_out.append(hi)
+            h_out.append(np.full(lo.size, int(d), dtype="int64"))
         if not a_out:
             return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
@@ -319,9 +554,10 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
         return out
 
     def part_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        outs = [bucket_pairs(g) for _, g in part.groupby(["chunk", "val"])]
+        outs = [bucket_pairs(g, int(ck))
+                for (ck, _), g in part.groupby(["chunk", "val"])]
         res = (pd.concat(outs, ignore_index=True) if outs
-               else bucket_pairs(part.iloc[0:0]))
+               else bucket_pairs(part.iloc[0:0], 0))
         return res.drop_duplicates(["id_a", "id_b"])
 
     exploded = ds.map_batches(explode_part, batch_format="pandas")

@@ -282,3 +282,105 @@ def test_quantile_sketch_error_bound(ray_session):
         sub = df[df["k"] == k]["v"]
         assert abs(out.loc[k, "p50"] - np.quantile(sub, 0.5)) \
             / np.quantile(sub, 0.5) < 0.03
+
+
+def test_exact_dedup_survives_forced_64bit_collision(ray_session):
+    """VERDICT r2 #1: two DISTINCT texts whose PRIMARY 64-bit hash is
+    forced to collide must both survive exact dedup — the independent
+    second siphash key keeps them apart (a single 64-bit key silently
+    merges them, which at 10^12 docs is an *expected* event)."""
+    import ray.data
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "text": ["alpha beta gamma", "delta epsilon zeta",
+                                "alpha beta gamma", "eta theta iota"]})
+    ds = ray.data.from_pandas(df)
+
+    def collide(arr):
+        return np.zeros(len(arr), dtype=np.uint64)
+
+    got = (dd.exact_dedup(ds, "doc_id", "text", h1=collide)
+           .sort_values("keeper_id").reset_index(drop=True))
+    assert got["keeper_id"].tolist() == [1, 2, 4]
+    assert got["copies"].tolist() == [2, 1, 1]
+    # control: colliding BOTH keys would merge — proves the fixture bites
+    merged = dd.exact_dedup(ds, "doc_id", "text", h1=collide, h2=collide)
+    assert len(merged) == 1
+
+
+def test_minhash_verify_no_driver_gather(ray_session, monkeypatch):
+    """VERDICT r2 #2: on a high-duplication corpus (50% planted dups,
+    10x the documents fixture) the verify must not materialize pairs or
+    texts on the driver — Dataset.to_pandas is allowed exactly once,
+    for the operator's own final output."""
+    import ray.data
+
+    n = 2500
+    texts = [f"word{i} thing{i} stuff{i} item{i} part{i} bit{i}"
+             for i in range(n)]
+    df = pd.DataFrame({
+        "doc_id": np.concatenate([np.arange(n), np.arange(n) + 100_000]),
+        "text": texts + texts,     # every doc has exactly one planted dup
+    })
+    ds = ray.data.from_pandas(df).repartition(16)
+
+    calls = []
+    orig = ray.data.Dataset.to_pandas
+
+    def counted(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(ray.data.Dataset, "to_pandas", counted)
+    got = dd.minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8)
+    assert len(calls) == 1, "driver materialization beyond the final output"
+    want = {(i, i + 100_000) for i in range(n)}
+    assert set(zip(got["id_a"], got["id_b"])) == want
+
+
+def test_close_sig_pairs_subband_matches_bruteforce():
+    """VERDICT r2 #5: the degenerate-bucket sub-band path must find
+    exactly the pairs the tiled O(m^2) path finds (pigeonhole over 4
+    12-bit slices of the 48 non-shared bits)."""
+    rng = np.random.RandomState(3)
+    low = np.uint64(0x1234)                      # shared chunk 0 value
+    upper = rng.randint(1, 2**47, size=400).astype(np.uint64)
+    sigs = [np.uint64(int(u) << 16 | int(low)) for u in upper]
+    # plant close neighbors: flip 1-3 bits in the upper 48
+    for u in upper[:80]:
+        s = int(u) << 16 | int(low)
+        for bit in rng.choice(48, size=rng.randint(1, 4), replace=False):
+            s ^= 1 << (16 + int(bit))
+        sigs.append(np.uint64(s))
+    sigs = np.unique(np.array(sigs, dtype=np.uint64))
+
+    def pairs_of(res):
+        return {(int(x), int(y), int(h)) for x, y, h in zip(*res)}
+
+    tiled = pairs_of(dd._close_sig_pairs(sigs, 3, 0, cap=10**9))
+    sub = pairs_of(dd._close_sig_pairs(sigs, 3, 0, cap=10))
+    assert tiled == sub
+    assert len(tiled) >= 60  # planted neighbors actually qualify
+    # brute-force spot check
+    brute = set()
+    for x in range(len(sigs)):
+        for y in range(x + 1, len(sigs)):
+            d = dd.hamming64(int(sigs[x]), int(sigs[y]))
+            if d <= 3:
+                brute.add((x, y, d))
+    assert tiled == brute
+
+
+def test_simhash_degenerate_bucket_bounded(ray_session):
+    """VERDICT r2 #5 fixture: 1k empty/near-empty docs (sigs pile onto
+    a handful of values) completes quickly with oracle-identical
+    pairs."""
+    import ray.data
+
+    texts = ["" if i % 3 == 0 else ("aa" if i % 3 == 1 else "aa bb")
+             for i in range(900)]
+    df = pd.DataFrame({"doc_id": np.arange(900), "text": texts})
+    ds = ray.data.from_pandas(df).repartition(8)
+    got = dd.simhash_pairs(ds, "doc_id", "text", max_hamming=3)
+    want = dd.simhash_pairs_oracle(df["doc_id"].tolist(), texts, 3)
+    assert set(zip(got["id_a"], got["id_b"])) == want
