@@ -132,6 +132,7 @@ class PipelineConfig:
                         for name, spec in cfg.get("lookups", {}).items()}
         self.enrich = cfg.get("enrich", [])
         self.computed = cfg.get("computed", [])  # set $x = expr specs
+        self.foreach_specs = cfg.get("foreach", [])  # S_FOREACH explodes
         self.routes = [Route(r["sink"], _to_pred(r["pred"]),
                              bool(r.get("stop", False)))
                        for r in cfg["routes"]]
@@ -154,6 +155,41 @@ def load_config(path_or_dict) -> PipelineConfig:
             return PipelineConfig(parse_rainer(fh.read()))
     with open(path_or_dict) as fh:
         return PipelineConfig(json.load(fh))
+
+
+def _explode_json_array(tbl: pa.Table, src: str, var: str) -> pa.Table:
+    """S_FOREACH batch analog (grammar/grammar.y FOREACH,
+    runtime/ruleset.c:377-402 execIterative): parse the JSON array in
+    column ``src`` per row, emit one row per element with the element
+    bound to the new string column ``var`` (scalars keep their string
+    form, objects/arrays re-serialize compactly — var2CString
+    semantics).  Rows whose array is missing/invalid/empty iterate
+    zero times and disappear, like a loop body that never runs.
+    Arrow ``list<...>`` columns explode without the JSON parse."""
+    import numpy as np
+
+    col = tbl[src].to_pylist() if src in tbl.column_names else \
+        [None] * len(tbl)
+    reps, vals = [], []
+    for v in col:
+        if isinstance(v, list):
+            arr = v
+        elif isinstance(v, str):
+            try:
+                arr = json.loads(v)
+            except ValueError:
+                arr = []
+            if not isinstance(arr, list):
+                arr = []
+        else:
+            arr = []
+        reps.append(len(arr))
+        for e in arr:
+            vals.append(e if isinstance(e, str)
+                        else json.dumps(e, separators=(",", ":")))
+    idx = np.repeat(np.arange(len(col), dtype=np.int64), reps)
+    return tbl.take(pa.array(idx)).append_column(
+        var, pa.array(vals, pa.string()))
 
 
 class _ConfigMapFn:
@@ -202,6 +238,8 @@ class _ConfigMapFn:
                         table.lookup_series(tbl[e["key"]].to_pandas()),
                         pa.string())
             tbl = tbl.append_column(e["column"], val)
+        for fe in self.c.foreach_specs:
+            tbl = _explode_json_array(tbl, fe["source"], fe["var"])
         for spec in self.c.computed:
             cache: dict = {}
 

@@ -403,6 +403,154 @@ def format_time(ts: pd.Series, fmt: str) -> pd.Series:
 
 # ---- CSV / JSON escaping (property-replacer options: RFC4180 CSV and
 #      JSON escaping, runtime/template.h:150-169; doEscape template.c:947)
+# ---------------------------------------------------------------------
+# parse_time / parse_time_localtz / is_time — the timestamp-PARSE half
+# of the date library (grammar/rainerscript.c doFunct_ParseTime
+# :2823-2864, doFunct_ParseTimeLocalTz :2866-2911, doFunc_is_time
+# :2914-2981, estimateYear :2811; runtime/datetime.c ParseTIMESTAMP3339
+# :282, ParseTIMESTAMP3164 :440 with NO_PARSE3164_TZSTRING +
+# NO_PERMIT_YEAR_AFTER_TIME, syslogTime2time_t :1017).
+
+# lenient per the reference: variable digit counts, second<=60 (leap),
+# day not checked against month length, optional ".frac", mandatory TZ,
+# then end-of-string or one space + anything
+_RE_TS3339 = re.compile(
+    r"^(\d{1,4})-(\d{1,2})-(\d{1,2})T(\d{1,2}):(\d{1,2}):(\d{1,2})"
+    r"(?:\.\d*)?(?:(Z)|([+-])(\d{1,2}):(\d{1,2}))(?: [\s\S]*)?$")
+# optional prepended year (Brocade), 3-letter month any case, optional
+# second space before a 1-digit day, optional year in the hour slot
+# (Cisco IOS), optional ".frac", optional stray ":", then end or SP+rest
+_RE_TS3164 = re.compile(
+    r"^(?:(\d{1,9}) )?([A-Za-z]{3})  ?(\d{1,2}) (?:(\d{1,9}) )?"
+    r"(\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.\d*)?:?(?: [\s\S]*)?$")
+_MON3164 = {"jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
+            "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12}
+_MCUM = np.array([0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334],
+                 dtype="int64")
+
+
+def _syslogtime_epoch(year, month, day, hour, minute, second, offsec):
+    """syslogTime2time_t (datetime.c:1017) as pure arithmetic: day may
+    overflow the month (Feb 31 is accepted and rolls over), second may
+    be 60 (leap second adds a minute), year outside 1970..2100 -> 0.
+    ``offsec`` is the SIGNED tz offset ('+'-mode positive); the result
+    is UTC epoch seconds."""
+    year = np.asarray(year, dtype="int64")
+    month = np.asarray(month, dtype="int64")
+    yc = np.clip(year, 1970, 2100)
+    ystart = (pd.to_datetime(pd.DataFrame({
+        "year": yc, "month": 1, "day": 1}), utc=True)
+        - pd.Timestamp("1970-01-01", tz="UTC")).dt.days.to_numpy()
+    leap = ((((yc % 100 != 0) & (yc % 4 == 0)) | (yc == 2000))
+            & (month > 2)).astype("int64")
+    days = ystart + _MCUM[month - 1] + leap + np.asarray(day) - 1
+    ep = (days * 86400 + np.asarray(hour) * 3600 + np.asarray(minute) * 60
+          + np.asarray(second) - np.asarray(offsec))
+    return np.where((year < 1970) | (year > 2100), 0, ep).astype("int64")
+
+
+def _num(col: pd.Series) -> np.ndarray:
+    return pd.to_numeric(col, errors="coerce").fillna(-1).to_numpy("int64")
+
+
+def _match3339(t: pd.Series):
+    """(valid_mask, epoch_array) for the RFC3339 interpretation."""
+    g = t.str.extract(_RE_TS3339)
+    ok = g[0].notna().to_numpy()
+    if not ok.any():
+        return ok, np.zeros(len(t), dtype="int64")
+    yy, mo, dd = _num(g[0]), _num(g[1]), _num(g[2])
+    hh, mi, ss = _num(g[3]), _num(g[4]), _num(g[5])
+    oh, om = _num(g[8].fillna("0")), _num(g[9].fillna("0"))
+    sign = np.where(g[7].to_numpy() == "+", 1,
+                    np.where(g[7].to_numpy() == "-", -1, 0))
+    ok &= ((yy < 2100) & (mo >= 1) & (mo <= 12) & (dd >= 1) & (dd <= 31)
+           & (hh <= 23) & (mi <= 59) & (ss <= 60) & (oh <= 23) & (om <= 59))
+    ep = _syslogtime_epoch(yy, np.clip(mo, 1, 12), dd, hh, mi, ss,
+                           sign * (oh * 3600 + om * 60))
+    return ok, np.where(ok, ep, 0)
+
+
+def _match3164(t: pd.Series):
+    """(valid_mask, month, day, hour, minute, second) for RFC3164 (no
+    TZ-string, no year-after-time — the parse_time flag set)."""
+    g = t.str.extract(_RE_TS3164)
+    mon = g[1].str.lower().map(_MON3164)
+    ok = (g[1].notna() & mon.notna()).to_numpy()
+    pre_y = _num(g[0].fillna("-1"))
+    cisco_y = _num(g[3].fillna("-1"))
+    dd, hh, mi, ss = _num(g[2]), _num(g[4]), _num(g[5]), _num(g[6])
+    # prepended year must be 1970..2100 when present (else ABORT);
+    # hour-slot year only valid when no prepended year and 1971..2099
+    ok &= ((pre_y == -1) | ((pre_y >= 1970) & (pre_y <= 2100)))
+    ok &= ((cisco_y == -1)
+           | ((pre_y == -1) & (cisco_y > 1970) & (cisco_y < 2100)))
+    ok &= (dd >= 1) & (dd <= 31) & (hh <= 23) & (mi <= 59) & (ss <= 60)
+    return ok, mon.fillna(1).to_numpy("int64"), dd, hh, mi, ss
+
+
+def _estimate_year(now_utc: pd.Timestamp, month: np.ndarray) -> np.ndarray:
+    """estimateYear (rainerscript.c:2811): January read in December is
+    next year; a month more than one ahead of now is last year."""
+    cy, cm = int(now_utc.year), int(now_utc.month)
+    y = np.full(len(month), cy, dtype="int64")
+    y[(cm == 12) & (month == 1)] = cy + 1
+    y[month > cm + 1] = cy - 1
+    return y
+
+
+def parse_time(s: pd.Series, now: pd.Timestamp | None = None) -> pd.Series:
+    """parse_time(str) -> UTC unix epoch seconds (int64): RFC3339
+    first, else RFC3164 with estimateYear inference (the reference
+    overrides even an explicit in-string year — mirrored), else 0.
+    ``now`` pins the inference clock for determinism; default = current
+    UTC time."""
+    if now is None:
+        now = pd.Timestamp.now(tz="UTC")
+    t = s.fillna("").astype(str).reset_index(drop=True)
+    ok9, ep9 = _match3339(t)
+    ok4, mon, dd, hh, mi, ss = _match3164(t)
+    ep4 = _syslogtime_epoch(_estimate_year(now, mon), mon, dd, hh, mi, ss, 0)
+    out = np.where(ok9, ep9, np.where(ok4, ep4, 0))
+    return pd.Series(out, index=s.index, dtype="int64")
+
+
+def parse_time_localtz(s: pd.Series, now: pd.Timestamp | None = None,
+                       gmtoff: int | None = None) -> pd.Series:
+    """parse_time_localtz (rainerscript.c:2866, syslogTime2time_tLocalTZ
+    datetime.c:1110): RFC3339 carries its own offset (identical to
+    parse_time); an RFC3164 stamp is interpreted in the LOCAL timezone
+    (current local gmtoff subtracted)."""
+    if now is None:
+        now = pd.Timestamp.now(tz="UTC")
+    if gmtoff is None:
+        import time as _time
+        gmtoff = _time.localtime().tm_gmtoff
+    t = s.fillna("").astype(str).reset_index(drop=True)
+    ok9, ep9 = _match3339(t)
+    ok4, mon, dd, hh, mi, ss = _match3164(t)
+    ep4 = _syslogtime_epoch(_estimate_year(now, mon), mon, dd, hh, mi, ss,
+                            int(gmtoff))
+    out = np.where(ok9, ep9, np.where(ok4, ep4, 0))
+    return pd.Series(out, index=s.index, dtype="int64")
+
+
+def is_time(s: pd.Series, fmt: str | None = None) -> pd.Series:
+    """is_time(str[, fmt]) -> 1/0 (rainerscript.c doFunc_is_time):
+    default tries date-rfc3164, date-rfc3339, date-unix in that order;
+    an explicit fmt restricts to that format; unknown fmt -> 0."""
+    t = s.fillna("").astype(str).reset_index(drop=True)
+    checks = {"date-rfc3164": lambda: _match3164(t)[0],
+              "date-rfc3339": lambda: _match3339(t)[0],
+              "date-unix": lambda: t.str.fullmatch(r"-?\d+").to_numpy()}
+    if fmt is not None:
+        ok = checks[fmt]() if fmt in checks else np.zeros(len(t), bool)
+    else:
+        ok = checks["date-rfc3164"]() | checks["date-rfc3339"]() \
+            | checks["date-unix"]()
+    return pd.Series(ok.astype("int64"), index=s.index)
+
+
 def csv_escape(s: pd.Series) -> pd.Series:
     """RFC4180: quote when the field contains comma/quote/newline,
     doubling inner quotes."""

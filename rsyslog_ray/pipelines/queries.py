@@ -289,35 +289,67 @@ def q_ratelimit_burst(sf_dir):
     return ds.groupby("user_id").map_groups(head5, batch_format="pandas")
 
 
-def q_interval_once(sf_dir):
-    """execOnlyOnceEveryInterval analog (runtime/action.c:535-546):
-    keep only the FIRST event per user per hour."""
+def q_exec_throttles(sf_dir):
+    """Both exec throttles in one driver row: execOnlyOnceEveryInterval
+    (runtime/action.c:535-546 — first event per user per hour, mode
+    'interval_first') and execOnlyEveryNthTime (action.c:370-385 —
+    every 10th event by id, mode 'nth'; Arrow modulo-compare,
+    zero-copy)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
     def first_per_hour(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"])
         g["__h"] = g["ts"].dt.floor("h")
-        return g.groupby("__h", as_index=False).head(1)[["event_id"]]
+        out = g.groupby("__h", as_index=False).head(1)[["event_id"]]
+        return out.assign(mode="interval_first")[["mode", "event_id"]]
 
-    return ds.groupby("user_id").map_groups(first_per_hour,
-                                            batch_format="pandas")
-
-
-def q_sample_nth(sf_dir):
-    """execOnlyEveryNthTime analog (runtime/action.c:370-385): keep
-    every 10th event by id (Arrow modulo-compare, zero-copy)."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
-    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    interval = ds.groupby("user_id").map_groups(first_per_hour,
+                                                batch_format="pandas")
 
     def nth(t: pa.Table) -> pa.Table:
         # x % 10 == 0 via x - (x // 10) * 10 (integer divide truncates)
         mod = pc.subtract(t["event_id"],
                           pc.multiply(pc.divide(t["event_id"], 10), 10))
-        return t.filter(pc.equal(mod, 0))
+        out = t.filter(pc.equal(mod, 0)).select(["event_id"])
+        return out.add_column(0, "mode",
+                              pa.array(["nth"] * len(out), pa.string()))
 
-    return ds.map_batches(nth, batch_format="pyarrow")
+    sampled = (_read(sf_dir, "events", columns=["event_id"])
+               .map_batches(nth, batch_format="pyarrow"))
+    return interval.union(sampled)
+
+
+def q_parse_time(sf_dir):
+    """parse_time / is_time (grammar/rainerscript.c doFunct_ParseTime
+    :2823, doFunc_is_time:2914; runtime/datetime.c ParseTIMESTAMP3339
+    :282, ParseTIMESTAMP3164:440): render each event ts as RFC3339 and
+    RFC3164 strings and parse them back; a garbage string yields 0/not-
+    a-time.  RFC3164 carries no year — the estimateYear inference
+    clock (rainerscript.c:2811) is pinned to 2026-08-17 UTC so the
+    January event stamps resolve to 2026 on both engine and oracle."""
+    from .. import functions as F
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    now = pd.Timestamp("2026-08-17 00:00:00", tz="UTC")
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        s39 = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%SZ")
+        s64 = df["ts"].dt.strftime("%b %d %H:%M:%S")
+        bad = "no time " + df["event_id"].astype(str)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "ep_rfc3339": F.parse_time(s39, now=now),
+            "ep_rfc3164": F.parse_time(s64, now=now),
+            "ok_rfc3339": F.is_time(s39),
+            "ok_rfc3164": F.is_time(s64, "date-rfc3164"),
+            "ep_bad": F.parse_time(bad, now=now),
+            "ok_bad": F.is_time(bad),
+        })
+
+    return ds.map_batches(fx, batch_format="pandas")
 
 
 def q_dedup_exact(sf_dir):
@@ -1336,13 +1368,25 @@ SQL: dict[str, str] = {
         SELECT event_id, user_id FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) <= 5
     """,
-    "interval_once": """
-        SELECT event_id FROM events
+    "exec_throttles": """
+        SELECT 'interval_first' AS mode, event_id FROM events
         QUALIFY row_number() OVER (PARTITION BY user_id,
                  date_trunc('hour', ts) ORDER BY ts, event_id) = 1
+        UNION ALL
+        SELECT 'nth' AS mode, event_id FROM events WHERE event_id % 10 = 0
     """,
-    "sample_nth": """
-        SELECT event_id, event_type FROM events WHERE event_id % 10 = 0
+    "parse_time": """
+        SELECT event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ep_rfc3339,
+               CAST(floor(epoch(make_timestamp(2026, 1, day(ts),
+                    hour(ts), minute(ts),
+                    CAST(date_part('second', ts) AS DOUBLE)))) AS BIGINT)
+                    AS ep_rfc3164,
+               CAST(1 AS BIGINT) AS ok_rfc3339,
+               CAST(1 AS BIGINT) AS ok_rfc3164,
+               CAST(0 AS BIGINT) AS ep_bad,
+               CAST(0 AS BIGINT) AS ok_bad
+        FROM events
     """,
     "dedup_exact": """
         SELECT min(doc_id) AS keeper_id, count(*) AS copies
@@ -1709,8 +1753,8 @@ QUERIES = {
     "mmcount": q_mmcount,
     # throttles / sampling / runs
     "ratelimit_burst": q_ratelimit_burst,
-    "interval_once": q_interval_once,
-    "sample_nth": q_sample_nth,
+    "exec_throttles": q_exec_throttles,
+    "parse_time": q_parse_time,
     "ratelimit_summary": q_ratelimit_summary,
     "runs_compress": q_runs_compress,
     # dedup (exact + SQL-checkable near-dup)

@@ -51,7 +51,7 @@ _TOKEN_RE = re.compile(r"""
     (?P<comment>\#[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<num>-?\d+(?:\.\d+)?)
-  | (?P<prop>\$[A-Za-z_][A-Za-z0-9_!.-]*)
+  | (?P<prop>\$[!.]?[A-Za-z_][A-Za-z0-9_!.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<op>==|!=|<=|>=|<|>|=)
   | (?P<punct>[(){},;:!*.&])
@@ -75,6 +75,12 @@ def _tokenize(text: str) -> list[tuple[str, str]]:
             val = val[1:-1].replace('\\"', '"').replace("\\\\", "\\")
         out.append((kind, val))
     return out
+
+
+def _prop_name(tok: str) -> str:
+    """``$x`` / ``$.x`` (local var) / ``$!x`` (message var) -> column
+    ``x`` — the batch model has one flat column namespace."""
+    return re.sub(r"^\$[!.]?", "", tok)
 
 
 class _P:
@@ -122,7 +128,7 @@ class _P:
     def value_term(self):
         k, v = self.next()
         if k == "prop":
-            return ("prop", v.lstrip("$"))
+            return ("prop", _prop_name(v))
         if k == "string":
             return ("lit", v)
         if k == "num":
@@ -170,7 +176,7 @@ class _P:
         if v == "re_match":
             self.next()
             self.expect("(")
-            prop = self.next()[1].lstrip("$")
+            prop = _prop_name(self.next()[1])
             self.expect(",")
             pat = self.next()[1]
             self.expect(")")
@@ -181,7 +187,7 @@ class _P:
         k, v = self.next()
         if k != "prop":
             raise SyntaxError(f"expected $property, got {v!r}")
-        prop = v.lstrip("$")
+        prop = _prop_name(v)
         opk, op = self.next()
         if op in ("contains", "startswith", "endswith"):
             val = self.next()[1]
@@ -406,13 +412,37 @@ def parse_rainer(text: str) -> dict:
             # set $x = EXPR;  (S_SET, grammar.y:set_stmt — computed
             # column; RainerScript & concat and scalar function calls)
             p.next()
-            set_col = p.next()[1].lstrip("$")
+            set_col = _prop_name(p.next()[1])
             p.expect("=")
             expr = p.value_expr()
             if p.peek()[1] == ";":
                 p.next()
             cfg.setdefault("computed", []).append(
                 {"column": set_col, "expr": _pred_json(expr)})
+        elif v == "foreach":
+            # foreach ($.x in $!arr) do STMTS done (S_FOREACH,
+            # grammar.y FOREACH / runtime/ruleset.c:377-402
+            # execIterative): the batch analog explodes the JSON array
+            # column into one row per element bound to the iterator
+            # column; body statements (and everything after — batch
+            # semantics, documented) see the exploded stream.  Rows
+            # whose array is missing/invalid/empty iterate zero times
+            # and drop, like a body that never executes.
+            p.next()
+            p.expect("(")
+            it_var = _prop_name(p.next()[1])
+            if p.next()[1] != "in":
+                raise SyntaxError("foreach: expected 'in'")
+            src = _prop_name(p.next()[1])
+            p.expect(")")
+            p.expect("do")
+            cfg.setdefault("foreach", []).append(
+                {"var": it_var, "source": src})
+            while p.peek()[1] != "done":
+                if p.peek()[0] == "eof":
+                    raise SyntaxError("foreach: missing 'done'")
+                statement()
+            p.expect("done")
         elif v == "if":
             # if COND then BLOCK [else BLOCK] (grammar.y if_stmt):
             # else-routes carry the negated condition

@@ -528,24 +528,39 @@ def compact_sink(out_dir: str, sink: str, compression: str = "zstd",
     return stats
 
 
-def finalize_aggregates(partials_ds) -> pd.DataFrame:
-    """Final dynstats reduction over the combiner output.
+def finalize_aggregates(partials_ds,
+                        driver_threshold: int = 2_000_000) -> pd.DataFrame:
+    """Final dynstats reduction over the combiner output — ADAPTIVE
+    (the ``group_topk``/``distinct_rows`` threshold switch).
 
     The partials are already collapsed to (sink, kind, key) per write
-    batch — cardinality |sinks| × |keys|, independent of row count — so
-    the final sum is a small driver-side groupby, not a cluster
-    shuffle.  (Measured: Ray's sort-based Aggregate took 44 s on 340 k
-    partial rows where this takes <1 s.)  If key cardinality ever grows
-    past driver memory, swap in
-    ``partials_ds.groupby([...]).aggregate(Sum("cnt"))``.
+    batch — cardinality |sinks| × |keys| per batch, independent of row
+    count.  Below ``driver_threshold`` partial rows the final sum is a
+    small driver-side pandas groupby (measured: Ray's sort-based
+    Aggregate took 44 s on 340 k partial rows where this takes <1 s).
+    Above it — the CC-scale regime where ``host`` keys are 10^7-10^8
+    and partial rows are keys × write batches — the reduce runs as a
+    distributed ``groupby().aggregate(Sum)`` and the driver only ever
+    holds the REDUCED per-key table (O(distinct keys), not
+    O(keys × batches)).  Reference analog: dynstats buckets are
+    process-global but bounded (runtime/dynstats.c:43-45); ours must
+    stay correct unbounded.
     """
     # NOTE: do NOT add a big-batch map_batches combine stage here — its
     # batch_size fuses into the upstream operator and collapses the whole
     # pipeline's parallelism to n_rows/batch_size tasks (observed: 10
     # tasks for 10M rows).  The partials are |sinks|×|keys| per write
     # batch (~4k rows), so the driver sum handles even 10^3 batches.
-    df = partials_ds.to_pandas()
-    if df.empty:
-        return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
-    return (df.groupby(["sink", "kind", "key"], as_index=False)["cnt"].sum()
-            .astype({"cnt": "int64"}))
+    partials = partials_ds.materialize()
+    if partials.count() <= driver_threshold:
+        df = partials.to_pandas()
+        if df.empty:
+            return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
+        return (df.groupby(["sink", "kind", "key"], as_index=False)["cnt"]
+                .sum().astype({"cnt": "int64"}))
+
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["sink", "kind", "key"]).aggregate(
+        Sum("cnt", alias_name="cnt"))
+    return agg.to_pandas().astype({"cnt": "int64"})

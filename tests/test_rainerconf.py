@@ -260,3 +260,52 @@ def test_ruleset_call_and_else():
     assert cfg2["routes"] == [{"sink": "c",
                                "pred": ["prifilt", "severity", 0, 2],
                                "stop": False}]
+
+
+def test_foreach_explode(ray_session, tmp_path):
+    """foreach ($.x in $!arr) do ... done (S_FOREACH, grammar.y
+    FOREACH / ruleset.c:377-402): the .conf front-end unnests a JSON
+    array column end-to-end — one output row per element, iterator
+    bound as a column, body set/action statements applied per element,
+    empty/invalid arrays iterate zero times."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    src = pd.DataFrame({
+        "doc": ["a", "b", "c", "d"],
+        "words": ['["x","y"]', '["z"]', "[]", "not json"],
+    })
+    data = tmp_path / "in"
+    data.mkdir()
+    src.to_parquet(data / "pages-0.parquet", index=False)
+
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="DATA/pages-*.parquet")
+    foreach ($.w in $!words) do
+        set $wu = toupper($.w);
+        if $wu == "X" then action(type="omfile" file="exes")
+    done
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("DATA", str(data))
+    cfg = parse_rainer(conf)
+    assert cfg["foreach"] == [{"var": "w", "source": "words"}]
+    cfg["output"]["full_sinks"] = ["exes", "archive"]
+    cfg["aggregates"] = [["doc", "doc"]]
+    from rsyslog_ray.config import run_config
+    run_config(cfg, resume=False, lineage=False)
+
+    arch = glob.glob(str(tmp_path / "o" / "archive" / "**" / "*.parquet"),
+                     recursive=True)
+    t = (pd.concat([pq.read_table(f).to_pandas() for f in arch])
+         .sort_values(["doc", "w"]).reset_index(drop=True))
+    # q_explode_words semantics: one row per element; c (empty) and d
+    # (invalid) vanish
+    assert list(zip(t["doc"], t["w"])) == [("a", "x"), ("a", "y"),
+                                           ("b", "z")]
+    assert t["wu"].tolist() == ["X", "Y", "Z"]
+    exes = glob.glob(str(tmp_path / "o" / "exes" / "**" / "*.parquet"),
+                     recursive=True)
+    te = pd.concat([pq.read_table(f).to_pandas() for f in exes])
+    assert list(zip(te["doc"], te["w"])) == [("a", "x")]
