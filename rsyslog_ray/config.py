@@ -70,31 +70,49 @@ def _set_registry() -> dict:
         "b64_encode": F.b64_encode, "b64_decode": F.b64_decode,
         "num2ipv4": F.num2ipv4, "ipv42num": F.ipv42num, "wrap": F.wrap,
         "cstr": F.cstr, "cnum": F.cnum, "hash64mod": F.hash64mod,
+        "tocef": F.tocef, "cef_ext_escape": F.cef_ext_escape,
+        "parse_time": F.parse_time, "parse_time_localtz": F.parse_time_localtz,
+        "is_time": F.is_time, "random": F.random_gen,
+        "getenv": lambda n: F.getenv_fn(n if isinstance(n, str) else str(n)),
+        "script_error": F.script_error,
+        "previous_action_suspended": F.previous_action_suspended,
     }
 
 
-def eval_set_expr(expr, get):
+def eval_set_expr(expr, get, templates=None, get_df=None):
     """Evaluate a set-expression AST; ``get(name)`` yields the column
     as a pandas Series.  Returns a Series or a scalar (callers
-    broadcast scalars)."""
+    broadcast scalars).  ``templates``/``get_df`` feed exec_template
+    (rainerscript.c doFunc_exec_template:1784 — render a declared
+    template against the current message/row)."""
     op = expr[0]
     if op == "prop":
         return get(expr[1])
     if op == "lit":
         return expr[1]
     if op == "concat":
-        a = eval_set_expr(expr[1], get)
-        b = eval_set_expr(expr[2], get)
+        a = eval_set_expr(expr[1], get, templates, get_df)
+        b = eval_set_expr(expr[2], get, templates, get_df)
         if isinstance(a, pd.Series) or isinstance(b, pd.Series):
             sa = a.astype(str) if isinstance(a, pd.Series) else str(a)
             sb = b.astype(str) if isinstance(b, pd.Series) else str(b)
             return sa + sb
         return str(a) + str(b)
     if op == "call":
+        if expr[1] == "exec_template":
+            from .template import Template
+            name = eval_set_expr(expr[2][0], get, templates, get_df)
+            text = (templates or {}).get(name)
+            if text is None or get_df is None:
+                # undeclared template -> "" (reference returns an empty
+                # string when tplToString fails)
+                return ""
+            return Template(text, name).render(get_df())
         fn = _set_registry().get(expr[1])
         if fn is None:
             raise ValueError(f"unknown function in set: {expr[1]!r}")
-        return fn(*[eval_set_expr(x, get) for x in expr[2]])
+        return fn(*[eval_set_expr(x, get, templates, get_df)
+                    for x in expr[2]])
     raise ValueError(f"bad set expression op {op!r}")
 
 
@@ -133,6 +151,7 @@ class PipelineConfig:
         self.enrich = cfg.get("enrich", [])
         self.computed = cfg.get("computed", [])  # set $x = expr specs
         self.foreach_specs = cfg.get("foreach", [])  # S_FOREACH explodes
+        self.templates = cfg.get("templates", {})    # for exec_template
         self.routes = [Route(r["sink"], _to_pred(r["pred"]),
                              bool(r.get("stop", False)))
                        for r in cfg["routes"]]
@@ -250,7 +269,8 @@ class _ConfigMapFn:
                     _c[name] = s
                 return s
 
-            res = eval_set_expr(spec["expr"], get)
+            res = eval_set_expr(spec["expr"], get, self.c.templates,
+                                lambda _t=tbl: _t.to_pandas())
             if not isinstance(res, pd.Series):
                 res = pd.Series([res] * len(tbl))
             tbl = tbl.append_column(spec["column"],

@@ -512,6 +512,7 @@ def parse_time(s: pd.Series, now: pd.Timestamp | None = None) -> pd.Series:
     ok4, mon, dd, hh, mi, ss = _match3164(t)
     ep4 = _syslogtime_epoch(_estimate_year(now, mon), mon, dd, hh, mi, ss, 0)
     out = np.where(ok9, ep9, np.where(ok4, ep4, 0))
+    _set_script_errno(~(ok9 | ok4), s.index)
     return pd.Series(out, index=s.index, dtype="int64")
 
 
@@ -532,6 +533,7 @@ def parse_time_localtz(s: pd.Series, now: pd.Timestamp | None = None,
     ep4 = _syslogtime_epoch(_estimate_year(now, mon), mon, dd, hh, mi, ss,
                             int(gmtoff))
     out = np.where(ok9, ep9, np.where(ok4, ep4, 0))
+    _set_script_errno(~(ok9 | ok4), s.index)
     return pd.Series(out, index=s.index, dtype="int64")
 
 
@@ -548,7 +550,137 @@ def is_time(s: pd.Series, fmt: str | None = None) -> pd.Series:
     else:
         ok = checks["date-rfc3164"]() | checks["date-rfc3339"]() \
             | checks["date-unix"]()
+    _set_script_errno(~ok, s.index)
     return pd.Series(ok.astype("int64"), index=s.index)
+
+
+# ---------------------------------------------------------------------
+# CEF output — tocef / cef_ext_escape (grammar/rainerscript.c
+# doFunct_tocef :3368, cef_escape_header :3324,
+# cef_escape_eventclassid :3341, doFunct_cef_ext_escape :3414)
+
+def cef_hdr_escape(s: pd.Series) -> pd.Series:
+    """CEF header-field escaping: backslash and pipe get a leading
+    backslash (cef_escape_header)."""
+    return (s.astype(str).str.replace("\\", "\\\\", regex=False)
+            .str.replace("|", "\\|", regex=False))
+
+
+def cef_eventclassid_escape(s: pd.Series) -> pd.Series:
+    """deviceEventClassId needs extra escapes beyond the header set:
+    ``\\ | = % #`` (cef_escape_eventclassid)."""
+    out = s.astype(str).str.replace("\\", "\\\\", regex=False)
+    for ch in "|=%#":
+        out = out.str.replace(ch, "\\" + ch, regex=False)
+    return out
+
+
+def cef_ext_escape(s: pd.Series) -> pd.Series:
+    """CEF extension-value escaping: ``\\ -> \\\\``, ``= -> \\=``,
+    LF -> ``\\n``, CR -> ``\\r`` (doFunct_cef_ext_escape)."""
+    return (s.astype(str).str.replace("\\", "\\\\", regex=False)
+            .str.replace("=", "\\=", regex=False)
+            .str.replace("\n", "\\n", regex=False)
+            .str.replace("\r", "\\r", regex=False))
+
+
+def tocef(version, vendor, product, devversion, eventclassid, name,
+          severity, extensions) -> pd.Series:
+    """tocef(8 args) -> ``CEF:v|vendor|product|devversion|classid|name|
+    severity|extensions`` with spec escaping on the seven header fields
+    (extensions appended VERBATIM — callers escape values with
+    cef_ext_escape), mirroring doFunct_tocef including the "0" default
+    for a missing version."""
+    args = [version, vendor, product, devversion, eventclassid, name,
+            severity, extensions]
+    idx = next((a.index for a in args if isinstance(a, pd.Series)), None)
+    if idx is None:
+        idx = pd.RangeIndex(1)
+
+    def ser(x, default=""):
+        if isinstance(x, pd.Series):
+            return x.fillna(default).astype(str)
+        return pd.Series([default if x is None else str(x)] * len(idx),
+                         index=idx)
+
+    return ("CEF:" + cef_hdr_escape(ser(version, "0"))
+            + "|" + cef_hdr_escape(ser(vendor))
+            + "|" + cef_hdr_escape(ser(product))
+            + "|" + cef_hdr_escape(ser(devversion))
+            + "|" + cef_eventclassid_escape(ser(eventclassid))
+            + "|" + cef_hdr_escape(ser(name))
+            + "|" + cef_hdr_escape(ser(severity))
+            + "|" + ser(extensions))
+
+
+# ---------------------------------------------------------------------
+# control / environment functions (rainerscript.c doFunct_Getenv :2161,
+# doFunct_RandomGen :2059, doFunct_ScriptError :3018,
+# doFunct_PreviousActionSuspended :3027; RS_SCRIPT_* rainerscript.h
+# :374-375)
+
+SCRIPT_EOK = 0
+SCRIPT_EINVAL = 1
+_last_errno: pd.Series | None = None
+_prev_action_suspended: bool = False
+
+
+def _set_script_errno(bad_mask, index) -> None:
+    """Record per-row errno after an errno-setting call (wtiSetScriptErrno
+    analog; one batch executes serially per worker, matching the
+    reference's per-worker-thread errno slot)."""
+    global _last_errno
+    _last_errno = pd.Series(
+        np.where(np.asarray(bad_mask, bool), SCRIPT_EINVAL, SCRIPT_EOK),
+        index=index, dtype="int64")
+
+
+def script_error():
+    """script_error() — per-row errno of the most recent errno-setting
+    function call in this worker (0 = ok, 1 = EINVAL); 0 before any
+    call."""
+    return SCRIPT_EOK if _last_errno is None else _last_errno
+
+
+def set_prev_action_suspended(flag: bool) -> None:
+    """Hook for sink/connector stages: record that the previous action
+    suspended itself (transport down / retries exhausted)."""
+    global _prev_action_suspended
+    _prev_action_suspended = bool(flag)
+
+
+def previous_action_suspended() -> int:
+    """previous_action_suspended() -> 1/0 (wtiGetPrevWasSuspended);
+    connector stages set the flag via set_prev_action_suspended."""
+    return int(_prev_action_suspended)
+
+
+def getenv_fn(name: str) -> str:
+    """getenv(str) -> value or "" (doFunct_Getenv)."""
+    import os
+    return os.environ.get(name, "")
+
+
+def random_gen(maxval, size: int | None = None, rng=None):
+    """random(max) -> uniform int in [0, max) per row
+    (doFunct_RandomGen): invalid or zero max -> 0, negative max ->
+    |max|.  ``rng`` (numpy Generator) pins determinism for tests."""
+    if rng is None:
+        rng = np.random.default_rng()
+    if isinstance(maxval, pd.Series):
+        m = (pd.to_numeric(maxval, errors="coerce").fillna(0)
+             .astype("int64").abs().to_numpy())
+        x = rng.integers(0, np.iinfo(np.int64).max, len(m), dtype=np.int64)
+        out = np.where(m == 0, 0, x % np.where(m == 0, 1, m))
+        return pd.Series(out, index=maxval.index, dtype="int64")
+    try:
+        m = abs(int(maxval))
+    except (TypeError, ValueError):
+        m = 0
+    n = size or 1
+    x = rng.integers(0, np.iinfo(np.int64).max, n, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64) if m == 0 else x % m
+    return out if size else int(out[0])
 
 
 def csv_escape(s: pd.Series) -> pd.Series:

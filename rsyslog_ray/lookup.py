@@ -116,6 +116,92 @@ class LookupTable:
         return out
 
 
+def _copy_table_state(dst: LookupTable, src: LookupTable) -> None:
+    dst.kind = src.kind
+    dst.stub = src.stub
+    for attr in ("_dict", "_arr", "offset", "_bounds", "_vals", "_regex",
+                 "_keys_arr", "_vals_arr"):
+        if hasattr(dst, attr):
+            delattr(dst, attr)
+        if hasattr(src, attr):
+            setattr(dst, attr, getattr(src, attr))
+
+
+def reload_table(table: LookupTable, path_or_text: str,
+                 stub: str | None = None) -> LookupTable:
+    """S_RELOAD_LOOKUP_TABLE analog (runtime/lookup.c:151-162 reloader
+    thread + rwlock swap; ruleset.c:512-529): rebuild ``table`` in
+    place from the file.  A driver-held table refreshes immediately;
+    a BROADCAST table needs the new object re-``ray.put`` (or the
+    ReloadableLookup actor below for mid-run swaps)."""
+    _copy_table_state(table, load_lookup_file(path_or_text, stub=stub))
+    return table
+
+
+class ReloadableLookup:
+    """Mid-run hot reload: a tiny named actor holds (version, table);
+    worker stages cache the table and poll the version once per batch
+    (one cheap RPC), swapping when it bumps — the distributed analog of
+    the reference's reloader thread + rwlock swap (lookup.c:151-162:
+    readers never block, the swap happens between lookups).
+
+    Driver:  rl = ReloadableLookup.start(path); ... rl.reload(path2)
+    Workers: probe = rl.probe(); probe.table() inside __call__.
+    """
+
+    def __init__(self, handle):
+        self._handle = handle
+
+    @staticmethod
+    def start(path_or_text: str, stub: str | None = None,
+              name: str | None = None) -> "ReloadableLookup":
+        import ray
+
+        @ray.remote(num_cpus=0)
+        class _Holder:
+            def __init__(self, path, stub):
+                self._v = 1
+                self._t = load_lookup_file(path, stub=stub)
+
+            def reload(self, path, stub=None):
+                self._t = load_lookup_file(path, stub=stub)
+                self._v += 1
+                return self._v
+
+            def poll(self, have_version: int):
+                if have_version == self._v:
+                    return self._v, None       # unchanged: no payload
+                return self._v, self._t
+
+        kwargs = {"name": name} if name else {}
+        return ReloadableLookup(
+            _Holder.options(**kwargs).remote(path_or_text, stub))
+
+    def reload(self, path_or_text: str, stub: str | None = None) -> int:
+        import ray
+        return ray.get(self._handle.reload.remote(path_or_text, stub))
+
+    def probe(self) -> "LookupProbe":
+        return LookupProbe(self._handle)
+
+
+class LookupProbe:
+    """Worker-side cache for ReloadableLookup: ``table()`` returns the
+    current table, re-fetching only when the holder's version moved."""
+
+    def __init__(self, handle):
+        self._handle = handle
+        self._version = 0
+        self._table: LookupTable | None = None
+
+    def table(self) -> LookupTable:
+        import ray
+        v, t = ray.get(self._handle.poll.remote(self._version))
+        if t is not None:
+            self._version, self._table = v, t
+        return self._table
+
+
 def load_lookup_file(path_or_text: str, stub: str | None = None) -> LookupTable:
     """Load the reference's lookup-table JSON file format
     (runtime/lookup.c:760-800 lookupReadFile: {"version", "nomatch",

@@ -675,9 +675,12 @@ def q_template_formats(sf_dir):
     """Sink-format template options in one pass: tplToJSON
     (runtime/template.c:1027, byte-identical to DuckDB's to_json),
     RFC4180 CSV (template.h:150-154; props contains quotes so the
-    escaping path is exercised), and stdSQL escaping
-    (template.c:947-951 doSQLEscape, quote doubling)."""
-    from ..functions import csv_escape, json_string_escape, sql_escape
+    escaping path is exercised), stdSQL escaping (template.c:947-951
+    doSQLEscape, quote doubling), and CEF (tocef/cef_ext_escape,
+    rainerscript.c:3324-3412: header, eventclassid and extension
+    escaping)."""
+    from ..functions import (cef_ext_escape, csv_escape,
+                             json_string_escape, sql_escape, tocef)
 
     ds = _read(sf_dir, "events", columns=["event_id", "event_type",
                                           "props"])
@@ -687,8 +690,10 @@ def q_template_formats(sf_dir):
              + ',"et":"' + json_string_escape(df["event_type"]) + '"}')
         line = df["event_id"].astype(str) + "," + csv_escape(df["props"])
         sqlq = "VALUES('" + sql_escape(df["props"]) + "')"
+        cef = tocef("0", "raylog", "engine", "1.0", df["event_type"],
+                    df["props"], "5", "src=" + cef_ext_escape(df["props"]))
         return pd.DataFrame({"event_id": df["event_id"], "j": j,
-                             "line": line, "sqlq": sqlq})
+                             "line": line, "sqlq": sqlq, "cef": cef})
 
     return ds.map_batches(fx, batch_format="pandas")
 
@@ -1618,7 +1623,15 @@ SQL: dict[str, str] = {
                CASE WHEN regexp_matches(props, '[",\n]')
                     THEN '"' || replace(props, '"', '""') || '"'
                     ELSE props END AS line,
-               'VALUES(''' || replace(props, '''', '''''') || ''')' AS sqlq
+               'VALUES(''' || replace(props, '''', '''''') || ''')' AS sqlq,
+               'CEF:0|raylog|engine|1.0|' ||
+               replace(replace(replace(replace(replace(event_type,
+                   '\', '\\'), '|', '\|'), '=', '\='), '%', '\%'),
+                   '#', '\#') || '|' ||
+               replace(replace(props, '\', '\\'), '|', '\|') || '|5|' ||
+               'src=' || replace(replace(replace(replace(props,
+                   '\', '\\'), '=', '\='), chr(10), '\n'), chr(13), '\r')
+               AS cef
         FROM events
     """,
     "format_time": """

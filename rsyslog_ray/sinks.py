@@ -240,7 +240,8 @@ class FanoutWriter:
                  full_sinks: tuple | None = None,
                  agg_kinds: tuple | None = None, ts_col: str = "warc_ts",
                  formats: dict | None = None,
-                 partition_by: dict | None = None):
+                 partition_by: dict | None = None,
+                 impstats_every: int | None = None):
         self.router = routes if isinstance(routes, Router) else Router(routes)
         self.out_dir = out_dir
         self.drop_cols = drop_cols
@@ -258,6 +259,12 @@ class FanoutWriter:
         # hive subdirectory under the shard dir
         self.partition_by = partition_by or {}
         self.lineage_name = lineage_name
+        # interval impstats (impstats.c:114-123): emit a counter line
+        # every N write batches per worker; None = end-of-run only
+        # (write_run_metrics).  Lazy per-worker emitter — zero hot-path
+        # cost when off.
+        self.impstats_every = impstats_every
+        self._emitter = None
 
     WRITE_RETRIES = 3
 
@@ -399,6 +406,14 @@ class FanoutWriter:
                         files_per_shard[sid]) for sid in shard_counts]
             # one RPC per batch; ray.get = backpressure on the commit log
             ray.get(self.lineage.report_many.remote(entries))
+
+        if self.impstats_every is not None:
+            if self._emitter is None:
+                from .stats import IntervalStatsEmitter
+                self._emitter = IntervalStatsEmitter(
+                    self.out_dir, every_batches=self.impstats_every)
+            delivered = sum(sum(d.values()) for d in sink_shard_rows.values())
+            self._emitter.tick({"rows_delivered": delivered, "batches": 1})
 
         if partials:
             return pa.concat_tables(partials)

@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import time
 
 CTR_NONE = 0
 CTR_RESETTABLE = 1  # statsobj.h CTR_FLAG_RESETTABLE
@@ -229,3 +230,47 @@ class DynStatsBucket:
                         for k, v in rec["last_touch"].items()}
         b.ops_overflow = int(rec.get("ops_overflow", 0))
         return b
+
+
+class IntervalStatsEmitter:
+    """Interval impstats emission (plugins/impstats/impstats.c:114-123:
+    a periodic timer renders every statsobj as a log line each
+    ``interval`` seconds).  The deterministic batch analog emits one
+    rendered line every ``every_batches`` write batches from each
+    worker's local counters (the reference's impstats is per-process
+    too); ``interval_s`` adds the wall-clock trigger on top.  Lines
+    append flush-only (no fsync — CLAUDE.md invariant 4) to
+    ``_impstats.interval.<pid>`` in the run dir, one file per worker so
+    concurrent appends never interleave."""
+
+    def __init__(self, out_dir: str, name: str = "raylog",
+                 every_batches: int = 1, interval_s: float | None = None,
+                 fmt: str = "legacy"):
+        self.out_dir = out_dir
+        self.every = max(1, int(every_batches))
+        self.interval_s = interval_s
+        self.fmt = fmt
+        self.obj = StatsObject(name, origin="impstats")
+        self._n = 0
+        self._last = time.monotonic()
+        self._path = os.path.join(out_dir, f"_impstats.interval.{os.getpid()}")
+
+    def tick(self, counters: dict) -> bool:
+        """Accumulate one batch's counters; emit when the batch count
+        (or the wall interval) trips.  Returns True when a line was
+        written."""
+        for k, v in counters.items():
+            self.obj.inc(k, int(v))
+        self._n += 1
+        due = (self._n % self.every == 0)
+        if self.interval_s is not None:
+            now = time.monotonic()
+            if now - self._last >= self.interval_s:
+                due = True
+        if not due:
+            return False
+        self._last = time.monotonic()
+        with open(self._path, "a") as fh:
+            fh.write(self.obj.render(self.fmt) + "\n")
+            fh.flush()
+        return True

@@ -125,3 +125,127 @@ def test_mmanon_ipv6_zero():
     out = anon_ipv6_zero(s)
     assert out.tolist() == ["x 2001:db8:1:2:0:0:0:0 y", "no v6 here",
                             "fe80:0:0:1:0:0:0:0 end"]
+
+
+def test_parse_time_reference_semantics():
+    """parse_time family vs the reference parsers (rainerscript.c
+    doFunct_ParseTime/estimateYear, datetime.c ParseTIMESTAMP3339/
+    3164/syslogTime2time_t): lenient digits, leap second, day
+    overflow, tz offsets, Cisco/Brocade year variants, 0 on garbage
+    and pre-1970 years."""
+    import pandas as pd
+
+    from rsyslog_ray import functions as F
+
+    now = pd.Timestamp("2026-08-17 12:00:00", tz="UTC")
+    ep = lambda s: int(pd.Timestamp(s, tz="UTC").timestamp())
+    got = F.parse_time(pd.Series([
+        "2024-01-01T00:00:00Z", "2003-08-24T05:14:15.000003-07:00",
+        "2024-1-1T0:0:0+00:00", "Oct 11 22:14:15", "Jan  1 00:00:00",
+        "garbage", "2024-13-01T00:00:00Z", "2024-01-01T00:00:60Z",
+        "1969-01-01T00:00:00Z", "2008 Oct 11 22:14:15",
+        "Oct 11 2009 22:14:15", "Feb 31 00:00:00",
+        "2024-01-01T00:00:00Z trailing", "2024-01-01T00:00:00Zx",
+    ]), now=now)
+    assert got.tolist() == [
+        1704067200, 1061727255, 1704067200,
+        ep("2025-10-11 22:14:15"),       # Oct > Aug+1 -> last year
+        ep("2026-01-01 00:00:00"),       # Jan in Aug -> this year
+        0, 0,
+        1704067200 + 60,                 # leap second
+        0,                               # pre-1970 -> 0, parse ok
+        ep("2025-10-11 22:14:15"),       # explicit year OVERRIDDEN
+        ep("2025-10-11 22:14:15"),       # Cisco year overridden too
+        ep("2026-03-03 00:00:00"),       # Feb 31 rolls over (non-leap)
+        1704067200, 0,
+    ]
+    # script_error reflects the last call per row (EINVAL on no-parse)
+    err = F.script_error()
+    assert err.tolist() == [0, 0, 0, 0, 0, 1, 1, 0, 0, 0, 0, 0, 0, 1]
+    # December/January year estimate wrap
+    dec = F.parse_time(pd.Series(["Jan 05 00:00:00"]),
+                       now=pd.Timestamp("2026-12-30", tz="UTC"))
+    assert dec[0] == ep("2027-01-05 00:00:00")
+    # is_time: format restriction + unix strings
+    s = pd.Series(["Oct 11 22:14:15", "2024-01-01T00:00:00Z", "17", "x"])
+    assert F.is_time(s).tolist() == [1, 1, 1, 0]
+    assert F.is_time(s, "date-rfc3339").tolist() == [0, 1, 0, 0]
+    assert F.is_time(s, "date-unix").tolist() == [0, 0, 1, 0]
+    assert F.is_time(s, "bogus-fmt").tolist() == [0, 0, 0, 0]
+    # localtz: 3339 unchanged, 3164 shifted by gmtoff
+    lz = F.parse_time_localtz(s.head(2), now=now, gmtoff=3600)
+    assert lz[0] == ep("2025-10-11 22:14:15") - 3600
+    assert lz[1] == ep("2024-01-01 00:00:00")
+
+
+def test_cef_and_control_functions(monkeypatch):
+    """tocef / cef_ext_escape (rainerscript.c:3324-3412) and the
+    control functions (getenv, random, script_error,
+    previous_action_suspended)."""
+    import numpy as np
+    import pandas as pd
+
+    from rsyslog_ray import functions as F
+
+    cef = F.tocef("0", "Vendor|Inc", "prod\\x", "1.0",
+                  pd.Series(["id=7|x", "plain"]),
+                  pd.Series(["name|1", "n"]), "5",
+                  "src=" + F.cef_ext_escape(pd.Series(["a=b\\c", "d"])))
+    assert cef[0] == ("CEF:0|Vendor\\|Inc|prod\\\\x|1.0|"
+                      "id\\=7\\|x|name\\|1|5|src=a\\=b\\\\c")
+    assert cef[1] == "CEF:0|Vendor\\|Inc|prod\\\\x|1.0|plain|n|5|src=d"
+    # eventclassid extra escapes: % and #
+    assert F.cef_eventclassid_escape(pd.Series(["a%b#c"]))[0] == \
+        "a\\%b\\#c"
+    # ext escaping of newlines
+    assert F.cef_ext_escape(pd.Series(["a\nb\rc"]))[0] == "a\\nb\\rc"
+
+    monkeypatch.setenv("RAYLOG_TEST_VAR", "hello")
+    assert F.getenv_fn("RAYLOG_TEST_VAR") == "hello"
+    assert F.getenv_fn("RAYLOG_MISSING_VAR") == ""
+
+    rng = np.random.default_rng(7)
+    r = F.random_gen(pd.Series([10, 0, -5, 1]), rng=rng)
+    assert ((r >= 0) & (r < pd.Series([10, 1, 5, 1]))).all()
+    assert r[1] == 0 and r[3] == 0          # max 0 -> 0; max 1 -> 0
+    assert F.random_gen(0) == 0
+    assert 0 <= F.random_gen(100, rng=np.random.default_rng(1)) < 100
+
+    assert F.previous_action_suspended() == 0
+    F.set_prev_action_suspended(True)
+    assert F.previous_action_suspended() == 1
+    F.set_prev_action_suspended(False)
+
+
+def test_exec_template_in_conf(ray_session, tmp_path):
+    """exec_template (rainerscript.c doFunc_exec_template:1784): a
+    declared template rendered into a computed column via set $x =
+    exec_template("name")."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rainerconf import parse_rainer
+
+    src = pd.DataFrame({"host": ["h1", "h2"], "msg": ["a", "b"]})
+    data = tmp_path / "in"
+    data.mkdir()
+    src.to_parquet(data / "pages-0.parquet", index=False)
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="DATA/pages-*.parquet")
+    template(name="line" type="string" string="%host%: %msg%")
+    set $rendered = exec_template("line");
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("DATA", str(data))
+    cfg = parse_rainer(conf)
+    cfg["output"]["full_sinks"] = ["archive"]
+    cfg["aggregates"] = [["host", "host"]]
+    run_config(cfg, resume=False, lineage=False)
+    files = glob.glob(str(tmp_path / "o" / "archive" / "**" / "*.parquet"),
+                      recursive=True)
+    t = pd.concat([pq.read_table(f).to_pandas() for f in files]) \
+        .sort_values("host")
+    assert t["rendered"].tolist() == ["h1: a", "h2: b"]

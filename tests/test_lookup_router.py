@@ -114,3 +114,61 @@ def test_load_lookup_file_reference_format(tmp_path):
     assert t1.lookup("k") == "v1"
     p.write_text('{"table":[{"index":"k","value":"v2"}]}')
     assert load_lookup_file(str(p)).lookup("k") == "v2"  # reload = rebuild
+
+
+def test_lookup_reload(ray_session, tmp_path):
+    """S_RELOAD_LOOKUP_TABLE (lookup.c:151-162, ruleset.c:512-529):
+    reload_table rebuilds in place; ReloadableLookup swaps the table
+    between two batches of one run via the holder actor (readers never
+    block; the stale worker cache refreshes on the next poll)."""
+    import json
+
+    import pandas as pd
+    import ray.data
+
+    from rsyslog_ray.lookup import ReloadableLookup, load_lookup_file, \
+        reload_table
+
+    v1 = tmp_path / "t1.lkp_tbl"
+    v2 = tmp_path / "t2.lkp_tbl"
+    v1.write_text(json.dumps({"version": 1, "nomatch": "?", "table": [
+        {"index": "a", "value": "old-a"}, {"index": "b", "value": "old-b"}]}))
+    v2.write_text(json.dumps({"version": 2, "nomatch": "?", "table": [
+        {"index": "a", "value": "new-a"}]}))
+
+    # in-place reload of a driver-held table
+    t = load_lookup_file(str(v1))
+    assert t.lookup("a") == "old-a"
+    reload_table(t, str(v2))
+    assert t.lookup("a") == "new-a"
+    assert t.lookup("b") == "?"              # dropped key -> stub
+    # arrow fast path must not serve the stale cached key arrays
+    import pyarrow as pa
+    got = t.lookup_arrow(pa.array(["a", "b"], pa.string()))
+    assert got.to_pylist() == ["new-a", "?"]
+
+    # mid-run swap through the holder actor: batch 1 sees v1, reload,
+    # batch 2 sees v2 through the SAME worker-side probe cache
+    rl = ReloadableLookup.start(str(v1))
+    probe = rl.probe()
+    b1 = probe.table().lookup_series(pd.Series(["a", "b"]))
+    assert b1.tolist() == ["old-a", "old-b"]
+    rl.reload(str(v2))
+    b2 = probe.table().lookup_series(pd.Series(["a", "b"]))
+    assert b2.tolist() == ["new-a", "?"]
+
+    # distributed: a map_batches stage resolves through the probe
+    class Enrich:
+        def __init__(self, handle):
+            from rsyslog_ray.lookup import LookupProbe
+            self.probe = LookupProbe(handle)
+
+        def __call__(self, df):
+            df["v"] = self.probe.table().lookup_series(df["k"])
+            return df
+
+    ds = ray.data.from_pandas(pd.DataFrame({"k": ["a", "b", "a"]}))
+    out = ds.map_batches(Enrich, fn_constructor_args=(rl._handle,),
+                         batch_format="pandas",
+                         concurrency=(1, 2)).to_pandas()
+    assert out["v"].tolist() == ["new-a", "?", "new-a"]

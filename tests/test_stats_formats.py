@@ -82,3 +82,30 @@ def test_run_metrics_emits_impstats_files(tmp_path):
     assert (tmp_path / "_impstats.cee").read_text().startswith("@cee:")
     prom = (tmp_path / "_impstats.prometheus").read_text()
     assert "# TYPE" in prom and "input_files" in prom
+
+
+def test_interval_impstats_emission(tmp_path):
+    """Interval impstats (plugins/impstats/impstats.c:114-123): the
+    reference emits a counter line every interval; the batch analog
+    emits one rendered line per N write batches — an N-batch run with
+    every_batches=1 produces exactly N interval records with running
+    totals."""
+    import pyarrow as pa
+
+    from rsyslog_ray.router import Route
+    from rsyslog_ray.sinks import FanoutWriter
+
+    w = FanoutWriter([Route("archive", ("true",), False)],
+                     str(tmp_path), agg_kinds=(("lang", "lang"),),
+                     impstats_every=1)
+    for i in range(4):
+        w(pa.table({"lang": pa.array(["en"] * (i + 1), pa.string())}))
+    import glob
+    files = glob.glob(str(tmp_path / "_impstats.interval.*"))
+    assert len(files) == 1                      # one worker, one file
+    lines = open(files[0]).read().strip().split("\n")
+    assert len(lines) == 4                      # one record per batch
+    # running totals: 1, 3, 6, 10 delivered rows
+    assert [int(ln.split("rows_delivered=")[1].split()[0])
+            for ln in lines] == [1, 3, 6, 10]
+    assert all("batches=" in ln for ln in lines)
