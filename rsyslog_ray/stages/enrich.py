@@ -121,6 +121,29 @@ class EnrichFn:
                      .append_column("category", category))
 
 
+class MmdbEnrichStage:
+    """mmdblookup (plugins/mmdblookup/mmdblookup.c:470-497): open the
+    MaxMind DB once per actor (wrkr_reopen_mmdb analog — the tree
+    parse happens in ``__init__``, never per batch), probe the ``key``
+    column per row and attach one column per requested dotted field
+    (``fields`` maps output column -> "country.iso_code"-style path;
+    misses -> "").  Uses the in-repo binary-format reader
+    (state/mmdb.py) — no external library needed.  Attach with
+    ``map_batches(MmdbEnrichStage, fn_constructor_args=(path, key,
+    fields), concurrency=(1, N))``."""
+
+    def __init__(self, path: str, key: str, fields: dict):
+        from ..state.mmdb import MMDBReader
+        self.db = MMDBReader(path)
+        self.key = key
+        self.fields = fields
+
+    def __call__(self, df):
+        for col, dotted in self.fields.items():
+            df[col] = self.db.lookup_series(df[self.key], field=dotted)
+        return df
+
+
 def enrich_pages(ds, lookups_ref=None, concurrency=4, batch_size: int = 4096):
     """Attach the enrich actor-pool stage. Broadcast the lookups first
     with ``ray.put(default_lookups())`` and pass the ref."""
