@@ -265,7 +265,7 @@ def parse_rainer(text: str) -> dict:
     cfg: dict = {"input": {"paths": []}, "routes": [],
                  "output": {"dir": "/tmp/raylog-out"}}
     modules: list[str] = []
-    tpl_refs: list[tuple[str, str]] = []  # (sink, template name)
+    tpl_refs: list[tuple[str, dict]] = []  # (sink, action params)
     rulesets: dict[str, list] = {}        # name -> compiled routes
     target = [cfg["routes"]]              # route emission target stack
 
@@ -292,7 +292,7 @@ def parse_rainer(text: str) -> dict:
                     prm = p.params()
                     sink, istop = _sink_of(prm)
                     if prm.get("template"):
-                        tpl_refs.append((sink, prm["template"]))
+                        tpl_refs.append((sink, prm))
                     stops_pending.append([sink, pred, istop])
                 elif stmt == "stop":
                     p.next()
@@ -316,7 +316,7 @@ def parse_rainer(text: str) -> dict:
             prm = p.params()
             sink, istop = _sink_of(prm)
             if prm.get("template"):
-                tpl_refs.append((sink, prm["template"]))
+                tpl_refs.append((sink, prm))
             stops_pending.append([sink, pred, istop])
             if p.peek()[1] == "stop":
                 p.next()
@@ -521,7 +521,8 @@ def parse_rainer(text: str) -> dict:
         cfg["modules"] = modules
     # resolve action template= references to declared templates — the
     # sink then writes template-rendered .log lines instead of parquet
-    for sink, name in tpl_refs:
+    for sink, prm in tpl_refs:
+        name = prm["template"]
         if name in cfg.get("templates", {}):
             spec = {"template": cfg["templates"][name]}
         elif name in cfg.get("templates_list", {}):
@@ -529,6 +530,10 @@ def parse_rainer(text: str) -> dict:
         else:
             raise SyntaxError(f"action references undeclared template "
                               f"{name!r}")
+        if prm.get("zipLevel"):
+            # omfile zipLevel (tools/omfile.c:296-299): gzip the
+            # rendered line files
+            spec["zipLevel"] = int(prm["zipLevel"])
         cfg["output"].setdefault("formats", {})[sink] = spec
     return cfg
 

@@ -305,11 +305,30 @@ class FanoutWriter:
                         if e.const is None)
             lines = (tpl.render_jsonf(grp.to_pandas()) if jsonf
                      else tpl.render(grp.to_pandas()))
+            payload = "\n".join(lines.astype(str).tolist())
+            if len(lines):
+                payload += "\n"
+            # zipLevel > 0: gzip the line file (omfile zip output,
+            # tools/omfile.c:296-299 — one complete gzip stream per
+            # file is the veryRobustZip="on" shape: every file
+            # decompresses independently, a torn write loses only its
+            # own file, which the lineage redo rewrites anyway)
+            zlevel = int(fmt.get("zipLevel", 0))
+            if zlevel > 0:
+                import gzip
+                tmp = os.path.join(d, stem + ".log.gz.inprogress")
+                with open(tmp, "wb") as fh:
+                    # mtime=0: byte-deterministic output for resume
+                    # idempotence checks
+                    with gzip.GzipFile(fileobj=fh, mode="wb",
+                                       compresslevel=zlevel,
+                                       mtime=0) as gz:
+                        gz.write(payload.encode())
+                os.replace(tmp, os.path.join(d, stem + ".log.gz"))
+                return
             tmp = os.path.join(d, stem + ".log.inprogress")
             with open(tmp, "w") as fh:
-                fh.write("\n".join(lines.astype(str).tolist()))
-                if len(lines):
-                    fh.write("\n")
+                fh.write(payload)
             os.replace(tmp, os.path.join(d, stem + ".log"))
         elif fmt == "csv":
             from pyarrow import csv as pacsv
