@@ -74,7 +74,25 @@ def run_curation(docs_path: str, out_dir: str, *,
     # distinct docs at the 10^12-doc birthday bound), keep the minimum
     # doc_id of every identical-text group.  The keeper set goes to
     # PARQUET: it is this stage's output AND the resume point.
+    # gate-survivor counting rides inside the hash stage (one blocking
+    # RPC per batch, the lineage-actor pattern) so the gate pipeline
+    # executes ONCE — a separate gated.count() would re-run the whole
+    # gate pass over the corpus
+    @ray.remote(num_cpus=0)
+    class _Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k: int) -> None:
+            self.n += int(k)
+
+        def value(self) -> int:
+            return self.n
+
+    counter = _Counter.remote()
+
     def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+        ray.get(counter.add.remote(len(df)))
         a, b = content_key128_frame(df["text"])
         return df.assign(__th=a, __th2=b)
 
@@ -87,8 +105,9 @@ def run_curation(docs_path: str, out_dir: str, *,
      .groupby(["__th", "__th2"]).map_groups(keep_min, batch_format="pandas")
      .write_parquet(exact_path))
     exact = ray.data.read_parquet(exact_path)
-    stats["after_quality_gate"] = gated.count()
+    stats["after_quality_gate"] = ray.get(counter.value.remote())
     stats["after_exact_dedup"] = exact.count()
+    ray.kill(counter)
 
     # ---- stage 3: near-dup pair mining — LSH candidates + distributed
     # Jaccard verify (stays a Dataset end to end); pairs to PARQUET so

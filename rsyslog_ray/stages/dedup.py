@@ -237,11 +237,13 @@ def minhash_lsh_pairs(ds, id_col: str, text_col: str, threshold: float = 0.8,
                              "id_b": np.concatenate(b_out)}).drop_duplicates()
 
     exploded = ds.map_batches(sig_explode, batch_format="pandas")
-    cands = exploded.groupby("pk").map_groups(part_cands,
-                                              batch_format="pandas")
-    # materialize ONCE: pairs feed both the bloom build and the joins
-    # (object-store blocks, distributed — not a driver collect)
-    pairs_ds = distributed_pair_dedup(cands, _NPART).materialize()
+    # materialize ONCE: candidate pairs feed both the bloom build and
+    # the joins (object-store blocks, distributed — not a driver
+    # collect).  No distributed_pair_dedup stage here: a duplicate
+    # pair surfacing from several bands hashes to the SAME id_a group
+    # in the verify join, which drops it — one fewer all-to-all pass.
+    pairs_ds = exploded.groupby("pk").map_groups(
+        part_cands, batch_format="pandas").materialize()
     empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
                           "id_b": pd.Series([], dtype="int64")})
     if pairs_ds.count() == 0:
@@ -287,7 +289,7 @@ def _bloom_build(pairs_ds, m_bits: int = _BLOOM_BITS) -> np.ndarray:
 
     bloom = np.zeros(m_bits // 8, dtype=np.uint8)
     parts = pairs_ds.map_batches(partial, batch_format="pandas")
-    for b in parts.iter_batches(batch_format="pandas"):
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
         for buf in b["bloom"]:
             bloom |= np.frombuffer(buf, dtype=np.uint8)
     return bloom
@@ -336,6 +338,10 @@ def verify_pairs_jaccard(docs_ds, pairs_ds, id_col: str, text_col: str, *,
                                  "id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "ta": pd.Series([], dtype=object)})
+        # global pair dedup happens HERE: every copy of (id_a, id_b)
+        # is in this id_a group regardless of which band/partition
+        # produced it
+        prs = prs.drop_duplicates(["id_a", "id_b"])
         return pd.DataFrame({"key": prs["id_b"].to_numpy(),
                              "id_a": prs["id_a"].to_numpy(),
                              "id_b": prs["id_b"].to_numpy(),

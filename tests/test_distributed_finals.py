@@ -94,11 +94,14 @@ def test_hopping_window_count(ray_session):
     assert dist["cnt"].sum() == out["cnt"].sum()
 
 
-def test_finalize_aggregates_adaptive(ray_session):
+def test_finalize_aggregates_adaptive(ray_session, tmp_path):
     """VERDICT r2 #4: the flagship dynstats final must survive key
-    cardinality past driver memory — forcing driver_threshold=0 routes
-    the reduce through the distributed groupby().aggregate(Sum) and the
-    result must equal the driver-path pandas reduce."""
+    cardinality past driver memory.  Inflated host cardinality through
+    (a) the streaming driver path with a tiny compaction threshold
+    (driver memory = distinct keys, never keys x batches) and (b) the
+    fully distributed spill_dir path (groupby().aggregate(Sum) ->
+    parquet, nothing on the driver) — all three must agree with the
+    pandas truth."""
     import ray.data
 
     from rsyslog_ray.sinks import finalize_aggregates
@@ -117,9 +120,16 @@ def test_finalize_aggregates_adaptive(ray_session):
 
     driver = (finalize_aggregates(mk(), driver_threshold=10**9)
               .sort_values(["sink", "kind", "key"]).reset_index(drop=True))
-    dist = (finalize_aggregates(mk(), driver_threshold=0)
+    compacting = (finalize_aggregates(mk(), driver_threshold=1)
+                  .sort_values(["sink", "kind", "key"])
+                  .reset_index(drop=True))
+    pd.testing.assert_frame_equal(compacting, driver, check_dtype=False)
+    dist = (finalize_aggregates(mk(), spill_dir=str(tmp_path / "agg"))
+            .to_pandas()
             .sort_values(["sink", "kind", "key"]).reset_index(drop=True))
-    pd.testing.assert_frame_equal(dist, driver, check_dtype=False)
+    pd.testing.assert_frame_equal(
+        dist[["sink", "kind", "key", "cnt"]].astype({"cnt": "int64"}),
+        driver, check_dtype=False)
     want = (parts.groupby(["sink", "kind", "key"], as_index=False)["cnt"]
             .sum().sort_values(["sink", "kind", "key"])
             .reset_index(drop=True))
