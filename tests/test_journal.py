@@ -1,0 +1,70 @@
+"""imjournal analog: systemd Journal Export Format parsing + the
+readjournal property mapping (plugins/imjournal/imjournal.c:595-760)."""
+
+import pandas as pd
+
+from rsyslog_ray.sources.journal import (entry_to_row, read_journal_export,
+                                         split_journal_export)
+
+
+def _export_bytes() -> bytes:
+    blob = b"\xffbin\x00data"             # non-utf8 binary payload
+    out = b""
+    # entry 1: fully-populated text fields
+    out += (b"__REALTIME_TIMESTAMP=1704067200000000\n"
+            b"MESSAGE=service started\n"
+            b"PRIORITY=6\n"
+            b"SYSLOG_FACILITY=3\n"
+            b"SYSLOG_IDENTIFIER=sshd\n"
+            b"SYSLOG_PID=42\n"
+            b"_HOSTNAME=web01\n\n")
+    # entry 2: binary MESSAGE field (NAME\n + LE64 size + raw + \n),
+    # bad PRIORITY (two digits -> default), _PID fallback
+    out += b"MESSAGE\n" + len(blob).to_bytes(8, "little") + blob + b"\n"
+    out += (b"PRIORITY=13\n"
+            b"_PID=7\n"
+            b"SYSLOG_IDENTIFIER=app\n"
+            b"_HOSTNAME=web02\n\n")
+    # entry 3: bare minimum -> all defaults
+    out += b"MESSAGE=plain\n\n"
+    return out
+
+
+def test_split_and_mapping():
+    entries = split_journal_export(_export_bytes())
+    assert len(entries) == 3
+    assert entries[0]["MESSAGE"] == "service started"
+    assert entries[1]["MESSAGE"] == b"\xffbin\x00data".decode(
+        "utf-8", "replace")
+
+    r0 = entry_to_row(entries[0])
+    assert r0["msg"] == "service started"
+    assert (r0["facility"], r0["severity"], r0["pri"]) == (3, 6, 30)
+    assert r0["tag"] == "sshd[42]:"
+    assert r0["host"] == "web01"
+    assert r0["ts"] == pd.Timestamp("2024-01-01 00:00:00")
+
+    r1 = entry_to_row(entries[1])
+    assert r1["severity"] == 5            # 2-digit PRIORITY -> NOTICE
+    assert r1["facility"] == 1            # no SYSLOG_FACILITY -> USER
+    assert r1["tag"] == "app[7]:"         # _PID fallback
+
+    r2 = entry_to_row(entries[2])
+    assert (r2["facility"], r2["severity"]) == (1, 5)
+    assert r2["tag"] == "journal"
+    assert pd.isna(r2["ts"])
+
+
+def test_read_journal_export_dataset(ray_session, tmp_path):
+    p = tmp_path / "cap.export"
+    p.write_bytes(_export_bytes())
+    df = (read_journal_export([str(p)]).to_pandas()
+          .sort_values("msg").reset_index(drop=True))
+    assert len(df) == 3
+    assert set(df.columns) == {"msg", "pri", "severity", "facility",
+                               "tag", "host", "ts", "json"}
+    row = df[df["msg"] == "service started"].iloc[0]
+    assert row["pri"] == 30 and row["host"] == "web01"
+    import json
+    all_fields = json.loads(row["json"])
+    assert all_fields["SYSLOG_IDENTIFIER"] == "sshd"
