@@ -505,15 +505,7 @@ def parse_time(s: pd.Series, now: pd.Timestamp | None = None) -> pd.Series:
     overrides even an explicit in-string year — mirrored), else 0.
     ``now`` pins the inference clock for determinism; default = current
     UTC time."""
-    if now is None:
-        now = pd.Timestamp.now(tz="UTC")
-    t = s.fillna("").astype(str).reset_index(drop=True)
-    ok9, ep9 = _match3339(t)
-    ok4, mon, dd, hh, mi, ss = _match3164(t)
-    ep4 = _syslogtime_epoch(_estimate_year(now, mon), mon, dd, hh, mi, ss, 0)
-    out = np.where(ok9, ep9, np.where(ok4, ep4, 0))
-    _set_script_errno(~(ok9 | ok4), s.index)
-    return pd.Series(out, index=s.index, dtype="int64")
+    return _parse_time_impl(s, now, 0)
 
 
 def parse_time_localtz(s: pd.Series, now: pd.Timestamp | None = None,
@@ -522,18 +514,31 @@ def parse_time_localtz(s: pd.Series, now: pd.Timestamp | None = None,
     datetime.c:1110): RFC3339 carries its own offset (identical to
     parse_time); an RFC3164 stamp is interpreted in the LOCAL timezone
     (current local gmtoff subtracted)."""
-    if now is None:
-        now = pd.Timestamp.now(tz="UTC")
     if gmtoff is None:
         import time as _time
         gmtoff = _time.localtime().tm_gmtoff
+    return _parse_time_impl(s, now, int(gmtoff))
+
+
+def _parse_time_impl(s: pd.Series, now, gmtoff4: int) -> pd.Series:
+    """Shared parse_time body: RFC3339 over every row, RFC3164 only
+    over the rows 3339 rejected (the common case is a homogeneous
+    column, so the second regex usually sees few rows)."""
+    if now is None:
+        now = pd.Timestamp.now(tz="UTC")
     t = s.fillna("").astype(str).reset_index(drop=True)
     ok9, ep9 = _match3339(t)
-    ok4, mon, dd, hh, mi, ss = _match3164(t)
-    ep4 = _syslogtime_epoch(_estimate_year(now, mon), mon, dd, hh, mi, ss,
-                            int(gmtoff))
-    out = np.where(ok9, ep9, np.where(ok4, ep4, 0))
-    _set_script_errno(~(ok9 | ok4), s.index)
+    out = np.where(ok9, ep9, 0)
+    allok = ok9.copy()
+    miss = np.flatnonzero(~ok9)
+    if len(miss):
+        rest = t.iloc[miss].reset_index(drop=True)
+        ok4, mon, dd, hh, mi, ss = _match3164(rest)
+        ep4 = _syslogtime_epoch(_estimate_year(now, mon), mon, dd, hh,
+                                mi, ss, gmtoff4)
+        out[miss] = np.where(ok4, ep4, 0)
+        allok[miss] = ok4
+    _set_script_errno(~allok, s.index)
     return pd.Series(out, index=s.index, dtype="int64")
 
 
@@ -548,8 +553,18 @@ def is_time(s: pd.Series, fmt: str | None = None) -> pd.Series:
     if fmt is not None:
         ok = checks[fmt]() if fmt in checks else np.zeros(len(t), bool)
     else:
-        ok = checks["date-rfc3164"]() | checks["date-rfc3339"]() \
-            | checks["date-unix"]()
+        # reference order: 3164, 3339, unix — each only over the rows
+        # the previous format rejected
+        ok = _match3164(t)[0]
+        miss = np.flatnonzero(~ok)
+        if len(miss):
+            rest = t.iloc[miss].reset_index(drop=True)
+            ok9 = _match3339(rest)[0]
+            ok[miss] = ok9
+            miss2 = miss[~ok9]
+            if len(miss2):
+                ok[miss2] = (t.iloc[miss2].str.fullmatch(r"-?\d+")
+                             .to_numpy())
     _set_script_errno(~ok, s.index)
     return pd.Series(ok.astype("int64"), index=s.index)
 
