@@ -1059,6 +1059,41 @@ def q_dedup_simhash(sf_dir):
     return simhash_pairs(ds, "doc_id", "text", max_hamming=3)
 
 
+def q_decontaminate(sf_dir):
+    """Benchmark decontamination (GPT-3-style 13-gram overlap; the
+    standard eval-leak filter in public CC pipelines): flag documents
+    sharing any word 13-gram with a 'benchmark' set — here, slices of
+    three corpus documents, so hits are deterministic and non-empty.
+    Broadcast benchmark hash set, one corpus pass, no shuffle.
+    Rows-only driver check; brute-force string oracle in pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.text import contamination_flags
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    bench = [" ".join(t.split()[2:20])
+             for t in docs["text"].iloc[[1, 7, 13]]]
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return contamination_flags(ds, bench, n=13)
+
+
+def q_text_repetition(sf_dir):
+    """Gopher-style repetition quality signals (duplicate n-gram
+    occurrence fractions + top-2-gram character coverage, integer
+    parts-per-10000).  Rows-only; per-row oracle in pytest."""
+    from ..stages.text import repetition_frame
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        out = repetition_frame(df["text"])
+        out.insert(0, "doc_id", df["doc_id"])
+        return out
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
 def q_text_quality(sf_dir):
     """Quality + token features per doc (integer-valued, oracle-
     checkable): token count, stopword count, longest token, BPE-ish
@@ -1821,5 +1856,7 @@ QUERIES = {
     "dedup_embed": q_dedup_embed,
     "approx_percentiles": q_approx_percentiles,
     "window_hopping": q_window_hopping,
+    "decontaminate": q_decontaminate,
+    "text_repetition": q_text_repetition,
     "curation": q_curation,
 }

@@ -144,3 +144,112 @@ def fingerprint_frame(texts: pd.Series) -> pd.DataFrame:
         "n_fp": fps.str.len().astype("int64"),
         "min_fp": fps.map(lambda f: min(f) if f else 0).astype("uint64"),
     }, index=texts.index)
+
+
+# ---------------------------------------------------------------------
+# benchmark decontamination — the GPT-3-style 13-gram overlap filter
+# (Brown et al. 2020 appendix C; standard in public CC pipelines).
+# rsyslog has no analog; this is a training-data-pipeline first-class op.
+
+def ngram_hashes(text: str, n: int = 13) -> np.ndarray:
+    """Stable uint64 hashes of word n-grams (pandas siphash — same
+    kernel as the dedup shingles)."""
+    w = text.split()
+    if len(w) < n:
+        grams = [" ".join(w)] if w else []
+    else:
+        grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(grams, dtype=object)).astype(
+        np.uint64)
+
+
+def contamination_flags(ds, benchmark_texts, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 13):
+    """Flag documents sharing any word n-gram with a benchmark set.
+
+    The benchmark side is SMALL by nature (eval sets), so its n-gram
+    hash set broadcasts once (``ray.put``) and every worker probes it
+    per batch — no shuffle, one corpus pass.  Returns a Dataset of
+    (id, n_hits, contaminated).  For multi-GB benchmark sets swap the
+    frozenset for a Bloom filter (dedup._bloom_build shape); the probe
+    loop is unchanged."""
+    import ray
+
+    bench: set[int] = set()
+    for t in benchmark_texts:
+        bench.update(ngram_hashes(t, n).tolist())
+    ref = ray.put(frozenset(bench))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(ref)
+        hits = np.fromiter(
+            (sum(int(h) in bset for h in ngram_hashes(t, n))
+             for t in df[text_col]),
+            dtype=np.int64, count=len(df))
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "n_hits": hits,
+            "contaminated": (hits > 0).astype(np.int64),
+        })
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def contamination_oracle(text: str, benchmark_texts, n: int = 13) -> int:
+    """Brute-force per-row oracle: count of n-grams of ``text`` present
+    in any benchmark text's n-gram set (STRING comparison — catches a
+    hashing bug in the engine path)."""
+    def grams(t):
+        w = t.split()
+        if len(w) < n:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)}
+
+    bench = set()
+    for b in benchmark_texts:
+        bench |= grams(b)
+    return sum(1 for g in
+               (" ".join(text.split()[i:i + n])
+                for i in range(max(1, len(text.split()) - n + 1)))
+               if (g in bench))
+
+
+# ---------------------------------------------------------------------
+# repetition signals — the Gopher quality-filter family (Rae et al.
+# 2021 table A1: duplicate n-gram fractions, top-n-gram character
+# fraction), integer-scaled (parts-per-10000) for stable comparison.
+
+def repetition_frame(texts: pd.Series, ngrams=(2, 3, 4)) -> pd.DataFrame:
+    """Per-doc repetition features: dup_{n}gram_pm (fraction of n-gram
+    OCCURRENCES whose n-gram appears more than once, per-mille*10) and
+    top_2gram_chars_pm (fraction of characters covered by the most
+    frequent 2-gram).  Vectorized per row over hashed n-grams (C-speed
+    unique/counts; no Python string sets in the loop)."""
+    out = {f"dup_{n}gram_pm": np.zeros(len(texts), dtype=np.int64)
+           for n in ngrams}
+    out["top_2gram_chars_pm"] = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        w = t.split()
+        for n in ngrams:
+            if len(w) < n:
+                continue
+            h = _words_ngram_hash(w, n)
+            _, counts = np.unique(h, return_counts=True)
+            dup_occ = int(counts[counts > 1].sum())
+            out[f"dup_{n}gram_pm"][i] = dup_occ * 10000 // len(h)
+        if len(w) >= 2 and len(t):
+            grams = [" ".join(w[j:j + 2]) for j in range(len(w) - 1)]
+            uniq, counts = np.unique(np.asarray(grams, dtype=object),
+                                     return_counts=True)
+            top = int(np.argmax(counts))
+            covered = len(uniq[top]) * int(counts[top])
+            out["top_2gram_chars_pm"][i] = min(
+                10000, covered * 10000 // len(t))
+    return pd.DataFrame(out, index=texts.index)
+
+
+def _words_ngram_hash(w: list, n: int) -> np.ndarray:
+    grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
+    return pd.util.hash_array(np.asarray(grams, dtype=object))

@@ -384,3 +384,63 @@ def test_simhash_degenerate_bucket_bounded(ray_session):
     got = dd.simhash_pairs(ds, "doc_id", "text", max_hamming=3)
     want = dd.simhash_pairs_oracle(df["doc_id"].tolist(), texts, 3)
     assert set(zip(got["id_a"], got["id_b"])) == want
+
+
+def test_contamination_flags(ray_session, docs):
+    """13-gram decontamination vs the brute-force STRING oracle:
+    planted benchmark slices must flag exactly their source docs (plus
+    any true shared 13-grams), and a clean corpus flags nothing."""
+    import ray.data
+
+    sub = docs[["doc_id", "text"]].head(120).reset_index(drop=True)
+    bench = [" ".join(t.split()[2:20]) for t in sub["text"].iloc[[1, 7]]]
+    ds = ray.data.from_pandas(sub).repartition(4)
+    got = (tx.contamination_flags(ds, bench).to_pandas()
+           .set_index("doc_id").sort_index())
+    want_hits = {i: tx.contamination_oracle(t, bench)
+                 for i, t in zip(sub["doc_id"], sub["text"])}
+    assert got["n_hits"].to_dict() == want_hits
+    assert got["contaminated"].to_dict() == \
+        {i: int(v > 0) for i, v in want_hits.items()}
+    # the planted sources are flagged
+    assert got.loc[sub["doc_id"].iloc[1], "contaminated"] == 1
+    assert got.loc[sub["doc_id"].iloc[7], "contaminated"] == 1
+    # disjoint benchmark -> zero flags
+    clean = (tx.contamination_flags(
+        ray.data.from_pandas(sub),
+        ["zzzz qqqq " * 13]).to_pandas())
+    assert clean["contaminated"].sum() == 0
+
+
+def test_repetition_frame_oracle(docs):
+    """Gopher repetition signals vs a per-row set/count oracle."""
+    import pandas as pd
+
+    texts = pd.concat([
+        docs["text"].head(30),
+        pd.Series(["a b a b a b", "x", "", "w1 w2 w3 w1 w2 w3 w1 w2"]),
+    ], ignore_index=True)
+    got = tx.repetition_frame(texts)
+
+    for i, t in enumerate(texts):
+        w = t.split()
+        for n in (2, 3, 4):
+            grams = [" ".join(w[j:j + n]) for j in range(len(w) - n + 1)]
+            if not grams:
+                want = 0
+            else:
+                from collections import Counter
+                c = Counter(grams)
+                dup = sum(v for v in c.values() if v > 1)
+                want = dup * 10000 // len(grams)
+            assert got[f"dup_{n}gram_pm"].iloc[i] == want, (i, n, t[:40])
+        if len(w) >= 2 and len(t):
+            from collections import Counter
+            c = Counter(" ".join(w[j:j + 2]) for j in range(len(w) - 1))
+            # engine tie-break = first in np.unique's sorted order with
+            # max count; the oracle checks coverage value, not identity
+            # any max-count gram yields the same count; lengths may
+            # differ between ties — accept the engine's pick
+            cands = {min(10000, len(g) * v * 10000 // len(t))
+                     for g, v in c.items() if v == max(c.values())}
+            assert got["top_2gram_chars_pm"].iloc[i] in cands, (i, t[:40])

@@ -68,3 +68,47 @@ def test_read_journal_export_dataset(ray_session, tmp_path):
     import json
     all_fields = json.loads(row["json"])
     assert all_fields["SYSLOG_IDENTIFIER"] == "sshd"
+
+
+# ---------------------------------------------------------------------
+# imkmsg analog (contrib/imkmsg/kmsg.c submitSyslog:68-160)
+
+KMSG = (
+    "6,1001,123456789,-;usb 1-1: new high-speed USB device\n"
+    " SUBSYSTEM=usb\n"
+    " DEVICE=+usb:1-1\n"
+    "30,1002,123500000,-;audit: type=1400 apparmor=\"DENIED\"\n"
+    "3,1003,200000000,c;oops; semicolons; in message\n"
+    "garbage line without format\n"
+    "12,13\n"                              # truncated -> dropped
+)
+
+
+def test_kmsg_parse():
+    from rsyslog_ray.sources.kmsg import split_kmsg
+
+    recs = split_kmsg(KMSG)
+    assert len(recs) == 3
+    r0 = recs[0]
+    assert (r0["pri"], r0["facility"], r0["severity"]) == (6, 0, 6)
+    assert r0["seq"] == 1001 and r0["monotonic_us"] == 123456789
+    assert r0["msg"] == "usb 1-1: new high-speed USB device"
+    import json
+    assert json.loads(r0["props"]) == {"SUBSYSTEM": "usb",
+                                       "DEVICE": "+usb:1-1"}
+    assert (recs[1]["facility"], recs[1]["severity"]) == (3, 6)
+    # reference skips to the FIRST ';' — everything after is message
+    assert recs[2]["msg"] == "oops; semicolons; in message"
+
+
+def test_read_kmsg_dataset(ray_session, tmp_path):
+    from rsyslog_ray.sources.kmsg import read_kmsg
+
+    p = tmp_path / "kmsg.cap"
+    p.write_text(KMSG)
+    boot = 1704067200_000000                # 2024-01-01 epoch µs
+    df = (read_kmsg([str(p)], boot_epoch_us=boot).to_pandas()
+          .sort_values("seq").reset_index(drop=True))
+    assert len(df) == 3
+    assert df["ts"].iloc[0] == pd.Timestamp("2024-01-01 00:02:03.456789")
+    assert df["pri"].tolist() == [6, 30, 3]

@@ -163,3 +163,50 @@ def test_template_render_never_crashes(texts, nums):
     for v in jf:
         rec = _json.loads(v)          # always valid JSON
         assert set(rec) == {"msg", "val"}
+
+
+_TS_FRAGMENTS = st.sampled_from([
+    "2024", "99999", "0", "1969", "2100", "-", ":", ".", "T", "Z", " ",
+    "+02:00", "-23:59", "+24:00", "Oct", "Jan", "dec", "XYZ", "11",
+    "60", "61", "31", "32", "  ", "1", "007", "22:14:15", "2009",
+    "extra trailing", ".5", ".", "",
+])
+
+
+@given(st.lists(_TS_FRAGMENTS, min_size=1, max_size=8).map("".join))
+@SET
+def test_parse_time_matches_scalar_oracle_on_adversarial_strings(s):
+    """The vectorized regex parse_time must agree with the per-row
+    structural mirror of the C parsers on arbitrary concatenations of
+    timestamp fragments (the fuzz surface where regex and hand parser
+    drift apart)."""
+    import pandas as pd
+
+    from rsyslog_ray.functions import parse_time
+    from rsyslog_ray.oracle import parse_time_oracle
+
+    now = pd.Timestamp("2026-08-17 12:00:00", tz="UTC")
+    got = parse_time(pd.Series([s]), now=now)[0]
+    want = parse_time_oracle(s, now)
+    assert got == want, (s, got, want)
+
+
+@given(st.datetimes(min_value=__import__("datetime").datetime(1969, 1, 1),
+                    max_value=__import__("datetime").datetime(2099, 12, 31)),
+       st.sampled_from(["%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S+05:30",
+                        "%Y-%m-%dT%H:%M:%S.%f-07:00", "%b %d %H:%M:%S",
+                        "%b  %d %H:%M:%S", "%Y %b %d %H:%M:%S"]))
+@SET
+def test_parse_time_matches_oracle_on_rendered_stamps(dt, fmt):
+    """Round-trip: every strftime-rendered RFC3339/3164 variant parses
+    identically through the vectorized path and the scalar mirror."""
+    import pandas as pd
+
+    from rsyslog_ray.functions import parse_time
+    from rsyslog_ray.oracle import parse_time_oracle
+
+    s = dt.strftime(fmt)
+    now = pd.Timestamp("2026-08-17 12:00:00", tz="UTC")
+    got = parse_time(pd.Series([s]), now=now)[0]
+    want = parse_time_oracle(s, now)
+    assert got == want, (s, got, want)
