@@ -27,8 +27,24 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 import pandas as pd
+
+
+def _run_stage(final_dir: str, build_fn) -> bool:
+    """Stage-level resume: build into ``<dir>.inprogress`` then rename
+    atomically; a final dir left by a completed earlier run SKIPS the
+    stage (a torn run leaves only the inprogress dir, which is wiped
+    and rebuilt — a plain re-write_parquet into an existing dir would
+    APPEND duplicate files).  Returns True when the stage executed."""
+    if os.path.isdir(final_dir):
+        return False
+    tmp = final_dir + ".inprogress"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    os.rename(tmp, final_dir)
+    return True
 
 
 def run_curation(docs_path: str, out_dir: str, *,
@@ -101,21 +117,30 @@ def run_curation(docs_path: str, out_dir: str, *,
                 .drop(columns=["__th", "__th2"]))
 
     exact_path = os.path.join(out_dir, "exact")
-    (gated.map_batches(add_hash, batch_format="pandas")
-     .groupby(["__th", "__th2"]).map_groups(keep_min, batch_format="pandas")
-     .write_parquet(exact_path))
-    exact = ray.data.read_parquet(exact_path)
-    stats["after_quality_gate"] = ray.get(counter.value.remote())
-    stats["after_exact_dedup"] = exact.count()
+    ran = _run_stage(exact_path, lambda tmp: (
+        gated.map_batches(add_hash, batch_format="pandas")
+        .groupby(["__th", "__th2"]).map_groups(keep_min,
+                                               batch_format="pandas")
+        .write_parquet(tmp)))
+    meta_path = exact_path + ".meta.json"
+    if ran:
+        with open(meta_path + ".tmp", "w") as fh:
+            json.dump({"after_quality_gate":
+                       ray.get(counter.value.remote())}, fh)
+        os.replace(meta_path + ".tmp", meta_path)
     ray.kill(counter)
+    exact = ray.data.read_parquet(exact_path)
+    with open(meta_path) as fh:
+        stats["after_quality_gate"] = json.load(fh)["after_quality_gate"]
+    stats["after_exact_dedup"] = exact.count()
 
     # ---- stage 3: near-dup pair mining — LSH candidates + distributed
     # Jaccard verify (stays a Dataset end to end); pairs to PARQUET so
     # the anti-join and the stats don't re-run the mining.
     pairs_path = os.path.join(out_dir, "neardup_pairs")
-    minhash_lsh_pairs(exact, "doc_id", "text",
-                      threshold=neardup_threshold,
-                      as_dataset=True).write_parquet(pairs_path)
+    _run_stage(pairs_path, lambda tmp: minhash_lsh_pairs(
+        exact, "doc_id", "text", threshold=neardup_threshold,
+        as_dataset=True).write_parquet(tmp))
     pairs = ray.data.read_parquet(pairs_path)
     stats["neardup_pairs"] = pairs.count()
 
@@ -144,11 +169,12 @@ def run_curation(docs_path: str, out_dir: str, *,
             return t.slice(0, 0).drop_columns(["__drop"])
         return t.drop_columns(["__drop"])
 
-    curated = (exact.map_batches(mark_keep, batch_format="pyarrow")
-               .union(pairs.map_batches(mark_drop, batch_format="pyarrow"))
-               .groupby("doc_id")
-               .map_groups(survivors, batch_format="pyarrow"))
-    curated.write_parquet(os.path.join(out_dir, "curated"))
+    _run_stage(os.path.join(out_dir, "curated"), lambda tmp: (
+        exact.map_batches(mark_keep, batch_format="pyarrow")
+        .union(pairs.map_batches(mark_drop, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .map_groups(survivors, batch_format="pyarrow")
+        .write_parquet(tmp)))
 
     out_files = sorted(os.listdir(os.path.join(out_dir, "curated")))
     import pyarrow.parquet as pq

@@ -107,6 +107,47 @@ class TcpSyslogTransport:
             self._sock = None
 
 
+class UnixSockTransport:
+    """omuxsock (doc/source/configuration/modules/omuxsock.rst): sends
+    each rendered line as ONE AF_UNIX datagram — the producer mirror of
+    the imuxsock listener (``sources/textlog.UnixSockCapture``), i.e.
+    the /dev/log writer side.  Socket opened lazily once per actor;
+    datagram semantics mean no framing and natural per-message
+    boundaries.  Errors close the socket and re-raise so ConnectorSink
+    retries the bulk."""
+
+    def __init__(self, path: str, render=None):
+        self.path = path
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self._sock = None
+
+    def _connected(self):
+        import socket
+
+        if self._sock is None:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+        return self._sock
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        try:
+            s = self._connected()
+            for rec in payloads:
+                s.sendto(self.render(rec).encode(), self.path)
+        except OSError:
+            try:
+                if self._sock is not None:
+                    self._sock.close()
+            finally:
+                self._sock = None
+            raise
+        return []
+
+    def close(self):
+        if self._sock is not None:
+            self._sock.close()
+            self._sock = None
+
+
 class EsBulkTransport:
     """omelasticsearch bulk transport — the REAL wire protocol over
     HTTP (plugins/omelasticsearch/omelasticsearch.c bulkmode:227-253):

@@ -325,3 +325,47 @@ def test_es_bulk_retries_transient_503():
         assert len(srv.docs) == 2
     finally:
         srv.stop()
+
+
+def test_omuxsock_live_roundtrip(ray_session, tmp_path):
+    """omuxsock analog against a LIVE unix datagram peer: the sink
+    sends one datagram per record to an AF_UNIX socket and the
+    imuxsock capture source reads them back intact (the two halves of
+    /dev/log talking to each other)."""
+    import threading
+
+    from rsyslog_ray.sources.textlog import UnixSockCapture
+    from rsyslog_ray.stages.connectors import UnixSockTransport
+
+    sock = str(tmp_path / "log.sock")
+    cap = UnixSockCapture(sock)
+    got_ds = {}
+
+    def listen():
+        got_ds["ds"] = cap.capture(5)
+
+    th = threading.Thread(target=listen)
+    th.start()
+
+    sink = ConnectorSink(
+        transport=UnixSockTransport(
+            sock, render=lambda r: f"<13>msg {r['event_id']}"),
+        batch_rows=2)
+    out = sink(_events(5))
+    th.join(timeout=10)
+    assert not th.is_alive()
+    assert out["rows_delivered"].iloc[0] == 5
+    recs = sorted(got_ds["ds"].to_pandas()["record"])
+    assert recs == [f"<13>msg {i}" for i in range(5)]
+
+
+def test_omuxsock_suspend_on_dead_socket(tmp_path):
+    """No listener bound -> every send errors -> bounded retry then
+    TransportSuspended (action suspend analog)."""
+    from rsyslog_ray.stages.connectors import UnixSockTransport
+
+    sink = ConnectorSink(
+        transport=UnixSockTransport(str(tmp_path / "absent.sock")),
+        batch_rows=10, max_retries=2, backoff_base_s=0.01)
+    with pytest.raises(TransportSuspended):
+        sink(_events(3))

@@ -210,3 +210,28 @@ def test_parse_time_matches_oracle_on_rendered_stamps(dt, fmt):
     got = parse_time(pd.Series([s]), now=now)[0]
     want = parse_time_oracle(s, now)
     assert got == want, (s, got, want)
+
+
+@given(st.binary(min_size=0, max_size=600))
+@SET
+def test_journal_export_parser_total_on_arbitrary_bytes(data):
+    """The journal export parser must be total: arbitrary bytes parse
+    without raising and every returned entry is a str->str dict."""
+    from rsyslog_ray.sources.journal import entry_to_row, \
+        split_journal_export
+
+    for e in split_journal_export(data):
+        assert all(isinstance(k, str) and isinstance(v, str)
+                   for k, v in e.items())
+        row = entry_to_row(e)
+        assert 0 <= row["severity"] <= 7 and 0 <= row["facility"] <= 23
+
+
+@given(st.text(min_size=0, max_size=600))
+@SET
+def test_kmsg_parser_total_on_arbitrary_text(text):
+    from rsyslog_ray.sources.kmsg import split_kmsg
+
+    for r in split_kmsg(text):
+        assert r["pri"] == r["facility"] * 8 + r["severity"]
+        assert r["seq"] >= 0 and r["monotonic_us"] >= 0
