@@ -73,6 +73,7 @@ def _set_registry() -> dict:
         "tocef": F.tocef, "cef_ext_escape": F.cef_ext_escape,
         "parse_time": F.parse_time, "parse_time_localtz": F.parse_time_localtz,
         "is_time": F.is_time, "random": F.random_gen,
+        "get_property": F.get_property,
         "getenv": lambda n: F.getenv_fn(n if isinstance(n, str) else str(n)),
         "script_error": F.script_error,
         "previous_action_suspended": F.previous_action_suspended,

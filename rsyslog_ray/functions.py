@@ -416,13 +416,15 @@ def format_time(ts: pd.Series, fmt: str) -> pd.Series:
 # then end-of-string or one space + anything
 _RE_TS3339 = re.compile(
     r"^(\d{1,4})-(\d{1,2})-(\d{1,2})T(\d{1,2}):(\d{1,2}):(\d{1,2})"
-    r"(?:\.\d*)?(?:(Z)|([+-])(\d{1,2}):(\d{1,2}))(?: [\s\S]*)?$")
+    r"(?:\.\d*)?(?:(Z)|([+-])(\d{1,2}):(\d{1,2}))(?: [\s\S]*)?$",
+    re.ASCII)  # \d must NOT match unicode digits (C isdigit is ASCII)
 # optional prepended year (Brocade), 3-letter month any case, optional
 # second space before a 1-digit day, optional year in the hour slot
 # (Cisco IOS), optional ".frac", optional stray ":", then end or SP+rest
 _RE_TS3164 = re.compile(
     r"^(?:(\d{1,9}) )?([A-Za-z]{3})  ?(\d{1,2}) (?:(\d{1,9}) )?"
-    r"(\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.\d*)?:?(?: [\s\S]*)?$")
+    r"(\d{1,2}):(\d{1,2}):(\d{1,2})(?:\.\d*)?:?(?: [\s\S]*)?$",
+    re.ASCII)
 _MON3164 = {"jan": 1, "feb": 2, "mar": 3, "apr": 4, "may": 5, "jun": 6,
             "jul": 7, "aug": 8, "sep": 9, "oct": 10, "nov": 11, "dec": 12}
 _MCUM = np.array([0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334],
@@ -668,6 +670,41 @@ def previous_action_suspended() -> int:
     """previous_action_suspended() -> 1/0 (wtiGetPrevWasSuspended);
     connector stages set the flag via set_prev_action_suspended."""
     return int(_prev_action_suspended)
+
+
+def get_property(s: pd.Series, name) -> pd.Series:
+    """get_property(obj, name) (rainerscript.c doFunc_get_property):
+    per-row member access on a JSON column — dict key, or array index
+    when ``name`` is an integer.  Missing / invalid / null -> "";
+    scalars render as their JSON string (var2CString semantics),
+    containers re-serialize compactly."""
+    import json as _json
+
+    def one(v):
+        try:
+            d = _json.loads(v) if isinstance(v, str) else v
+        except ValueError:
+            return ""
+        r = None
+        if isinstance(d, dict):
+            r = d.get(str(name))
+        elif isinstance(d, list):
+            try:
+                i = int(name)
+                r = d[i] if 0 <= i < len(d) else None
+            except (TypeError, ValueError):
+                r = None
+        if r is None:
+            return ""
+        if isinstance(r, str):
+            return r
+        if isinstance(r, bool):
+            return "true" if r else "false"
+        if isinstance(r, (dict, list)):
+            return _json.dumps(r, separators=(",", ":"))
+        return str(r)
+
+    return s.map(one)
 
 
 def getenv_fn(name: str) -> str:

@@ -96,7 +96,7 @@ def _oint(s: str, i: int):
     """srSLMGParseInt32: consume digits, return (value, next_i)."""
     j = i
     v = 0
-    while j < len(s) and s[j].isdigit():
+    while j < len(s) and "0" <= s[j] <= "9":   # C isdigit = ASCII only
         v = v * 10 + int(s[j])
         j += 1
     return v, j
@@ -190,7 +190,7 @@ def _parse3164_oracle(s: str):
     year = 0
     if len(s) < 3:
         return None
-    if s and s[0].isdigit():
+    if s and "0" <= s[0] <= "9":
         year, i = _oint(s, i)
         if year < 1970 or year > 2100 or i >= len(s) or s[i] != " ":
             return None

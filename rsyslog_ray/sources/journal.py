@@ -64,11 +64,12 @@ def entry_to_row(e: dict) -> dict:
     """imjournal readjournal field mapping for ONE entry."""
     sev = DFLT_SEVERITY
     p = e.get("PRIORITY", "")
-    if len(p) == 1 and p.isdigit() and 0 <= int(p) <= 7:
+    if len(p) == 1 and "0" <= p <= "7":
         sev = int(p)
     fac = DFLT_FACILITY
     f = e.get("SYSLOG_FACILITY", "")
-    if f.isdigit() and 1 <= len(f) <= 2 and 0 <= int(f) <= 23:
+    if (1 <= len(f) <= 2 and all("0" <= c <= "9" for c in f)
+            and int(f) <= 23):
         fac = int(f)
     ident = e.get("SYSLOG_IDENTIFIER", "")
     pid = e.get("SYSLOG_PID") or e.get("_PID") or ""
@@ -80,7 +81,8 @@ def entry_to_row(e: dict) -> dict:
         tag = DFLT_TAG
     ts_us = e.get("__REALTIME_TIMESTAMP", "")
     ts = (pd.Timestamp(int(ts_us), unit="us")
-          if ts_us.isdigit() else pd.NaT)
+          if ts_us and all("0" <= c <= "9" for c in ts_us)
+          else pd.NaT)
     return {
         "msg": e.get("MESSAGE", ""),
         "pri": fac * 8 + sev,

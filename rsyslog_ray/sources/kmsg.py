@@ -29,7 +29,7 @@ def parse_kmsg_record(rec: str) -> dict | None:
     i, n = 0, len(rec)
     pri = 0
     j = i
-    while j < n and rec[j].isdigit():
+    while j < n and "0" <= rec[j] <= "9":
         pri = pri * 10 + int(rec[j])
         j += 1
     if j >= n or rec[j] != "," or j == i:
@@ -37,7 +37,7 @@ def parse_kmsg_record(rec: str) -> dict | None:
     i = j + 1
     seq = 0
     j = i
-    while j < n and rec[j].isdigit():
+    while j < n and "0" <= rec[j] <= "9":
         seq = seq * 10 + int(rec[j])
         j += 1
     if j >= n or rec[j] != ",":
@@ -45,7 +45,7 @@ def parse_kmsg_record(rec: str) -> dict | None:
     i = j + 1
     ts = 0
     j = i
-    while j < n and rec[j].isdigit():
+    while j < n and "0" <= rec[j] <= "9":
         ts = ts * 10 + int(rec[j])
         j += 1
     while j < n and rec[j] != ";":

@@ -107,6 +107,76 @@ class TcpSyslogTransport:
             self._sock = None
 
 
+class ProgTransport:
+    """omprog (plugins/omprog/omprog.c) — pipe rendered lines into a
+    REAL child program spawned once per actor.
+
+    ``confirm=True`` = the confirmMessages protocol (omprog.c:250-288,
+    :417): the child prints one status line at startup and exactly
+    ``OK`` after each message; any other per-message answer is a
+    per-item REJECT (errorfile quarantine, not retried), matching the
+    reference's treatment of negative confirmations.  A dead pipe
+    kills the child and re-raises so ConnectorSink's bounded retry
+    respawns and resends the bulk."""
+
+    def __init__(self, argv: list, render=None, confirm: bool = False):
+        self.argv = list(argv)
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.confirm = confirm
+        self._proc = None
+
+    def _spawned(self):
+        import subprocess
+
+        if self._proc is None or self._proc.poll() is not None:
+            self._proc = subprocess.Popen(
+                self.argv, stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE if self.confirm else None,
+                text=True)
+            if self.confirm:
+                # startup confirmation line (omprog.c startup status)
+                status = self._proc.stdout.readline().strip()
+                if status != "OK":
+                    raise ConnectionError(
+                        f"program startup failed: {status!r}")
+        return self._proc
+
+    def _kill(self):
+        if self._proc is not None:
+            try:
+                self._proc.kill()
+            except OSError:
+                pass
+            self._proc = None
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        rejects: list[tuple[int, str]] = []
+        try:
+            p = self._spawned()
+            for i, rec in enumerate(payloads):
+                p.stdin.write(self.render(rec).replace("\n", "\\n") + "\n")
+                p.stdin.flush()
+                if self.confirm:
+                    resp = p.stdout.readline().strip()
+                    if not resp:
+                        raise ConnectionError("child closed mid-bulk")
+                    if resp != "OK":
+                        rejects.append((i, resp))
+        except (BrokenPipeError, OSError, ConnectionError):
+            self._kill()
+            raise
+        return rejects
+
+    def close(self):
+        if self._proc is not None:
+            try:
+                self._proc.stdin.close()
+                self._proc.wait(timeout=5)
+            except Exception:
+                self._kill()
+            self._proc = None
+
+
 class UnixSockTransport:
     """omuxsock (doc/source/configuration/modules/omuxsock.rst): sends
     each rendered line as ONE AF_UNIX datagram — the producer mirror of

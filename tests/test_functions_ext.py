@@ -249,3 +249,23 @@ def test_exec_template_in_conf(ray_session, tmp_path):
     t = pd.concat([pq.read_table(f).to_pandas() for f in files]) \
         .sort_values("host")
     assert t["rendered"].tolist() == ["h1: a", "h2: b"]
+
+
+def test_get_property():
+    """get_property (rainerscript doFunc_get_property): dict key,
+    array index, JSON-string value rendering, miss -> ''."""
+    import pandas as pd
+
+    from rsyslog_ray.functions import get_property
+
+    s = pd.Series(['{"a": "x", "n": 5, "b": true, "o": {"k": 1},'
+                   ' "l": [1, 2], "z": null}',
+                   '[10, 20, 30]', "not json", ""])
+    assert get_property(s, "a").tolist() == ["x", "", "", ""]
+    assert get_property(s, "n")[0] == "5"
+    assert get_property(s, "b")[0] == "true"
+    assert get_property(s, "o")[0] == '{"k":1}'
+    assert get_property(s, "l")[0] == "[1,2]"
+    assert get_property(s, "z")[0] == ""
+    assert get_property(s, 1).tolist() == ["", "20", "", ""]
+    assert get_property(s, "missing").tolist() == ["", "", "", ""]

@@ -170,6 +170,7 @@ _TS_FRAGMENTS = st.sampled_from([
     "+02:00", "-23:59", "+24:00", "Oct", "Jan", "dec", "XYZ", "11",
     "60", "61", "31", "32", "  ", "1", "007", "22:14:15", "2009",
     "extra trailing", ".5", ".", "",
+    "\u0662\u0660\u0662\u0664", "\u00b2", "\u0662",  # unicode digits
 ])
 
 
