@@ -127,7 +127,7 @@ class TcpCapture:
     forever; a batch capture stops after ``max_conns`` sessions."""
 
     def __init__(self, bind_host: str = "127.0.0.1", port: int = 0,
-                 framing: str = "octet-counted"):
+                 framing: str = "octet-counted", ack: bool = False):
         import socket
 
         self._srv = socket.socket()
@@ -136,6 +136,10 @@ class TcpCapture:
         self.port = self._srv.getsockname()[1]
         self._split = (split_octet_counted if framing == "octet-counted"
                        else split_lf_framed)
+        # ack=True: RELP-style confirmed delivery (the receiver half of
+        # TcpSyslogTransport(ack=True) / plugins/imrelp): a zero-length
+        # end-of-batch frame is answered with "ACK\n" and not recorded
+        self.ack = ack
 
     def capture(self, max_conns: int):
         import ray.data
@@ -152,6 +156,9 @@ class TcpCapture:
                     buf += chunk
                     frames, buf = self._split(buf)
                     for f in frames:
+                        if self.ack and len(f) == 0:
+                            conn.sendall(b"ACK\n")
+                            continue
                         rows["record"].append(f)
                         rows["peer"].append(f"{peer[0]}:{peer[1]}")
                         rows["session"].append(session)

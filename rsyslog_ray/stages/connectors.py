@@ -281,6 +281,89 @@ class EsBulkTransport:
         return rejects
 
 
+class HttpBatchTransport:
+    """omhttp (contrib/omhttp/omhttp.c) — generic HTTP batch sink over
+    a REAL connection, with all four reference batch serializations
+    (omhttp.c:126 VALID_BATCH_FORMATS, serializeBatch*:1775-):
+
+    - ``newline``   rendered messages joined by \\n
+    - ``jsonarray`` JSON array of the rendered messages
+    - ``kafkarest`` {"records":[{"value": msg}, ...]} (Kafka REST)
+    - ``lokirest``  {"streams":[{"stream": labels, "values":
+                    [[ns_ts, msg], ...]}]} (Loki push)
+
+    ``render`` turns a row dict into the message (string for newline,
+    any JSON value otherwise).  Delivery is all-or-nothing per batch
+    like the reference (non-2xx raises -> ConnectorSink bounded retry
+    -> suspend; omhttp's retryfailures requeues whole batches too)."""
+
+    def __init__(self, host: str, port: int, restpath: str = "/",
+                 batch_format: str = "newline", render=None,
+                 loki_labels: dict | None = None, ts_field: str | None = None):
+        assert batch_format in ("newline", "jsonarray", "kafkarest",
+                                "lokirest")
+        self.host = host
+        self.port = port
+        self.restpath = restpath
+        self.batch_format = batch_format
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.loki_labels = loki_labels or {"job": "raylog"}
+        self.ts_field = ts_field
+        self._conn = None
+
+    def _connected(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(self.host, self.port,
+                                                    timeout=10)
+        return self._conn
+
+    def serialize(self, payloads: list[dict]) -> tuple[bytes, str]:
+        msgs = [self.render(rec) for rec in payloads]
+        if self.batch_format == "newline":
+            return ("\n".join(str(m) for m in msgs).encode(),
+                    "text/plain")
+        if self.batch_format == "jsonarray":
+            return json.dumps(msgs).encode(), "application/json"
+        if self.batch_format == "kafkarest":
+            return (json.dumps({"records": [{"value": m} for m in msgs]})
+                    .encode(), "application/vnd.kafka.json.v2+json")
+        values = []
+        for rec, m in zip(payloads, msgs):
+            ts = rec.get(self.ts_field) if self.ts_field else None
+            ns = (str(int(ts.value)) if hasattr(ts, "value")
+                  else str(int(ts) * 10**9) if ts is not None else "0")
+            values.append([ns, str(m)])
+        return (json.dumps({"streams": [{"stream": self.loki_labels,
+                                         "values": values}]}).encode(),
+                "application/json")
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        body, ctype = self.serialize(payloads)
+        try:
+            c = self._connected()
+            c.request("POST", self.restpath, body=body,
+                      headers={"Content-Type": ctype})
+            resp = c.getresponse()
+            resp.read()
+            if resp.status >= 300:
+                raise ConnectionError(f"omhttp HTTP {resp.status}")
+        except OSError:
+            try:
+                if self._conn is not None:
+                    self._conn.close()
+            finally:
+                self._conn = None
+            raise
+        return []
+
+    def close(self):
+        if self._conn is not None:
+            self._conn.close()
+            self._conn = None
+
+
 class TransportSuspended(RuntimeError):
     """Raised when delivery keeps failing past the retry budget — the
     action-DISABLED state (runtime/action.c:663-741)."""

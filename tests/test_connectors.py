@@ -429,3 +429,98 @@ with open({out_file!r}, "a") as f:
     assert out["rows_delivered"].iloc[0] == 4
     assert sorted(open(out_file).read().split()) == \
         ["r0", "r1", "r2", "r3"]
+
+
+def test_omhttp_batch_formats_live(tmp_path):
+    """omhttp against a live localhost HTTP server: all four batch
+    serializations (newline/jsonarray/kafkarest/lokirest) arrive with
+    the right content type and structure; a 500 answer suspends."""
+    import http.server
+    import threading
+
+    from rsyslog_ray.stages.connectors import HttpBatchTransport
+
+    seen = []
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            seen.append((self.path, self.headers["Content-Type"], body))
+            if self.path == "/fail":
+                self.send_response(500)
+            else:
+                self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = httpd.server_address[1]
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        df = _events(4)
+        render = lambda r: f"m{r['event_id']}"
+
+        for fmt, path in (("newline", "/loggers"), ("jsonarray", "/arr"),
+                          ("kafkarest", "/topics/t1"),
+                          ("lokirest", "/loki/api/v1/push")):
+            sink = ConnectorSink(transport=HttpBatchTransport(
+                "127.0.0.1", port, restpath=path, batch_format=fmt,
+                render=render), batch_rows=10)
+            out = sink(df)
+            assert out["rows_delivered"].iloc[0] == 4
+
+        by_path = {p: (ct, b) for p, ct, b in seen}
+        assert by_path["/loggers"][1] == b"m0\nm1\nm2\nm3"
+        assert json.loads(by_path["/arr"][1]) == ["m0", "m1", "m2", "m3"]
+        kr = json.loads(by_path["/topics/t1"][1])
+        assert kr == {"records": [{"value": f"m{i}"} for i in range(4)]}
+        assert by_path["/topics/t1"][0].startswith(
+            "application/vnd.kafka")
+        lk = json.loads(by_path["/loki/api/v1/push"][1])
+        assert lk["streams"][0]["stream"] == {"job": "raylog"}
+        assert [v[1] for v in lk["streams"][0]["values"]] == \
+            ["m0", "m1", "m2", "m3"]
+
+        # non-2xx -> bounded retry -> suspend
+        sink = ConnectorSink(transport=HttpBatchTransport(
+            "127.0.0.1", port, restpath="/fail"), batch_rows=10,
+            max_retries=2, backoff_base_s=0.01)
+        with pytest.raises(TransportSuspended):
+            sink(df)
+    finally:
+        httpd.shutdown()
+
+
+def test_relp_ack_roundtrip_between_own_halves(ray_session):
+    """Confirmed delivery END TO END between the engine's own halves:
+    TcpSyslogTransport(ack=True) sends octet-counted records plus the
+    zero-length end-of-batch frame; TcpCapture(ack=True) answers
+    ACK like an imrelp peer and yields exactly the sent records."""
+    import threading
+
+    from rsyslog_ray.sources.textlog import TcpCapture
+    from rsyslog_ray.stages.connectors import TcpSyslogTransport
+
+    cap = TcpCapture(ack=True)
+    got = {}
+
+    def listen():
+        got["ds"] = cap.capture(1)
+
+    th = threading.Thread(target=listen)
+    th.start()
+    sink = ConnectorSink(
+        transport=TcpSyslogTransport("127.0.0.1", cap.port,
+                                     render=lambda r: f"<13>m{r['event_id']}",
+                                     ack=True),
+        batch_rows=100)
+    out = sink(_events(6))
+    sink.transport.close()
+    th.join(timeout=10)
+    assert not th.is_alive()
+    assert out["rows_delivered"].iloc[0] == 6
+    recs = sorted(got["ds"].to_pandas()["record"])
+    assert recs == [f"<13>m{i}" for i in range(6)]
