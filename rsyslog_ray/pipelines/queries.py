@@ -1172,6 +1172,20 @@ def q_knn_lsh(sf_dir):
     return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5, n_probes=4)
 
 
+def q_line_dedup(sf_dir):
+    """Cross-document line-level dedup (CCNet/C4 boilerplate removal:
+    navbars/footers repeat across pages where document-level dedup
+    sees nothing): keep the first corpus-wide occurrence of every
+    distinct line, reassemble documents.  Explode -> 128-bit-key
+    hash-partition resolve -> per-doc reassemble; rows-only driver
+    check (the multi-stage shuffle shape is not SQL-shaped) — engine
+    == pure-Python spec pinned in tests/test_dedup_text.py."""
+    from ..stages.text import line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(16)
+    return line_dedup(ds, "doc_id", "text", mode="keep_first")
+
+
 def q_curation(sf_dir):
     """Composed LLM-corpus curation pipeline (pipelines/curation.py:
     quality gate -> exact dedup -> MinHash near-dup removal -> curated
@@ -1858,5 +1872,6 @@ QUERIES = {
     "window_hopping": q_window_hopping,
     "decontaminate": q_decontaminate,
     "text_repetition": q_text_repetition,
+    "line_dedup": q_line_dedup,
     "curation": q_curation,
 }

@@ -168,6 +168,37 @@ class TcpCapture:
         return ray.data.from_pandas(pd.DataFrame(rows))
 
 
+class UdpCapture:
+    """Bounded imudp analog (plugins/imudp/imudp.c:137-179: UDP
+    datagram receiver — one datagram per syslog message, no framing;
+    the reference drains up to ``batchsize`` datagrams per wakeup via
+    recvmmsg and records the sender address as fromhost-ip).  Python
+    exposes no recvmmsg, so the batch drain is a recvfrom loop with
+    the same semantics: ``capture(n)`` reads n datagrams, each row is
+    (record, peer).  A daemon loops forever; the batch capture is
+    bounded."""
+
+    def __init__(self, bind_host: str = "127.0.0.1", port: int = 0):
+        import socket
+
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((bind_host, port))
+        self.port = self._sock.getsockname()[1]
+
+    def capture(self, n_msgs: int):
+        import ray.data
+
+        rows = {"record": [], "peer": []}
+        try:
+            for _ in range(n_msgs):
+                data, peer = self._sock.recvfrom(65536)
+                rows["record"].append(data.decode("utf-8", errors="replace"))
+                rows["peer"].append(peer[0])
+        finally:
+            self._sock.close()
+        return ray.data.from_pandas(pd.DataFrame(rows))
+
+
 class UnixSockCapture:
     """Bounded imuxsock analog (plugins/imuxsock/imuxsock.c: the
     /dev/log SOCK_DGRAM listener — one datagram per syslog message, no

@@ -253,3 +253,111 @@ def repetition_frame(texts: pd.Series, ngrams=(2, 3, 4)) -> pd.DataFrame:
 def _words_ngram_hash(w: list, n: int) -> np.ndarray:
     grams = [" ".join(w[i:i + n]) for i in range(len(w) - n + 1)]
     return pd.util.hash_array(np.asarray(grams, dtype=object))
+
+
+# ---------------------------------------------------------------------
+# cross-document line-level dedup (CCNet/C4-style boilerplate removal)
+
+def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+               mode: str = "keep_first", min_count: int = 2,
+               npart: int = 64):
+    """Line-granularity dedup across the whole corpus — the CCNet/C4
+    curation staple (navbars, cookie banners and footers repeat across
+    millions of pages; document-level dedup never sees them).
+
+    mode="keep_first": every distinct line survives exactly once, at
+    its first occurrence (min (doc, position)); later copies are
+    stripped.  mode="drop_common": lines occurring in >= min_count
+    documents are stripped EVERYWHERE (pure boilerplate removal);
+    unique lines always survive.
+
+    Shape at 100 TB: explode docs to (pk, key_hi, key_lo, doc, pos,
+    line) — one row per line, hash-partitioned by a 128-bit line key
+    (64-bit-only keys merge distinct lines at ~10^12 lines, same
+    birthday bound as exact_dedup).  One groupby resolves winners per
+    partition; a second groupby on doc reassembles surviving lines in
+    position order.  Lines cross the wire twice, ids twice — no
+    driver-side state at all.  Returns a Dataset (doc id, text) with
+    the deduped text ('' when every line was stripped).
+    """
+    from .dedup import content_key128_frame
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        docs = df[id_col].to_numpy()
+        split = df[text_col].str.split("\n")
+        lens = split.str.len().to_numpy()
+        lines = np.concatenate([np.asarray(x, dtype=object)
+                                for x in split]) if len(df) else \
+            np.empty(0, dtype=object)
+        doc_rep = np.repeat(docs, lens)
+        pos = np.concatenate([np.arange(n) for n in lens]) if len(df) \
+            else np.empty(0, dtype="int64")
+        a, b = content_key128_frame(pd.Series(lines, dtype=object))
+        pk = ((a.astype(np.uint64) ^ b.astype(np.uint64))
+              % np.uint64(npart)).astype("int64")
+        out = pd.DataFrame({"pk": pk, "kh": a, "kl": b,
+                            "doc": doc_rep, "pos": pos.astype("int64"),
+                            "line": lines})
+        # sentinel per doc (pos=-1, passes straight through resolve):
+        # guarantees a doc whose EVERY line is stripped still yields a
+        # row ('' text) instead of vanishing from the output
+        marks = pd.DataFrame({
+            "pk": (pd.util.hash_array(np.asarray(docs))
+                   % np.uint64(npart)).astype("int64"),
+            "kh": np.zeros(len(docs), dtype="int64"),
+            "kl": np.zeros(len(docs), dtype="int64"),
+            "doc": docs, "pos": np.full(len(docs), -1, dtype="int64"),
+            "line": np.full(len(docs), "", dtype=object)})
+        return pd.concat([out, marks], ignore_index=True)
+
+    def resolve(part: pd.DataFrame) -> pd.DataFrame:
+        sent = part[part["pos"] < 0][["doc", "pos", "line"]]
+        part = part[part["pos"] >= 0]
+        if mode == "drop_common":
+            per_doc = part.drop_duplicates(["kh", "kl", "doc"])
+            cnt = (per_doc.groupby(["kh", "kl"], sort=False)
+                   .size().rename("nd").reset_index())
+            merged = part.merge(cnt, on=["kh", "kl"], how="left")
+            keep = merged[merged["nd"] < min_count][["doc", "pos", "line"]]
+            return pd.concat([keep, sent], ignore_index=True)
+        # keep_first: min (doc, pos) instance per distinct line
+        order = part.sort_values(["kh", "kl", "doc", "pos"],
+                                 kind="mergesort")
+        first = ~order.duplicated(["kh", "kl"], keep="first")
+        return pd.concat([order[first][["doc", "pos", "line"]], sent],
+                         ignore_index=True)
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc"].iloc[0]
+        g = g[g["pos"] >= 0].sort_values("pos")
+        return pd.DataFrame({id_col: [doc],
+                             text_col: ["\n".join(g["line"])]})
+
+    return (ds.map_batches(explode, batch_format="pandas")
+            .groupby("pk").map_groups(resolve, batch_format="pandas")
+            .groupby("doc").map_groups(reassemble, batch_format="pandas"))
+
+
+def line_dedup_oracle(ids: list, texts: list, mode: str = "keep_first",
+                      min_count: int = 2) -> dict:
+    """Pure-Python spec for line_dedup (tests compare element-wise).
+    Docs whose every line is stripped map to ''."""
+    lines = {i: t.split("\n") for i, t in zip(ids, texts)}
+    if mode == "drop_common":
+        ndocs: dict[str, set] = {}
+        for i in ids:
+            for ln in set(lines[i]):
+                ndocs.setdefault(ln, set()).add(i)
+        keep = {i: [ln for ln in lines[i] if len(ndocs[ln]) < min_count]
+                for i in ids}
+    else:
+        seen: set[str] = set()
+        keep = {}
+        for i in sorted(ids):
+            out = []
+            for ln in lines[i]:
+                if ln not in seen:
+                    seen.add(ln)
+                    out.append(ln)
+            keep[i] = out
+    return {i: "\n".join(keep[i]) for i in ids}

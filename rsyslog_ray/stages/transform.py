@@ -144,3 +144,44 @@ def capped_dynstats(counts: pd.DataFrame, key: str, cnt: str,
     extra = pd.DataFrame({key: [rejected_key], cnt: [rejected]})
     return (pd.concat([kept, extra], ignore_index=True)
             .astype({cnt: "int64"}))
+
+
+# ---------------------------------------------------------------------
+# immark heartbeat rows
+
+def mark_rows(ds, ts_col: str, interval_s: int = 1200,
+              record_col: str = "record", mark_text: str = "-- MARK --"):
+    """immark analog (plugins/immark/immark.c: a thread injects a
+    "-- MARK --" message every ``interval`` seconds of wall time).  The
+    batch re-homing is EVENT time: one mark row at every interval
+    boundary inside the stream's [min, max] event-time span, unioned
+    into the stream.  Mark rows carry ``mark_text`` in ``record_col``,
+    the boundary timestamp in ``ts_col``, and null for every other
+    column.  Two small driver aggregates (min/max — O(1) results) are
+    the only non-streaming work."""
+    import ray.data
+
+    names = ds.schema().names
+    lo = ds.min(ts_col)
+    hi = ds.max(ts_col)
+    if lo is None or hi is None:        # empty stream: no heartbeats
+        return ds
+    is_ts = not isinstance(lo, (int, float, np.integer, np.floating))
+    lo_s = int(pd.Timestamp(lo).timestamp()) if is_ts else int(lo)
+    hi_s = int(pd.Timestamp(hi).timestamp()) if is_ts else int(hi)
+    first = (lo_s // interval_s + 1) * interval_s
+    bounds = list(range(first, hi_s + 1, interval_s))
+    if not bounds:
+        return ds
+    n = len(bounds)
+    cols: dict = {}
+    for name in names:
+        if name == ts_col:
+            cols[name] = (pd.to_datetime(bounds, unit="s") if is_ts
+                          else np.asarray(bounds, dtype=type(lo)))
+        elif name == record_col:
+            cols[name] = np.full(n, mark_text, dtype=object)
+        else:
+            cols[name] = np.full(n, None, dtype=object)
+    marks = ray.data.from_pandas(pd.DataFrame(cols))
+    return ds.union(marks)

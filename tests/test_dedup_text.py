@@ -444,3 +444,41 @@ def test_repetition_frame_oracle(docs):
             cands = {min(10000, len(g) * v * 10000 // len(t))
                      for g, v in c.items() if v == max(c.values())}
             assert got["top_2gram_chars_pm"].iloc[i] in cands, (i, t[:40])
+
+
+def test_line_dedup_vs_oracle(ray_session):
+    """CCNet/C4-style cross-document line dedup, both modes, element-
+    wise vs the pure-Python spec — covers within-doc repeats, a doc
+    whose every line is stripped, and the '' line."""
+    import ray.data
+
+    boiler = "accept cookies"
+    docs = {
+        1: f"{boiler}\nalpha body one\nshared para\n{boiler}",
+        2: f"{boiler}\nbeta body two\nshared para",
+        3: "shared para",                       # fully stripped (keep_first)
+        4: "gamma unique\n\ngamma tail",        # has an empty line
+        5: f"{boiler}\ndelta body five",
+    }
+    ids = sorted(docs)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": ids, "text": [docs[i] for i in ids]}))
+
+    for mode, kw in [("keep_first", {}), ("drop_common", {"min_count": 3})]:
+        got = tx.line_dedup(ds, "doc_id", "text", mode=mode, **kw) \
+            .to_pandas().set_index("doc_id")["text"].to_dict()
+        want = tx.line_dedup_oracle(ids, [docs[i] for i in ids],
+                                    mode=mode, **kw)
+        assert got == want, mode
+
+    # spot-check the semantics themselves, not just engine==oracle
+    kf = tx.line_dedup_oracle(ids, [docs[i] for i in ids])
+    assert kf[1] == f"{boiler}\nalpha body one\nshared para"  # repeat stripped
+    assert kf[3] == ""                                        # all stripped
+    dc = tx.line_dedup_oracle(ids, [docs[i] for i in ids],
+                              mode="drop_common", min_count=3)
+    # boiler (docs 1,2,5) and "shared para" (docs 1,2,3) both hit the
+    # >=3-doc bar and are stripped everywhere
+    assert dc[1] == "alpha body one"
+    assert dc[3] == ""
+    assert dc[4] == docs[4]                         # unique lines untouched

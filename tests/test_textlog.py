@@ -134,3 +134,37 @@ def test_unix_sock_capture(ray_session, tmp_path):
         pa.array(df["record"].tolist(), pa.string()))
     assert parsed["parse_ok"].to_pandas().all()
     assert set(parsed["hostname"].to_pandas()) == {f"h{i}" for i in range(25)}
+
+
+def test_udp_capture(ray_session):
+    """imudp analog: one datagram per message, sender recorded as peer
+    (plugins/imudp/imudp.c:137-179 recvmmsg batch drain)."""
+    import socket
+    import threading
+
+    import pyarrow as pa
+
+    from rsyslog_ray.rulebase import SYSLOG_RULEBASE
+    from rsyslog_ray.sources.textlog import UdpCapture
+
+    cap = UdpCapture()
+
+    def send():
+        c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        for i in range(25):
+            c.sendto((f"<13>1 2026-04-01T00:00:{i:02d}.000Z u{i} app - "
+                      f"ID{i} - msg {i}").encode(),
+                     ("127.0.0.1", cap.port))
+        c.close()
+
+    t = threading.Thread(target=send)
+    t.start()
+    ds = cap.capture(25)
+    t.join()
+    df = ds.to_pandas()
+    assert len(df) == 25
+    assert set(df["peer"]) == {"127.0.0.1"}
+    parsed = SYSLOG_RULEBASE.parse_table(
+        pa.array(df["record"].tolist(), pa.string()))
+    assert parsed["parse_ok"].to_pandas().all()
+    assert set(parsed["hostname"].to_pandas()) == {f"u{i}" for i in range(25)}

@@ -148,3 +148,25 @@ def test_consistent_anonymizer_ipv6():
     # fresh instance agrees (no shared state)
     assert an.anonymize_ipv6(s).tolist() == \
         ConsistentAnonymizer().anonymize_ipv6(s).tolist()
+
+
+def test_mark_rows_heartbeat(ray_session):
+    """immark analog: one '-- MARK --' row per event-time interval
+    boundary inside the stream span (plugins/immark/immark.c)."""
+    import ray.data
+
+    from rsyslog_ray.stages.transform import mark_rows
+
+    df = pd.DataFrame({"ts": [100, 150, 1799, 2401, 3000],
+                       "record": [f"m{i}" for i in range(5)],
+                       "host": [f"h{i}" for i in range(5)]})
+    ds = ray.data.from_pandas(df)
+    out = mark_rows(ds, "ts", interval_s=600).to_pandas()
+    marks = out[out["record"] == "-- MARK --"]
+    # boundaries inside [100, 3000]: 600,1200,1800,2400,3000
+    assert sorted(marks["ts"].tolist()) == [600, 1200, 1800, 2400, 3000]
+    assert marks["host"].isna().all()
+    # originals untouched
+    assert len(out) == 5 + 5
+    assert sorted(out[out["record"] != "-- MARK --"]["ts"]) == \
+        [100, 150, 1799, 2401, 3000]
