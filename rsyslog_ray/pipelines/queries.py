@@ -1186,6 +1186,18 @@ def q_line_dedup(sf_dir):
     return line_dedup(ds, "doc_id", "text", mode="keep_first")
 
 
+def q_substring_dedup(sf_dir):
+    """Exact-substring dedup (window-hash form of the suffix-array
+    method, Lee et al. 2021): cut every repeated >=20-token span at
+    its non-first occurrences.  One int row per token position
+    shuffles (never text); 128-bit window keys; rows-only driver
+    check — engine == pure-Python spec in tests/test_dedup_text.py."""
+    from ..stages.text import substring_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(16)
+    return substring_dedup(ds, "doc_id", "text", window=20)
+
+
 def q_curation(sf_dir):
     """Composed LLM-corpus curation pipeline (pipelines/curation.py:
     quality gate -> exact dedup -> MinHash near-dup removal -> curated
@@ -1873,5 +1885,6 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "text_repetition": q_text_repetition,
     "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
     "curation": q_curation,
 }

@@ -361,3 +361,147 @@ def line_dedup_oracle(ids: list, texts: list, mode: str = "keep_first",
                     out.append(ln)
             keep[i] = out
     return {i: "\n".join(keep[i]) for i in ids}
+
+
+# ---------------------------------------------------------------------
+# exact-substring dedup (window-hash approximation of the
+# suffix-array method in "Deduplicating Training Data Makes Language
+# Models Better", Lee et al. 2021 — public method, reimplemented)
+
+def substring_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
+                    window: int = 20, npart: int = 64):
+    """Remove every repeated >=``window``-token span from the corpus,
+    keeping only its first occurrence (min (doc, position)).  The
+    suffix-array method finds duplicated byte ranges exactly; the
+    distributed re-homing here slides a ``window``-token hash over
+    every document — any duplicated span of >= window tokens produces
+    identical window keys at every alignment, so marking the
+    non-first occurrences of each duplicated WINDOW and cutting the
+    union of marked token intervals removes exactly the repeated
+    spans (up to window-1 trailing tokens of a partial window, the
+    same granularity trade the public implementations make when they
+    chunk).
+
+    Shape at 100 TB: one (pk, key_hi, key_lo, doc, pos) row per token
+    position — ints only, text never shuffles; hash-partitioned
+    resolve keeps min (doc,pos) per key and emits cut intervals for
+    the rest; a per-doc groupby merges intervals and rebuilds the
+    text from surviving tokens.  128-bit keys (two independent
+    siphashes) — a 64-bit-only key would cut legitimate text on hash
+    collisions at ~10^12 windows.  Docs shorter than ``window``
+    tokens pass through untouched (no window, nothing to dedup).
+    """
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        rows_pk, rows_kh, rows_kl, rows_doc, rows_pos = [], [], [], [], []
+        sent_doc = df[id_col].to_numpy()
+        for i, t in zip(df[id_col], df[text_col]):
+            w = t.split()
+            if len(w) < window:
+                continue
+            grams = np.asarray([" ".join(w[j:j + window])
+                                for j in range(len(w) - window + 1)],
+                               dtype=object)
+            a = pd.util.hash_array(grams).astype("int64")
+            b = pd.util.hash_array(grams, hash_key="raylog-dedup-2nd") \
+                .astype("int64")
+            pk = ((a.astype(np.uint64) ^ b.astype(np.uint64))
+                  % np.uint64(npart)).astype("int64")
+            rows_pk.append(pk)
+            rows_kh.append(a)
+            rows_kl.append(b)
+            rows_doc.append(np.full(len(a), i))
+            rows_pos.append(np.arange(len(a), dtype="int64"))
+        core = pd.DataFrame({
+            "pk": np.concatenate(rows_pk) if rows_pk else
+            np.empty(0, "int64"),
+            "kh": np.concatenate(rows_kh) if rows_kh else
+            np.empty(0, "int64"),
+            "kl": np.concatenate(rows_kl) if rows_kl else
+            np.empty(0, "int64"),
+            "doc": np.concatenate(rows_doc) if rows_doc else
+            np.empty(0, "int64"),
+            "pos": np.concatenate(rows_pos) if rows_pos else
+            np.empty(0, "int64")})
+        # sentinel per doc: routes every doc (incl. short ones) into
+        # the rebuild stage exactly once
+        sent = pd.DataFrame({
+            "pk": (pd.util.hash_array(sent_doc)
+                   % np.uint64(npart)).astype("int64"),
+            "kh": np.zeros(len(sent_doc), "int64"),
+            "kl": np.zeros(len(sent_doc), "int64"),
+            "doc": sent_doc,
+            "pos": np.full(len(sent_doc), -1, dtype="int64")})
+        return pd.concat([core, sent], ignore_index=True)
+
+    def resolve(part: pd.DataFrame) -> pd.DataFrame:
+        sent = part[part["pos"] < 0][["doc", "pos"]]
+        part = part[part["pos"] >= 0]
+        if len(part):
+            order = part.sort_values(["kh", "kl", "doc", "pos"],
+                                     kind="mergesort")
+            dup_key = order.duplicated(["kh", "kl"], keep=False)
+            first = ~order.duplicated(["kh", "kl"], keep="first")
+            cuts = order[dup_key & ~first][["doc", "pos"]]
+        else:
+            cuts = part[["doc", "pos"]]
+        return pd.concat([cuts, sent], ignore_index=True)
+
+    # doc texts ride to the rebuild stage keyed by doc id (ints +
+    # one text row per doc — the same id-join shape as the minhash
+    # verify; no driver gather)
+    def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc": df[id_col].to_numpy(),
+                             "pos": np.full(len(df), -2, dtype="int64"),
+                             "t": df[text_col].to_numpy()})
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc"].iloc[0]
+        trow = g[g["pos"] == -2]
+        if trow.empty:          # cut rows whose doc text is elsewhere: bug
+            return pd.DataFrame({id_col: [], text_col: []})
+        text = trow["t"].iloc[0]
+        cuts = np.sort(g[g["pos"] >= 0]["pos"].to_numpy())
+        w = text.split()
+        if not len(cuts):
+            return pd.DataFrame({id_col: [doc], text_col: [" ".join(w)]})
+        drop = np.zeros(len(w), dtype=bool)
+        for p in cuts:
+            drop[p:p + window] = True
+        return pd.DataFrame({id_col: [doc],
+                             text_col: [" ".join(np.asarray(w,
+                                                 dtype=object)[~drop])]})
+
+    marked = (ds.map_batches(explode, batch_format="pandas")
+              .groupby("pk").map_groups(resolve, batch_format="pandas"))
+    docs_keyed = ds.map_batches(doc_rows, batch_format="pandas")
+
+    def widen(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(t=np.full(len(df), "", dtype=object))
+
+    return (marked.map_batches(widen, batch_format="pandas")
+            .union(docs_keyed)
+            .groupby("doc").map_groups(rebuild, batch_format="pandas"))
+
+
+def substring_dedup_oracle(ids: list, texts: list, window: int = 20) -> dict:
+    """Pure-Python spec: slide a window-token hash over every doc in
+    (doc, pos) order; for every window content seen before, mark its
+    token interval; rebuild docs from unmarked tokens (whitespace
+    re-joined)."""
+    seen: set[str] = set()
+    out = {}
+    for i in sorted(ids):
+        t = texts[list(ids).index(i)]
+        w = t.split()
+        if len(w) < window:
+            out[i] = " ".join(w)
+            continue
+        drop = np.zeros(len(w), dtype=bool)
+        for j in range(len(w) - window + 1):
+            g = " ".join(w[j:j + window])
+            if g in seen:
+                drop[j:j + window] = True
+            else:
+                seen.add(g)
+        out[i] = " ".join(np.asarray(w, dtype=object)[~drop])
+    return out

@@ -482,3 +482,33 @@ def test_line_dedup_vs_oracle(ray_session):
     assert dc[1] == "alpha body one"
     assert dc[3] == ""
     assert dc[4] == docs[4]                         # unique lines untouched
+
+
+def test_substring_dedup_vs_oracle(ray_session):
+    """Exact-substring dedup (window-hash form of the Lee et al. 2021
+    suffix-array method): repeated >=window-token spans are cut at
+    every non-first occurrence; short docs pass through."""
+    import ray.data
+
+    span = " ".join(f"w{j}" for j in range(25))        # 25-token span
+    docs = {
+        1: f"intro one two three {span} outro alpha beta",
+        2: f"{span} completely different tail here",    # span repeated
+        3: "short doc under window",                    # < window tokens
+        4: f"padding start {span} padding end",         # repeated again
+        5: "entirely unique content " + " ".join(f"u{j}" for j in range(30)),
+    }
+    ids = sorted(docs)
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": ids, "text": [docs[i] for i in ids]}))
+    got = tx.substring_dedup(ds, "doc_id", "text", window=20) \
+        .to_pandas().set_index("doc_id")["text"].to_dict()
+    want = tx.substring_dedup_oracle(ids, [docs[i] for i in ids], window=20)
+    assert got == want
+    # semantics: doc 1 keeps the span (first occurrence), docs 2 and 4
+    # lose it, doc 3 and 5 untouched
+    assert span in got[1]
+    assert "w5" not in got[2] and "w5" not in got[4]
+    assert got[2].startswith("completely") or "different" in got[2]
+    assert got[3] == docs[3]
+    assert got[5] == docs[5]
