@@ -272,6 +272,78 @@ def faup_decompose(url: pd.Series) -> pd.DataFrame:
     return out.astype(object)
 
 
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "mc_cid", "mc_eid",
+                   "igshid", "ref_src")
+
+
+def canonical_url(url: pd.Series, strip_www: bool = True) -> pd.Series:
+    """URL canonicalization for URL-keyed dedup — the web-pipeline
+    normalization pass (WET/WARC dedup keys are canonicalized URLs):
+    lowercase scheme+host, drop the fragment, drop default ports
+    (http:80 / https:443), optionally strip a leading ``www.``, drop
+    tracking query params (``utm_*`` + TRACKING_PARAMS), sort the
+    surviving params, and normalize an empty path to ``/``.
+    Vectorized: one regex decompose; only rows that HAVE a query
+    string pay the per-row param sort."""
+    parts = url.astype("string").str.extract(URL_RE)
+    scheme = parts["scheme"].fillna("").str.lower()
+    host = parts["host"].fillna("").str.lower()
+    if strip_www:
+        host = host.str.replace(r"^www\.", "", regex=True)
+    port = parts["port"].fillna("")
+    default = ((scheme.eq("http") & port.eq("80"))
+               | (scheme.eq("https") & port.eq("443")) | port.eq(""))
+    port = (":" + port).where(~default, "")
+    path = parts["resource_path"].fillna("")
+    path = path.where(path != "", "/")
+    cred = parts["credential"].fillna("")
+    cred = (cred + "@").where(cred != "", "")
+
+    qs = parts["query_string"].fillna("").str.lstrip("?")
+    pieces = qs[qs != ""].str.split("&").explode()
+    name = pieces.str.split("=").str[0].str.lower()
+    keep = pieces[(pieces != "") & ~name.str.startswith("utm_")
+                  & ~name.isin(TRACKING_PARAMS)]
+    if len(keep):
+        joined = keep.groupby(level=0).agg(lambda s: "&".join(sorted(s)))
+    else:
+        joined = pd.Series(dtype=object)
+    query = pd.Series("", index=url.index, dtype=object)
+    query.loc[joined.index] = "?" + joined
+    query = query.where(query != "?", "")
+
+    return (scheme + "://" + cred + host + port + path
+            + query).astype(object)
+
+
+def canonical_url_row(u: str, strip_www: bool = True) -> str:
+    """Scalar spec for canonical_url (tests compare element-wise)."""
+    import re as _re
+    m = _re.match(r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:([^@/?#]*)@)?"
+                  r"([^:/?#]*)(:\d+)?([^?#]*)(\?[^#]*)?(#.*)?$", u)
+    scheme, cred, host, port, path, qs, _frag = m.groups()
+    scheme = (scheme or "").lower()
+    host = (host or "").lower()
+    if strip_www and host.startswith("www."):
+        host = host[4:]
+    port = (port or "")[1:]
+    if (scheme, port) in (("http", "80"), ("https", "443")) or port == "":
+        port = ""
+    else:
+        port = ":" + port
+    path = path or "/"
+    params = []
+    for p in (qs or "?")[1:].split("&"):
+        if not p:
+            continue
+        n = p.split("=")[0].lower()
+        if n.startswith("utm_") or n in TRACKING_PARAMS:
+            continue
+        params.append(p)
+    q = "?" + "&".join(sorted(params)) if params else ""
+    return f"{scheme}://{(cred + '@') if cred else ''}{host}{port}{path}{q}"
+
+
 # ---- anonymization (mmanon zero-mode analog,
 #      plugins/mmanon/mmanon.c:59-166: mask low bits of IPv4s in text)
 IPV4_RE = r"\b(\d{1,3}\.\d{1,3}\.\d{1,3})\.\d{1,3}\b"

@@ -1186,6 +1186,32 @@ def q_line_dedup(sf_dir):
     return line_dedup(ds, "doc_id", "text", mode="keep_first")
 
 
+def q_url_dedup(sf_dir):
+    """URL canonicalization + URL-keyed dedup (the WET/WARC dedup
+    key): messy URLs derived deterministically from events (mixed
+    case, www, default ports, utm_*/gclid tracking params, fragments)
+    collapse to one canonical form per user page; two-phase count per
+    canonical URL.  Rows-only driver check; canonicalization rules
+    pinned element-wise vs the scalar spec in tests."""
+    from ..functions import canonical_url
+    from ..stages.aggregate import two_phase_agg
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def messy(df: pd.DataFrame) -> pd.DataFrame:
+        tld = df["user_id"].mod(3).map({0: "com", 1: "org", 2: "net"})
+        port = df["user_id"].mod(2).map({0: ":443", 1: ""})
+        url = ("HTTPS://WWW.U" + df["user_id"].astype(str) + ".Example."
+               + tld + port + "/home?utm_campaign=c"
+               + df["event_id"].astype(str) + "&gclid=g&page=1#sec"
+               + df["event_id"].astype(str))
+        return pd.DataFrame({"url": canonical_url(url)})
+
+    out = two_phase_agg(ds.map_batches(messy, batch_format="pandas"),
+                        ["url"], count="n_events")
+    return out.sort_values("url").reset_index(drop=True)
+
+
 def q_substring_dedup(sf_dir):
     """Exact-substring dedup (window-hash form of the suffix-array
     method, Lee et al. 2021): cut every repeated >=20-token span at
@@ -1886,5 +1912,6 @@ QUERIES = {
     "text_repetition": q_text_repetition,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
+    "url_dedup": q_url_dedup,
     "curation": q_curation,
 }

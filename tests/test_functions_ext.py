@@ -269,3 +269,36 @@ def test_get_property():
     assert get_property(s, "z")[0] == ""
     assert get_property(s, 1).tolist() == ["", "20", "", ""]
     assert get_property(s, "missing").tolist() == ["", "", "", ""]
+
+
+def test_canonical_url():
+    """URL canonicalization: vectorized == scalar spec element-wise;
+    canonicalization is idempotent; tracking params die, real params
+    sort, default ports and fragments drop."""
+    import pandas as pd
+
+    from rsyslog_ray.functions import canonical_url, canonical_url_row
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/Path/Page?utm_source=x&b=2&a=1#frag",
+        "https://example.com:443/",
+        "https://example.com",
+        "http://example.com:8080/x?gclid=abc",
+        "https://user:pw@Www.Site.org/a/b?z=9&utm_campaign=c&y=8",
+        "ftp://files.example.net:21/pub",
+        "https://example.com/p?a=1&a=0",
+        "https://sub.www.example.com/keep-www-inside",
+    ]
+    got = canonical_url(pd.Series(urls)).tolist()
+    want = [canonical_url_row(u) for u in urls]
+    assert got == want
+    # rules
+    assert got[0] == "http://example.com/Path/Page?a=1&b=2"
+    assert got[1] == got[2] == "https://example.com/"
+    assert got[3] == "http://example.com:8080/x"      # non-default port kept
+    assert got[7].startswith("https://sub.www.")      # only LEADING www.
+    # idempotent
+    assert canonical_url(pd.Series(got)).tolist() == got
+    # no-www mode
+    assert canonical_url(pd.Series(["https://www.a.com/x"]),
+                         strip_www=False).iloc[0] == "https://www.a.com/x"
