@@ -69,7 +69,10 @@ def _set_registry() -> dict:
         "replace": F.replace, "field": F.field, "int2hex": F.int2hex,
         "b64_encode": F.b64_encode, "b64_decode": F.b64_decode,
         "num2ipv4": F.num2ipv4, "ipv42num": F.ipv42num, "wrap": F.wrap,
-        "cstr": F.cstr, "cnum": F.cnum, "hash64mod": F.hash64mod,
+        "cstr": F.cstr, "cnum": F.cnum, "cbool": F.cbool,
+        "hash64mod": F.hash64mod,
+        "re_extract": F.re_extract, "re_extract_i": F.re_extract_i,
+        "append_json": F.append_json,
         "tocef": F.tocef, "cef_ext_escape": F.cef_ext_escape,
         "parse_time": F.parse_time, "parse_time_localtz": F.parse_time_localtz,
         "is_time": F.is_time, "random": F.random_gen,

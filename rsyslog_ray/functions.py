@@ -136,6 +136,22 @@ def re_extract(s: pd.Series, pattern: str, group: int = 1) -> pd.Series:
                          expand=True).iloc[:, group - 1 if group > 0 else 0]
 
 
+def re_match_i(s: pd.Series, pattern: str) -> pd.Series:
+    """re_match_i (rainerscript.c:4483, initFunc_re_match_i -> REG_ICASE):
+    case-insensitive re_match."""
+    return s.str.contains(pattern, regex=True, na=False, flags=re.IGNORECASE)
+
+
+def re_extract_i(s: pd.Series, pattern: str, group: int = 1) -> pd.Series:
+    """re_extract_i (rainerscript.c:4485): case-insensitive re_extract
+    (same REG_ICASE-compiled regex as re_match_i)."""
+    return s.str.extract(f"({pattern})" if group == 0 else pattern,
+                         expand=True,
+                         flags=re.IGNORECASE).iloc[:,
+                                                   group - 1 if group > 0
+                                                   else 0]
+
+
 def wrap(s: pd.Series, wrapper: str, escaper: str | None = None) -> pd.Series:
     """doFunct_Wrap (rainerscript.c:4493): wrapper prepended+appended;
     the 3-arg form first replaces wrapper occurrences in the source
@@ -184,6 +200,18 @@ def cnum(s: pd.Series) -> pd.Series:
 
 def cstr(s: pd.Series) -> pd.Series:
     return s.astype("string")
+
+
+def cbool(s: pd.Series) -> pd.Series:
+    """rsyslogBoolTextToNumber (rainerscript.c:2273-2303): numbers are
+    truthy unless 0; strings are trimmed and case-insensitively matched
+    — '', '0', 'no', 'off', 'false' -> 0, anything else -> 1.  NULL
+    behaves as empty (0), matching the str==NULL branch."""
+    if pd.api.types.is_numeric_dtype(s):
+        return (pd.to_numeric(s, errors="coerce").fillna(0) != 0).astype(
+            "int64")
+    t = s.fillna("").astype(str).str.strip().str.lower()
+    return (~t.isin(["", "0", "no", "off", "false"])).astype("int64")
 
 
 # ---- net (num2ipv4 / ipv42num — int arithmetic kernels)
@@ -835,6 +863,33 @@ def json_string_escape(s: pd.Series) -> pd.Series:
     # (found by the template fuzz test)
     return s.str.replace(r"[\x00-\x1f]",
                          lambda m: "\\u%04x" % ord(m.group(0)), regex=True)
+
+
+def append_json(js: pd.Series, value, key: str | None = None) -> pd.Series:
+    """doFunct_append_json (rainerscript.c:3614-3708, 2-3 params) over a
+    JSON-string column: array input -> append ``value`` (string or
+    number, per-row Series or scalar); object input with ``key`` ->
+    set key=value; anything else (non-JSON, scalars, 2-arg object
+    call) -> JSON null, matching the reference's NULL result."""
+    import json
+
+    vals = value if isinstance(value, pd.Series) else pd.Series(
+        [value] * len(js), index=js.index)
+
+    def app(j, v):
+        try:
+            obj = json.loads(j)
+        except (TypeError, ValueError):
+            return "null"
+        if isinstance(obj, list):
+            obj.append(v)
+        elif isinstance(obj, dict) and key is not None:
+            obj[key] = v
+        else:
+            return "null"
+        return json.dumps(obj, separators=(",", ":"))
+
+    return pd.Series([app(j, v) for j, v in zip(js, vals)], index=js.index)
 
 
 # ---- structured-data parse (mmpstrucdata analog,

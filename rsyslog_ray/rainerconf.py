@@ -173,14 +173,18 @@ class _P:
             c = self.cond()
             self.expect(")")
             return c
-        if v == "re_match":
+        if v in ("re_match", "re_match_i"):
+            # re_match_i (rainerscript.c:4483, REG_ICASE) compiles to
+            # the same regex predicate with an inline (?i) — valid in
+            # both Python re (pandas path) and RE2 (Arrow path)
             self.next()
             self.expect("(")
             prop = _prop_name(self.next()[1])
             self.expect(",")
             pat = self.next()[1]
             self.expect(")")
-            return ("regex", prop, pat)
+            return ("regex", prop, ("(?i)" + pat) if v.endswith("_i")
+                    else pat)
         return self.comparison()
 
     def comparison(self):

@@ -302,3 +302,34 @@ def test_canonical_url():
     # no-www mode
     assert canonical_url(pd.Series(["https://www.a.com/x"]),
                          strip_www=False).iloc[0] == "https://www.a.com/x"
+
+
+def test_cbool_re_i_append_json():
+    """cbool (rsyslogBoolTextToNumber rainerscript.c:2273-2303),
+    re_match_i/re_extract_i (REG_ICASE, rainerscript.c:4483-4485),
+    append_json (rainerscript.c:3614-3708)."""
+    import pandas as pd
+
+    from rsyslog_ray.functions import (append_json, cbool, re_extract_i,
+                                       re_match_i)
+
+    # cbool string semantics: trim + case-insensitive falsy words
+    s = pd.Series([" no ", "OFF", "False", "0", "", None,
+                   "yes", "1", "00", "anything", " true "])
+    assert cbool(s).tolist() == [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1]
+    # numeric: != 0
+    assert cbool(pd.Series([0, 1, -3, None])).tolist() == [0, 1, 1, 0]
+
+    # case-insensitive regex pair
+    t = pd.Series(["Hello World", "hello", "bye", None])
+    assert re_match_i(t, r"^HELLO").tolist() == [True, True, False, False]
+    assert re_extract_i(t, r"(HEL+O)", 1).tolist()[:2] == ["Hello", "hello"]
+
+    # append_json: array append (string + per-row value), object set,
+    # invalid/scalar/2-arg-object -> JSON null
+    js = pd.Series(['[1,2]', '{"a":1}', 'not json', '"scalar"'])
+    out = append_json(js, "x").tolist()
+    assert out == ['[1,2,"x"]', "null", "null", "null"]
+    out3 = append_json(js, pd.Series([9, 8, 7, 6], index=js.index),
+                       key="k").tolist()
+    assert out3 == ["[1,2,9]", '{"a":1,"k":8}', "null", "null"]

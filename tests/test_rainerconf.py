@@ -309,3 +309,16 @@ def test_foreach_explode(ray_session, tmp_path):
                      recursive=True)
     te = pd.concat([pq.read_table(f).to_pandas() for f in exes])
     assert list(zip(te["doc"], te["w"])) == [("a", "x")]
+
+
+def test_re_match_i_in_conf():
+    """re_match_i (rainerscript.c:4483 REG_ICASE) compiles to the regex
+    predicate with an inline (?i), valid for both re and RE2 paths."""
+    from rsyslog_ray.router import _eval_row
+
+    cfg = parse_rainer(
+        'if re_match_i($url, "LOGIN") then action(type="omfile" file="x")\n')
+    pred = cfg["routes"][0]["pred"]
+    assert pred == ["regex", "url", "(?i)LOGIN"]
+    assert _eval_row(tuple(pred), {"url": "https://a/Login"})
+    assert not _eval_row(tuple(pred), {"url": "https://a/out"})
