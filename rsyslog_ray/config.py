@@ -68,7 +68,10 @@ def _set_registry() -> dict:
         "ltrim": F.ltrim, "rtrim": F.rtrim, "substring": F.substring,
         "replace": F.replace, "field": F.field, "int2hex": F.int2hex,
         "b64_encode": F.b64_encode, "b64_decode": F.b64_decode,
-        "num2ipv4": F.num2ipv4, "ipv42num": F.ipv42num, "wrap": F.wrap,
+        "num2ipv4": F.num2ipv4, "ipv42num": F.ipv42num,
+        # ip42num: legacy alias for ipv42num (rainerscript.c:4480 binds
+        # both names to doFunct_Ipv42num)
+        "ip42num": F.ipv42num, "wrap": F.wrap,
         "cstr": F.cstr, "cnum": F.cnum, "cbool": F.cbool,
         "hash64mod": F.hash64mod,
         "re_extract": F.re_extract, "re_extract_i": F.re_extract_i,

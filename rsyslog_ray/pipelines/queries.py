@@ -154,28 +154,30 @@ def q_filter_contains(sf_dir):
     return two_phase_agg(ds, ["lang"])
 
 
-def q_filter_regex(sf_dir):
-    """FIOP_REGEX: ERE filter on event_type (Arrow RE2 kernel)."""
-    import pyarrow.compute as pc
-
-    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.match_substring_regex(
-            t["event_type"], r"^(?:purchase|signup)$")),
-        batch_format="pyarrow")
-
-
-def q_filter_prifilt(sf_dir):
-    """prifilt analog (runtime/ruleset.c:403): numeric band filter —
-    'error'-class events with low value (Arrow kernels)."""
+def q_filter_rules(sf_dir):
+    """FIOP_REGEX + prifilt in one ruleset pass (runtime/ruleset.c:403):
+    each row is tagged by the first filter class it matches — an ERE on
+    event_type (Arrow RE2 kernel) or the numeric priority band
+    ('error' with low value).  ONE read serves both rules (the
+    reference evaluates its filter chain per message, not per rule)."""
+    import pyarrow as pa
     import pyarrow.compute as pc
 
     ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.and_(pc.equal(t["event_type"], "error"),
-                                   pc.less(t["value"], 10.0)))
-        .select(["event_id"]),
-        batch_format="pyarrow")
+
+    def tag(t: pa.Table) -> pa.Table:
+        rx = pc.match_substring_regex(t["event_type"],
+                                      r"^(?:purchase|signup)$")
+        pri = pc.and_(pc.equal(t["event_type"], "error"),
+                      pc.less(t["value"], 10.0))
+        keep = t.filter(pc.or_(rx, pri))
+        rule = pc.if_else(
+            pc.match_substring_regex(keep["event_type"],
+                                     r"^(?:purchase|signup)$"),
+            "regex", "prifilt")
+        return pa.table({"event_id": keep["event_id"], "rule": rule})
+
+    return ds.map_batches(tag, batch_format="pyarrow")
 
 
 # ======================================================================
@@ -213,20 +215,25 @@ def q_route_fanout(sf_dir):
 # Aggregations (dynstats / sendertrack / percentiles, SURVEY.md §2.8)
 # ======================================================================
 
-def q_dynstats_lang(sf_dir):
-    """dyn_inc(bucket, key) analog (runtime/dynstats.c): count per lang."""
-    return two_phase_agg(_read(sf_dir, "documents", columns=["lang"]), ["lang"])
-
-
-def q_dynstats_bucket(sf_dir):
-    """Time-bucketed counts (impstats interval analog): events per hour."""
+def q_dynstats_kinds(sf_dir):
+    """dyn_inc(bucket, key) analog (runtime/dynstats.c) — two named
+    stats buckets in one result, the way impstats emits every bucket's
+    counters together: per-lang doc counts and per-hour event counts,
+    keyed (kind, key)."""
+    langs = two_phase_agg(
+        _read(sf_dir, "documents", columns=["lang"]), ["lang"])
     ds = _read(sf_dir, "events", columns=["ts"])
 
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"bucket": df["ts"].dt.floor("h")})
+        return pd.DataFrame(
+            {"key": df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")})
 
-    return two_phase_agg(ds.map_batches(bucket, batch_format="pandas"),
-                         ["bucket"])
+    hours = two_phase_agg(ds.map_batches(bucket, batch_format="pandas"),
+                          ["key"])
+    langs = langs.rename(columns={"lang": "key"})
+    langs.insert(0, "kind", "lang")
+    hours.insert(0, "kind", "hour")
+    return pd.concat([langs, hours], ignore_index=True)
 
 
 def q_sendertrack(sf_dir):
@@ -1111,6 +1118,49 @@ def q_text_quality(sf_dir):
     return ds.map_batches(fx, batch_format="pandas")
 
 
+def q_pii_redact(sf_dir):
+    """PII scrub over documents (mmanon generalized — mmanon.c rewrites
+    in place the same way): email/SSN/phone/IPv4 -> class tokens, RE2
+    chain, zero-copy Arrow.  The synthetic corpus carries no PII, so
+    each row is augmented with a deterministic PII suffix built from
+    its own columns — construction and redaction both mirrored exactly
+    in the DuckDB oracle (same RE2 engine, same rule order)."""
+    import pyarrow as pa
+
+    from ..stages.text import pii_redact_array
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        sid = df["doc_id"].astype(str)
+        aug = (df["text"] + " contact user" + sid + "@example.com or 10."
+               + (df["doc_id"] % 256).astype(str)
+               + ".3.7 ssn 123-45-6789 tel 555-123-4567")
+        out = pii_redact_array(pa.array(aug, pa.string()))
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "red": out.to_pandas()})
+
+    return ds.map_batches(red, batch_format="pandas")
+
+
+MIX_WEIGHTS = {  # per-source sampling rates (the corpus "data mixture")
+    **{f"src{i}": 1.0 for i in range(5)},
+    **{f"src{i}": 0.5 for i in range(5, 10)},
+}
+MIX_DEFAULT = 0.2
+
+
+def q_mix_sample(sf_dir):
+    """Deterministic source mixing: keep each doc iff the first 32 md5
+    bits of its id fall under its source's sampling weight — exact,
+    coordination-free, resumable membership (no RNG state, no shuffle);
+    the DuckDB oracle reproduces the md5 threshold bit-for-bit."""
+    from ..stages.text import mix_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return mix_sample(ds, MIX_WEIGHTS, default=MIX_DEFAULT)
+
+
 def q_text_langid(sf_dir):
     """Language-ID heuristic (stopword profiles) counted per predicted
     lang. Deterministic; rows-only driver check (profile scoring is not
@@ -1170,6 +1220,40 @@ def q_knn_lsh(sf_dir):
     qids = head["vec_id"].tolist()
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return knn_lsh(ds, "embedding", "vec_id", queries, qids, k=5, n_probes=4)
+
+
+def q_pack_sequences(sf_dir):
+    """Tokenize-and-pack: curated docs -> fixed-length LM training
+    rows (per-shard packing, EOD separators, final-row padding) plus
+    the packing efficiency stats a training job monitors.  Rows-only
+    driver check (list<int64> training rows are not SQL-shaped);
+    engine == pure-Python spec pinned in tests/test_text_ops.py."""
+    from ..stages.text import pack_sequences
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text"]).repartition(8)
+    packed = pack_sequences(ds, seq_len=128)
+    return packed.select_columns(["n_docs", "n_pad"])
+
+
+def q_lm_perplexity(sf_dir):
+    """Char-trigram LM quality ranking (the CCNet/KenLM perplexity
+    filter): distributed bounded-key fit, broadcast table, vectorized
+    scoring; returns each doc's bits-per-char bucketed to ints.
+    Rows-only driver check (iterative fit+score is not SQL-shaped);
+    engine == pure-Python spec pinned in tests/test_text_ops.py."""
+    from ..stages.text import lm_perplexity
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    scored = lm_perplexity(ds)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "centibits": np.floor(df["bits_per_char"] * 100.0
+                                  + 0.5).astype("int64")})
+
+    return scored.map_batches(bucket, batch_format="pandas")
 
 
 def q_line_dedup(sf_dir):
@@ -1407,13 +1491,13 @@ SQL: dict[str, str] = {
         SELECT lang, count(*) AS cnt FROM documents
         WHERE text LIKE '%spark%' GROUP BY lang
     """,
-    "filter_regex": """
-        SELECT event_id, event_type FROM events
+    "filter_rules": """
+        SELECT event_id,
+               CASE WHEN regexp_matches(event_type, '^(purchase|signup)$')
+                    THEN 'regex' ELSE 'prifilt' END AS rule
+        FROM events
         WHERE regexp_matches(event_type, '^(purchase|signup)$')
-    """,
-    "filter_prifilt": """
-        SELECT event_id FROM events
-        WHERE event_type = 'error' AND value < 10.0
+           OR (event_type = 'error' AND value < 10.0)
     """,
     "route_fanout": """
         SELECT 'errors' AS sink, count(*) AS cnt FROM events WHERE event_type = 'error'
@@ -1425,12 +1509,35 @@ SQL: dict[str, str] = {
         UNION ALL
         SELECT 'archive', count(*) FROM events WHERE event_type <> 'error'
     """,
-    "dynstats_lang": """
-        SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+    "dynstats_kinds": """
+        SELECT 'lang' AS kind, lang AS key, count(*) AS cnt
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'hour', strftime(date_trunc('hour', ts),
+                                '%Y-%m-%d %H:%M:%S'), count(*)
+        FROM events GROUP BY 2
     """,
-    "dynstats_bucket": """
-        SELECT date_trunc('hour', ts) AS bucket, count(*) AS cnt
-        FROM events GROUP BY bucket
+    "pii_redact": """
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            text || ' contact user' || doc_id || '@example.com or 10.'
+                 || (doc_id % 256) || '.3.7 ssn 123-45-6789 tel 555-123-4567',
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+            '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+            '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+          AS red
+        FROM documents
+    """,
+    "mix_sample": """
+        SELECT doc_id, source FROM documents
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+          < CAST((CASE
+                   WHEN source IN ('src0','src1','src2','src3','src4')
+                     THEN 1.0
+                   WHEN source IN ('src5','src6','src7','src8','src9')
+                     THEN 0.5
+                   ELSE 0.2 END) * 4294967296 AS UBIGINT)
     """,
     "sendertrack": """
         SELECT user_id, count(*) AS cnt, min(ts) AS first_seen,
@@ -1702,7 +1809,7 @@ SQL: dict[str, str] = {
                  AS sp_comp
         FROM b
     """,
-    "template_formats": """
+    "template_formats": r"""
         SELECT event_id,
                CAST(to_json(struct_pack(id := event_id, et := event_type))
                     AS VARCHAR) AS j,
@@ -1842,12 +1949,10 @@ QUERIES = {
     "anon_modes": q_anon_modes,
     # filters + router
     "filter_contains": q_filter_contains,
-    "filter_regex": q_filter_regex,
-    "filter_prifilt": q_filter_prifilt,
+    "filter_rules": q_filter_rules,
     "route_fanout": q_route_fanout,
     # aggregation
-    "dynstats_lang": q_dynstats_lang,
-    "dynstats_bucket": q_dynstats_bucket,
+    "dynstats_kinds": q_dynstats_kinds,
     "sendertrack": q_sendertrack,
     "percentiles": q_percentiles,
     "mmcount": q_mmcount,
@@ -1894,6 +1999,8 @@ QUERIES = {
     "dynstats_capped": q_dynstats_capped,
     # text / similarity (oracle-backed)
     "text_quality": q_text_quality,
+    "pii_redact": q_pii_redact,
+    "mix_sample": q_mix_sample,
     "knn_bruteforce": q_knn_bruteforce,
     # ---- rows-only tail (no SQL oracle by nature; pytest carries the
     # brute-force / statistical contracts) ----
@@ -1913,5 +2020,7 @@ QUERIES = {
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
     "url_dedup": q_url_dedup,
+    "pack_sequences": q_pack_sequences,
+    "lm_perplexity": q_lm_perplexity,
     "curation": q_curation,
 }

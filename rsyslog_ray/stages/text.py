@@ -505,3 +505,227 @@ def substring_dedup_oracle(ids: list, texts: list, window: int = 20) -> dict:
                 seen.add(g)
         out[i] = " ".join(np.asarray(w, dtype=object)[~drop])
     return out
+
+
+# ---------------------------------------------------------------------
+# PII redaction — the privacy-scrub stage every public-web training
+# pipeline runs before tokenization (mmanon generalized from IPs to the
+# full PII class set; plugins/mmanon/mmanon.c anonymizes in-place the
+# same way).  RE2 end-to-end: pyarrow's replace_substring_regex is the
+# same regex engine DuckDB uses, so the SQL oracle is byte-identical.
+
+PII_RULES = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_redact_array(arr):
+    """Apply the PII rule chain IN ORDER over an Arrow string array —
+    zero-copy batches, RE2 kernels, all occurrences per rule.  Rule
+    order is part of the spec (the SQL oracle nests in the same
+    order)."""
+    import pyarrow.compute as pc
+
+    for pat, rep in PII_RULES:
+        arr = pc.replace_substring_regex(arr, pattern=pat, replacement=rep)
+    return arr
+
+
+def _luhn_valid(digits: str) -> bool:
+    s, dbl = 0, False
+    for ch in reversed(digits):
+        d = ord(ch) - 48
+        if dbl:
+            d *= 2
+            if d > 9:
+                d -= 9
+        s += d
+        dbl = not dbl
+    return s % 10 == 0
+
+
+_CARD_RE = re.compile(r"\b(?:\d[ -]?){12,18}\d\b")
+
+
+def redact_cards_row(text: str) -> str:
+    """Credit-card redaction: 13-19 digit runs (spaces/dashes allowed)
+    that PASS the Luhn checksum -> <CARD>; non-Luhn digit runs are left
+    alone (they are order ids, not cards).  Checksum logic cannot live
+    in a regex, so this is the engine-only half of the PII stage
+    (pytest-pinned); per-row C-kernel loop, not a hot-path op."""
+    def sub(m: re.Match) -> str:
+        digits = re.sub(r"[ -]", "", m.group(0))
+        return "<CARD>" if 13 <= len(digits) <= 19 and _luhn_valid(digits) \
+            else m.group(0)
+    return _CARD_RE.sub(sub, text)
+
+
+# ---------------------------------------------------------------------
+# deterministic source mixing — per-source sampling weights, the
+# "data mixture" step of LLM corpus assembly (e.g. sample CC at 0.2,
+# books at 1.0).  Membership is a pure function of the row id (first
+# 32 md5 bits < weight * 2^32), so the sample is reproducible across
+# runs, resumable shard-by-shard, and needs NO coordination: every
+# worker decides locally, no shuffle, no driver state.  DuckDB mirrors
+# the hash exactly (md5 hex), so the oracle is exact, not statistical.
+
+def mix_sample(ds, weights: dict, *, key_col: str = "source",
+               id_col: str = "doc_id", default: float = 0.0):
+    """Filter ``ds`` keeping each row iff
+    u32(md5(str(id))) < weights.get(row[key_col], default) * 2^32."""
+    import hashlib
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        w = df[key_col].map(lambda s: weights.get(s, default)).to_numpy()
+        u = np.fromiter(
+            (int.from_bytes(hashlib.md5(s.encode()).digest()[:4], "big")
+             for s in df[id_col].astype(str)),
+            dtype=np.uint64, count=len(df))
+        return df[u < np.minimum(w * 4294967296.0, 2**64 - 1).astype(np.uint64)]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
+# sequence packing — the tokenize-and-pack step that turns curated
+# documents into fixed-length LM training rows.  Packing is PER SHARD
+# by design: each worker packs the documents of its own block and pads
+# only its final sequence — the way 100 TB jobs pack (a global pack
+# order would serialize the corpus through one worker).  Token ids are
+# 62-bit FNV word hashes here (a stand-in for a real BPE vocab — the
+# vocab lookup would be the same broadcast-dict pattern).
+
+PACK_EOD = np.int64(0)
+PACK_PAD = np.int64(-1)
+
+
+def _token_ids(text: str) -> np.ndarray:
+    w = np.array(text.split(), dtype=object)
+    if not len(w):
+        return np.empty(0, dtype=np.int64)
+    h = pd.util.hash_array(w)  # uint64 siphash per token
+    return ((h >> np.uint64(2)) + np.uint64(1)).astype(np.int64)  # 1..2^62
+
+
+def pack_batch(df: pd.DataFrame, seq_len: int, *, id_col: str = "doc_id",
+               text_col: str = "text"):
+    """Pack one block: docs in id order, EOD after each doc, cut into
+    seq_len rows, pad the final remainder.  Returns an Arrow table
+    {seq: fixed_size_list<int64>[L], n_docs, n_pad}."""
+    import pyarrow as pa
+
+    df = df.sort_values(id_col)
+    parts = []
+    for t in df[text_col]:
+        parts.append(_token_ids(t))
+        parts.append(np.array([PACK_EOD], dtype=np.int64))
+    flat = (np.concatenate(parts) if parts
+            else np.empty(0, dtype=np.int64))
+    n_pad = (-len(flat)) % seq_len
+    if n_pad:
+        flat = np.concatenate([flat, np.full(n_pad, PACK_PAD)])
+    mat = flat.reshape(-1, seq_len)
+    n_docs = (mat == PACK_EOD).sum(axis=1).astype(np.int32)
+    pads = np.zeros(len(mat), dtype=np.int32)
+    if n_pad:
+        pads[-1] = n_pad
+    return pa.table({
+        "seq": pa.FixedSizeListArray.from_arrays(
+            pa.array(flat, pa.int64()), seq_len),
+        "n_docs": pa.array(n_docs),
+        "n_pad": pa.array(pads),
+    })
+
+
+def pack_sequences(ds, seq_len: int = 128, *, id_col: str = "doc_id",
+                   text_col: str = "text"):
+    """documents -> packed LM training sequences (per-block packing)."""
+    return ds.map_batches(
+        lambda df: pack_batch(df, seq_len, id_col=id_col,
+                              text_col=text_col),
+        batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
+# char-ngram LM scoring — the KenLM-style perplexity filter public
+# pipelines (CCNet) use to rank web text.  Two-phase, 100-TB shaped:
+# FIT = per-batch count partials over a BOUNDED key space (27^order
+# contexts — alphabet-bounded, never corpus-bounded) reduced once;
+# SCORE = broadcast the dense probability table and score each batch
+# vectorized (sliding-window index into the table, no Python per row).
+
+_LM_ALPHA = 27  # a-z + everything-else/space bucket
+
+
+def _lm_codes(text: str) -> np.ndarray:
+    b = np.frombuffer(text.lower().encode("utf-8", "replace"),
+                      dtype=np.uint8).astype(np.int64)
+    codes = np.where((b >= 97) & (b <= 122), b - 96, 0)  # a=1..z=26, other=0
+    return codes
+
+
+def fit_char_lm(ds, *, text_col: str = "text", order: int = 3) -> np.ndarray:
+    """Fit add-one-smoothed P(char | previous order-1 chars) over the
+    corpus.  Returns the dense log2-prob table, shape (27^(order-1),
+    27).  The reduce is a driver sum of fixed-size arrays (one per
+    batch) — O(table), never O(corpus)."""
+    dim = _LM_ALPHA ** (order - 1)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        counts = np.zeros(dim * _LM_ALPHA, dtype=np.int64)
+        for t in df[text_col]:
+            c = _lm_codes(t)
+            if len(c) < order:
+                continue
+            idx = np.zeros(len(c) - order + 1, dtype=np.int64)
+            for j in range(order - 1):
+                idx = idx * _LM_ALPHA + c[j:j + len(idx)]
+            np.add.at(counts, idx * _LM_ALPHA + c[order - 1:], 1)
+        return pd.DataFrame({"counts": [counts.tobytes()]})
+
+    total = np.zeros(dim * _LM_ALPHA, dtype=np.int64)
+    for b in (ds.map_batches(partial, batch_format="pandas")
+              .iter_batches(batch_format="pandas", batch_size=None)):
+        for buf in b["counts"]:
+            total += np.frombuffer(buf, dtype=np.int64)
+    counts = total.reshape(dim, _LM_ALPHA).astype(np.float64) + 1.0
+    return np.log2(counts / counts.sum(axis=1, keepdims=True))
+
+
+def lm_score_frame(texts: pd.Series, logp: np.ndarray,
+                   order: int = 3) -> pd.Series:
+    """Bits-per-char under the fitted model (lower = more natural);
+    docs shorter than ``order`` score 0."""
+    out = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        c = _lm_codes(t)
+        if len(c) < order:
+            continue
+        idx = np.zeros(len(c) - order + 1, dtype=np.int64)
+        for j in range(order - 1):
+            idx = idx * _LM_ALPHA + c[j:j + len(idx)]
+        out[i] = -logp[idx, c[order - 1:]].mean()
+    return pd.Series(out, index=texts.index)
+
+
+def lm_perplexity(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  order: int = 3):
+    """Two-phase fit + broadcast score: every doc gets bits_per_char.
+    The table broadcast uses ray.put once; each scoring task reads the
+    shared copy (never re-shipped per batch)."""
+    import ray
+
+    logp_ref = ray.put(fit_char_lm(ds, text_col=text_col, order=order))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        logp = ray.get(logp_ref)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "bits_per_char": lm_score_frame(df[text_col], logp, order)})
+
+    return ds.map_batches(score, batch_format="pandas")

@@ -1,0 +1,188 @@
+"""PII redaction, source mixing, sequence packing and char-LM scoring
+vs pure-Python / hand-computed oracles."""
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from rsyslog_ray.stages import text as tx
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    return t.to_pandas()
+
+
+# ---------------------------------------------------------------------
+# PII redaction
+
+def test_pii_redact_classes():
+    import pyarrow as pa
+
+    got = tx.pii_redact_array(pa.array([
+        "mail a.b+c@ex-am.co.uk now",
+        "ssn 123-45-6789 tel 555-123-4567 and 555.123.4567",
+        "ip 10.200.3.7 ver 1.2.3.4.5",
+        "no pii here",
+        "digits 999-99-9999x stay",  # \b fails before the trailing x
+    ])).to_pylist()
+    assert got == [
+        "mail <EMAIL> now",
+        "ssn <SSN> tel <PHONE> and <PHONE>",
+        "ip <IP> ver <IP>.5",
+        "no pii here",
+        "digits 999-99-9999x stay",
+    ]
+
+
+def test_card_redaction_luhn():
+    # 4111111111111111 is the canonical Luhn-valid test PAN;
+    # 4111111111111112 fails the checksum and must survive
+    assert tx.redact_cards_row("pay 4111111111111111 ok") == "pay <CARD> ok"
+    assert tx.redact_cards_row("pay 4111 1111 1111 1111 ok") == "pay <CARD> ok"
+    assert (tx.redact_cards_row("order 4111111111111112 ref")
+            == "order 4111111111111112 ref")
+    # too short (12 digits) is an order id, not a card
+    assert tx.redact_cards_row("id 123456789012") == "id 123456789012"
+    # Luhn spec cross-check against an independent implementation
+    def luhn_ref(ds):
+        total = 0
+        for i, ch in enumerate(reversed(ds)):
+            d = int(ch)
+            if i % 2 == 1:
+                d = d * 2 - 9 if d * 2 > 9 else d * 2
+            total += d
+        return total % 10 == 0
+    for pan in ["4111111111111111", "5500005555555559", "378282246310005",
+                "4111111111111112", "1234567890123456"]:
+        assert tx._luhn_valid(pan) == luhn_ref(pan)
+
+
+# ---------------------------------------------------------------------
+# deterministic source mixing
+
+def test_mix_sample_membership_is_exact_md5_threshold(ray_session, docs):
+    import ray.data
+
+    weights = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    ds = ray.data.from_pandas(docs[["doc_id", "source"]])
+    got = tx.mix_sample(ds, weights, default=0.25).to_pandas()
+    kept = set(got["doc_id"])
+
+    for _, row in docs.iterrows():
+        w = weights.get(row["source"], 0.25)
+        u = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:8], 16)
+        assert (u < w * 2**32) == (row["doc_id"] in kept)
+    # weight 1.0 keeps everything, weight 0.0 keeps nothing
+    src0 = docs[docs["source"] == "src0"]["doc_id"]
+    src1 = docs[docs["source"] == "src1"]["doc_id"]
+    assert set(src0) <= kept and not (set(src1) & kept)
+
+
+# ---------------------------------------------------------------------
+# sequence packing
+
+def pack_oracle(ids, texts, seq_len):
+    """Pure-Python spec: docs in id order, tokens + EOD each, cut into
+    seq_len rows, pad the tail."""
+    flat = []
+    for _, t in sorted(zip(ids, texts)):
+        flat.extend(tx._token_ids(t).tolist())
+        flat.append(int(tx.PACK_EOD))
+    n_pad = (-len(flat)) % seq_len
+    flat += [int(tx.PACK_PAD)] * n_pad
+    rows = [flat[i:i + seq_len] for i in range(0, len(flat), seq_len)]
+    return rows, n_pad
+
+
+def test_pack_batch_matches_spec():
+    df = pd.DataFrame({
+        "doc_id": [3, 1, 2, 4],
+        "text": ["a b c", "d e", "", "f g h i j k l m"],
+    })
+    t = tx.pack_batch(df, seq_len=5)
+    rows = t["seq"].to_pylist()
+    want_rows, want_pad = pack_oracle(df["doc_id"], df["text"], 5)
+    assert rows == want_rows
+    # every doc contributes exactly one EOD; n_docs sums to n docs
+    assert sum(t["n_docs"].to_pylist()) == len(df)
+    assert t["n_pad"].to_pylist()[-1] == want_pad
+    assert all(len(r) == 5 for r in rows)
+
+
+def test_pack_sequences_distributed_totals(ray_session, docs):
+    import ray.data
+
+    seq_len = 64
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]]).repartition(4)
+    out = tx.pack_sequences(ds, seq_len=seq_len).to_pandas()
+    # conservation: every doc ends exactly once, and token+EOD+pad mass
+    # fills the emitted rows exactly
+    assert out["n_docs"].sum() == len(docs)
+    n_tokens = int(sum(len(t.split()) for t in docs["text"]))
+    assert len(out) * seq_len == n_tokens + len(docs) + out["n_pad"].sum()
+    # per-shard packing pads at most one row per shard (4 shards)
+    assert (out["n_pad"] > 0).sum() <= 4
+
+
+# ---------------------------------------------------------------------
+# char-ngram LM perplexity
+
+def lm_oracle(texts, score_texts, order=3):
+    """Pure-Python add-one-smoothed char-ngram LM."""
+    from collections import Counter
+
+    def codes(t):
+        return [c - 96 if 97 <= c <= 122 else 0
+                for c in t.lower().encode("utf-8", "replace")]
+
+    ctx_counts: Counter = Counter()
+    tri_counts: Counter = Counter()
+    for t in texts:
+        c = codes(t)
+        for i in range(len(c) - order + 1):
+            ctx = tuple(c[i:i + order - 1])
+            ctx_counts[ctx] += 1
+            tri_counts[(ctx, c[i + order - 1])] += 1
+
+    out = []
+    for t in score_texts:
+        c = codes(t)
+        if len(c) < order:
+            out.append(0.0)
+            continue
+        bits = 0.0
+        n = 0
+        for i in range(len(c) - order + 1):
+            ctx = tuple(c[i:i + order - 1])
+            p = (tri_counts[(ctx, c[i + order - 1])] + 1) / (
+                ctx_counts[ctx] + 27)
+            bits += -math.log2(p)
+            n += 1
+        out.append(bits / n)
+    return out
+
+
+def test_lm_perplexity_matches_pure_python(ray_session, docs):
+    import ray.data
+
+    sub = docs.head(120)
+    ds = ray.data.from_pandas(sub[["doc_id", "text"]]).repartition(3)
+    got = (tx.lm_perplexity(ds).to_pandas()
+           .set_index("doc_id")["bits_per_char"])
+    want = lm_oracle(sub["text"], sub["text"])
+    for d, w in zip(sub["doc_id"], want):
+        assert got[d] == pytest.approx(w, abs=1e-9)
+    # sanity: natural text scores lower than noise under its own model
+    logp = tx.fit_char_lm(ds)
+    nat = tx.lm_score_frame(pd.Series([sub["text"].iloc[0]]), logp).iloc[0]
+    noise = tx.lm_score_frame(pd.Series(["qzxjv wvqkz jxqzv qvxkz"]),
+                              logp).iloc[0]
+    assert nat < noise
