@@ -425,23 +425,6 @@ def q_lookup_string(sf_dir):
     return ds.map_batches(Enrich(ref), batch_format="pandas")
 
 
-def q_lookup_range(sf_dir):
-    """sparseArray lookup (lookup.c:437-485): greatest bound <= key —
-    bucket customers by account balance."""
-    from ..lookup import LookupTable
-
-    bounds = LookupTable("sparseArray", {0: "low", 1000: "mid", 5000: "high"},
-                         stub="neg")
-
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        key = np.floor(df["c_acctbal"]).astype("int64")
-        return pd.DataFrame({"c_custkey": df["c_custkey"],
-                             "balance_band": bounds.lookup_series(key)})
-
-    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
-    return ds.map_batches(bucket, batch_format="pandas")
-
-
 # ======================================================================
 # Sort / top-k / distinct / union (free Dataset primitives, §2.9)
 # ======================================================================
@@ -585,23 +568,29 @@ def q_mmpstrucdata(sf_dir):
 
 
 def q_lookup_kinds(sf_dir):
-    """Regex + array lookup tables in one pass (runtime/lookup.c:486-
-    ordered first-matching regex list; :418-435 dense uint index,
-    out-of-range -> stub)."""
+    """Regex + array + sparseArray lookup tables in ONE pass
+    (runtime/lookup.c:486- ordered first-matching regex list; :418-435
+    dense uint index, out-of-range -> stub; :437-485 greatest bound
+    <= key) — the reference resolves every lookup() in a rule against
+    the same message, so one read serves all three kinds."""
     from ..lookup import LookupTable
 
     table_re = LookupTable("regex", [(r"^purch", "buy"), (r"^sign", "join"),
                                      (r"err", "bad")], stub="other")
     table_arr = LookupTable("array", ["zero", "one", "two", "three", "four",
                                       "five"], stub="??")
+    bounds = LookupTable("sparseArray", {0: "low", 50: "mid", 200: "high"},
+                         stub="neg")
     ds = _read(sf_dir, "events", columns=["event_id", "event_type",
-                                          "user_id"])
+                                          "user_id", "value"])
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "event_id": df["event_id"],
             "klass": table_re.lookup_series(df["event_type"]),
             "slot": table_arr.lookup_series(df["user_id"] % 8),
+            "band": bounds.lookup_series(
+                np.floor(df["value"]).astype("int64")),
         })
 
     return ds.map_batches(fx, batch_format="pandas")
@@ -1055,6 +1044,27 @@ def q_dedup_minhash(sf_dir):
     # parallelizes (at real scale the input is already many-block)
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
     return minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8)
+
+
+def q_dedup_clusters(sf_dir):
+    """Near-dup CLUSTERS: MinHash/LSH pairs -> distributed connected
+    components (alternating min-label propagation; shuffles move int
+    triples only) -> each clustered doc labeled with the min doc_id
+    reachable from it.  Pairs alone under-dedup transitive chains
+    (a~b, b~c with no a~c edge); real pipelines keep one doc per
+    component.  Oracle: DuckDB recursive CTE over the exact-Jaccard
+    pair set."""
+    from ..stages.dedup import connected_components, minhash_lsh_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
+    pairs = minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8,
+                              as_dataset=True)
+    comp = connected_components(pairs, npart=16)
+
+    def out(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["node"], "cluster": df["cluster"]})
+
+    return comp.map_batches(out, batch_format="pandas")
 
 
 def q_dedup_simhash(sf_dir):
@@ -1600,14 +1610,6 @@ SQL: dict[str, str] = {
         SELECT n.n_name AS nation, coalesce(r.r_name, '') AS region
         FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
     """,
-    "lookup_range": """
-        SELECT c_custkey,
-               CASE WHEN floor(c_acctbal) >= 5000 THEN 'high'
-                    WHEN floor(c_acctbal) >= 1000 THEN 'mid'
-                    WHEN floor(c_acctbal) >= 0 THEN 'low'
-                    ELSE 'neg' END AS balance_band
-        FROM customer
-    """,
     "topk_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
@@ -1755,7 +1757,11 @@ SQL: dict[str, str] = {
                     WHEN regexp_matches(event_type, 'err') THEN 'bad'
                     ELSE 'other' END AS klass,
                coalesce(list_extract(['zero','one','two','three','four','five'],
-                        CAST(user_id % 8 AS INTEGER) + 1), '??') AS slot
+                        CAST(user_id % 8 AS INTEGER) + 1), '??') AS slot,
+               CASE WHEN floor(value) >= 200 THEN 'high'
+                    WHEN floor(value) >= 50 THEN 'mid'
+                    WHEN floor(value) >= 0 THEN 'low'
+                    ELSE 'neg' END AS band
         FROM events
     """,
     "net_funcs": """
@@ -1899,6 +1905,36 @@ SQL: dict[str, str] = {
         JOIN sizes sb ON sb.doc_id = p.id_b
         WHERE p.n_inter * 1.0 / (sa.n + sb.n - p.n_inter) >= 0.8
     """,
+    "dedup_clusters": """
+        WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS w
+                   FROM documents),
+        sh AS (
+          SELECT DISTINCT doc_id,
+                 array_to_string(list_slice(w, i, i + 2), ' ') AS s
+          FROM d, unnest(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3
+          UNION
+          SELECT doc_id, array_to_string(w, ' ') FROM d
+          WHERE len(w) < 3 AND len(w) > 0),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY id_a, id_b),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        pairs AS (
+          SELECT id_a, id_b FROM inter p
+          JOIN sizes sa ON sa.doc_id = p.id_a
+          JOIN sizes sb ON sb.doc_id = p.id_b
+          WHERE p.n_inter * 1.0 / (sa.n + sb.n - p.n_inter) >= 0.8),
+        edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+                  UNION ALL SELECT id_b, id_a FROM pairs),
+        reach(node, r) AS (
+          SELECT u, u FROM edges
+          UNION
+          SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.node)
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(min(r) AS BIGINT) AS cluster
+        FROM reach GROUP BY node
+    """,
     "knn_bruteforce": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qv
                    FROM embeddings ORDER BY vec_id LIMIT 5)
@@ -1966,9 +2002,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_wordset": q_dedup_wordset,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_clusters": q_dedup_clusters,
     # lookups
     "lookup_string": q_lookup_string,
-    "lookup_range": q_lookup_range,
     "lookup_kinds": q_lookup_kinds,
     # sort / distinct / union
     "topk_orders": q_topk_orders,

@@ -669,3 +669,120 @@ def embedding_neardup_pairs(ds, id_col: str, vec_col: str, bucket_col: str,
 
 def wordset_key(text: str) -> str:
     return " ".join(sorted(set(text.split())))
+
+
+# ---------------------------------------------------------------------
+# connected components over the near-dup pair graph — the step public
+# dedup pipelines run between LSH pairs and the keep-decision: pairs
+# only say "a~b"; keeping one doc per transitive CLUSTER needs the
+# component (a~b, b~c must collapse to one survivor even though a~c was
+# never emitted).  Alternating min-label propagation, Hash-to-Min
+# style: every shuffle moves only int triples (never text), each
+# iteration is two hash-partitioned exchanges, iterations =
+# O(longest chain), convergence is an O(1) sum of changed flags.
+
+def _ppk_of(ids: np.ndarray, npart: int) -> np.ndarray:
+    gold = np.uint64(0x9E3779B97F4A7C15)
+    return ((ids.astype(np.uint64) * gold) >> np.uint64(40)) \
+        .astype(np.int64) % npart
+
+
+def connected_components(pairs_ds, *, npart: int = _NPART,
+                         max_iters: int = 50):
+    """Dataset[id_a, id_b] -> Dataset[node, cluster] where cluster is
+    the minimum id reachable from node (docs in no pair are absent —
+    they are their own singleton cluster by definition).
+
+    Per iteration: (1) partition-local join of edges with current
+    labels sends each node's label to its neighbors; (2) each node
+    takes the min of its own and received labels.  ``labels`` (ints
+    only, O(nodes-in-pairs)) is re-materialized per iteration — the
+    lineage would otherwise re-execute all prior iterations; ``edges``
+    is materialized once for the same reason."""
+    # one shared schema for the edge/label union that feeds each
+    # iteration's first shuffle: (ppk, node, nbr, label); edges carry
+    # nbr with label=-1, labels carry label with nbr=-1.
+    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["id_a"].to_numpy(np.int64)
+        b = df["id_b"].to_numpy(np.int64)
+        node = np.concatenate([a, b])
+        nbr = np.concatenate([b, a])
+        return pd.DataFrame({"ppk": _ppk_of(node, npart), "node": node,
+                             "nbr": nbr,
+                             "label": np.full(len(node), -1, np.int64)})
+
+    edges = pairs_ds.map_batches(both_dirs,
+                                 batch_format="pandas").materialize()
+
+    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["node"].drop_duplicates().to_numpy(np.int64)
+        return pd.DataFrame({"ppk": np.full(len(n), g["ppk"].iloc[0]),
+                             "node": n,
+                             "nbr": np.full(len(n), -1, np.int64),
+                             "label": n})
+
+    labels = (edges.groupby("ppk")
+              .map_groups(init_labels, batch_format="pandas").materialize())
+
+    def send(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["label"] >= 0]
+        lmap = pd.Series(lab["label"].to_numpy(np.int64),
+                         index=lab["node"].to_numpy(np.int64))
+        e = g[g["label"] < 0]
+        tgt = np.concatenate([e["nbr"].to_numpy(np.int64),
+                              lab["node"].to_numpy(np.int64)])
+        val = np.concatenate([lmap[e["node"].to_numpy(np.int64)]
+                              .to_numpy(np.int64),
+                              lab["label"].to_numpy(np.int64)])
+        # own label rides along as `old` so the reducer can detect
+        # convergence without another exchange
+        old = np.concatenate([np.full(len(e), -1, np.int64),
+                              lab["label"].to_numpy(np.int64)])
+        return pd.DataFrame({"ppk": _ppk_of(tgt, npart), "node": tgt,
+                             "label": val, "old": old})
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("node").agg(label=("label", "min"),
+                                    old=("old", "max")).reset_index()
+        n = len(agg)
+        return pd.DataFrame({
+            "ppk": np.full(n, g["ppk"].iloc[0]),
+            "node": agg["node"],
+            "nbr": np.full(n, -1, np.int64),
+            "label": agg["label"],
+            "changed": (agg["label"] < agg["old"]).astype(np.int64)})
+
+    for _ in range(max_iters):
+        new_labels = (edges.union(labels.select_columns(
+                          ["ppk", "node", "nbr", "label"]))
+                      .groupby("ppk")
+                      .map_groups(send, batch_format="pandas")
+                      .groupby("ppk")
+                      .map_groups(reduce_min, batch_format="pandas")
+                      .materialize())
+        done = new_labels.sum("changed") == 0
+        labels = new_labels
+        if done:
+            break
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"], "cluster": df["label"]})
+
+    return labels.map_batches(finish, batch_format="pandas")
+
+
+def connected_components_oracle(pairs: list[tuple]) -> dict:
+    """Union-find ground truth: node -> min id in its component."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for ab in pairs for n in ab}

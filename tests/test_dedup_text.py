@@ -512,3 +512,43 @@ def test_substring_dedup_vs_oracle(ray_session):
     assert got[2].startswith("completely") or "different" in got[2]
     assert got[3] == docs[3]
     assert got[5] == docs[5]
+
+
+def test_connected_components_vs_union_find(ray_session):
+    """Label propagation == union-find on an adversarial graph: long
+    chains (worst case for iteration count), stars, singleton pairs,
+    and a chain whose min id sits at the END (labels must travel the
+    full diameter)."""
+    import ray.data
+
+    pairs = (
+        [(i, i + 1) for i in range(100, 120)]       # 21-node chain
+        + [(i + 1, i) for i in range(200, 210)]      # reversed chain
+        + [(300, j) for j in range(301, 310)]        # star
+        + [(400, 401), (402, 403), (401, 402)]       # chain via links
+        + [(509, 508), (508, 507), (507, 1)]         # min at far end
+    )
+    df = pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    ds = ray.data.from_pandas(df)
+    out = dd.connected_components(ds, npart=8).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["cluster"].astype(int)))
+    want = dd.connected_components_oracle(pairs)
+    assert got == want
+    # the far-end chain collapsed onto the global min of its component
+    assert got[509] == 1
+
+
+def test_connected_components_on_minhash_pairs(ray_session, docs):
+    """End-to-end: LSH pairs -> components; every pair's two ids share
+    a cluster, every cluster id is the component min."""
+    import ray.data
+
+    ds = ray.data.from_pandas(docs[["doc_id", "text"]])
+    pairs_ds = dd.minhash_lsh_pairs(ds, "doc_id", "text", threshold=0.8,
+                                    as_dataset=True)
+    pairs_df = pairs_ds.to_pandas()
+    out = dd.connected_components(pairs_ds, npart=8).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["cluster"].astype(int)))
+    want = dd.connected_components_oracle(
+        list(zip(pairs_df["id_a"].astype(int), pairs_df["id_b"].astype(int))))
+    assert got == want and len(got) > 0
