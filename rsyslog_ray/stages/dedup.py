@@ -671,15 +671,23 @@ def wordset_key(text: str) -> str:
     return " ".join(sorted(set(text.split())))
 
 
+
 # ---------------------------------------------------------------------
 # connected components over the near-dup pair graph — the step public
 # dedup pipelines run between LSH pairs and the keep-decision: pairs
 # only say "a~b"; keeping one doc per transitive CLUSTER needs the
 # component (a~b, b~c must collapse to one survivor even though a~c was
-# never emitted).  Alternating min-label propagation, Hash-to-Min
-# style: every shuffle moves only int triples (never text), each
-# iteration is two hash-partitioned exchanges, iterations =
-# O(longest chain), convergence is an O(1) sum of changed flags.
+# never emitted).  Iterative block-local contraction: each round runs
+# union-find INSIDE every edge block (C-speed, zero communication),
+# then a node-keyed exchange reconciles nodes that got different roots
+# in different blocks — the min root wins and the losers become BRIDGE
+# edges for the next round's (4x fewer) blocks.  Rounds =
+# O(log #blocks), NOT O(component diameter) like plain min-label
+# propagation, which pays a full Ray shuffle per hop of the longest
+# chain (perturbed-copy chains in web corpora are 10+ docs deep).
+# Every exchange moves int pairs only; worker memory is O(edges per
+# block); the final round's bridge graph must fit one block (it is
+# roots + cross-links, orders of magnitude below the pair list).
 
 def _ppk_of(ids: np.ndarray, npart: int) -> np.ndarray:
     gold = np.uint64(0x9E3779B97F4A7C15)
@@ -687,86 +695,139 @@ def _ppk_of(ids: np.ndarray, npart: int) -> np.ndarray:
         .astype(np.int64) % npart
 
 
+def _block_union_find(u: np.ndarray, v: np.ndarray):
+    """Union-by-min over one block's edges.  Returns (nodes, roots):
+    every node in the block mapped to the min id of its block-local
+    component."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(u.tolist(), v.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = np.fromiter(
+        {n for ab in (u, v) for n in ab.tolist()}, dtype=np.int64)
+    roots = np.fromiter((find(int(n)) for n in nodes), dtype=np.int64,
+                        count=len(nodes))
+    return nodes, roots
+
+
 def connected_components(pairs_ds, *, npart: int = _NPART,
-                         max_iters: int = 50):
+                         max_iters: int = 16):
     """Dataset[id_a, id_b] -> Dataset[node, cluster] where cluster is
     the minimum id reachable from node (docs in no pair are absent —
     they are their own singleton cluster by definition).
 
-    Per iteration: (1) partition-local join of edges with current
-    labels sends each node's label to its neighbors; (2) each node
-    takes the min of its own and received labels.  ``labels`` (ints
-    only, O(nodes-in-pairs)) is re-materialized per iteration — the
-    lineage would otherwise re-execute all prior iterations; ``edges``
-    is materialized once for the same reason."""
-    # one shared schema for the edge/label union that feeds each
-    # iteration's first shuffle: (ppk, node, nbr, label); edges carry
-    # nbr with label=-1, labels carry label with nbr=-1.
-    def both_dirs(df: pd.DataFrame) -> pd.DataFrame:
-        a = df["id_a"].to_numpy(np.int64)
-        b = df["id_b"].to_numpy(np.int64)
-        node = np.concatenate([a, b])
-        nbr = np.concatenate([b, a])
-        return pd.DataFrame({"ppk": _ppk_of(node, npart), "node": node,
-                             "nbr": nbr,
-                             "label": np.full(len(node), -1, np.int64)})
+    Per round: (1) union-find inside each edge block; (2) a node-keyed
+    groupby reconciles per-block roots — min root per node becomes the
+    round's mapping, conflicting roots become bridge edges; (3) the
+    mapping folds into the global label map with one root-keyed join;
+    (4) bridge edges coalesce into 4x fewer blocks.  Terminates when a
+    round leaves no bridges or ran over a single block.  Labels,
+    mappings and edges are ints only, re-materialized per round (the
+    lineage would otherwise replay all prior rounds)."""
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"u": df["id_a"].to_numpy(np.int64),
+                             "v": df["id_b"].to_numpy(np.int64)})
 
-    edges = pairs_ds.map_batches(both_dirs,
-                                 batch_format="pandas").materialize()
+    edges = pairs_ds.map_batches(norm, batch_format="pandas").materialize()
+    labels = None  # Dataset[node, root]
 
-    def init_labels(g: pd.DataFrame) -> pd.DataFrame:
-        n = g["node"].drop_duplicates().to_numpy(np.int64)
-        return pd.DataFrame({"ppk": np.full(len(n), g["ppk"].iloc[0]),
-                             "node": n,
-                             "nbr": np.full(len(n), -1, np.int64),
-                             "label": n})
+    def contract(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"ppk": np.empty(0, np.int64),
+                                 "node": np.empty(0, np.int64),
+                                 "root": np.empty(0, np.int64)})
+        nodes, roots = _block_union_find(df["u"].to_numpy(np.int64),
+                                         df["v"].to_numpy(np.int64))
+        return pd.DataFrame({"ppk": _ppk_of(nodes, npart),
+                             "node": nodes, "root": roots})
 
-    labels = (edges.groupby("ppk")
-              .map_groups(init_labels, batch_format="pandas").materialize())
-
-    def send(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g[g["label"] >= 0]
-        lmap = pd.Series(lab["label"].to_numpy(np.int64),
-                         index=lab["node"].to_numpy(np.int64))
-        e = g[g["label"] < 0]
-        tgt = np.concatenate([e["nbr"].to_numpy(np.int64),
-                              lab["node"].to_numpy(np.int64)])
-        val = np.concatenate([lmap[e["node"].to_numpy(np.int64)]
-                              .to_numpy(np.int64),
-                              lab["label"].to_numpy(np.int64)])
-        # own label rides along as `old` so the reducer can detect
-        # convergence without another exchange
-        old = np.concatenate([np.full(len(e), -1, np.int64),
-                              lab["label"].to_numpy(np.int64)])
-        return pd.DataFrame({"ppk": _ppk_of(tgt, npart), "node": tgt,
-                             "label": val, "old": old})
-
-    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
-        agg = g.groupby("node").agg(label=("label", "min"),
-                                    old=("old", "max")).reset_index()
-        n = len(agg)
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        # per node: min root wins (k=0 mapping row); every other root
+        # is transitively equal to it -> k=1 bridge edge
+        mn = g.groupby("node")["root"].transform("min")
+        root = g["root"].to_numpy(np.int64)
+        mn = mn.to_numpy(np.int64)
+        node = g["node"].to_numpy(np.int64)
+        first = pd.DataFrame({"node": node, "mn": mn}).drop_duplicates("node")
+        conflict = root > mn
+        bridges = pd.DataFrame({"a": mn[conflict],
+                                "b": root[conflict]}).drop_duplicates()
         return pd.DataFrame({
-            "ppk": np.full(n, g["ppk"].iloc[0]),
-            "node": agg["node"],
-            "nbr": np.full(n, -1, np.int64),
-            "label": agg["label"],
-            "changed": (agg["label"] < agg["old"]).astype(np.int64)})
+            "k": np.concatenate([np.zeros(len(first), np.int64),
+                                 np.ones(len(bridges), np.int64)]),
+            "a": np.concatenate([first["node"].to_numpy(np.int64),
+                                 bridges["a"].to_numpy(np.int64)]),
+            "b": np.concatenate([first["mn"].to_numpy(np.int64),
+                                 bridges["b"].to_numpy(np.int64)])})
 
     for _ in range(max_iters):
-        new_labels = (edges.union(labels.select_columns(
-                          ["ppk", "node", "nbr", "label"]))
-                      .groupby("ppk")
-                      .map_groups(send, batch_format="pandas")
-                      .groupby("ppk")
-                      .map_groups(reduce_min, batch_format="pandas")
+        n_blocks = max(1, edges.num_blocks())
+        both = (edges.map_batches(contract, batch_format="pandas")
+                .groupby("ppk").map_groups(resolve, batch_format="pandas")
+                .materialize())
+        mapping = both.filter(expr="k == 0")  # (a=node, b=min root)
+
+        if labels is None:
+            labels = (mapping.map_batches(
+                lambda df: pd.DataFrame({"node": df["a"], "root": df["b"]}),
+                batch_format="pandas").materialize())
+        else:
+            # new root of a labeled node = mapping[old root] if present
+            # else old root: one union + root-keyed groupby join
+            def lab_rows(df: pd.DataFrame) -> pd.DataFrame:
+                key = df["root"].to_numpy(np.int64)
+                return pd.DataFrame({"ppk": _ppk_of(key, npart), "key": key,
+                                     "node": df["node"].to_numpy(np.int64),
+                                     "newroot": np.full(len(df), -1,
+                                                        np.int64)})
+
+            def map_rows(df: pd.DataFrame) -> pd.DataFrame:
+                key = df["a"].to_numpy(np.int64)
+                return pd.DataFrame({"ppk": _ppk_of(key, npart), "key": key,
+                                     "node": np.full(len(df), -1, np.int64),
+                                     "newroot": df["b"].to_numpy(np.int64)})
+
+            def fold(g: pd.DataFrame) -> pd.DataFrame:
+                m = g[g["newroot"] >= 0]
+                lut = pd.Series(m["newroot"].to_numpy(np.int64),
+                                index=m["key"].to_numpy(np.int64))
+                lut = lut[~lut.index.duplicated()]
+                la = g[g["node"] >= 0]
+                key = la["key"].to_numpy(np.int64)
+                new = lut.reindex(key).to_numpy()
+                new = np.where(np.isnan(new), key, new).astype(np.int64)
+                return pd.DataFrame({"node": la["node"].to_numpy(np.int64),
+                                     "root": new})
+
+            labels = (labels.map_batches(lab_rows, batch_format="pandas")
+                      .union(mapping.map_batches(map_rows,
+                                                 batch_format="pandas"))
+                      .groupby("ppk").map_groups(fold,
+                                                 batch_format="pandas")
                       .materialize())
-        done = new_labels.sum("changed") == 0
-        labels = new_labels
-        if done:
+
+        if n_blocks <= 1:
+            break  # single block = full union-find: no bridges possible
+        edges = (both.filter(expr="k == 1")
+                 .map_batches(lambda df: pd.DataFrame({"u": df["a"],
+                                                       "v": df["b"]}),
+                              batch_format="pandas")
+                 .repartition(max(1, n_blocks // 4)).materialize())
+        if edges.count() == 0:
             break
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"node": df["node"], "cluster": df["label"]})
+        return pd.DataFrame({"node": df["node"], "cluster": df["root"]})
 
     return labels.map_batches(finish, batch_format="pandas")
 
