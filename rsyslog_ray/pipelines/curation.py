@@ -10,7 +10,10 @@ over a documents table, the shape a 100 TB curation run takes:
                                          keep min id) -> PARQUET
     -> near-dup pair mining             (MinHash-LSH + distributed
                                          Jaccard verify) -> PARQUET
-    -> survivor anti-join               (hash-partitioned groupby on id;
+    -> duplicate clusters               (distributed connected
+                                         components) -> PARQUET
+    -> survivor anti-join               (one keeper per cluster;
+                                         hash-partitioned groupby on id,
                                          no driver-held drop set)
     -> curated parquet + per-stage stats json
 
@@ -60,7 +63,8 @@ def run_curation(docs_path: str, out_dir: str, *,
     import ray
     import ray.data
 
-    from ..stages.dedup import content_key128_frame, minhash_lsh_pairs
+    from ..stages.dedup import (connected_components, content_key128_frame,
+                                minhash_lsh_pairs)
     from ..stages.text import lang_id_frame, quality_frame
 
     os.makedirs(out_dir, exist_ok=True)
@@ -144,12 +148,20 @@ def run_curation(docs_path: str, out_dir: str, *,
     pairs = ray.data.read_parquet(pairs_path)
     stats["neardup_pairs"] = pairs.count()
 
-    # ---- stage 4: survivor anti-join — drop every id that appears as
-    # the LARGER member of a pair (keeps exactly one representative per
-    # duplicate cluster reachable by pairwise links ordered by id).
-    # Distributed: union(keepers, drop markers) -> groupby(doc_id) ->
-    # groups containing a marker emit nothing.  The shuffle moves the
-    # keeper rows once; the drop ids never aggregate on the driver.
+    # ---- stage 3b: duplicate CLUSTERS — connected components over the
+    # pair graph.  Dropping the larger id of each pair under-dedups
+    # star shapes (a~m, b~m with a,b < m keeps BOTH a and b); one
+    # survivor per component is the correct contract.  Ints only.
+    comps_path = os.path.join(out_dir, "neardup_components")
+    _run_stage(comps_path, lambda tmp: connected_components(pairs)
+               .write_parquet(tmp))
+    comps = ray.data.read_parquet(comps_path)
+
+    # ---- stage 4: survivor anti-join — drop every clustered id that
+    # is not its component's minimum.  Distributed: union(keepers,
+    # drop markers) -> groupby(doc_id) -> groups containing a marker
+    # emit nothing.  The shuffle moves the keeper rows once; the drop
+    # ids never aggregate on the driver.
     fields = [(f.name, f.type) for f in
               pa.schema(exact.schema().base_schema)]
 
@@ -157,7 +169,7 @@ def run_curation(docs_path: str, out_dir: str, *,
         return t.append_column("__drop", pa.array([0] * len(t), pa.int8()))
 
     def mark_drop(t: pa.Table) -> pa.Table:
-        ids = pc.unique(t["id_b"])
+        ids = t.filter(pc.not_equal(t["node"], t["cluster"]))["node"]
         cols = {name: (ids.cast(typ) if name == "doc_id"
                        else pa.nulls(len(ids), typ))
                 for name, typ in fields}
@@ -171,7 +183,7 @@ def run_curation(docs_path: str, out_dir: str, *,
 
     _run_stage(os.path.join(out_dir, "curated"), lambda tmp: (
         exact.map_batches(mark_keep, batch_format="pyarrow")
-        .union(pairs.map_batches(mark_drop, batch_format="pyarrow"))
+        .union(comps.map_batches(mark_drop, batch_format="pyarrow"))
         .groupby("doc_id")
         .map_groups(survivors, batch_format="pyarrow")
         .write_parquet(tmp)))
@@ -181,9 +193,9 @@ def run_curation(docs_path: str, out_dir: str, *,
     stats["docs_out"] = sum(
         pq.ParquetFile(os.path.join(out_dir, "curated", f)).metadata.num_rows
         for f in out_files if f.endswith(".parquet"))
-    # exact: id_b of every pair is itself an exact-dedup keeper, so the
-    # removed-row count IS the distinct-id_b count (no driver set, no
-    # extra distinct pass)
+    # every dropped id is a non-min member of exactly one component, so
+    # the removed-row count falls out of the keeper/survivor counts (no
+    # driver set, no extra distinct pass)
     stats["neardup_dropped"] = stats["after_exact_dedup"] - stats["docs_out"]
     tmp = os.path.join(out_dir, "_curation_stats.json.tmp")
     with open(tmp, "w") as fh:

@@ -25,7 +25,20 @@ def test_curation_pipeline(ray_session, tmp_path):
         "text": ["a b"] * 5,                     # under min_tokens
         "lang": ["en"] * 5, "source": ["junk"] * 5,
     })
-    corpus = pd.concat([df, exact, near, junk], ignore_index=True)
+    # plant a star through a HIGH-id middle doc: a~m and b~m but a!~b
+    # (Jaccard(a,m)=18/22, Jaccard(m,b)=22/26 >= 0.8; Jaccard(a,b)=
+    # 18/26 < 0.8).  Pair-based drop-the-larger would keep BOTH a and
+    # b; cluster-correct keeps only a.
+    base_words = [f"qq{i}" for i in range(20)]
+    star_a = " ".join(base_words)                          # id 400_000
+    star_m = " ".join(base_words + [f"mm{i}" for i in range(4)])
+    star_b = " ".join(base_words + [f"mm{i}" for i in range(8)])
+    star = pd.DataFrame({
+        "doc_id": [400_000, 400_002, 400_001],
+        "text": [star_a, star_m, star_b],
+        "lang": ["en"] * 3, "source": ["star"] * 3,
+    })
+    corpus = pd.concat([df, exact, near, junk, star], ignore_index=True)
     src = str(tmp_path / "docs.parquet")
     corpus.to_parquet(src, index=False)
 
@@ -37,14 +50,17 @@ def test_curation_pipeline(ray_session, tmp_path):
     assert stats["after_quality_gate"] == len(corpus) - 5   # junk gone
     # exact dups collapse to the original (min doc_id kept)
     assert stats["after_exact_dedup"] == stats["after_quality_gate"] - 10
-    # each planted near-pair drops its larger id
-    assert stats["neardup_dropped"] >= 10
+    # 10 planted near copies + 2 non-min members of the star cluster
+    assert stats["neardup_dropped"] >= 12
     assert stats["docs_out"] == stats["after_exact_dedup"] - stats["neardup_dropped"]
 
     got = pd.read_parquet(os.path.join(out, "curated"))
     assert len(got) == stats["docs_out"]
     assert not set(got["doc_id"]) & set(range(100_000, 100_010))  # exact
     assert not set(got["doc_id"]) & set(near["doc_id"])           # near
+    # the star cluster keeps exactly its min id — the pair-based rule
+    # (drop the larger of each pair) would have kept 400_001 too
+    assert set(got["doc_id"]) & {400_000, 400_001, 400_002} == {400_000}
     assert set(df.head(10)["doc_id"]) <= set(got["doc_id"])       # originals
     assert "n_tokens" in got.columns and "pred_lang" in got.columns
     rec = json.load(open(os.path.join(out, "_curation_stats.json")))
