@@ -739,6 +739,15 @@ def connected_components(pairs_ds, *, npart: int = _NPART,
                              "v": df["id_b"].to_numpy(np.int64)})
 
     edges = pairs_ds.map_batches(norm, batch_format="pandas").materialize()
+    # right-size the block count to the graph: pairs parquet often
+    # arrives as dozens of near-empty blocks, and every extra block
+    # generation costs a full contraction round (~1.5 s of fixed Ray
+    # overhead).  ~1M edges per block keeps the per-block union-find
+    # dict ~200 MB; a small graph collapses to ONE block = one round.
+    n_edges = edges.count()
+    target = max(1, min(edges.num_blocks(), n_edges // 1_000_000 + 1))
+    if target < edges.num_blocks():
+        edges = edges.repartition(target).materialize()
     labels = None  # Dataset[node, root]
 
     def contract(df: pd.DataFrame) -> pd.DataFrame:
