@@ -1,0 +1,123 @@
+"""Model-based quality classification — hashed-feature logistic
+regression trained with distributed gradient partials.
+
+The GPT-3/LLaMA-style corpus step the heuristics in stages/text.py
+feed into: train a linear classifier to separate a high-quality
+reference slice from the crawl, then score every document and keep by
+threshold (Brown et al. 2020 §A; CCNet uses the same shape with a
+fasttext model).  fasttext itself is a hashed-bag-of-words linear
+model — exactly what this implements, with the training loop expressed
+Ray-Data-first:
+
+- **Features** are hashed token counts (feature hashing; Weinberger et
+  al. 2009) scaled 1/n_tokens — no vocabulary build pass, no state.
+- **Training** is full-batch gradient descent: per iteration the
+  weight vector broadcasts once (``ray.put``), every batch emits ONE
+  dense (dim+1) gradient partial (np.add.at over its token
+  occurrences — vectorized, no per-row Python), and the driver reduce
+  is O(dim) — never O(corpus).  Partials carry a min-id order key and
+  sum in sorted order, so training is bit-deterministic run-to-run.
+- **Scoring** broadcasts the trained vector and maps batches.
+
+tests/test_classify.py pins the batch gradient against a dense-matrix
+numpy spec, trains on a two-vocabulary synthetic corpus to >= 0.95
+holdout accuracy, and checks distributed == single-node training.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+_BIAS = -1  # weight vector layout: w[:dim] features, w[dim] bias
+
+
+def _occurrences(texts, dim: int):
+    """(row_idx, col_idx, val, n_rows) token-occurrence triples for a
+    batch: col = siphash(token) % dim, val = 1/n_tokens(row)."""
+    toks = texts.str.lower().str.split()
+    n_tok = toks.str.len().clip(lower=1).to_numpy()
+    e = toks.explode().dropna()
+    if not len(e):
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.float64), len(texts))
+    pos = pd.Series(np.arange(len(texts)), index=texts.index)
+    rows = pos.reindex(e.index).to_numpy()
+    cols = (pd.util.hash_array(e.to_numpy(dtype=object))
+            % np.uint64(dim)).astype(np.int64)
+    vals = 1.0 / n_tok[rows]
+    return rows, cols, vals, len(texts)
+
+
+def batch_margin(texts, w: np.ndarray, dim: int) -> np.ndarray:
+    rows, cols, vals, n = _occurrences(texts, dim)
+    m = np.full(n, w[_BIAS], dtype=np.float64)
+    np.add.at(m, rows, w[cols] * vals)
+    return m
+
+
+def batch_gradient(texts, y: np.ndarray, w: np.ndarray,
+                   dim: int) -> tuple:
+    """(gradient, loss_sum, n) of mean logistic loss for one batch —
+    the distributed partial AND the test-pinned spec unit."""
+    rows, cols, vals, n = _occurrences(texts, dim)
+    m = np.full(n, w[_BIAS], dtype=np.float64)
+    np.add.at(m, rows, w[cols] * vals)
+    p = 1.0 / (1.0 + np.exp(-m))
+    resid = p - y
+    g = np.zeros(dim + 1, dtype=np.float64)
+    np.add.at(g, cols, resid[rows] * vals)
+    g[_BIAS] += resid.sum()
+    loss = float(np.sum(
+        np.logaddexp(0.0, m) - y * m))  # -log lik, numerically stable
+    return g, loss, n
+
+
+def train_text_classifier(ds, *, label_col: str, text_col: str = "text",
+                          id_col: str = "doc_id", dim: int = 1 << 15,
+                          iters: int = 30, lr: float = 2.0,
+                          l2: float = 1e-6):
+    """Fit w over the corpus; returns (w, per-iteration mean losses)."""
+    import ray
+
+    w = np.zeros(dim + 1, dtype=np.float64)
+    losses = []
+    for _ in range(iters):
+        ref = ray.put(w)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                     "g": [], "loss": [], "n": []})
+            g, loss, n = batch_gradient(
+                df[text_col], df[label_col].to_numpy(np.float64),
+                ray.get(ref), dim)
+            return pd.DataFrame({"key": [int(df[id_col].min())],
+                                 "g": [g.tobytes()], "loss": [loss],
+                                 "n": [n]})
+
+        parts = (ds.map_batches(part, batch_format="pandas")
+                 .to_pandas().sort_values("key"))
+        g = np.zeros(dim + 1, dtype=np.float64)
+        for buf in parts["g"]:
+            g += np.frombuffer(buf, dtype=np.float64)
+        n = int(parts["n"].sum())
+        losses.append(float(parts["loss"].sum()) / max(n, 1))
+        w = w - lr * (g / max(n, 1) + l2 * w)
+    return w, losses
+
+
+def classifier_scores(ds, w: np.ndarray, *, text_col: str = "text",
+                      id_col: str = "doc_id", dim: int = 1 << 15):
+    """-> (id, score, prob) per document; w broadcast once."""
+    import ray
+
+    ref = ray.put(np.asarray(w, dtype=np.float64))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = batch_margin(df[text_col], ray.get(ref), dim)
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "score": m,
+                             "prob": 1.0 / (1.0 + np.exp(-m))})
+
+    return ds.map_batches(score, batch_format="pandas")

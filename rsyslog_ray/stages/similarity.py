@@ -247,3 +247,98 @@ def knn_lsh(ds, vec_col: str, id_col: str, queries: np.ndarray,
     top = partials.groupby("qid", as_index=False).head(k).copy()
     top["rank"] = top.groupby("qid").cumcount() + 1
     return top[["qid", "id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------
+# distributed k-means — full-corpus document clustering (the
+# cluster-then-sample curation step: DSIR/DoReMi-style pipelines
+# cluster embeddings and rebalance the mixture per cluster).  The IVF
+# quantizer above fits on a driver-side SAMPLE; this one runs Lloyd
+# iterations over the WHOLE corpus: per iteration, centroids broadcast
+# once (ray.put), each batch emits ONE fixed-size partial (k x dim
+# vector sums + k counts) and the driver reduce is O(k x dim) -- never
+# O(corpus).  iters full passes, each a streaming map_batches.
+
+def kmeans_fit_distributed(ds, vec_col: str = "embedding", *,
+                           id_col: str = "vec_id", k: int = 8,
+                           iters: int = 8, sample_size: int = 1024,
+                           seed: int = 5) -> np.ndarray:
+    """Deterministic distributed Lloyd: init = splitmix pick from a
+    bounded head sample (same rule as ``kmeans_fit``), then ``iters``
+    corpus passes.  Partials carry a min-id order key and the driver
+    sums them in sorted order, so the float reduce is deterministic
+    run-to-run.  Empty clusters keep their previous centroid."""
+    import ray
+
+    sample = np.stack(
+        ds.limit(sample_size).to_pandas()[vec_col].to_numpy())
+    cent = kmeans_fit(sample, k, iters=0, seed=seed)
+
+    for _ in range(iters):
+        ref = ray.put(cent)
+
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                     "sums": [], "cnt": []})
+            c = ray.get(ref)
+            v = _normalize(np.stack(df[vec_col].to_numpy())
+                           .astype(np.float64))
+            a = (v @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, a, v)
+            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
+            return pd.DataFrame({
+                "key": [int(df[id_col].min())],
+                "sums": [sums.tobytes()], "cnt": [cnt.tobytes()]})
+
+        parts = (ds.map_batches(part, batch_format="pandas")
+                 .to_pandas().sort_values("key"))
+        sums = np.zeros_like(cent)
+        cnt = np.zeros(len(cent), dtype=np.int64)
+        for s, c_ in zip(parts["sums"], parts["cnt"]):
+            sums += np.frombuffer(s, dtype=np.float64).reshape(cent.shape)
+            cnt += np.frombuffer(c_, dtype=np.int64)
+        new = cent.copy()
+        nz = cnt > 0
+        new[nz] = sums[nz] / cnt[nz, None]
+        cent = _normalize(new)
+    return cent
+
+
+def kmeans_assign(ds, centroids: np.ndarray, *,
+                  vec_col: str = "embedding", id_col: str = "vec_id"):
+    """-> (id, cluster) per row; centroids broadcast once."""
+    import ray
+
+    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64")})
+        c = ray.get(ref)
+        v = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster": (v @ c.T).argmax(axis=1)
+                             .astype(np.int64)})
+
+    return ds.map_batches(assign, batch_format="pandas")
+
+
+def kmeans_oracle(vecs: np.ndarray, k: int, iters: int,
+                  sample_size: int = 1024, seed: int = 5) -> np.ndarray:
+    """Single-node reference of the SAME fit (init from the first
+    ``sample_size`` rows, whole-matrix Lloyd, empty keeps previous) —
+    the test oracle for the distributed path."""
+    v = _normalize(np.asarray(vecs, dtype=np.float64))
+    cent = kmeans_fit(v[:sample_size], k, iters=0, seed=seed)
+    for _ in range(iters):
+        a = (v @ cent.T).argmax(axis=1)
+        new = cent.copy()
+        for c in range(k):
+            m = a == c
+            if m.any():
+                new[c] = v[m].mean(axis=0)
+        cent = _normalize(new)
+    return cent

@@ -729,3 +729,29 @@ def lm_perplexity(ds, *, id_col: str = "doc_id", text_col: str = "text",
             "bits_per_char": lm_score_frame(df[text_col], logp, order)})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------
+# deterministic epoch shuffle — the global training-data shuffle.
+# Every LM run shuffles the corpus per epoch; at 100 TB the only sane
+# form is a DETERMINISTIC keyed sort: key = md5(seed ":" id), then a
+# distributed range-partitioned sort on the key.  Reproducible across
+# runs/cluster sizes (no RNG state, no coordination), resumable (a
+# re-run re-derives identical order), and a different seed is a fresh
+# permutation.  The sort is Ray Data's shuffle-based sort — the one
+# all-to-all this op IS, not an accident.
+
+def epoch_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
+                  key_col: str = "skey"):
+    """-> ds sorted by md5('{seed}:{id}') hex; the key column stays in
+    the output (it IS the shuffle position — verifiable by the DuckDB
+    md5 oracle and by any downstream resume)."""
+    import hashlib
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[key_col] = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                        for i in df[id_col]]
+        return out
+
+    return ds.map_batches(key, batch_format="pandas").sort(key_col)

@@ -552,3 +552,31 @@ def test_connected_components_on_minhash_pairs(ray_session, docs):
     want = dd.connected_components_oracle(
         list(zip(pairs_df["id_a"].astype(int), pairs_df["id_b"].astype(int))))
     assert got == want and len(got) > 0
+
+
+def test_kmeans_distributed_matches_single_node_oracle(ray_session):
+    """Distributed Lloyd (broadcast centroids, O(k x dim) partials)
+    equals the whole-matrix single-node reference fit."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    df = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    cent = sim.kmeans_fit_distributed(ds, "embedding", id_col="vec_id",
+                                      k=6, iters=5, sample_size=64)
+    vecs = np.stack(df["embedding"].to_numpy())
+    want = sim.kmeans_oracle(vecs, 6, 5, sample_size=64)
+    assert cent.shape == want.shape == (6, len(vecs[0]))
+    assert np.allclose(cent, want, atol=1e-8)
+
+    got = (sim.kmeans_assign(ds, cent, vec_col="embedding",
+                             id_col="vec_id").to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    v = vecs / np.linalg.norm(vecs.astype(np.float64), axis=1,
+                              keepdims=True)
+    want_a = (v @ want.T).argmax(axis=1)
+    order = df["vec_id"].argsort().to_numpy()
+    assert np.array_equal(got["cluster"].to_numpy(), want_a[order])
+    # every cluster non-empty on this corpus
+    assert got["cluster"].nunique() == 6

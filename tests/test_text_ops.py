@@ -186,3 +186,28 @@ def test_lm_perplexity_matches_pure_python(ray_session, docs):
     noise = tx.lm_score_frame(pd.Series(["qzxjv wvqkz jxqzv qvxkz"]),
                               logp).iloc[0]
     assert nat < noise
+
+
+# ---------------------------------------------------------------------
+# deterministic epoch shuffle
+
+def test_epoch_shuffle_keys_and_order(ray_session, docs):
+    import ray.data
+
+    sub = docs.head(100)[["doc_id"]]
+    ds = ray.data.from_pandas(sub).repartition(4)
+    out = tx.epoch_shuffle(ds, seed=3).to_pandas()
+
+    # key spec: md5("{seed}:{id}") hex, bit-for-bit
+    for _, r in out.head(20).iterrows():
+        want = hashlib.md5(f"3:{r['doc_id']}".encode()).hexdigest()
+        assert r["skey"] == want
+    # globally sorted by key (the shuffle IS the sort)
+    assert list(out["skey"]) == sorted(out["skey"])
+    assert set(out["doc_id"]) == set(sub["doc_id"])
+
+    # reproducible; a different seed is a different permutation
+    again = tx.epoch_shuffle(ds, seed=3).to_pandas()
+    assert list(again["doc_id"]) == list(out["doc_id"])
+    other = tx.epoch_shuffle(ds, seed=4).to_pandas()
+    assert list(other["doc_id"]) != list(out["doc_id"])
