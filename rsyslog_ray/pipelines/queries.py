@@ -791,22 +791,42 @@ def q_explode_words(sf_dir):
 
 
 def q_distinct_pairs(sf_dir):
-    """Multi-column distinct (unique over a composite key).
-    distinct_rows is adaptive: driver drop_duplicates below its
-    partial threshold, hash-partitioned distributed dedup above it."""
+    """Multi-column distinct + exact distinct-count per key in ONE
+    pass (merged count_distinct): each distinct (user_id, event_type)
+    pair carries its type's exact distinct-sender count.  distinct_rows
+    is adaptive — driver drop_duplicates below its partial threshold,
+    hash-partitioned distributed dedup above it; the per-type counts
+    come from the distinct result itself (a tiny keyed aggregate,
+    broadcast back when the distinct stayed distributed)."""
     from ..stages.sketch import distinct_rows
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
-    return distinct_rows(ds, ["user_id", "event_type"])
+    pairs = distinct_rows(ds, ["user_id", "event_type"])
+    if isinstance(pairs, pd.DataFrame):
+        out = pairs.copy()
+        out["distinct_cnt"] = (out.groupby("event_type")["user_id"]
+                               .transform("size").astype("int64"))
+        return out
+    import ray
+
+    cnts = two_phase_agg(pairs, ["event_type"], count="distinct_cnt")
+    ref = ray.put(cnts)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        return df.merge(ray.get(ref), on="event_type")
+
+    return pairs.map_batches(attach, batch_format="pandas")
 
 
-def q_count_distinct(sf_dir):
-    """Exact distinct senders per event type (two-phase distinct —
-    combiner dedup before the shuffle)."""
-    from ..stages.sketch import exact_distinct_per_key
+def q_epoch_shuffle(sf_dir):
+    """Deterministic epoch shuffle: key = md5('{seed}:{id}'), then a
+    range-partitioned distributed sort on the key — the reproducible,
+    coordination-free global training-data shuffle (the key IS the
+    permutation position; sortedness is pinned in test_text_ops)."""
+    from ..stages.text import epoch_shuffle
 
-    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
-    return exact_distinct_per_key(ds, "event_type", "user_id")
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    return epoch_shuffle(ds, seed=7)
 
 
 def q_approx_distinct(sf_dir):
@@ -1318,6 +1338,73 @@ def q_substring_dedup(sf_dir):
     return substring_dedup(ds, "doc_id", "text", window=20)
 
 
+def q_bpe_tokenize(sf_dir):
+    """Distributed BPE (Sennrich 2016): train merges over the corpus
+    (two-phase word counting; merge loop bounded by vocab, never
+    corpus), broadcast ranks, encode every document with a per-batch
+    distinct-word cache.  Rows-only (the iterative trainer is not
+    SQL-shaped); trainer == naive-recount oracle and encoder
+    round-trip pinned in tests/test_tokenizer.py."""
+    import hashlib
+
+    from ..stages.tokenizer import bpe_encode, train_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = train_bpe(ds, num_merges=200, max_words=20_000)
+    enc = bpe_encode(ds, merges)
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_tokens": df["n_tokens"].astype("int64"),
+            "tok_md5": [hashlib.md5(" ".join(t).encode()).hexdigest()
+                        for t in df["tokens"]]})
+
+    return enc.map_batches(digest, batch_format="pandas")
+
+
+def q_quality_classifier(sf_dir):
+    """fasttext-shaped model-based quality filter (GPT-3 §A / CCNet):
+    train a hashed-feature logistic classifier to separate the English
+    slice (weak label lang == 'en') from the rest — per-iteration
+    broadcast weights + O(dim) gradient partials — then score every
+    document.  Rows-only (iterative training); gradient spec, holdout
+    accuracy and bit-determinism pinned in tests/test_classify.py."""
+    from ..stages.classify import classifier_scores, train_text_classifier
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def lab(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(label=(df["lang"] == "en").astype("float64"))
+
+    w, _ = train_text_classifier(ds.map_batches(lab, batch_format="pandas"),
+                                 label_col="label", iters=20, lr=8.0)
+    sc = classifier_scores(ds, w)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "centiprob": np.floor(df["prob"] * 100.0 + 0.5)
+            .astype("int64")})
+
+    return sc.map_batches(bucket, batch_format="pandas")
+
+
+def q_kmeans_clusters(sf_dir):
+    """Full-corpus embedding clustering (the cluster-then-rebalance
+    curation step): distributed Lloyd — centroids broadcast once per
+    iteration, each batch one O(k x dim) partial, driver reduce
+    O(k x dim) — then a broadcast assignment pass.  Rows-only
+    (iterative); distributed fit == single-node oracle pinned in
+    tests/test_dedup_text.py."""
+    from ..stages.similarity import kmeans_assign, kmeans_fit_distributed
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans_fit_distributed(ds, "embedding", id_col="vec_id",
+                                  k=8, iters=5)
+    return kmeans_assign(ds, cent, vec_col="embedding", id_col="vec_id")
+
+
 def q_curation(sf_dir):
     """Composed LLM-corpus curation pipeline (pipelines/curation.py:
     quality gate -> exact dedup -> MinHash near-dup removal -> curated
@@ -1660,12 +1747,14 @@ SQL: dict[str, str] = {
         GROUP BY w
     """,
     "distinct_pairs": """
-        SELECT DISTINCT user_id, event_type FROM events
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT user_id, event_type,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+                 AS distinct_cnt
+        FROM d
     """,
-    "count_distinct": """
-        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
-               AS distinct_cnt
-        FROM events GROUP BY event_type
+    "epoch_shuffle": """
+        SELECT doc_id, md5('7:' || doc_id) AS skey FROM documents
     """,
     "join_topk": """
         SELECT c.c_mktsegment, count(*) AS orders,
@@ -2010,7 +2099,7 @@ QUERIES = {
     "topk_orders": q_topk_orders,
     "union_tagged": q_union_tagged,
     "distinct_pairs": q_distinct_pairs,
-    "count_distinct": q_count_distinct,
+    "epoch_shuffle": q_epoch_shuffle,
     "group_topk": q_group_topk,
     "explode_words": q_explode_words,
     # joins / windows
@@ -2058,5 +2147,8 @@ QUERIES = {
     "url_dedup": q_url_dedup,
     "pack_sequences": q_pack_sequences,
     "lm_perplexity": q_lm_perplexity,
+    "bpe_tokenize": q_bpe_tokenize,
+    "quality_classifier": q_quality_classifier,
+    "kmeans_clusters": q_kmeans_clusters,
     "curation": q_curation,
 }

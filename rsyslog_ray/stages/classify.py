@@ -49,18 +49,10 @@ def _occurrences(texts, dim: int):
     return rows, cols, vals, len(texts)
 
 
-def batch_margin(texts, w: np.ndarray, dim: int) -> np.ndarray:
-    rows, cols, vals, n = _occurrences(texts, dim)
-    m = np.full(n, w[_BIAS], dtype=np.float64)
-    np.add.at(m, rows, w[cols] * vals)
-    return m
-
-
-def batch_gradient(texts, y: np.ndarray, w: np.ndarray,
+def _grad_from_occ(rows, cols, vals, y, n, w: np.ndarray,
                    dim: int) -> tuple:
-    """(gradient, loss_sum, n) of mean logistic loss for one batch —
-    the distributed partial AND the test-pinned spec unit."""
-    rows, cols, vals, n = _occurrences(texts, dim)
+    """(gradient, loss_sum) from one batch's occurrence triples — the
+    shared kernel of batch_gradient and the packed training path."""
     m = np.full(n, w[_BIAS], dtype=np.float64)
     np.add.at(m, rows, w[cols] * vals)
     p = 1.0 / (1.0 + np.exp(-m))
@@ -70,16 +62,64 @@ def batch_gradient(texts, y: np.ndarray, w: np.ndarray,
     g[_BIAS] += resid.sum()
     loss = float(np.sum(
         np.logaddexp(0.0, m) - y * m))  # -log lik, numerically stable
+    return g, loss
+
+
+def batch_margin(texts, w: np.ndarray, dim: int) -> np.ndarray:
+    rows, cols, vals, n = _occurrences(texts, dim)
+    m = np.full(n, w[_BIAS], dtype=np.float64)
+    np.add.at(m, rows, w[cols] * vals)
+    return m
+
+
+def batch_gradient(texts, y: np.ndarray, w: np.ndarray,
+                   dim: int) -> tuple:
+    """(gradient, loss_sum, n) of logistic loss for one batch —
+    the distributed partial AND the test-pinned spec unit."""
+    rows, cols, vals, n = _occurrences(texts, dim)
+    g, loss = _grad_from_occ(rows, cols, vals, y, n, w, dim)
     return g, loss, n
+
+
+def featurize(ds, *, label_col: str, text_col: str = "text",
+              id_col: str = "doc_id", dim: int = 1 << 15):
+    """Tokenize + hash ONCE: each input batch becomes one packed row
+    of occurrence triples (bytes) + labels.  The materialized feature
+    set is what the gradient loop iterates over — the corpus text is
+    read exactly once no matter how many training iterations run, and
+    the features are far smaller than the text they replace."""
+    def pack(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "rows": pd.Series([], dtype=object),
+                                 "cols": pd.Series([], dtype=object),
+                                 "vals": pd.Series([], dtype=object),
+                                 "y": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        rows, cols, vals, n = _occurrences(df[text_col], dim)
+        return pd.DataFrame({
+            "key": [int(df[id_col].min())],
+            "rows": [rows.tobytes()], "cols": [cols.tobytes()],
+            "vals": [vals.tobytes()],
+            "y": [df[label_col].to_numpy(np.float64).tobytes()],
+            "n": [n]})
+
+    return ds.map_batches(pack, batch_format="pandas").materialize()
 
 
 def train_text_classifier(ds, *, label_col: str, text_col: str = "text",
                           id_col: str = "doc_id", dim: int = 1 << 15,
                           iters: int = 30, lr: float = 2.0,
                           l2: float = 1e-6):
-    """Fit w over the corpus; returns (w, per-iteration mean losses)."""
+    """Fit w over the corpus; returns (w, per-iteration mean losses).
+    One featurize pass, then ``iters`` gradient passes over the packed
+    features; per iteration the weights broadcast once and each packed
+    batch emits ONE dense (dim+1) partial, summed on the driver in
+    sorted key order (bit-deterministic)."""
     import ray
 
+    feats = featurize(ds, label_col=label_col, text_col=text_col,
+                      id_col=id_col, dim=dim)
     w = np.zeros(dim + 1, dtype=np.float64)
     losses = []
     for _ in range(iters):
@@ -88,15 +128,27 @@ def train_text_classifier(ds, *, label_col: str, text_col: str = "text",
         def part(df: pd.DataFrame) -> pd.DataFrame:
             if not len(df):
                 return pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                                     "g": [], "loss": [], "n": []})
-            g, loss, n = batch_gradient(
-                df[text_col], df[label_col].to_numpy(np.float64),
-                ray.get(ref), dim)
-            return pd.DataFrame({"key": [int(df[id_col].min())],
+                                     "g": pd.Series([], dtype=object),
+                                     "loss": pd.Series([], dtype="float64"),
+                                     "n": pd.Series([], dtype="int64")})
+            wv = ray.get(ref)
+            g = np.zeros(dim + 1, dtype=np.float64)
+            loss, n = 0.0, 0
+            for _, r in df.iterrows():   # a handful of packed rows
+                gb, lb = _grad_from_occ(
+                    np.frombuffer(r["rows"], dtype=np.int64),
+                    np.frombuffer(r["cols"], dtype=np.int64),
+                    np.frombuffer(r["vals"], dtype=np.float64),
+                    np.frombuffer(r["y"], dtype=np.float64),
+                    int(r["n"]), wv, dim)
+                g += gb
+                loss += lb
+                n += int(r["n"])
+            return pd.DataFrame({"key": [int(df["key"].min())],
                                  "g": [g.tobytes()], "loss": [loss],
                                  "n": [n]})
 
-        parts = (ds.map_batches(part, batch_format="pandas")
+        parts = (feats.map_batches(part, batch_format="pandas")
                  .to_pandas().sort_values("key"))
         g = np.zeros(dim + 1, dtype=np.float64)
         for buf in parts["g"]:
