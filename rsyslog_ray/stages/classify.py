@@ -107,55 +107,68 @@ def featurize(ds, *, label_col: str, text_col: str = "text",
     return ds.map_batches(pack, batch_format="pandas").materialize()
 
 
-def train_text_classifier(ds, *, label_col: str, text_col: str = "text",
-                          id_col: str = "doc_id", dim: int = 1 << 15,
-                          iters: int = 30, lr: float = 2.0,
-                          l2: float = 1e-6):
-    """Fit w over the corpus; returns (w, per-iteration mean losses).
-    One featurize pass, then ``iters`` gradient passes over the packed
-    features; per iteration the weights broadcast once and each packed
-    batch emits ONE dense (dim+1) partial, summed on the driver in
-    sorted key order (bit-deterministic)."""
-    import ray
-
-    feats = featurize(ds, label_col=label_col, text_col=text_col,
-                      id_col=id_col, dim=dim)
-    w = np.zeros(dim + 1, dtype=np.float64)
-    losses = []
-    for _ in range(iters):
-        ref = ray.put(w)
-
-        def part(df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                                     "g": pd.Series([], dtype=object),
-                                     "loss": pd.Series([], dtype="float64"),
-                                     "n": pd.Series([], dtype="int64")})
-            wv = ray.get(ref)
-            g = np.zeros(dim + 1, dtype=np.float64)
-            loss, n = 0.0, 0
-            for _, r in df.iterrows():   # a handful of packed rows
-                gb, lb = _grad_from_occ(
-                    np.frombuffer(r["rows"], dtype=np.int64),
+def _unpack_feature_shard(df: pd.DataFrame) -> list:
+    """Shard init: packed rows -> list of occurrence-triple tuples
+    (runs INSIDE the shard actor; sorted by key so the within-shard
+    sum order is independent of block arrival order)."""
+    out = []
+    for _, r in df.sort_values("key").iterrows():
+        out.append((np.frombuffer(r["rows"], dtype=np.int64),
                     np.frombuffer(r["cols"], dtype=np.int64),
                     np.frombuffer(r["vals"], dtype=np.float64),
                     np.frombuffer(r["y"], dtype=np.float64),
-                    int(r["n"]), wv, dim)
+                    int(r["n"])))
+    return out
+
+
+def _shard_gradient(state: list, w: np.ndarray, dim: int) -> tuple:
+    """One shard's (gradient, loss_sum, n) for the current weights."""
+    g = np.zeros(dim + 1, dtype=np.float64)
+    loss, n = 0.0, 0
+    for rows, cols, vals, y, nb in state:
+        gb, lb = _grad_from_occ(rows, cols, vals, y, nb, w, dim)
+        g += gb
+        loss += lb
+        n += nb
+    return g, loss, n
+
+
+def train_text_classifier(ds, *, label_col: str, text_col: str = "text",
+                          id_col: str = "doc_id", dim: int = 1 << 15,
+                          iters: int = 30, lr: float = 2.0,
+                          l2: float = 1e-6, shards: int | None = None):
+    """Fit w over the corpus; returns (w, per-iteration mean losses).
+
+    One featurize pass, then the packed features load ONCE into
+    actor-resident shards (state/sharded.py) and every iteration is a
+    broadcast `ray.put` of w + one O(dim) gradient partial per shard,
+    reduced on the driver in shard order — per-iteration overhead is
+    milliseconds, the corpus is never re-read, and the reduce order is
+    fixed, so training is bit-deterministic run-to-run."""
+    import ray
+
+    from ..state.sharded import ShardedCorpus
+
+    feats = featurize(ds, label_col=label_col, text_col=text_col,
+                      id_col=id_col, dim=dim)
+    corpus = ShardedCorpus(feats, shards=shards,
+                           init_fn=_unpack_feature_shard)
+    try:
+        w = np.zeros(dim + 1, dtype=np.float64)
+        losses = []
+        for _ in range(iters):
+            ref = ray.put(w)
+            outs = corpus.map(_shard_gradient, ref, dim)
+            g = np.zeros(dim + 1, dtype=np.float64)
+            loss, n = 0.0, 0
+            for gb, lb, nb in outs:
                 g += gb
                 loss += lb
-                n += int(r["n"])
-            return pd.DataFrame({"key": [int(df["key"].min())],
-                                 "g": [g.tobytes()], "loss": [loss],
-                                 "n": [n]})
-
-        parts = (feats.map_batches(part, batch_format="pandas")
-                 .to_pandas().sort_values("key"))
-        g = np.zeros(dim + 1, dtype=np.float64)
-        for buf in parts["g"]:
-            g += np.frombuffer(buf, dtype=np.float64)
-        n = int(parts["n"].sum())
-        losses.append(float(parts["loss"].sum()) / max(n, 1))
-        w = w - lr * (g / max(n, 1) + l2 * w)
+                n += nb
+            losses.append(loss / max(n, 1))
+            w = w - lr * (g / max(n, 1) + l2 * w)
+    finally:
+        corpus.shutdown()
     return w, losses
 
 

@@ -259,50 +259,67 @@ def knn_lsh(ds, vec_col: str, id_col: str, queries: np.ndarray,
 # vector sums + k counts) and the driver reduce is O(k x dim) -- never
 # O(corpus).  iters full passes, each a streaming map_batches.
 
+def _kmeans_shard_state(df: pd.DataFrame, vec_col: str,
+                        id_col: str) -> np.ndarray:
+    """Shard init (inside the actor): the shard's normalized matrix,
+    rows in id order so the within-shard sum order is fixed."""
+    if not len(df):
+        return np.zeros((0, 1), dtype=np.float64)
+    df = df.sort_values(id_col)
+    return _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+
+
+def _kmeans_partial(v: np.ndarray, cent: np.ndarray) -> tuple:
+    """One shard's (vector sums per cluster, counts per cluster)."""
+    if not len(v):
+        return (np.zeros_like(cent),
+                np.zeros(len(cent), dtype=np.int64))
+    a = (v @ cent.T).argmax(axis=1)
+    sums = np.zeros_like(cent)
+    np.add.at(sums, a, v)
+    return sums, np.bincount(a, minlength=len(cent)).astype(np.int64)
+
+
 def kmeans_fit_distributed(ds, vec_col: str = "embedding", *,
                            id_col: str = "vec_id", k: int = 8,
                            iters: int = 8, sample_size: int = 1024,
-                           seed: int = 5) -> np.ndarray:
+                           seed: int = 5,
+                           shards: int | None = None) -> np.ndarray:
     """Deterministic distributed Lloyd: init = splitmix pick from a
     bounded head sample (same rule as ``kmeans_fit``), then ``iters``
-    corpus passes.  Partials carry a min-id order key and the driver
-    sums them in sorted order, so the float reduce is deterministic
-    run-to-run.  Empty clusters keep their previous centroid."""
+    rounds over actor-resident shards (state/sharded.py — the corpus
+    normalizes ONCE into distributed actor memory; each round is a
+    centroid broadcast + one O(k x dim) partial per shard, reduced in
+    fixed shard order, so the float reduce is deterministic
+    run-to-run).  Empty clusters keep their previous centroid."""
     import ray
+    from functools import partial
+
+    from ..state.sharded import ShardedCorpus
 
     sample = np.stack(
         ds.limit(sample_size).to_pandas()[vec_col].to_numpy())
     cent = kmeans_fit(sample, k, iters=0, seed=seed)
 
-    for _ in range(iters):
-        ref = ray.put(cent)
-
-        def part(df: pd.DataFrame) -> pd.DataFrame:
-            if not len(df):
-                return pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                                     "sums": [], "cnt": []})
-            c = ray.get(ref)
-            v = _normalize(np.stack(df[vec_col].to_numpy())
-                           .astype(np.float64))
-            a = (v @ c.T).argmax(axis=1)
-            sums = np.zeros_like(c)
-            np.add.at(sums, a, v)
-            cnt = np.bincount(a, minlength=len(c)).astype(np.int64)
-            return pd.DataFrame({
-                "key": [int(df[id_col].min())],
-                "sums": [sums.tobytes()], "cnt": [cnt.tobytes()]})
-
-        parts = (ds.map_batches(part, batch_format="pandas")
-                 .to_pandas().sort_values("key"))
-        sums = np.zeros_like(cent)
-        cnt = np.zeros(len(cent), dtype=np.int64)
-        for s, c_ in zip(parts["sums"], parts["cnt"]):
-            sums += np.frombuffer(s, dtype=np.float64).reshape(cent.shape)
-            cnt += np.frombuffer(c_, dtype=np.int64)
-        new = cent.copy()
-        nz = cnt > 0
-        new[nz] = sums[nz] / cnt[nz, None]
-        cent = _normalize(new)
+    corpus = ShardedCorpus(
+        ds, shards=shards,
+        init_fn=partial(_kmeans_shard_state, vec_col=vec_col,
+                        id_col=id_col))
+    try:
+        for _ in range(iters):
+            ref = ray.put(cent)
+            outs = corpus.map(_kmeans_partial, ref)
+            sums = np.zeros_like(cent)
+            cnt = np.zeros(len(cent), dtype=np.int64)
+            for s, c_ in outs:
+                sums += s
+                cnt += c_
+            new = cent.copy()
+            nz = cnt > 0
+            new[nz] = sums[nz] / cnt[nz, None]
+            cent = _normalize(new)
+    finally:
+        corpus.shutdown()
     return cent
 
 
