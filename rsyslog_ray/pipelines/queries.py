@@ -1405,6 +1405,41 @@ def q_kmeans_clusters(sf_dir):
     return kmeans_assign(ds, cent, vec_col="embedding", id_col="vec_id")
 
 
+def q_dsir_select(sf_dir):
+    """DSIR importance resampling (Xie et al. 2023): fit hashed-ngram
+    models of a target slice (lang == 'en') and the raw corpus (one
+    streaming pass each, O(dim) driver reduce), weight every raw doc
+    by log p − log q, Gumbel-top-k select (deterministic md5-seeded
+    noise — reproducible, shard-resumable).  Rows-only; fit/score/
+    gumbel pinned against the pure-Python spec in tests/test_dsir.py."""
+    from ..stages.dsir import dsir_scores
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    target = ds.filter(expr="lang == 'en'")
+    scored = dsir_scores(ds, target, seed=11)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "centi_log_w": np.floor(df["log_w"] * 100.0 + 0.5)
+            .astype("int64")})
+
+    return scored.map_batches(bucket, batch_format="pandas")
+
+
+def q_semantic_dedup(sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then
+    prune near-duplicate pairs WITHIN each cluster (keep = member
+    least similar to its centroid).  Clustering bounds the O(m^2)
+    pair scan to one cluster per worker — the documented partitioning
+    assumption.  Rows-only (iterative fit); full-output equality to
+    the single-node spec pinned in tests/test_dedup_text.py."""
+    from ..stages.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semantic_dedup(ds, k=8, iters=4, threshold=0.95)
+
+
 def q_curation(sf_dir):
     """Composed LLM-corpus curation pipeline (pipelines/curation.py:
     quality gate -> exact dedup -> MinHash near-dup removal -> curated
@@ -2150,5 +2185,7 @@ QUERIES = {
     "bpe_tokenize": q_bpe_tokenize,
     "quality_classifier": q_quality_classifier,
     "kmeans_clusters": q_kmeans_clusters,
+    "semantic_dedup": q_semantic_dedup,
+    "dsir_select": q_dsir_select,
     "curation": q_curation,
 }

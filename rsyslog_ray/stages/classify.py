@@ -133,10 +133,41 @@ def _shard_gradient(state: list, w: np.ndarray, dim: int) -> tuple:
     return g, loss, n
 
 
+def _load_checkpoint(path: str, dim: int):
+    """(w, losses) from the newest complete checkpoint, else None."""
+    import json
+    import os
+
+    if path is None or not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        st = json.load(fh)
+    if st.get("dim") != dim:
+        return None
+    w = np.frombuffer(bytes.fromhex(st["w"]), dtype=np.float64).copy()
+    return w, list(st["losses"])
+
+
+def _save_checkpoint(path: str, w: np.ndarray, losses: list,
+                     dim: int) -> None:
+    """Atomic (tmp+rename) checkpoint after a completed iteration —
+    same durability discipline as the sink lineage manifest."""
+    import json
+    import os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"dim": dim, "w": w.tobytes().hex(),
+                   "losses": losses}, fh)
+        fh.flush()
+    os.replace(tmp, path)
+
+
 def train_text_classifier(ds, *, label_col: str, text_col: str = "text",
                           id_col: str = "doc_id", dim: int = 1 << 15,
                           iters: int = 30, lr: float = 2.0,
-                          l2: float = 1e-6, shards: int | None = None):
+                          l2: float = 1e-6, shards: int | None = None,
+                          checkpoint_path: str | None = None):
     """Fit w over the corpus; returns (w, per-iteration mean losses).
 
     One featurize pass, then the packed features load ONCE into
@@ -144,19 +175,32 @@ def train_text_classifier(ds, *, label_col: str, text_col: str = "text",
     broadcast `ray.put` of w + one O(dim) gradient partial per shard,
     reduced on the driver in shard order — per-iteration overhead is
     milliseconds, the corpus is never re-read, and the reduce order is
-    fixed, so training is bit-deterministic run-to-run."""
+    fixed, so training is bit-deterministic run-to-run.
+
+    ``checkpoint_path``: after every iteration the weights are written
+    atomically (tmp+rename, like the sink lineage manifest); a killed
+    run re-invoked with the same path resumes at its last completed
+    iteration and converges to the BIT-IDENTICAL final w (pinned in
+    tests/test_classify.py)."""
     import ray
 
     from ..state.sharded import ShardedCorpus
+
+    w = np.zeros(dim + 1, dtype=np.float64)
+    losses: list = []
+    if checkpoint_path is not None:
+        st = _load_checkpoint(checkpoint_path, dim)
+        if st is not None:
+            w, losses = st
+            if len(losses) >= iters:
+                return w, losses[:iters]
 
     feats = featurize(ds, label_col=label_col, text_col=text_col,
                       id_col=id_col, dim=dim)
     corpus = ShardedCorpus(feats, shards=shards,
                            init_fn=_unpack_feature_shard)
     try:
-        w = np.zeros(dim + 1, dtype=np.float64)
-        losses = []
-        for _ in range(iters):
+        for _ in range(len(losses), iters):
             ref = ray.put(w)
             outs = corpus.map(_shard_gradient, ref, dim)
             g = np.zeros(dim + 1, dtype=np.float64)
@@ -167,6 +211,8 @@ def train_text_classifier(ds, *, label_col: str, text_col: str = "text",
                 n += nb
             losses.append(loss / max(n, 1))
             w = w - lr * (g / max(n, 1) + l2 * w)
+            if checkpoint_path is not None:
+                _save_checkpoint(checkpoint_path, w, losses, dim)
     finally:
         corpus.shutdown()
     return w, losses

@@ -359,3 +359,119 @@ def kmeans_oracle(vecs: np.ndarray, k: int, iters: int,
                 new[c] = v[m].mean(axis=0)
         cent = _normalize(new)
     return cent
+
+
+# ---------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication" — public method): k-means
+# the embedding space, then prune near-duplicate pairs WITHIN each
+# cluster, keeping one exemplar per duplicate group (the paper keeps
+# the member LEAST similar to its centroid).  Clustering is what makes
+# 100 TB feasible: pairwise cosine is O(m^2) only within a cluster
+# (m ~= n/k; at CC scale k is 10k-100k so a cluster fits one worker —
+# the same documented partitioning assumption as the blocked
+# embedding near-dup).  The per-cluster prune runs as
+# groupby(cluster).map_groups; the pair scan is row-chunked so memory
+# is O(chunk x m), never O(m^2) resident.
+
+def _uf_find(parent: np.ndarray, x: int) -> int:
+    while parent[x] != x:
+        parent[x] = parent[parent[x]]
+        x = parent[x]
+    return x
+
+
+def _semantic_prune_group(ids: np.ndarray, v: np.ndarray,
+                          centroid: np.ndarray, threshold: float,
+                          chunk: int = 1024) -> np.ndarray:
+    """keep mask for one cluster: union near-dup pairs, keep ONE per
+    component — the member with the LOWEST centroid similarity (the
+    SemDeDup rule; ties break toward the lower id).  ids must be
+    sorted ascending; v row-aligned and L2-normalized."""
+    m = len(ids)
+    parent = np.arange(m)
+    for lo in range(0, m, chunk):
+        s = v[lo:lo + chunk] @ v.T
+        ia, ib = np.where(s >= threshold)
+        for a, b in zip(ia + lo, ib):
+            if a >= b:
+                continue
+            ra, rb = _uf_find(parent, a), _uf_find(parent, b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    csim = v @ centroid
+    keep = np.ones(m, dtype=bool)
+    best: dict = {}
+    for i in range(m):
+        r = _uf_find(parent, i)
+        cur = best.get(r)
+        # lexicographic (centroid similarity, id): lowest wins
+        if cur is None or (csim[i], ids[i]) < (csim[cur], ids[cur]):
+            best[r] = i
+    for i in range(m):
+        r = _uf_find(parent, i)
+        keep[i] = best[r] == i
+    return keep
+
+
+def semantic_dedup(ds, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id", k: int = 8, iters: int = 4,
+                   threshold: float = 0.95, sample_size: int = 1024,
+                   seed: int = 5):
+    """-> (id, cluster, keep) for every row; keep=False marks members
+    pruned as semantic duplicates of a kept exemplar."""
+    import ray
+
+    cent = kmeans_fit_distributed(ds, vec_col, id_col=id_col, k=k,
+                                  iters=iters, sample_size=sample_size,
+                                  seed=seed)
+    ref = ray.put(cent)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "cluster": pd.Series([], dtype="int64"),
+                                 vec_col: pd.Series([], dtype=object)})
+        c = ray.get(ref)
+        v = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        return pd.DataFrame({id_col: df[id_col].to_numpy(),
+                             "cluster": (v @ c.T).argmax(axis=1)
+                             .astype("int64"),
+                             vec_col: df[vec_col]})
+
+    assigned = ds.map_batches(assign, batch_format="pandas")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(g[id_col].to_numpy())
+        ids = g[id_col].to_numpy()[order]
+        v = _normalize(np.stack(g[vec_col].to_numpy()[order])
+                       .astype(np.float64))
+        cl = int(g["cluster"].iloc[0])
+        keep = _semantic_prune_group(ids, v, ray.get(ref)[cl], threshold)
+        return pd.DataFrame({id_col: ids,
+                             "cluster": np.full(len(ids), cl,
+                                                dtype="int64"),
+                             "keep": keep})
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pandas")
+
+
+def semantic_dedup_oracle(ids, vecs: np.ndarray, centroids: np.ndarray,
+                          threshold: float = 0.95) -> dict:
+    """Single-node spec of assign+prune given fixed centroids (test
+    oracle): {id: (cluster, keep)}."""
+    ids = np.asarray(ids)
+    v = _normalize(np.asarray(vecs, dtype=np.float64))
+    a = (v @ centroids.T).argmax(axis=1)
+    out: dict = {}
+    for cl in np.unique(a):
+        m = a == cl
+        sub_ids = ids[m]
+        order = np.argsort(sub_ids)
+        sub_ids = sub_ids[order]
+        keep = _semantic_prune_group(sub_ids, v[m][order],
+                                     centroids[cl], threshold)
+        for i, kp in zip(sub_ids, keep):
+            out[int(i)] = (int(cl), bool(kp))
+    return out

@@ -87,3 +87,32 @@ def test_train_separates_and_is_deterministic(ray_session):
     m = batch_margin(hold["text"].iloc[:1], w1, DIM)[0]
     got = sc.set_index("doc_id").loc[hold["doc_id"].iloc[0], "score"]
     assert got == pytest.approx(m, abs=1e-12)
+
+
+def test_checkpoint_resume_bit_identical(ray_session, tmp_path):
+    """Training killed after 5/12 iterations and re-invoked with the
+    same checkpoint path converges to the bit-identical final w."""
+    import ray.data
+
+    df = _two_vocab_corpus(n=80, seed=3)
+    ds = ray.data.from_pandas(df).repartition(2)
+    ck = str(tmp_path / "w.json")
+
+    w_full, l_full = train_text_classifier(
+        ds, label_col="label", dim=DIM, iters=12, lr=8.0)
+    # "killed" run: only 5 iterations complete, checkpointed
+    w5, l5 = train_text_classifier(
+        ds, label_col="label", dim=DIM, iters=5, lr=8.0,
+        checkpoint_path=ck)
+    # resume to 12 — must match the uninterrupted run bit-for-bit
+    w_res, l_res = train_text_classifier(
+        ds, label_col="label", dim=DIM, iters=12, lr=8.0,
+        checkpoint_path=ck)
+    assert np.array_equal(w_res, w_full)
+    assert l_res == l_full
+    assert l_res[:5] == l5
+    # re-invoking at the same iters is a no-op read of the checkpoint
+    w_again, l_again = train_text_classifier(
+        ds, label_col="label", dim=DIM, iters=12, lr=8.0,
+        checkpoint_path=ck)
+    assert np.array_equal(w_again, w_res) and l_again == l_res

@@ -580,3 +580,46 @@ def test_kmeans_distributed_matches_single_node_oracle(ray_session):
     assert np.array_equal(got["cluster"].to_numpy(), want_a[order])
     # every cluster non-empty on this corpus
     assert got["cluster"].nunique() == 6
+
+
+def test_semantic_dedup_prunes_planted_neardups(ray_session):
+    """SemDeDup: planted perturbed copies lose exactly one member per
+    duplicate pair; full output equals the single-node spec given the
+    same (deterministic) centroids."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    df = pq.read_table("/root/testdata/sf0.001/embeddings.parquet").to_pandas()
+    base_n = len(df)
+    rng = np.random.RandomState(17)
+    planted = []
+    for j in range(6):
+        src = np.asarray(df["embedding"].iloc[j], dtype=np.float64)
+        planted.append({"vec_id": 100000 + j,
+                        "embedding": (src + rng.normal(0, 1e-3, len(src)))
+                        .astype(np.float32)})
+    full = pd.concat([df[["vec_id", "embedding"]],
+                      pd.DataFrame(planted)], ignore_index=True)
+    ds = ray.data.from_pandas(full).repartition(4)
+
+    out = (sim.semantic_dedup(ds, k=4, iters=3, threshold=0.95,
+                              sample_size=64).to_pandas()
+           .set_index("vec_id"))
+    assert len(out) == base_n + 6
+
+    cent = sim.kmeans_fit_distributed(ds, "embedding", id_col="vec_id",
+                                      k=4, iters=3, sample_size=64)
+    want = sim.semantic_dedup_oracle(full["vec_id"].to_numpy(),
+                                     np.stack(full["embedding"]
+                                              .to_numpy()), cent, 0.95)
+    for i, (cl, kp) in want.items():
+        assert int(out.loc[i, "cluster"]) == cl
+        assert bool(out.loc[i, "keep"]) == kp
+    # each planted pair lost exactly one member; corpus is
+    # near-orthogonal, so non-planted rows all survive
+    for j in range(6):
+        pair = [int(df["vec_id"].iloc[j]), 100000 + j]
+        assert sorted(out.loc[pair, "keep"]) == [False, True]
+    others = out.drop(index=[int(df["vec_id"].iloc[j]) for j in range(6)]
+                      + [100000 + j for j in range(6)])
+    assert others["keep"].all()
