@@ -216,24 +216,38 @@ def q_route_fanout(sf_dir):
 # ======================================================================
 
 def q_dynstats_kinds(sf_dir):
-    """dyn_inc(bucket, key) analog (runtime/dynstats.c) — two named
+    """dyn_inc(bucket, key) analog (runtime/dynstats.c) — three named
     stats buckets in one result, the way impstats emits every bucket's
-    counters together: per-lang doc counts and per-hour event counts,
-    keyed (kind, key)."""
+    counters together: per-lang doc counts, per-hour event counts, and
+    a maxCardinality-capped per-sender bucket (dynstats.c:43-45 — track
+    at most 100 sender keys, fold the rest into __rejected__).  The two
+    event-keyed buckets share ONE read and ONE combiner pass (the
+    reference resolves every dyn_inc against the same message)."""
+    from ..stages.transform import capped_dynstats
+
     langs = two_phase_agg(
         _read(sf_dir, "documents", columns=["lang"]), ["lang"])
-    ds = _read(sf_dir, "events", columns=["ts"])
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {"key": df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")})
+    def kk(df: pd.DataFrame) -> pd.DataFrame:
+        hours = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+        return pd.DataFrame({
+            "kind": np.repeat(np.array(["hour", "sender"], dtype=object),
+                              len(df)),
+            "key": pd.concat([hours, "u" + df["user_id"].astype(str)],
+                             ignore_index=True),
+        })
 
-    hours = two_phase_agg(ds.map_batches(bucket, batch_format="pandas"),
-                          ["key"])
+    both = two_phase_agg(ds.map_batches(kk, batch_format="pandas"),
+                         ["kind", "key"])
+    hours = both[both["kind"] == "hour"].reset_index(drop=True)
+    senders = (both[both["kind"] == "sender"][["key", "cnt"]]
+               .reset_index(drop=True))
+    capped = capped_dynstats(senders, "key", "cnt", max_cardinality=100)
+    capped.insert(0, "kind", "sender")
     langs = langs.rename(columns={"lang": "key"})
     langs.insert(0, "kind", "lang")
-    hours.insert(0, "kind", "hour")
-    return pd.concat([langs, hours], ignore_index=True)
+    return pd.concat([langs, hours, capped], ignore_index=True)
 
 
 def q_sendertrack(sf_dir):
@@ -396,35 +410,6 @@ def q_ratelimit_summary(sf_dir):
 # Lookups / joins (lookup_table — runtime/lookup.c; SURVEY.md §2.7)
 # ======================================================================
 
-def q_lookup_string(sf_dir):
-    """String lookup table with stub (lookup.c:400-416, stub :396-398):
-    nation -> region name via a broadcast dict (no shuffle join).
-    Stateless task stage — a plain callable instance holding the
-    ray.put ref (an actor pool here would cap the stage at pool size
-    for a probe that has no per-worker state to amortize)."""
-    import pyarrow.parquet as pq
-    import ray
-
-    r = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
-    ref = ray.put(dict(zip(r["r_regionkey"].astype(int), r["r_name"])))
-
-    class Enrich:
-        def __init__(self, ref):
-            self.ref = ref
-            self._t = None
-
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            if self._t is None:  # one object-store fetch per worker
-                self._t = ray.get(self.ref)
-            return pd.DataFrame({
-                "nation": df["n_name"],
-                "region": df["n_regionkey"].map(self._t).fillna(""),
-            })
-
-    ds = _read(sf_dir, "nation", columns=["n_name", "n_regionkey"])
-    return ds.map_batches(Enrich(ref), batch_format="pandas")
-
-
 # ======================================================================
 # Sort / top-k / distinct / union (free Dataset primitives, §2.9)
 # ======================================================================
@@ -568,13 +553,24 @@ def q_mmpstrucdata(sf_dir):
 
 
 def q_lookup_kinds(sf_dir):
-    """Regex + array + sparseArray lookup tables in ONE pass
-    (runtime/lookup.c:486- ordered first-matching regex list; :418-435
-    dense uint index, out-of-range -> stub; :437-485 greatest bound
-    <= key) — the reference resolves every lookup() in a rule against
-    the same message, so one read serves all three kinds."""
+    """ALL FOUR lookup-table kinds in ONE pass (runtime/lookup.c:
+    string :400-416 bsearch exact match with stub, regex :486- ordered
+    first-matching list, array :418-435 dense uint index with
+    out-of-range -> stub, sparseArray :437-485 greatest bound <= key)
+    — the reference resolves every lookup() in a rule against the same
+    message, so one read serves all four.  The string table is
+    FILE-LOADED (region.parquet) and broadcast once via ray.put — one
+    object-store fetch per worker, the batch analog of the reference's
+    process-global table behind a rwlock."""
+    import pyarrow.parquet as pq
+    import ray
+
     from ..lookup import LookupTable
 
+    r = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    ref = ray.put(LookupTable(
+        "string", dict(zip(r["r_regionkey"].astype(int), r["r_name"])),
+        stub=""))
     table_re = LookupTable("regex", [(r"^purch", "buy"), (r"^sign", "join"),
                                      (r"err", "bad")], stub="other")
     table_arr = LookupTable("array", ["zero", "one", "two", "three", "four",
@@ -584,16 +580,24 @@ def q_lookup_kinds(sf_dir):
     ds = _read(sf_dir, "events", columns=["event_id", "event_type",
                                           "user_id", "value"])
 
-    def fx(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "event_id": df["event_id"],
-            "klass": table_re.lookup_series(df["event_type"]),
-            "slot": table_arr.lookup_series(df["user_id"] % 8),
-            "band": bounds.lookup_series(
-                np.floor(df["value"]).astype("int64")),
-        })
+    class Fx:
+        def __init__(self, ref):
+            self.ref = ref
+            self._t = None
 
-    return ds.map_batches(fx, batch_format="pandas")
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            if self._t is None:  # one object-store fetch per worker
+                self._t = ray.get(self.ref)
+            return pd.DataFrame({
+                "event_id": df["event_id"],
+                "region": self._t.lookup_series(df["user_id"] % 5),
+                "klass": table_re.lookup_series(df["event_type"]),
+                "slot": table_arr.lookup_series(df["user_id"] % 8),
+                "band": bounds.lookup_series(
+                    np.floor(df["value"]).astype("int64")),
+            })
+
+    return ds.map_batches(Fx(ref), batch_format="pandas")
 
 
 def q_net_funcs(sf_dir):
@@ -991,21 +995,6 @@ def q_hmac_sd(sf_dir):
     return ds.map_batches(fx, batch_format="pandas")
 
 
-def q_dynstats_capped(sf_dir):
-    """dynstats maxCardinality (runtime/dynstats.c:43-45): track at most
-    100 sender keys; the rest fold into __rejected__."""
-    from ..stages.transform import capped_dynstats
-
-    ds = _read(sf_dir, "events", columns=["user_id"])
-
-    def key(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"sender": "u" + df["user_id"].astype(str)})
-
-    counts = two_phase_agg(ds.map_batches(key, batch_format="pandas"),
-                           ["sender"])
-    return capped_dynstats(counts, "sender", "cnt", max_cardinality=100)
-
-
 def q_ratelimit_bucket(sf_dir):
     """Token-bucket ratelimit, reference semantics (interval+burst,
     runtime/ratelimit.c): <=3 events per user per 6-hour window, windows
@@ -1189,6 +1178,37 @@ def q_mix_sample(sf_dir):
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
     return mix_sample(ds, MIX_WEIGHTS, default=MIX_DEFAULT)
+
+
+def q_stratified_sample(sf_dir):
+    """Deterministic stratified sampling: a fixed per-language quota
+    (the 20 docs with the smallest md5 sampling key per lang) — the
+    per-group-quota half of mixture building (mix_sample is the
+    per-group-rate half).  Two-phase local-head combiner; the DuckDB
+    window-function oracle reproduces the md5 order bit-for-bit."""
+    from ..stages.text import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    return stratified_sample(ds, group_col="lang", id_col="doc_id",
+                             n=20, seed=0)
+
+
+BM25_QUERIES = {  # fixed query set over the corpus vocabulary
+    "q1": "fast hash join",
+    "q2": "sort merge window",
+    "q3": "stream batch dup slow",
+}
+
+
+def q_bm25_search(sf_dir):
+    """BM25 full-text relevance search (stages/search.py): top-10 docs
+    per query, integer micro-unit scores summed per term so the
+    distributed sum is order-independent — the engine, the pure-Python
+    spec (pytest) and the DuckDB oracle agree bit-for-bit."""
+    from ..stages.search import bm25_search
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_search(ds, "doc_id", "text", BM25_QUERIES, k=10)
 
 
 def q_text_langid(sf_dir):
@@ -1642,12 +1662,22 @@ SQL: dict[str, str] = {
         SELECT 'archive', count(*) FROM events WHERE event_type <> 'error'
     """,
     "dynstats_kinds": """
+        WITH c AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS sender,
+                          count(*) AS cnt FROM events GROUP BY sender),
+             ranked AS (SELECT sender, cnt,
+                               row_number() OVER (ORDER BY sender) AS rn
+                        FROM c)
         SELECT 'lang' AS kind, lang AS key, count(*) AS cnt
         FROM documents GROUP BY lang
         UNION ALL
         SELECT 'hour', strftime(date_trunc('hour', ts),
                                 '%Y-%m-%d %H:%M:%S'), count(*)
         FROM events GROUP BY 2
+        UNION ALL
+        SELECT 'sender', sender, cnt FROM ranked WHERE rn <= 100
+        UNION ALL
+        SELECT 'sender', '__rejected__', CAST(sum(cnt) AS BIGINT)
+        FROM ranked WHERE rn > 100 HAVING count(*) > 0
     """,
     "pii_redact": """
         SELECT doc_id,
@@ -1728,9 +1758,47 @@ SQL: dict[str, str] = {
                CAST(count(*) - 2 AS BIGINT) AS dropped
         FROM events GROUP BY user_id, w HAVING count(*) > 2
     """,
-    "lookup_string": """
-        SELECT n.n_name AS nation, coalesce(r.r_name, '') AS region
-        FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    "stratified_sample": """
+        SELECT lang, doc_id, md5('0:' || doc_id) AS skey FROM documents
+        QUALIFY row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5('0:' || doc_id), doc_id) <= 20
+    """,
+    "bm25_search": """
+        WITH toks AS (
+          SELECT doc_id, t.tok AS term
+          FROM documents,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t(tok)),
+        dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl
+               FROM toks GROUP BY doc_id),
+        st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+                      sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM dl),
+        q(qid, term) AS (VALUES
+          ('q1','fast'),('q1','hash'),('q1','join'),
+          ('q2','merge'),('q2','sort'),('q2','window'),
+          ('q3','batch'),('q3','dup'),('q3','slow'),('q3','stream')),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+               FROM toks WHERE term IN (SELECT term FROM q)
+               GROUP BY doc_id, term),
+        df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+               FROM tf GROUP BY term),
+        sc AS (SELECT q.qid, tf.doc_id,
+                 CAST(sum(CAST(floor(
+                   ln(1.0 + (st.n - df.df + 0.5) / (df.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))
+                   * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS score_micro
+               FROM q JOIN tf ON q.term = tf.term
+                      JOIN df ON df.term = q.term
+                      JOIN dl ON dl.doc_id = tf.doc_id, st
+               GROUP BY q.qid, tf.doc_id)
+        SELECT qid, doc_id, score_micro,
+               CAST(row_number() OVER (
+                 PARTITION BY qid
+                 ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
+        FROM sc
+        QUALIFY row_number() OVER (
+          PARTITION BY qid ORDER BY score_micro DESC, doc_id) <= 10
     """,
     "topk_orders": """
         SELECT o_orderkey, o_totalprice FROM orders
@@ -1850,17 +1918,6 @@ SQL: dict[str, str] = {
                  AS hmac
         FROM events
     """,
-    "dynstats_capped": """
-        WITH c AS (SELECT 'u' || CAST(user_id AS VARCHAR) AS sender,
-                          count(*) AS cnt FROM events GROUP BY sender),
-             ranked AS (SELECT sender, cnt,
-                               row_number() OVER (ORDER BY sender) AS rn
-                        FROM c)
-        SELECT sender, cnt FROM ranked WHERE rn <= 100
-        UNION ALL
-        SELECT '__rejected__', CAST(sum(cnt) AS BIGINT) FROM ranked
-        WHERE rn > 100 HAVING count(*) > 0
-    """,
     "syslog_roundtrip": """
         SELECT event_id,
                CAST((event_id % 192) % 8 AS BIGINT) AS severity,
@@ -1876,6 +1933,7 @@ SQL: dict[str, str] = {
     """,
     "lookup_kinds": """
         SELECT event_id,
+               coalesce(r.r_name, '') AS region,
                CASE WHEN regexp_matches(event_type, '^purch') THEN 'buy'
                     WHEN regexp_matches(event_type, '^sign') THEN 'join'
                     WHEN regexp_matches(event_type, 'err') THEN 'bad'
@@ -1886,7 +1944,7 @@ SQL: dict[str, str] = {
                     WHEN floor(value) >= 50 THEN 'mid'
                     WHEN floor(value) >= 0 THEN 'low'
                     ELSE 'neg' END AS band
-        FROM events
+        FROM events e LEFT JOIN region r ON e.user_id % 5 = r.r_regionkey
     """,
     "net_funcs": """
         WITH n AS (SELECT event_id, user_id, event_type,
@@ -2128,7 +2186,6 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_clusters": q_dedup_clusters,
     # lookups
-    "lookup_string": q_lookup_string,
     "lookup_kinds": q_lookup_kinds,
     # sort / distinct / union
     "topk_orders": q_topk_orders,
@@ -2156,11 +2213,12 @@ QUERIES = {
     # transforms
     "json_transform": q_json_transform,
     "hmac_sd": q_hmac_sd,
-    "dynstats_capped": q_dynstats_capped,
     # text / similarity (oracle-backed)
     "text_quality": q_text_quality,
     "pii_redact": q_pii_redact,
     "mix_sample": q_mix_sample,
+    "stratified_sample": q_stratified_sample,
+    "bm25_search": q_bm25_search,
     "knn_bruteforce": q_knn_bruteforce,
     # ---- rows-only tail (no SQL oracle by nature; pytest carries the
     # brute-force / statistical contracts) ----

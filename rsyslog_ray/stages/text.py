@@ -591,6 +591,32 @@ def mix_sample(ds, weights: dict, *, key_col: str = "source",
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def stratified_sample(ds, *, group_col: str = "lang",
+                      id_col: str = "doc_id", n: int = 20, seed: int = 0,
+                      key_col: str = "skey") -> pd.DataFrame:
+    """Deterministic per-group quota sample: the ``n`` rows with the
+    smallest md5('{seed}:{id}') per group — per-language / per-source
+    quotas for a training-data mixture.  Membership is a pure function
+    of (seed, id): exact, coordination-free, shard-resumable, no RNG
+    state (the md5 key IS the sampling order, verifiable by a SQL
+    oracle).  Two-phase: each batch keeps its local n-smallest per
+    group (the combiner), the driver final reduces
+    O(groups × n × n_batches) partial rows — never the corpus."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[[group_col, id_col]].copy()
+        out[key_col] = [hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+                        for i in out[id_col]]
+        out = out.sort_values([group_col, key_col, id_col])
+        return out.groupby(group_col, observed=True).head(n)
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    return (parts.sort_values([group_col, key_col, id_col])
+            .groupby(group_col, observed=True).head(n)
+            .reset_index(drop=True))
+
+
 # ---------------------------------------------------------------------
 # sequence packing — the tokenize-and-pack step that turns curated
 # documents into fixed-length LM training rows.  Packing is PER SHARD

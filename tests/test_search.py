@@ -1,0 +1,116 @@
+"""BM25 search + stratified sampling contracts.
+
+The driver gate already hash-checks q:bm25_search / q:stratified_sample
+against DuckDB at sf0.01; these tests pin the distributed stages to
+single-node pure-Python specs on adversarial fixtures (ties, empty
+docs, terms absent from the corpus, multi-batch splits) that the
+testdata corpus doesn't exercise.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _corpus():
+    rng = np.random.RandomState(7)
+    vocab = ["fast", "hash", "join", "sort", "merge", "scan", "row",
+             "batch", "dup", "the"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(3, 40)))
+             for _ in range(300)]
+    texts[13] = ""                       # zero-token doc
+    texts[14] = "??? !!!"                # tokens outside [a-z0-9]+
+    texts[15] = texts[16] = "fast fast hash"   # exact tie pair
+    return pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64),
+                         "text": texts})
+
+
+def test_bm25_engine_equals_spec(ray_session):
+    import ray.data
+
+    from rsyslog_ray.stages.search import bm25_oracle, bm25_search
+
+    df = _corpus()
+    queries = {"qa": "fast hash", "qb": "dup merge scan",
+               "qc": "zebra fast",      # zebra absent from the corpus
+               "qd": "zebra"}           # every term absent -> no rows
+    ds = ray.data.from_pandas(df).repartition(7)   # multi-batch
+    got = bm25_search(ds, "doc_id", "text", queries, k=12)
+    want = bm25_oracle(df["doc_id"].to_numpy(), df["text"].tolist(),
+                       queries, k=12).rename(columns={"id": "doc_id"})
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True),
+        check_dtype=False)
+    assert not (got["qid"] == "qd").any()
+    # the tie pair must rank adjacently, lower doc_id first
+    qa = got[got["qid"] == "qa"].reset_index(drop=True)
+    r15 = qa.index[qa["doc_id"] == 15]
+    r16 = qa.index[qa["doc_id"] == 16]
+    if len(r15) and len(r16):
+        assert r16[0] == r15[0] + 1
+
+
+def test_bm25_scores_sane(ray_session):
+    """More query-term occurrences => higher score; absent term adds 0."""
+    import ray.data
+
+    from rsyslog_ray.stages.search import bm25_search
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["fast fast fast pad pad", "fast pad pad pad pad",
+                 "pad pad pad pad pad", "slow pad pad pad pad"]})
+    out = bm25_search(ray.data.from_pandas(df), "doc_id", "text",
+                      {"q": "fast"}, k=10)
+    assert out["doc_id"].tolist()[:2] == [0, 1]   # tf 3 beats tf 1
+    assert 2 not in out["doc_id"].tolist()        # no match -> no row
+
+
+def test_stratified_sample_exact(ray_session):
+    import ray.data
+
+    from rsyslog_ray.stages.text import stratified_sample
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr", "rare"],
+                           p=[0.5, 0.3, 0.19, 0.01], size=500)})
+    ds = ray.data.from_pandas(df).repartition(9)
+    got = stratified_sample(ds, group_col="lang", id_col="doc_id",
+                            n=15, seed=4)
+
+    keyed = df.copy()
+    keyed["skey"] = [hashlib.md5(f"4:{i}".encode()).hexdigest()
+                     for i in keyed["doc_id"]]
+    want = (keyed.sort_values(["lang", "skey", "doc_id"])
+            .groupby("lang").head(15).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want[got.columns.tolist()],
+        check_dtype=False)
+    # groups smaller than the quota return whole (never padded)
+    rare_n = int((df["lang"] == "rare").sum())
+    assert (got["lang"] == "rare").sum() == min(15, rare_n)
+    # a different seed reorders membership
+    got2 = stratified_sample(ray.data.from_pandas(df).repartition(9),
+                             group_col="lang", id_col="doc_id",
+                             n=15, seed=5)
+    assert set(got2["doc_id"]) != set(got["doc_id"])
+
+
+def test_stratified_sample_resumable_membership():
+    """Membership is a pure function of (seed, id): any shard subset
+    produces a subset-consistent head — re-running a shard cannot
+    change which ids of that shard sample in."""
+    from rsyslog_ray.stages.text import stratified_sample  # noqa: F401
+
+    ids = np.arange(100, dtype=np.int64)
+    keys = {i: hashlib.md5(f"9:{i}".encode()).hexdigest() for i in ids}
+    full = sorted(ids, key=lambda i: (keys[i], i))[:10]
+    half = sorted(ids[ids % 2 == 0], key=lambda i: (keys[i], i))[:10]
+    assert [i for i in full if i % 2 == 0] == \
+        [i for i in half if i in full]
