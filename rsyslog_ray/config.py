@@ -311,9 +311,9 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
         for s in router.sinks:
             shutil.rmtree(os.path.join(c.out_dir, s), ignore_errors=True)
     if resume:
-        pending, _ = sk.plan_resume(files, c.out_dir, router.sinks)
+        pending, done = sk.plan_resume(files, c.out_dir, router.sinks)
     else:
-        pending = files
+        pending, done = files, set()
     if not pending:
         return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
 
@@ -353,6 +353,14 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
                         formats=c.formats, partition_by=c.partition_by),
         batch_format="pyarrow", batch_size=write_batch_size)
     out = sk.finalize_aggregates(partials)
+    if lineage and done:
+        # fold in the skipped committed shards' aggregate checkpoints —
+        # resumed runs report full-corpus dynstats (see flagship.py)
+        prev = sk.read_agg_partials(c.out_dir, done)
+        if len(prev):
+            out = (pd.concat([out, prev], ignore_index=True)
+                   .groupby(["sink", "kind", "key"], as_index=False)["cnt"]
+                   .sum().astype({"cnt": "int64"}))
     out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
     sk.write_run_metrics(c.out_dir, out, _time.perf_counter() - t_run0,
                          len(pending))

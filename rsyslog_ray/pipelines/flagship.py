@@ -103,6 +103,16 @@ def run_flagship(
         batch_size=write_batch_size,
     )
     out = sk.finalize_aggregates(partials)  # small: |sinks| × |kinds| × |keys|
+    if lineage and done:
+        # a resumed run skipped committed shards at the read — fold in
+        # their per-shard aggregate checkpoints (_agg/shard=N) so the
+        # final dynstats (and _metrics.json) stay FULL-corpus across
+        # any kill/resume sequence
+        prev = sk.read_agg_partials(out_dir, done)
+        if len(prev):
+            out = (pd.concat([out, prev], ignore_index=True)
+                   .groupby(["sink", "kind", "key"], as_index=False)["cnt"]
+                   .sum().astype({"cnt": "int64"}))
     out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
     sk.write_run_metrics(out_dir, out, _time.perf_counter() - t_run0,
                          len(pending))

@@ -50,6 +50,7 @@ import pyarrow.parquet as pq
 from .router import Router
 
 LINEAGE_FILE = "_lineage.jsonl"
+AGG_DIR = "_agg"  # per-shard dynstats checkpoint files (resume source)
 
 
 def shard_id_of(path: str) -> int:
@@ -177,7 +178,7 @@ def plan_resume(input_files: list[str], out_dir: str,
         if sid in done:
             continue
         pending.append(f)
-        for s in sinks:
+        for s in list(sinks) + [AGG_DIR]:
             d = os.path.join(out_dir, s, f"shard={sid}")
             if os.path.isdir(d):
                 for p in os.listdir(d):
@@ -419,6 +420,22 @@ class FanoutWriter:
             # collapse to at most |keys| rows per batch before the shuffle)
             partials.append(_partials_for(sink, sub, self.agg_kinds))
 
+        agg_tbl = pa.concat_tables(partials) if partials else None
+        if agg_tbl is not None and self.lineage is not None and len(agg_tbl):
+            # per-shard aggregate CHECKPOINT (written before the shard's
+            # lineage commit below): a resumed run skips committed
+            # shards at the read, so without these files its final
+            # dynstats would cover only the redone shards.  Same
+            # atomic-file + shard-dir layout as the data sinks, so
+            # plan_resume wipes stale ones with the same sweep.
+            for sid in pc.unique(agg_tbl["shard"]).to_pylist():
+                d = os.path.join(self.out_dir, AGG_DIR, f"shard={int(sid)}")
+                os.makedirs(d, exist_ok=True)
+                sl = (agg_tbl.filter(pc.equal(agg_tbl["shard"], sid))
+                      .select(["sink", "kind", "key", "cnt"]))
+                n += 1
+                self._write(sl, d, f"part-{wid}-{n:05d}", "parquet")
+
         if self.lineage is not None:
             import ray
             entries = [(sid, shard_counts[sid], sink_shard_rows[sid],
@@ -434,8 +451,8 @@ class FanoutWriter:
             delivered = sum(sum(d.values()) for d in sink_shard_rows.values())
             self._emitter.tick({"rows_delivered": delivered, "batches": 1})
 
-        if partials:
-            return pa.concat_tables(partials)
+        if agg_tbl is not None:
+            return agg_tbl.select(["sink", "kind", "key", "cnt"])
         return pa.table({"sink": pa.array([], pa.string()),
                          "kind": pa.array([], pa.string()),
                          "key": pa.array([], pa.string()),
@@ -452,21 +469,29 @@ def _value_counts(col):
 
 
 def _partials_for(sink: str, sub: pa.Table, agg_kinds) -> pa.Table:
-    """dynstats partial counts for one sink over one batch (Arrow
-    group_by — C++)."""
+    """dynstats partial counts for one sink over one batch, keyed by
+    shard (Arrow group_by — C++).  The shard column keys the per-shard
+    aggregate checkpoint files (_agg/shard=N) that keep a RESUMED run's
+    final aggregates full-corpus; it is dropped before the partials
+    enter the final reduce."""
     import pyarrow.compute as pc
 
+    if "shard" not in sub.column_names:  # direct callers outside __call__
+        sub = sub.append_column(
+            "shard", pa.array(np.zeros(len(sub), dtype=np.int64)))
     outs = []
     for kind, col in agg_kinds:
         # count_all, NOT count: arrow's "count" counts non-null VALUES,
         # so the null-key group would report 0 and its rows would vanish
         # from delivery totals. Null keys count under "" (the stub
         # convention, matching the reference's onEmpty handling).
-        g = sub.select([col]).group_by(col).aggregate([([], "count_all")])
+        g = (sub.select(["shard", col]).group_by(["shard", col])
+             .aggregate([([], "count_all")]))
         key = pc.fill_null(g[col].cast(pa.string()),
                            pa.scalar("", pa.string()))
         cnt = g["count_all"].cast(pa.int64())
         outs.append(pa.table({
+            "shard": g["shard"].cast(pa.int64()),
             "sink": pa.array([sink] * len(g), pa.string()),
             "kind": pa.array([kind] * len(g), pa.string()),
             "key": key,
@@ -560,6 +585,25 @@ def compact_sink(out_dir: str, sink: str, compression: str = "zstd",
         stats["files_before"] += len(parts)
         stats["files_after"] += len(finals)
     return stats
+
+
+def read_agg_partials(out_dir: str, shards) -> pd.DataFrame:
+    """Reduce the per-shard aggregate checkpoints (_agg/shard=N) of the
+    given committed shards — the dynstats contribution of work a
+    resumed run skipped at the read.  Distributed read + the same
+    streaming-compaction final as the live partials; returns the
+    reduced (sink, kind, key, cnt) table."""
+    import glob as _glob
+
+    files = []
+    for s in sorted(shards):
+        files += sorted(_glob.glob(os.path.join(
+            out_dir, AGG_DIR, f"shard={int(s)}", "*.parquet")))
+    if not files:
+        return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
+    import ray.data
+
+    return finalize_aggregates(ray.data.read_parquet(files))
 
 
 def finalize_aggregates(partials_ds, driver_threshold: int = 2_000_000,

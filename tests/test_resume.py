@@ -32,7 +32,7 @@ def _sink_counts(out_dir, sinks):
 def test_resume_exactly_once(ray_session, pages_small, tmp_path):
     router = Router(DEFAULT_ROUTES)
     clean_dir = str(tmp_path / "clean")
-    run_flagship(pages_small, clean_dir)
+    clean_agg = run_flagship(pages_small, clean_dir)
     clean = _sink_counts(clean_dir, router.sinks)
 
     # --- simulate a crash: full run, then forge a manifest that lost the
@@ -57,7 +57,7 @@ def test_resume_exactly_once(ray_session, pages_small, tmp_path):
     assert {int(os.path.basename(f).split("-")[-1].split(".")[0]) for f in pending} == {1, 3}
     assert done == {0, 2, 4}
 
-    run_flagship(pages_small, crash_dir)
+    resumed_agg = run_flagship(pages_small, crash_dir)
 
     resumed = _sink_counts(crash_dir, router.sinks)
     for s in router.sinks:
@@ -66,6 +66,18 @@ def test_resume_exactly_once(ray_session, pages_small, tmp_path):
     # manifest now complete again
     recs = [json.loads(l) for l in open(man) if l.strip()]
     assert {r["partition_id"] for r in recs} == {0, 1, 2, 3, 4}
+    # the RESUMED run's final aggregates must be FULL-corpus — the
+    # skipped shards' contributions come from the _agg/shard=N
+    # checkpoints, not from re-reading them
+    pd.testing.assert_frame_equal(
+        resumed_agg.reset_index(drop=True),
+        clean_agg.reset_index(drop=True))
+    # and _metrics.json totals must match the clean run's
+    m_clean = json.load(open(os.path.join(clean_dir, "_metrics.json")))
+    m_res = json.load(open(os.path.join(crash_dir, "_metrics.json")))
+    assert m_res["rows_delivered_per_sink"] == \
+        m_clean["rows_delivered_per_sink"]
+    assert m_res["total_delivered"] == m_clean["total_delivered"]
 
 
 def test_noop_resume(ray_session, pages_small, tmp_path):
