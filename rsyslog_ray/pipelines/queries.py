@@ -1211,6 +1211,62 @@ def q_bm25_search(sf_dir):
     return bm25_search(ds, "doc_id", "text", BM25_QUERIES, k=10)
 
 
+def q_bm25_index(sf_dir):
+    """Persisted inverted index + pruned-read BM25 (stages/search.py
+    build_inverted_index / bm25_query_index): index the corpus ONCE
+    into term-hash-partitioned postings parquet, then answer the same
+    query set reading only the partitions the query terms land in.
+    Rows-only driver check; equality to q:bm25_search (and therefore
+    to its DuckDB oracle) is pinned in tests/test_search.py."""
+    import tempfile
+
+    from ..stages.search import bm25_query_index, build_inverted_index
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    idx = tempfile.mkdtemp(prefix="raylog_bm25_idx_")
+    build_inverted_index(ds, "doc_id", "text", idx, npart=16)
+    out = bm25_query_index(idx, BM25_QUERIES, k=10)
+    return out.rename(columns={"id": "doc_id"})
+
+
+def q_incremental_dedup(sf_dir):
+    """Cross-RUN incremental dedup (stages/dedup.incremental_dedup):
+    treat src0-4 documents as the already-curated corpus (its 128-bit
+    key set persisted to parquet by write_corpus_keys), then ingest the
+    rest of the table plus planted copies of corpus docs — copies and
+    in-batch duplicates drop via a hash-partitioned distributed
+    anti-join; no driver-held key set, corpus text never re-read.
+    Rows-only driver check; pure-Python spec pinned in
+    tests/test_dedup_text.py."""
+    import tempfile
+
+    import ray.data
+
+    from ..stages.dedup import incremental_dedup, write_corpus_keys
+
+    old_srcs = [f"src{i}" for i in range(5)]
+
+    corpus = _read(sf_dir, "documents", columns=["source", "text"])
+    corpus = corpus.map_batches(
+        lambda df: df[df["source"].isin(old_srcs)][["text"]],
+        batch_format="pandas")
+    keys_dir = tempfile.mkdtemp(prefix="raylog_corpus_keys_")
+    write_corpus_keys(corpus, "text", keys_dir)
+
+    def new_batch(df: pd.DataFrame) -> pd.DataFrame:
+        fresh = df[~df["source"].isin(old_srcs)][["doc_id", "text"]]
+        # plant exact copies of corpus docs into the new ingest
+        copies = df[df["source"].isin(old_srcs) & (df["doc_id"] % 10 == 0)]
+        copies = copies[["doc_id", "text"]].assign(
+            doc_id=copies["doc_id"] + 1_000_000)
+        return pd.concat([fresh, copies], ignore_index=True)
+
+    new_ds = (_read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+              .map_batches(new_batch, batch_format="pandas"))
+    out = incremental_dedup(new_ds, "doc_id", "text", keys_dir, npart=16)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_text_langid(sf_dir):
     """Language-ID heuristic (stopword profiles) counted per predicted
     lang. Deterministic; rows-only driver check (profile scoring is not
@@ -2245,5 +2301,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "semantic_dedup": q_semantic_dedup,
     "dsir_select": q_dsir_select,
+    "bm25_index": q_bm25_index,
+    "incremental_dedup": q_incremental_dedup,
     "curation": q_curation,
 }

@@ -86,6 +86,61 @@ def exact_dedup(ds, id_col: str, text_col: str, *, count: str = "copies",
                          mins={id_col: keeper})[[keeper, count]]
 
 
+def write_corpus_keys(ds, text_col: str, out_dir: str, *,
+                      h1=None, h2=None) -> str:
+    """Persist a corpus's 128-bit content-key SET as parquet (th, th2)
+    — the artifact a later incremental ingest dedups against.  Keys
+    only: the 100 TB of text never needs re-reading."""
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = content_key128_frame(df[text_col], h1, h2)
+        return pd.DataFrame({"th": a, "th2": b})
+
+    ds.map_batches(key, batch_format="pandas").write_parquet(out_dir)
+    return out_dir
+
+
+def incremental_dedup(new_ds, id_col: str, text_col: str,
+                      corpus_keys_dir: str, *, npart: int = 32,
+                      h1=None, h2=None):
+    """Dedup a NEW ingest batch against a PERSISTED corpus — the
+    production cross-run shape (dedup today's crawl against everything
+    already curated) the reference's single-process engine cannot
+    express.  Distributed anti-join on the 128-bit content key: both
+    sides hash-partitioned on th, no driver-held key set, the corpus
+    text is never read.  Also dedups WITHIN the new batch (keep min id
+    per key).  Requires ids >= 0 (the corpus side is marked id=-1).
+    Returns the surviving (id) rows as a Dataset."""
+    import ray.data
+
+    corpus = ray.data.read_parquet(corpus_keys_dir, columns=["th", "th2"])
+
+    def new_keys(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = content_key128_frame(df[text_col], h1, h2)
+        return pd.DataFrame({id_col: df[id_col].astype("int64"),
+                             "th": a, "th2": b})
+
+    def corpus_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({id_col: np.full(len(df), -1, dtype=np.int64),
+                             "th": df["th"], "th2": df["th2"]})
+
+    both = (new_ds.map_batches(new_keys, batch_format="pandas")
+            .union(corpus.map_batches(corpus_side, batch_format="pandas")))
+
+    def add_pp(df: pd.DataFrame) -> pd.DataFrame:
+        pp = (df["th"].to_numpy().astype(np.uint64)
+              % np.uint64(npart)).astype("int64")
+        return df.assign(pp=pp)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(["th", "th2"], as_index=False)[id_col].min()
+        # a key whose min id is -1 already exists in the corpus ->
+        # every new copy drops; otherwise the min new id survives
+        return m[m[id_col] >= 0][[id_col]]
+
+    return (both.map_batches(add_pp, batch_format="pandas")
+            .groupby("pp").map_groups(resolve, batch_format="pandas"))
+
+
 def _hash_tokens(tokens: list[str]) -> np.ndarray:
     """Vectorized stable 64-bit token hashing (pandas siphash with its
     fixed default key — deterministic across processes/versions, C

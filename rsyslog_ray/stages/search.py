@@ -31,6 +31,7 @@ population a tokens-table-derived SQL oracle sees).
 
 from __future__ import annotations
 
+import os
 import re
 
 import numpy as np
@@ -136,6 +137,144 @@ def bm25_search(ds, id_col: str, text_col: str, queries: dict[str, str],
     parts = ds.map_batches(local, batch_format="pandas").to_pandas()
     out = (parts.sort_values(["qid", "score_micro", id_col],
                              ascending=[True, False, True])
+           .groupby("qid").head(k).reset_index(drop=True))
+    out["rank"] = (out.groupby("qid").cumcount() + 1).astype("int64")
+    return out.astype({"score_micro": "int64"})
+
+
+def _term_partition(terms, npart: int) -> np.ndarray:
+    """Deterministic term -> partition id (pandas siphash, fixed key —
+    stable across processes, so a query run in a NEW session prunes to
+    the same partitions the build wrote)."""
+    arr = np.asarray(terms, dtype=object)
+    return (pd.util.hash_array(arr) % np.uint64(npart)).astype("int64")
+
+
+def build_inverted_index(ds, id_col: str, text_col: str, out_dir: str,
+                         *, npart: int = 32) -> dict:
+    """Materialize a PERSISTED term-partitioned inverted index:
+
+      out_dir/tp=<siphash(term) % npart>/part-*.parquet
+          rows (term, id, tf, dl) — postings with the doc-length norm
+          denormalized in (standard impact-style layout, so scoring
+          never joins back to the corpus)
+      out_dir/_stats.json — {n_docs, sum_dl, npart}
+
+    One corpus pass, NO shuffle: each batch fans its postings out to
+    the term-hash partition dirs exactly like FanoutWriter fans rows to
+    sinks (atomic tmp+rename per file).  Index once, query many — the
+    query side reads ONLY the partitions its terms hash to."""
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        wid = uuid.uuid4().hex[:12]
+        toks = _token_lists(df[text_col])
+        lens = toks.str.len()
+        e = toks.explode().dropna()
+        f = pd.DataFrame({"__i": e.index.to_numpy(), "term": e.to_numpy()})
+        if len(f):
+            tf = (f.groupby(["__i", "term"], observed=True).size()
+                  .rename("tf").reset_index())
+            tf["id"] = tf["__i"].map(df[id_col]).astype("int64")
+            tf["dl"] = tf["__i"].map(lens).astype("int64")
+            tf["tp"] = _term_partition(tf["term"].to_numpy(), npart)
+            tf = tf[["tp", "term", "id", "tf", "dl"]]
+            for tp, grp in tf.groupby("tp"):
+                d = os.path.join(out_dir, f"tp={int(tp)}")
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f"part-{wid}.parquet.inprogress")
+                (grp.drop(columns=["tp"]).reset_index(drop=True)
+                 .to_parquet(tmp))
+                os.replace(tmp, os.path.join(d, f"part-{wid}.parquet"))
+        return pd.DataFrame({"n": [int((lens > 0).sum())],
+                             "dl": [int(lens.sum())]})
+
+    stats = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rec = {"n_docs": int(stats["n"].sum()),
+           "sum_dl": int(stats["dl"].sum()), "npart": int(npart)}
+    import json as _json
+    tmp = os.path.join(out_dir, "_stats.json.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(rec, fh)
+    os.replace(tmp, os.path.join(out_dir, "_stats.json"))
+    return rec
+
+
+def bm25_query_index(index_dir: str, queries: dict[str, str], k: int = 10
+                     ) -> pd.DataFrame:
+    """BM25 top-k from a PERSISTED index — reads ONLY the term-hash
+    partitions the query vocabulary lands in (prune at the read: a
+    3-term query over a 32-partition index of a 100 TB corpus touches
+    <=3/32 of the postings).  Scores match bm25_search(corpus) exactly
+    (same integer-micro contribution arithmetic)."""
+    import glob as _glob
+    import json as _json
+
+    import ray.data
+
+    st = _json.load(open(os.path.join(index_dir, "_stats.json")))
+    n, avgdl, npart = st["n_docs"], st["sum_dl"] / float(st["n_docs"]), \
+        st["npart"]
+    qterms = {qid: tokenize_query(qt) for qid, qt in queries.items()}
+    vocab = sorted({t for ts in qterms.values() for t in ts})
+    if not vocab or not n:
+        return pd.DataFrame({"qid": [], "id": [], "score_micro": [],
+                             "rank": []})
+    tps = sorted(set(_term_partition(vocab, npart).tolist()))
+    files = []
+    for tp in tps:
+        files += sorted(_glob.glob(
+            os.path.join(index_dir, f"tp={tp}", "*.parquet")))
+    if not files:
+        return pd.DataFrame({"qid": [], "id": [], "score_micro": [],
+                             "rank": []})
+
+    # pass 1 over the pruned postings: df per query term (exact — one
+    # posting row per (term, doc))
+    def dfp(df: pd.DataFrame) -> pd.DataFrame:
+        f = df[df["term"].isin(vocab)]
+        c = f.groupby("term", observed=True).size()
+        return pd.DataFrame({"term": c.index.to_numpy(dtype=object),
+                             "v": c.to_numpy(np.int64)})
+
+    parts = (ray.data.read_parquet(files)
+             .map_batches(dfp, batch_format="pandas").to_pandas())
+    dfmap = {t: int(v) for t, v in
+             parts.groupby("term")["v"].sum().items()}
+    qframe = pd.DataFrame(
+        [(qid, t) for qid, ts in sorted(qterms.items()) for t in ts
+         if t in dfmap], columns=["qid", "term"])
+    if not len(qframe):
+        return pd.DataFrame({"qid": [], "id": [], "score_micro": [],
+                             "rank": []})
+    nf = float(n)
+
+    # pass 2: per-batch integer-micro partial sums per (qid, doc) —
+    # exact under any batch split because integer addition commutes;
+    # the driver reduce is O(matched docs × queries)
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        m = df.merge(qframe, on="term")
+        if not len(m):
+            return pd.DataFrame({"qid": pd.Series([], dtype=object),
+                                 "id": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        contrib = bm25_contrib(
+            m["tf"].to_numpy(np.float64),
+            m["term"].map(dfmap).to_numpy(np.float64),
+            m["dl"].to_numpy(np.float64), nf, avgdl)
+        m["c"] = np.floor(contrib * 1e6 + 0.5).astype(np.int64)
+        return (m.groupby(["qid", "id"], observed=True)["c"].sum()
+                .reset_index())
+
+    sc = (ray.data.read_parquet(files)
+          .map_batches(score, batch_format="pandas").to_pandas())
+    out = (sc.groupby(["qid", "id"], as_index=False)["c"].sum()
+           .rename(columns={"c": "score_micro"})
+           .sort_values(["qid", "score_micro", "id"],
+                        ascending=[True, False, True])
            .groupby("qid").head(k).reset_index(drop=True))
     out["rank"] = (out.groupby("qid").cumcount() + 1).astype("int64")
     return out.astype({"score_micro": "int64"})

@@ -70,6 +70,67 @@ def test_bm25_scores_sane(ray_session):
     assert 2 not in out["doc_id"].tolist()        # no match -> no row
 
 
+def test_bm25_index_equals_search(ray_session, tmp_path):
+    """The persisted-index query path must score IDENTICALLY to the
+    direct corpus scan (same integer-micro arithmetic), while reading
+    only the term-hash partitions the query vocabulary lands in."""
+    import ray.data
+
+    from rsyslog_ray.stages.search import (_term_partition, bm25_query_index,
+                                           bm25_search, build_inverted_index)
+
+    df = _corpus()
+    queries = {"qa": "fast hash", "qb": "dup merge scan"}
+    idx = str(tmp_path / "idx")
+    st = build_inverted_index(ray.data.from_pandas(df).repartition(5),
+                              "doc_id", "text", idx, npart=16)
+    assert st["n_docs"] == int((df["text"].str.lower()
+                                .str.count("[a-z0-9]+") > 0).sum())
+
+    got = bm25_query_index(idx, queries, k=12).rename(
+        columns={"id": "doc_id"})
+    want = bm25_search(ray.data.from_pandas(df).repartition(7),
+                       "doc_id", "text", queries, k=12)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
+    # pruned read: the query vocabulary touches a strict subset of the
+    # partitions the build wrote
+    import os
+    built = {d for d in os.listdir(idx) if d.startswith("tp=")}
+    vocab = ["fast", "hash", "dup", "merge", "scan"]
+    need = {f"tp={t}" for t in _term_partition(vocab, 16)}
+    assert need < built
+
+
+def test_incremental_dedup_spec(ray_session, tmp_path):
+    """Cross-run dedup == pure-Python spec: new docs whose text exists
+    in the persisted corpus key set drop; in-batch duplicates keep the
+    min id; everything else survives."""
+    import ray.data
+
+    from rsyslog_ray.stages.dedup import incremental_dedup, write_corpus_keys
+
+    corpus_texts = ["alpha beta", "gamma delta", "epsilon zeta"]
+    write_corpus_keys(
+        ray.data.from_pandas(pd.DataFrame({"text": corpus_texts})),
+        "text", str(tmp_path / "keys"))
+
+    new = pd.DataFrame({
+        "doc_id": np.array([10, 11, 12, 13, 14, 15], dtype=np.int64),
+        "text": ["alpha beta",        # exact corpus copy -> drops
+                 "fresh one",         # survives
+                 "fresh two",         # survives (first of pair)
+                 "fresh two",         # in-batch dup -> drops
+                 "gamma delta",       # corpus copy -> drops
+                 "fresh three"]})     # survives
+    got = incremental_dedup(
+        ray.data.from_pandas(new).repartition(3), "doc_id", "text",
+        str(tmp_path / "keys"), npart=4).to_pandas()
+    assert sorted(got["doc_id"]) == [11, 12, 15]
+
+
 def test_stratified_sample_exact(ray_session):
     import ray.data
 
