@@ -1211,6 +1211,19 @@ def q_bm25_search(sf_dir):
     return bm25_search(ds, "doc_id", "text", BM25_QUERIES, k=10)
 
 
+def q_chunk_documents(sf_dir):
+    """Retrieval-corpus chunking (stages/text.chunk_documents): split
+    every document into overlapping 24-token windows (8-token overlap)
+    — doc -> passage rows for embedding/indexing.  Embarrassingly
+    parallel flat_map, deterministic (doc_id, chunk_seq) ids.
+    Rows-only driver check; windowing spec pinned in
+    tests/test_search.py."""
+    from ..stages.text import chunk_documents
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=24, overlap=8)
+
+
 def q_bm25_index(sf_dir):
     """Persisted inverted index + pruned-read BM25 (stages/search.py
     build_inverted_index / bm25_query_index): index the corpus ONCE
@@ -2303,5 +2316,6 @@ QUERIES = {
     "dsir_select": q_dsir_select,
     "bm25_index": q_bm25_index,
     "incremental_dedup": q_incremental_dedup,
+    "chunk_documents": q_chunk_documents,
     "curation": q_curation,
 }

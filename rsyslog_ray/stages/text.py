@@ -591,6 +591,67 @@ def mix_sample(ds, weights: dict, *, key_col: str = "source",
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    chunk_tokens: int = 64, overlap: int = 16,
+                    min_tokens: int = 1):
+    """Split documents into overlapping fixed-token windows — the
+    retrieval-corpus chunking step (doc -> passage rows for embedding /
+    indexing).  Pure per-document flat_map: embarrassingly parallel,
+    no shuffle, deterministic chunk ids (id, chunk_seq).  Windows start
+    every ``chunk_tokens - overlap`` tokens; the last window may be
+    short (kept iff >= ``min_tokens``).  The loop is per DOCUMENT (not
+    per token) with C-level split/join inside — the same
+    small-C-kernel-per-row shape as stages/multimodal.batch_features.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        ids, seqs, texts, lens = [], [], [], []
+        for i, words in zip(df[id_col], df[text_col].str.split()):
+            nw = len(words) if words else 0
+            for s, start in enumerate(range(0, max(nw, 1), step)):
+                w = words[start:start + chunk_tokens] if words else []
+                if len(w) < min_tokens and s > 0:
+                    break
+                ids.append(i)
+                seqs.append(s)
+                texts.append(" ".join(w))
+                lens.append(len(w))
+                if start + chunk_tokens >= nw:
+                    break
+        return pd.DataFrame({
+            id_col: pd.Series(ids, dtype="int64"),
+            "chunk_seq": pd.Series(seqs, dtype="int64"),
+            "chunk_text": pd.Series(texts, dtype=object),
+            "n_tokens": pd.Series(lens, dtype="int64"),
+        })
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def chunk_documents_oracle(ids, texts, chunk_tokens=64, overlap=16,
+                           min_tokens=1) -> pd.DataFrame:
+    """Single-node spec for pytest (same windowing rules)."""
+    step = chunk_tokens - overlap
+    rows = []
+    for i, t in zip(ids, texts):
+        words = t.split()
+        nw = len(words)
+        s = 0
+        for start in range(0, max(nw, 1), step):
+            w = words[start:start + chunk_tokens]
+            if len(w) < min_tokens and s > 0:
+                break
+            rows.append((i, s, " ".join(w), len(w)))
+            s += 1
+            if start + chunk_tokens >= nw:
+                break
+    return pd.DataFrame(rows, columns=["doc_id", "chunk_seq",
+                                       "chunk_text", "n_tokens"])
+
+
 def stratified_sample(ds, *, group_col: str = "lang",
                       id_col: str = "doc_id", n: int = 20, seed: int = 0,
                       key_col: str = "skey") -> pd.DataFrame:

@@ -163,6 +163,42 @@ def test_stratified_sample_exact(ray_session):
     assert set(got2["doc_id"]) != set(got["doc_id"])
 
 
+def test_chunk_documents_spec(ray_session):
+    """Chunking == single-node spec on edge shapes: empty doc, doc
+    shorter than one window, exact-multiple length, long docs; every
+    token covered; consecutive chunks overlap by exactly `overlap`."""
+    import ray.data
+
+    from rsyslog_ray.stages.text import chunk_documents, chunk_documents_oracle
+
+    rng = np.random.RandomState(11)
+    texts = ["", "one", "a b c d e f g h",
+             " ".join(f"w{j}" for j in range(16)),   # exact multiple
+             " ".join(f"w{j}" for j in range(17))]
+    texts += [" ".join(rng.choice(["x", "y", "z"], size=rng.randint(1, 60)))
+              for _ in range(40)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    got = (chunk_documents(ray.data.from_pandas(df).repartition(6),
+                           chunk_tokens=8, overlap=4)
+           .to_pandas().sort_values(["doc_id", "chunk_seq"])
+           .reset_index(drop=True))
+    want = chunk_documents_oracle(df["doc_id"].tolist(),
+                                  df["text"].tolist(),
+                                  chunk_tokens=8, overlap=4)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # coverage: concatenating each doc's chunks at stride `step`
+    # reconstructs the doc exactly
+    for i, t in zip(df["doc_id"], df["text"]):
+        ch = got[got["doc_id"] == i].sort_values("chunk_seq")
+        rebuilt = []
+        for _, r in ch.iterrows():
+            rebuilt.extend(r["chunk_text"].split()[:4] or
+                           r["chunk_text"].split())
+        tail = ch.iloc[-1]["chunk_text"].split()[4:]
+        assert " ".join(rebuilt + tail).strip() == t.strip(), i
+
+
 def test_stratified_sample_resumable_membership():
     """Membership is a pure function of (seed, id): any shard subset
     produces a subset-consistent head — re-running a shard cannot
