@@ -1,0 +1,140 @@
+"""End-to-end pretraining-corpus pipeline — raw documents to packed
+LM training rows, the full recipe public web-corpus pipelines run
+(CCNet/C4/Gopher-style), composed from the engine's already-tested
+operators with a parquet resume point after every stage (the same
+`_run_stage` atomic-rename contract as pipelines/curation.py — a
+killed run resumes from the last completed stage):
+
+  1. curation/            gate -> exact dedup -> near-dup clusters ->
+                          one survivor per duplicate cluster
+                          (pipelines/curation.run_curation)
+  2. decon/               benchmark decontamination: drop docs sharing
+                          any word 13-gram with the eval set
+                          (broadcast hash set, one pass, no shuffle)
+  3. mixed/               PII redaction + deterministic source mixing
+                          FUSED into one pass (rewrite text, then keep
+                          iff u32(md5(id)) < weight * 2^32)
+  4. shuffled/            deterministic epoch shuffle (md5 seed:id key,
+                          range-partitioned sort — the one all-to-all
+                          this recipe needs; the key column persists so
+                          the order is re-derivable)
+  5. packed/              per-shard sequence packing into fixed-length
+                          LM rows (EOD separators, final-row padding),
+                          packed in SHUFFLE order within each block
+
+plus `_pretrain_stats.json` with the full funnel.  Nothing
+corpus-sized touches the driver at any stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from .curation import _run_stage, run_curation
+
+
+def run_pretrain(docs_path: str, out_dir: str, *,
+                 benchmark_texts=(), weights: dict | None = None,
+                 default_weight: float = 1.0, seed: int = 0,
+                 seq_len: int = 128, ngram: int = 13,
+                 curation_kwargs: dict | None = None) -> dict:
+    """Run the full recipe; returns (and writes) the funnel stats.
+    Ray must already be initialised by the caller."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from ..stages.text import (mix_sample, ngram_hashes, pack_sequences,
+                               pii_redact_array)
+
+    os.makedirs(out_dir, exist_ok=True)
+    stats: dict = {}
+
+    # ---- stage 1: curation (its own stage-level resume points inside)
+    cur = run_curation(docs_path, os.path.join(out_dir, "curation"),
+                       **(curation_kwargs or {}))
+    stats.update({f"curation.{k}": v for k, v in cur.items()})
+    curated_path = os.path.join(out_dir, "curation", "curated")
+
+    # ---- stage 2: benchmark decontamination — the eval side is small
+    # by nature, so its n-gram hash set broadcasts once; one corpus
+    # pass, rows with any hit drop (GPT-3 appendix-C shape)
+    bench: set[int] = set()
+    for t in benchmark_texts:
+        bench.update(ngram_hashes(t, ngram).tolist())
+    bench_ref = ray.put(frozenset(bench))
+
+    def decon(df: pd.DataFrame) -> pd.DataFrame:
+        bs = ray.get(bench_ref)
+        if not bs:
+            return df
+        keep = np.fromiter(
+            (not any(int(h) in bs for h in ngram_hashes(t, ngram))
+             for t in df["text"]), dtype=bool, count=len(df))
+        return df[keep]
+
+    decon_path = os.path.join(out_dir, "decon")
+    _run_stage(decon_path, lambda tmp: (
+        ray.data.read_parquet(curated_path)
+        .map_batches(decon, batch_format="pandas").write_parquet(tmp)))
+    decon_ds = ray.data.read_parquet(decon_path)
+    stats["after_decontamination"] = decon_ds.count()
+
+    # ---- stage 3: PII redaction + source mixing, fused into ONE pass
+    # (both are per-row and independent — two stages would read the
+    # corpus twice)
+    def scrub(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["text"] = (pii_redact_array(pa.array(df["text"], pa.string()))
+                       .to_pandas().to_numpy())
+        return out
+
+    mixed_path = os.path.join(out_dir, "mixed")
+    _run_stage(mixed_path, lambda tmp: (
+        mix_sample(decon_ds.map_batches(scrub, batch_format="pandas"),
+                   weights or {}, default=default_weight)
+        .write_parquet(tmp)))
+    mixed = ray.data.read_parquet(mixed_path)
+    stats["after_mixing"] = mixed.count()
+
+    # ---- stage 4: deterministic epoch shuffle (the recipe's one
+    # all-to-all); the skey column persists into the parquet so any
+    # consumer can verify / re-establish the order
+    from ..stages.text import epoch_shuffle
+
+    shuf_path = os.path.join(out_dir, "shuffled")
+    _run_stage(shuf_path, lambda tmp: (
+        epoch_shuffle(mixed, seed=seed).write_parquet(tmp)))
+
+    # ---- stage 5: pack to fixed-length LM rows IN SHUFFLE ORDER
+    # (pack_batch orders each block by its id_col — pass the shuffle
+    # key so packing follows the epoch order, not doc id)
+    packed_path = os.path.join(out_dir, "packed")
+    _run_stage(packed_path, lambda tmp: (
+        pack_sequences(ray.data.read_parquet(shuf_path), seq_len,
+                       id_col="skey").write_parquet(tmp)))
+
+    import pyarrow.parquet as pq
+
+    rows = pads = 0
+    for f in sorted(os.listdir(packed_path)):
+        if f.endswith(".parquet"):
+            t = pq.read_table(os.path.join(packed_path, f),
+                              columns=["n_pad"])
+            rows += len(t)
+            pads += int(pd.Series(t["n_pad"].to_pandas()).sum())
+    stats["packed_rows"] = rows
+    stats["packed_tokens"] = rows * seq_len
+    stats["pad_tokens"] = pads
+    stats["packing_efficiency_pct"] = round(
+        100.0 * (1 - pads / max(rows * seq_len, 1)), 2)
+
+    tmp = os.path.join(out_dir, "_pretrain_stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh, indent=1)
+    os.replace(tmp, os.path.join(out_dir, "_pretrain_stats.json"))
+    return stats

@@ -1529,6 +1529,30 @@ def q_semantic_dedup(sf_dir):
     return semantic_dedup(ds, k=8, iters=4, threshold=0.95)
 
 
+def q_pretrain_corpus(sf_dir):
+    """FULL pretraining-corpus recipe (pipelines/pretrain.py): curation
+    -> benchmark decontamination -> PII redaction + source mixing
+    (fused) -> deterministic epoch shuffle -> sequence packing, every
+    stage a parquet resume point.  Returns the funnel stats.  Rows-only
+    driver check; planted-fixture semantics pinned in
+    tests/test_pretrain.py."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from .pretrain import run_pretrain
+
+    docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                         columns=["text"]).to_pandas()
+    bench = [" ".join(t.split()[2:20]) for t in docs["text"].iloc[[3, 11]]]
+    out = tempfile.mkdtemp(prefix="raylog_pretrain_")
+    stats = run_pretrain(f"{sf_dir}/documents.parquet", out,
+                         benchmark_texts=bench, weights=MIX_WEIGHTS,
+                         default_weight=MIX_DEFAULT, seed=11, seq_len=64)
+    return pd.DataFrame({"stage": list(stats),
+                         "value": [float(v) for v in stats.values()]})
+
+
 def q_curation(sf_dir):
     """Composed LLM-corpus curation pipeline (pipelines/curation.py:
     quality gate -> exact dedup -> MinHash near-dup removal -> curated
@@ -2318,4 +2342,5 @@ QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "chunk_documents": q_chunk_documents,
     "curation": q_curation,
+    "pretrain_corpus": q_pretrain_corpus,
 }
