@@ -236,3 +236,56 @@ def test_kmsg_parser_total_on_arbitrary_text(text):
     for r in split_kmsg(text):
         assert r["pri"] == r["facility"] * 8 + r["severity"]
         assert r["seq"] >= 0 and r["monotonic_us"] >= 0
+
+
+@given(st.lists(st.text(alphabet="ab ", max_size=120), min_size=1,
+                max_size=20),
+       st.integers(min_value=2, max_value=12),
+       st.integers(min_value=0, max_value=11))
+@SET
+def test_chunking_covers_every_token(texts, chunk, overlap):
+    """chunk_documents spec: for ANY text, concatenating each chunk's
+    first `step` tokens plus the last chunk's tail reconstructs the
+    document exactly — no token lost or duplicated outside overlaps."""
+    from rsyslog_ray.stages.text import chunk_documents_oracle
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    step = chunk - overlap
+    out = chunk_documents_oracle(range(len(texts)), texts,
+                                 chunk_tokens=chunk, overlap=overlap)
+    for i, t in enumerate(texts):
+        ch = out[out["doc_id"] == i].sort_values("chunk_seq")
+        assert len(ch) >= 1
+        toks = []
+        for _, r in ch.iterrows():
+            toks.extend(r["chunk_text"].split()[:step])
+        toks.extend(ch.iloc[-1]["chunk_text"].split()[step:])
+        assert toks == t.split(), (t, chunk, overlap)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=30), min_size=1,
+                max_size=60).map(lambda ix: [
+                    ["fast", "hash", "join", "pad", "x", "y"][i % 6]
+                    for i in ix]),
+       st.integers(min_value=1, max_value=5))
+@SET
+def test_bm25_score_invariant_under_batch_split(words, nsplit):
+    """The integer-micro per-term rounding makes the total score
+    independent of how the corpus is split into batches: summing the
+    per-term contributions in ANY order/grouping gives the same
+    score_micro (the property the distributed path relies on)."""
+    import numpy as np
+
+    from rsyslog_ray.stages.search import bm25_contrib
+
+    tfs = pd.Series(words).value_counts()
+    n, avgdl, dl = 10.0, 20.0, float(len(words))
+    micros = [int(np.floor(bm25_contrib(
+        np.float64(tf), np.float64(3), dl, n, avgdl) * 1e6 + 0.5))
+        for tf in tfs]
+    total = sum(micros)
+    rng = np.random.RandomState(nsplit)
+    perm = rng.permutation(len(micros))
+    splits = np.array_split(perm, nsplit)
+    assert sum(int(sum(micros[i] for i in s)) for s in splits) == total
