@@ -163,9 +163,25 @@ def build_inverted_index(ds, id_col: str, text_col: str, out_dir: str,
     One corpus pass, NO shuffle: each batch fans its postings out to
     the term-hash partition dirs exactly like FanoutWriter fans rows to
     sinks (atomic tmp+rename per file).  Index once, query many — the
-    query side reads ONLY the partitions its terms hash to."""
+    query side reads ONLY the partitions its terms hash to.
+
+    Resume contract: ``_stats.json`` is the COMMIT MARKER (written
+    last, atomically).  If it exists the index is complete and the
+    build is a no-op; if it is absent but the dir is non-empty the
+    previous build died mid-write, so the debris is wiped and rebuilt
+    (appending into a torn index would duplicate postings).  This is
+    the lineage pattern — marker-last works on object storage too,
+    where atomic directory renames don't exist."""
+    import json as _j
+    import shutil
     import uuid
 
+    marker = os.path.join(out_dir, "_stats.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return _j.load(fh)
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:

@@ -103,6 +103,25 @@ def test_bm25_index_equals_search(ray_session, tmp_path):
     need = {f"tp={t}" for t in _term_partition(vocab, 16)}
     assert need < built
 
+    # resume: a completed index (marker present) is a no-op rebuild...
+    files_before = sorted(os.listdir(os.path.join(idx, sorted(built)[0])))
+    st2 = build_inverted_index(ray.data.from_pandas(df), "doc_id",
+                               "text", idx, npart=16)
+    assert st2 == st
+    assert sorted(os.listdir(os.path.join(idx, sorted(built)[0]))) \
+        == files_before
+    # ...and a TORN build (marker missing) wipes the debris instead of
+    # appending duplicate postings
+    os.unlink(os.path.join(idx, "_stats.json"))
+    st3 = build_inverted_index(ray.data.from_pandas(df).repartition(3),
+                               "doc_id", "text", idx, npart=16)
+    assert st3 == st
+    got3 = bm25_query_index(idx, queries, k=12).rename(
+        columns={"id": "doc_id"})
+    pd.testing.assert_frame_equal(got3.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
+
 
 def test_incremental_dedup_spec(ray_session, tmp_path):
     """Cross-run dedup == pure-Python spec: new docs whose text exists
