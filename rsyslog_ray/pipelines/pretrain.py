@@ -20,7 +20,15 @@ killed run resumes from the last completed stage):
                           the order is re-derivable)
   5. packed/              per-shard sequence packing into fixed-length
                           LM rows (EOD separators, final-row padding),
-                          packed in SHUFFLE order within each block
+                          packed in SHUFFLE order within each block.
+                          NOTE: the token STREAM is deterministic, but
+                          block boundaries (hence per-block final-row
+                          padding and the exact packed-row count) may
+                          differ between runs — per-shard packing is
+                          the 100 TB contract (a global pack would
+                          serialize the corpus through one worker);
+                          the boundary-independent invariant is total
+                          non-pad tokens
 
 plus `_pretrain_stats.json` with the full funnel.  Nothing
 corpus-sized touches the driver at any stage.
@@ -31,7 +39,6 @@ from __future__ import annotations
 import json
 import os
 
-import numpy as np
 import pandas as pd
 
 from .curation import _run_stage, run_curation
@@ -48,7 +55,7 @@ def run_pretrain(docs_path: str, out_dir: str, *,
     import ray
     import ray.data
 
-    from ..stages.text import (mix_sample, ngram_hashes, pack_sequences,
+    from ..stages.text import (decontaminate, mix_sample, pack_sequences,
                                pii_redact_array)
 
     os.makedirs(out_dir, exist_ok=True)
@@ -60,27 +67,13 @@ def run_pretrain(docs_path: str, out_dir: str, *,
     stats.update({f"curation.{k}": v for k, v in cur.items()})
     curated_path = os.path.join(out_dir, "curation", "curated")
 
-    # ---- stage 2: benchmark decontamination — the eval side is small
-    # by nature, so its n-gram hash set broadcasts once; one corpus
-    # pass, rows with any hit drop (GPT-3 appendix-C shape)
-    bench: set[int] = set()
-    for t in benchmark_texts:
-        bench.update(ngram_hashes(t, ngram).tolist())
-    bench_ref = ray.put(frozenset(bench))
-
-    def decon(df: pd.DataFrame) -> pd.DataFrame:
-        bs = ray.get(bench_ref)
-        if not bs:
-            return df
-        keep = np.fromiter(
-            (not any(int(h) in bs for h in ngram_hashes(t, ngram))
-             for t in df["text"]), dtype=bool, count=len(df))
-        return df[keep]
-
+    # ---- stage 2: benchmark decontamination — the tested operator
+    # (stages/text.decontaminate: broadcast n-gram set, one pass,
+    # rows with any hit drop; GPT-3 appendix-C shape)
     decon_path = os.path.join(out_dir, "decon")
     _run_stage(decon_path, lambda tmp: (
-        ray.data.read_parquet(curated_path)
-        .map_batches(decon, batch_format="pandas").write_parquet(tmp)))
+        decontaminate(ray.data.read_parquet(curated_path),
+                      benchmark_texts, n=ngram).write_parquet(tmp)))
     decon_ds = ray.data.read_parquet(decon_path)
     stats["after_decontamination"] = decon_ds.count()
 

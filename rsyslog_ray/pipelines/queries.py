@@ -1890,6 +1890,7 @@ SQL: dict[str, str] = {
                  PARTITION BY qid
                  ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rank
         FROM sc
+        WHERE score_micro > 0
         QUALIFY row_number() OVER (
           PARTITION BY qid ORDER BY score_micro DESC, doc_id) <= 10
     """,

@@ -31,6 +31,7 @@ population a tokens-table-derived SQL oracle sees).
 
 from __future__ import annotations
 
+import hashlib
 import os
 import re
 
@@ -48,7 +49,8 @@ def tokenize_query(text: str) -> list[str]:
 
 
 def _token_lists(texts: pd.Series) -> pd.Series:
-    return texts.str.lower().str.findall(TOKEN_RE)
+    # null text == empty doc (a NaN poisons lens.sum() downstream)
+    return texts.fillna("").str.lower().str.findall(TOKEN_RE)
 
 
 def bm25_contrib(tf, df, dl, n: float, avgdl: float):
@@ -128,6 +130,11 @@ def bm25_search(ds, id_col: str, text_col: str, queries: dict[str, str],
         m["c"] = np.floor(contrib * 1e6 + 0.5).astype(np.int64)
         sc = (m.groupby(["qid", "__i"], observed=True)["c"].sum()
               .rename("score_micro").reset_index())
+        # a score of 0 micro-units is "no effective match" — omitted,
+        # matching the pure-Python spec and the SQL oracle (at corpus
+        # scale an everywhere-term's idf rounds to 0; those rows must
+        # not occupy top-k slots)
+        sc = sc[sc["score_micro"] > 0]
         sc[id_col] = sc["__i"].map(dfb[id_col])
         sc = sc[["qid", id_col, "score_micro"]]
         sc = sc.sort_values(["qid", "score_micro", id_col],
@@ -174,7 +181,6 @@ def build_inverted_index(ds, id_col: str, text_col: str, out_dir: str,
     where atomic directory renames don't exist."""
     import json as _j
     import shutil
-    import uuid
 
     marker = os.path.join(out_dir, "_stats.json")
     if os.path.exists(marker):
@@ -186,7 +192,15 @@ def build_inverted_index(ds, id_col: str, text_col: str, out_dir: str,
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
-        wid = uuid.uuid4().hex[:12]
+        # file stem = md5 of the batch's id set, NOT a uuid: a Ray task
+        # retry / lineage re-execution of the same batch then OVERWRITES
+        # its own files instead of appending duplicate postings (ids are
+        # globally unique, so distinct batches cannot collide — and
+        # 128 bits is past the birthday bound at any batch count, where
+        # a short random stem would silently clobber another batch)
+        wid = hashlib.md5(
+            np.ascontiguousarray(df[id_col].to_numpy(np.int64)).tobytes()
+        ).hexdigest()
         toks = _token_lists(df[text_col])
         lens = toks.str.len()
         e = toks.explode().dropna()
@@ -232,13 +246,13 @@ def bm25_query_index(index_dir: str, queries: dict[str, str], k: int = 10
     import ray.data
 
     st = _json.load(open(os.path.join(index_dir, "_stats.json")))
-    n, avgdl, npart = st["n_docs"], st["sum_dl"] / float(st["n_docs"]), \
-        st["npart"]
+    n, npart = st["n_docs"], st["npart"]
     qterms = {qid: tokenize_query(qt) for qid, qt in queries.items()}
     vocab = sorted({t for ts in qterms.values() for t in ts})
     if not vocab or not n:
         return pd.DataFrame({"qid": [], "id": [], "score_micro": [],
                              "rank": []})
+    avgdl = st["sum_dl"] / float(n)
     tps = sorted(set(_term_partition(vocab, npart).tolist()))
     files = []
     for tp in tps:
@@ -249,14 +263,15 @@ def bm25_query_index(index_dir: str, queries: dict[str, str], k: int = 10
                              "rank": []})
 
     # pass 1 over the pruned postings: df per query term (exact — one
-    # posting row per (term, doc))
+    # posting row per (term, doc)); column-pruned read — this pass
+    # needs only `term`, not the id/tf/dl bulk
     def dfp(df: pd.DataFrame) -> pd.DataFrame:
         f = df[df["term"].isin(vocab)]
         c = f.groupby("term", observed=True).size()
         return pd.DataFrame({"term": c.index.to_numpy(dtype=object),
                              "v": c.to_numpy(np.int64)})
 
-    parts = (ray.data.read_parquet(files)
+    parts = (ray.data.read_parquet(files, columns=["term"])
              .map_batches(dfp, batch_format="pandas").to_pandas())
     dfmap = {t: int(v) for t, v in
              parts.groupby("term")["v"].sum().items()}
@@ -288,7 +303,8 @@ def bm25_query_index(index_dir: str, queries: dict[str, str], k: int = 10
     sc = (ray.data.read_parquet(files)
           .map_batches(score, batch_format="pandas").to_pandas())
     out = (sc.groupby(["qid", "id"], as_index=False)["c"].sum()
-           .rename(columns={"c": "score_micro"})
+           .rename(columns={"c": "score_micro"}))
+    out = (out[out["score_micro"] > 0]   # same no-match rule as the scan
            .sort_values(["qid", "score_micro", "id"],
                         ascending=[True, False, True])
            .groupby("qid").head(k).reset_index(drop=True))

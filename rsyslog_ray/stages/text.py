@@ -165,6 +165,19 @@ def ngram_hashes(text: str, n: int = 13) -> np.ndarray:
         np.uint64)
 
 
+def _bench_ngram_ref(benchmark_texts, n: int):
+    """Broadcast (ray.put) the benchmark set's n-gram hashes once —
+    shared by the flag and the filter entry points.  For multi-GB
+    benchmark sets swap the frozenset for a Bloom filter
+    (dedup._bloom_build shape); the probe loops are unchanged."""
+    import ray
+
+    bench: set[int] = set()
+    for t in benchmark_texts:
+        bench.update(ngram_hashes(t, n).tolist())
+    return ray.put(frozenset(bench))
+
+
 def contamination_flags(ds, benchmark_texts, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 13):
     """Flag documents sharing any word n-gram with a benchmark set.
@@ -172,21 +185,16 @@ def contamination_flags(ds, benchmark_texts, id_col: str = "doc_id",
     The benchmark side is SMALL by nature (eval sets), so its n-gram
     hash set broadcasts once (``ray.put``) and every worker probes it
     per batch — no shuffle, one corpus pass.  Returns a Dataset of
-    (id, n_hits, contaminated).  For multi-GB benchmark sets swap the
-    frozenset for a Bloom filter (dedup._bloom_build shape); the probe
-    loop is unchanged."""
+    (id, n_hits, contaminated)."""
     import ray
 
-    bench: set[int] = set()
-    for t in benchmark_texts:
-        bench.update(ngram_hashes(t, n).tolist())
-    ref = ray.put(frozenset(bench))
+    ref = _bench_ngram_ref(benchmark_texts, n)
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         bset = ray.get(ref)
         hits = np.fromiter(
             (sum(int(h) in bset for h in ngram_hashes(t, n))
-             for t in df[text_col]),
+             for t in df[text_col].fillna("")),
             dtype=np.int64, count=len(df))
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
@@ -195,6 +203,29 @@ def contamination_flags(ds, benchmark_texts, id_col: str = "doc_id",
         })
 
     return ds.map_batches(probe, batch_format="pandas")
+
+
+def decontaminate(ds, benchmark_texts, text_col: str = "text",
+                  n: int = 13):
+    """Filter form of :func:`contamination_flags` (GPT-3 appendix-C
+    shape): DROP every document sharing any word n-gram with the
+    benchmark set, keep all columns.  Same broadcast probe, early-exit
+    per doc (``any`` vs the flag variant's full count)."""
+    import ray
+
+    ref = _bench_ngram_ref(benchmark_texts, n)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(ref)
+        if not bset:
+            return df
+        mask = np.fromiter(
+            (not any(int(h) in bset for h in ngram_hashes(t, n))
+             for t in df[text_col].fillna("")),
+            dtype=bool, count=len(df))
+        return df[mask]
+
+    return ds.map_batches(keep, batch_format="pandas")
 
 
 def contamination_oracle(text: str, benchmark_texts, n: int = 13) -> int:
@@ -284,7 +315,9 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         docs = df[id_col].to_numpy()
-        split = df[text_col].str.split("\n")
+        # null text == empty doc (NaN propagates 0-d arrays into the
+        # concatenate below otherwise)
+        split = df[text_col].fillna("").str.split("\n")
         lens = split.str.len().to_numpy()
         lines = np.concatenate([np.asarray(x, dtype=object)
                                 for x in split]) if len(df) else \
@@ -389,12 +422,14 @@ def substring_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     text from surviving tokens.  128-bit keys (two independent
     siphashes) — a 64-bit-only key would cut legitimate text on hash
     collisions at ~10^12 windows.  Docs shorter than ``window``
-    tokens pass through untouched (no window, nothing to dedup).
+    tokens, and docs with no repeated span, pass through VERBATIM
+    (original whitespace preserved); only docs that were actually cut
+    are re-joined single-space (the token-granularity trade).
     """
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows_pk, rows_kh, rows_kl, rows_doc, rows_pos = [], [], [], [], []
         sent_doc = df[id_col].to_numpy()
-        for i, t in zip(df[id_col], df[text_col]):
+        for i, t in zip(df[id_col], df[text_col].fillna("")):
             w = t.split()
             if len(w) < window:
                 continue
@@ -452,7 +487,7 @@ def substring_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     def doc_rows(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"doc": df[id_col].to_numpy(),
                              "pos": np.full(len(df), -2, dtype="int64"),
-                             "t": df[text_col].to_numpy()})
+                             "t": df[text_col].fillna("").to_numpy()})
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         doc = g["doc"].iloc[0]
@@ -461,9 +496,11 @@ def substring_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
             return pd.DataFrame({id_col: [], text_col: []})
         text = trow["t"].iloc[0]
         cuts = np.sort(g[g["pos"] >= 0]["pos"].to_numpy())
-        w = text.split()
         if not len(cuts):
-            return pd.DataFrame({id_col: [doc], text_col: [" ".join(w)]})
+            # untouched docs pass through VERBATIM — rejoining would
+            # silently normalize newlines/tabs corpus-wide
+            return pd.DataFrame({id_col: [doc], text_col: [text]})
+        w = text.split()
         drop = np.zeros(len(w), dtype=bool)
         for p in cuts:
             drop[p:p + window] = True
@@ -486,15 +523,15 @@ def substring_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 def substring_dedup_oracle(ids: list, texts: list, window: int = 20) -> dict:
     """Pure-Python spec: slide a window-token hash over every doc in
     (doc, pos) order; for every window content seen before, mark its
-    token interval; rebuild docs from unmarked tokens (whitespace
-    re-joined)."""
+    token interval; rebuild cut docs from unmarked tokens (re-joined
+    single-space); uncut docs pass through verbatim."""
     seen: set[str] = set()
     out = {}
     for i in sorted(ids):
         t = texts[list(ids).index(i)]
         w = t.split()
         if len(w) < window:
-            out[i] = " ".join(w)
+            out[i] = t          # untouched docs pass through verbatim
             continue
         drop = np.zeros(len(w), dtype=bool)
         for j in range(len(w) - window + 1):
@@ -503,7 +540,8 @@ def substring_dedup_oracle(ids: list, texts: list, window: int = 20) -> dict:
                 drop[j:j + window] = True
             else:
                 seen.add(g)
-        out[i] = " ".join(np.asarray(w, dtype=object)[~drop])
+        out[i] = t if not drop.any() else \
+            " ".join(np.asarray(w, dtype=object)[~drop])
     return out
 
 
@@ -609,7 +647,9 @@ def chunk_documents(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         ids, seqs, texts, lens = [], [], [], []
-        for i, words in zip(df[id_col], df[text_col].str.split()):
+        # null text == empty doc (NaN is truthy — it would crash len())
+        for i, words in zip(df[id_col],
+                            df[text_col].fillna("").str.split()):
             nw = len(words) if words else 0
             for s, start in enumerate(range(0, max(nw, 1), step)):
                 w = words[start:start + chunk_tokens] if words else []
