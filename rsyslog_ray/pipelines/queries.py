@@ -29,6 +29,22 @@ def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def _scratch(name: str, sf_dir: str) -> str:
+    """Fixed per-(query, sf) scratch dir, wiped on entry — repeated
+    driver-gate/bench runs reuse ONE tree instead of leaking a
+    mkdtemp-per-call copy of the data until /tmp fills.  Wiping (not
+    reusing) also keeps composed pipelines' stage-resume from silently
+    skipping work across bench runs."""
+    import shutil
+    import tempfile
+
+    d = os.path.join(tempfile.gettempdir(), "raylog_q",
+                     f"{name}-{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # ======================================================================
 # Parse / per-record transforms (mm* analogs)
 # ======================================================================
@@ -1231,12 +1247,10 @@ def q_bm25_index(sf_dir):
     query set reading only the partitions the query terms land in.
     Rows-only driver check; equality to q:bm25_search (and therefore
     to its DuckDB oracle) is pinned in tests/test_search.py."""
-    import tempfile
-
     from ..stages.search import bm25_query_index, build_inverted_index
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    idx = tempfile.mkdtemp(prefix="raylog_bm25_idx_")
+    idx = _scratch("bm25_idx", sf_dir)
     build_inverted_index(ds, "doc_id", "text", idx, npart=16)
     out = bm25_query_index(idx, BM25_QUERIES, k=10)
     return out.rename(columns={"id": "doc_id"})
@@ -1251,8 +1265,6 @@ def q_incremental_dedup(sf_dir):
     anti-join; no driver-held key set, corpus text never re-read.
     Rows-only driver check; pure-Python spec pinned in
     tests/test_dedup_text.py."""
-    import tempfile
-
     import ray.data
 
     from ..stages.dedup import incremental_dedup, write_corpus_keys
@@ -1263,7 +1275,7 @@ def q_incremental_dedup(sf_dir):
     corpus = corpus.map_batches(
         lambda df: df[df["source"].isin(old_srcs)][["text"]],
         batch_format="pandas")
-    keys_dir = tempfile.mkdtemp(prefix="raylog_corpus_keys_")
+    keys_dir = os.path.join(_scratch("incremental_dedup", sf_dir), "keys")
     write_corpus_keys(corpus, "text", keys_dir)
 
     def new_batch(df: pd.DataFrame) -> pd.DataFrame:
@@ -1536,8 +1548,6 @@ def q_pretrain_corpus(sf_dir):
     stage a parquet resume point.  Returns the funnel stats.  Rows-only
     driver check; planted-fixture semantics pinned in
     tests/test_pretrain.py."""
-    import tempfile
-
     import pyarrow.parquet as pq
 
     from .pretrain import run_pretrain
@@ -1545,7 +1555,7 @@ def q_pretrain_corpus(sf_dir):
     docs = pq.read_table(f"{sf_dir}/documents.parquet",
                          columns=["text"]).to_pandas()
     bench = [" ".join(t.split()[2:20]) for t in docs["text"].iloc[[3, 11]]]
-    out = tempfile.mkdtemp(prefix="raylog_pretrain_")
+    out = _scratch("pretrain", sf_dir)
     stats = run_pretrain(f"{sf_dir}/documents.parquet", out,
                          benchmark_texts=bench, weights=MIX_WEIGHTS,
                          default_weight=MIX_DEFAULT, seed=11, seq_len=64)
@@ -1559,11 +1569,9 @@ def q_curation(sf_dir):
     parquet) over documents; returns the per-stage funnel counts.
     Rows-only driver check; planted-duplicate semantics pinned in
     tests/test_curation.py."""
-    import tempfile
-
     from .curation import run_curation
 
-    out = tempfile.mkdtemp(prefix="raylog_curation_")
+    out = _scratch("curation", sf_dir)
     stats = run_curation(f"{sf_dir}/documents.parquet", out)
     return pd.DataFrame({"stage": list(stats),
                          "value": [int(v) for v in stats.values()]})

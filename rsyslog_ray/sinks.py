@@ -40,7 +40,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 
 import numpy as np
 import pandas as pd
@@ -353,7 +352,16 @@ class FanoutWriter:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        wid = uuid.uuid4().hex[:12]
+        # file stem = md5 of the batch's identity-column buffers, NOT a
+        # fresh uuid: a Ray task retry re-runs the SAME rows, derives
+        # the same stem and OVERWRITES its own part files instead of
+        # appending a second copy into a shard that then commits
+        # (a killed attempt never reached the lineage report, so the
+        # successful attempt's rows alone satisfy the expected count —
+        # duplicates from a uuid stem would be permanent).  Batches
+        # partition the input disjointly, so distinct batches hash to
+        # distinct stems.
+        wid = _batch_stem(batch)
         n = 0
         if "shard" not in batch.column_names:
             # inputs without a shard column: whole run = one partition
@@ -409,7 +417,15 @@ class FanoutWriter:
                             pc.fill_null(keycol.cast(pa.string()), ""),
                             kvs), False)
                         kgrp = grp.filter(kmask)
-                        kd = os.path.join(d, f"{dyn_col}={kvs or '__null__'}")
+                        # sanitize the data-derived dir segment: a value
+                        # containing '/' (or '..') would escape the
+                        # shard dir, beyond plan_resume's wipe (omfile
+                        # dynafiles have the same secpath option,
+                        # template.h:157-160)
+                        safe = (kvs or "__null__").replace("/", "%2F")
+                        if safe in (".", ".."):
+                            safe = "%2E" * len(safe)
+                        kd = os.path.join(d, f"{dyn_col}={safe}")
                         os.makedirs(kd, exist_ok=True)
                         n += 1
                         self._write(kgrp, kd, f"part-{wid}-{n:05d}", fmt)
@@ -457,6 +473,23 @@ class FanoutWriter:
                          "kind": pa.array([], pa.string()),
                          "key": pa.array([], pa.string()),
                          "cnt": pa.array([], pa.int64())})
+
+
+def _batch_stem(batch: pa.Table) -> str:
+    """Deterministic 16-hex identity of a batch's row set: md5 over the
+    raw Arrow buffers of the first column (plus shard + length).  Same
+    rows -> same stem (retry idempotence); disjoint batches -> distinct
+    stems (md5 over unique per-row content)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for name in (batch.column_names[0], "shard"):
+        if name in batch.column_names:
+            for buf in batch[name].combine_chunks().buffers():
+                if buf is not None:
+                    h.update(buf)
+    h.update(str(len(batch)).encode())
+    return h.hexdigest()[:16]
 
 
 def _value_counts(col):

@@ -571,7 +571,15 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
                 rows["val"].append((s >> (16 * c)) & 0xFFFF)
                 rows["id"].append(i)
                 rows["sig"].append(s)
-        return pd.DataFrame(rows)
+        out = pd.DataFrame(rows)
+        # pin sig to int64 via a uint64 view: raw Python ints infer
+        # int64 OR uint64 per batch depending on whether any sig has
+        # bit 63 set, and mismatched block schemas fail the groupby
+        # shuffle (same normalization as minhash's sig_explode)
+        if len(out):
+            out["sig"] = (np.asarray(rows["sig"], dtype=np.uint64)
+                          .view(np.int64))
+        return out
 
     def bucket_pairs(g: pd.DataFrame, chunk_idx: int) -> pd.DataFrame:
         # compare DISTINCT signatures (vectorized XOR+popcount, with a
