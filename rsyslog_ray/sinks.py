@@ -477,13 +477,17 @@ class FanoutWriter:
 
 def _batch_stem(batch: pa.Table) -> str:
     """Deterministic 16-hex identity of a batch's row set: md5 over the
-    raw Arrow buffers of the first column (plus shard + length).  Same
-    rows -> same stem (retry idempotence); disjoint batches -> distinct
-    stems (md5 over unique per-row content)."""
+    raw Arrow buffers of the first few columns (plus shard + length).
+    Same rows -> same stem (retry idempotence); disjoint batches ->
+    distinct stems (the flagship's first column is the unique url;
+    hashing three columns keeps the identity unique for config
+    pipelines whose lead column may repeat)."""
     import hashlib
 
     h = hashlib.md5()
-    for name in (batch.column_names[0], "shard"):
+    light = [n for n in batch.column_names
+             if n not in FanoutWriter.HEAVY_COLS][:3]
+    for name in dict.fromkeys(light + ["shard"]):
         if name in batch.column_names:
             for buf in batch[name].combine_chunks().buffers():
                 if buf is not None:
