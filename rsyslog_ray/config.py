@@ -60,10 +60,19 @@ def _to_pred(p) -> tuple:
 # expression AST = ["prop", name] | ["lit", v] | ["concat", a, b] |
 # ["call", fname, [args...]] — evaluated vectorized per batch.
 
+_REGISTRY_CACHE: dict = {}
+
+
 def _set_registry() -> dict:
+    # built once (module import is the natural point, but functions.py
+    # imports this module's siblings — cache on first call instead);
+    # rebuilding the ~30-entry dict per 'call' node per batch in the
+    # fused hot stage was measurable on many-computed-column configs
+    if _REGISTRY_CACHE:
+        return _REGISTRY_CACHE
     from . import functions as F
 
-    return {
+    _REGISTRY_CACHE.update({
         "toupper": F.toupper, "tolower": F.tolower, "strlen": F.strlen,
         "ltrim": F.ltrim, "rtrim": F.rtrim, "substring": F.substring,
         "replace": F.replace, "field": F.field, "int2hex": F.int2hex,
@@ -83,7 +92,8 @@ def _set_registry() -> dict:
         "getenv": lambda n: F.getenv_fn(n if isinstance(n, str) else str(n)),
         "script_error": F.script_error,
         "previous_action_suspended": F.previous_action_suspended,
-    }
+    })
+    return _REGISTRY_CACHE
 
 
 def eval_set_expr(expr, get, templates=None, get_df=None):
@@ -149,8 +159,15 @@ class PipelineConfig:
                 from .lookup import load_lookup_file
                 return load_lookup_file(spec["file"],
                                         stub=spec.get("stub"))
-            return LookupTable(spec["kind"],
-                               spec.get("table") or spec.get("values"),
+            mapping = spec["table"] if "table" in spec \
+                else spec.get("values")
+            if mapping is None:
+                raise ValueError("lookup spec needs 'table', 'values' "
+                                 "or 'file'")
+            # NOTE: an explicitly EMPTY table ({}) is legal — a
+            # stub-only table to be hot-reloaded later (lookup.c
+            # stub semantics)
+            return LookupTable(spec["kind"], mapping,
                                stub=spec.get("stub", ""))
 
         self.lookups = {name: _lookup(spec)
@@ -225,6 +242,20 @@ class _ConfigMapFn:
         self.c = pc_
         self._ref = lookups_ref
         self._lk = None
+
+    def __getstate__(self):
+        # don't ship the tables inside the pickled task fn when they
+        # already broadcast via ray.put — a large file-backed lookup
+        # would otherwise reach every worker twice (the driver-side
+        # config object is left untouched)
+        st = self.__dict__.copy()
+        if st.get("_ref") is not None:
+            import copy
+            slim = copy.copy(st["c"])
+            slim.lookups = None
+            st["c"] = slim
+        st["_lk"] = None
+        return st
 
     def _lookups(self):
         if self._lk is None:
@@ -314,12 +345,20 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
         pending, done = sk.plan_resume(files, c.out_dir, router.sinks)
     else:
         pending, done = files, set()
-    if not pending:
-        return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
-
     import time as _time
 
     t_run0 = _time.perf_counter()
+    if not pending:
+        # no work left, but the final dynstats still come from the
+        # committed shards' checkpoints — a re-invoke (or a crash
+        # between the last commit and the metrics write) must report
+        # the full corpus, not an empty one (see flagship.py)
+        out = sk.read_agg_partials(c.out_dir, done)
+        out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
+        sk.write_run_metrics(c.out_dir, out,
+                             _time.perf_counter() - t_run0, 0)
+        return out
+
     lineage_name = None
     actor = None
     if lineage:
@@ -327,43 +366,51 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
         lineage_name = f"lineage-{uuid.uuid4().hex[:8]}"
         actor = sk.make_lineage_actor(c.out_dir, expected, name=lineage_name)
 
-    lookups_ref = ray.put(c.lookups) if c.lookups else None
-    fn = _ConfigMapFn(c, lookups_ref)
+    try:
+        lookups_ref = ray.put(c.lookups) if c.lookups else None
+        fn = _ConfigMapFn(c, lookups_ref)
 
-    if c.input_format == "textlog":
-        from .sources.textlog import assemble_multiline, read_log_lines
+        if c.input_format == "textlog":
+            from .sources.textlog import assemble_multiline, read_log_lines
 
-        ds = read_log_lines(pending)
-        if c.multiline_start:
-            ds = assemble_multiline(ds, c.multiline_start)
-            ds = ds.map_batches(
-                lambda df: df.rename(columns={"record": c.source_column}),
-                batch_format="pandas")
-        elif c.source_column != "line":
-            ds = ds.map_batches(
-                lambda df: df.rename(columns={"line": c.source_column}),
-                batch_format="pandas")
-    else:
-        ds = ray.data.read_parquet(pending)
-    ds = ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
-    partials = ds.map_batches(
-        sk.FanoutWriter(router, c.out_dir, lineage_name,
-                        compression=c.compression, full_sinks=c.full_sinks,
-                        agg_kinds=c.agg_kinds, ts_col=c.ts_column,
-                        formats=c.formats, partition_by=c.partition_by),
-        batch_format="pyarrow", batch_size=write_batch_size)
-    out = sk.finalize_aggregates(partials)
-    if lineage and done:
-        # fold in the skipped committed shards' aggregate checkpoints —
-        # resumed runs report full-corpus dynstats (see flagship.py)
-        prev = sk.read_agg_partials(c.out_dir, done)
-        if len(prev):
-            out = (pd.concat([out, prev], ignore_index=True)
-                   .groupby(["sink", "kind", "key"], as_index=False)["cnt"]
-                   .sum().astype({"cnt": "int64"}))
-    out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
-    sk.write_run_metrics(c.out_dir, out, _time.perf_counter() - t_run0,
-                         len(pending))
-    if actor is not None:
-        ray.kill(actor)
+            ds = read_log_lines(pending)
+            if c.multiline_start:
+                ds = assemble_multiline(ds, c.multiline_start)
+                ds = ds.map_batches(
+                    lambda df: df.rename(columns={"record": c.source_column}),
+                    batch_format="pandas")
+            elif c.source_column != "line":
+                ds = ds.map_batches(
+                    lambda df: df.rename(columns={"line": c.source_column}),
+                    batch_format="pandas")
+        else:
+            ds = ray.data.read_parquet(pending)
+        ds = ds.map_batches(fn, batch_format="pyarrow",
+                            batch_size=batch_size)
+        partials = ds.map_batches(
+            sk.FanoutWriter(router, c.out_dir, lineage_name,
+                            compression=c.compression,
+                            full_sinks=c.full_sinks,
+                            agg_kinds=c.agg_kinds, ts_col=c.ts_column,
+                            formats=c.formats,
+                            partition_by=c.partition_by),
+            batch_format="pyarrow", batch_size=write_batch_size)
+        out = sk.finalize_aggregates(partials)
+        if done:
+            # fold in the skipped committed shards' checkpoints —
+            # resumed runs report full-corpus dynstats (gated on
+            # `done`, not this run's lineage flag: the checkpoints
+            # are plain parquet)
+            prev = sk.read_agg_partials(c.out_dir, done)
+            if len(prev):
+                out = (pd.concat([out, prev], ignore_index=True)
+                       .groupby(["sink", "kind", "key"],
+                                as_index=False)["cnt"]
+                       .sum().astype({"cnt": "int64"}))
+        out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
+        sk.write_run_metrics(c.out_dir, out, _time.perf_counter() - t_run0,
+                             len(pending))
+    finally:
+        if actor is not None:  # failed runs must not leak the actor
+            ray.kill(actor)
     return out

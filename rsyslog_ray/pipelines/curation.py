@@ -100,39 +100,61 @@ def run_curation(docs_path: str, out_dir: str, *,
     # gate pass over the corpus
     @ray.remote(num_cpus=0)
     class _Counter:
+        """Batch-stem-deduped row counter: a Ray task RETRY re-reports
+        the same batch with the same stem and is ignored — a plain sum
+        would double-count the batch (the retry-idempotence rule the
+        sinks' part files follow)."""
+
         def __init__(self):
             self.n = 0
+            self.seen: set = set()
 
-        def add(self, k: int) -> None:
-            self.n += int(k)
+        def add(self, stem: bytes, k: int) -> None:
+            if stem not in self.seen:
+                self.seen.add(stem)
+                self.n += int(k)
 
         def value(self) -> int:
             return self.n
-
-    counter = _Counter.remote()
-
-    def add_hash(df: pd.DataFrame) -> pd.DataFrame:
-        ray.get(counter.add.remote(len(df)))
-        a, b = content_key128_frame(df["text"])
-        return df.assign(__th=a, __th2=b)
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values("doc_id").head(1)
                 .drop(columns=["__th", "__th2"]))
 
     exact_path = os.path.join(out_dir, "exact")
-    ran = _run_stage(exact_path, lambda tmp: (
-        gated.map_batches(add_hash, batch_format="pandas")
-        .groupby(["__th", "__th2"]).map_groups(keep_min,
-                                               batch_format="pandas")
-        .write_parquet(tmp)))
     meta_path = exact_path + ".meta.json"
-    if ran:
-        with open(meta_path + ".tmp", "w") as fh:
-            json.dump({"after_quality_gate":
-                       ray.get(counter.value.remote())}, fh)
-        os.replace(meta_path + ".tmp", meta_path)
-    ray.kill(counter)
+
+    def build_exact(tmp: str) -> None:
+        import hashlib
+
+        counter = _Counter.remote()
+
+        def add_hash(df: pd.DataFrame) -> pd.DataFrame:
+            a, b = content_key128_frame(df["text"])
+            stem = hashlib.md5(
+                df["doc_id"].to_numpy("int64").tobytes()).digest()
+            ray.get(counter.add.remote(stem, len(df)))
+            return df.assign(__th=a, __th2=b)
+
+        try:
+            (gated.map_batches(add_hash, batch_format="pandas")
+             .groupby(["__th", "__th2"]).map_groups(keep_min,
+                                                    batch_format="pandas")
+             .write_parquet(tmp))
+            # meta BEFORE the stage dir becomes visible: a crash between
+            # the dir rename and a later meta write would otherwise
+            # wedge resume forever (stage skipped, meta missing)
+            with open(meta_path + ".tmp", "w") as fh:
+                json.dump({"after_quality_gate":
+                           ray.get(counter.value.remote())}, fh)
+            os.replace(meta_path + ".tmp", meta_path)
+        finally:
+            ray.kill(counter)
+
+    if not os.path.exists(meta_path):
+        # legacy/torn state: stage dir without its meta — rebuild both
+        shutil.rmtree(exact_path, ignore_errors=True)
+    _run_stage(exact_path, build_exact)
     exact = ray.data.read_parquet(exact_path)
     with open(meta_path) as fh:
         stats["after_quality_gate"] = json.load(fh)["after_quality_gate"]

@@ -67,13 +67,21 @@ def run_flagship(
     else:
         pending, done = files, set()
 
-    if not pending:
-        # everything already committed — nothing to (re)do
-        return pd.DataFrame(columns=["sink", "kind", "key", "cnt"])
-
     import time as _time
 
     t_run0 = _time.perf_counter()
+    if not pending:
+        # everything already committed — no work, but the final
+        # dynstats still come from the committed shards' _agg
+        # checkpoints (a crash can land BETWEEN the last lineage
+        # commit and write_run_metrics: the re-invoke must repair the
+        # metrics, not report an empty corpus)
+        out = sk.read_agg_partials(out_dir, done)
+        out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
+        sk.write_run_metrics(out_dir, out, _time.perf_counter() - t_run0,
+                             0)
+        return out
+
     lineage_name = None
     actor = None
     if lineage:
@@ -81,41 +89,46 @@ def run_flagship(
         lineage_name = f"lineage-{uuid.uuid4().hex[:8]}"
         actor = sk.make_lineage_actor(out_dir, expected, name=lineage_name)
 
-    ds = ray.data.read_parquet(pending)
-    # ONE fused task stage for parse+enrich: stateless tasks spread over
-    # every CPU (an actor pool here would cap the hottest stage at the
-    # pool size — observed 3× slower), zero-copy Arrow in, Arrow out.
-    lookups_ref = ray.put(default_lookups())
-    parse_fn = ParseStage()
-    enrich_fn = EnrichFn(lookups_ref)
+    try:
+        ds = ray.data.read_parquet(pending)
+        # ONE fused task stage for parse+enrich: stateless tasks spread
+        # over every CPU (an actor pool here would cap the hottest stage
+        # at the pool size — observed 3× slower), zero-copy Arrow in,
+        # Arrow out.
+        lookups_ref = ray.put(default_lookups())
+        parse_fn = ParseStage()
+        enrich_fn = EnrichFn(lookups_ref)
 
-    def parse_enrich(batch):
-        return enrich_fn(parse_fn(batch))
+        def parse_enrich(batch):
+            return enrich_fn(parse_fn(batch))
 
-    ds = ds.map_batches(parse_enrich, batch_format="pyarrow",
-                        batch_size=parse_batch_size)
-    # stateless-task writer: fuses with parse+enrich into ONE elastic
-    # task operator spread over every CPU. Large write batches: small
-    # batches here explode into thousands of tiny parquet files.
-    partials = ds.map_batches(
-        sk.FanoutWriter(router, out_dir, lineage_name),
-        batch_format="pyarrow",
-        batch_size=write_batch_size,
-    )
-    out = sk.finalize_aggregates(partials)  # small: |sinks| × |kinds| × |keys|
-    if lineage and done:
-        # a resumed run skipped committed shards at the read — fold in
-        # their per-shard aggregate checkpoints (_agg/shard=N) so the
-        # final dynstats (and _metrics.json) stay FULL-corpus across
-        # any kill/resume sequence
-        prev = sk.read_agg_partials(out_dir, done)
-        if len(prev):
-            out = (pd.concat([out, prev], ignore_index=True)
-                   .groupby(["sink", "kind", "key"], as_index=False)["cnt"]
-                   .sum().astype({"cnt": "int64"}))
-    out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
-    sk.write_run_metrics(out_dir, out, _time.perf_counter() - t_run0,
-                         len(pending))
-    if actor is not None:
-        ray.kill(actor)
+        ds = ds.map_batches(parse_enrich, batch_format="pyarrow",
+                            batch_size=parse_batch_size)
+        # stateless-task writer: fuses with parse+enrich into ONE elastic
+        # task operator spread over every CPU. Large write batches: small
+        # batches here explode into thousands of tiny parquet files.
+        partials = ds.map_batches(
+            sk.FanoutWriter(router, out_dir, lineage_name),
+            batch_format="pyarrow",
+            batch_size=write_batch_size,
+        )
+        out = sk.finalize_aggregates(partials)  # |sinks|×|kinds|×|keys|
+        if done:
+            # a resumed run skipped committed shards at the read — fold
+            # in their per-shard aggregate checkpoints (_agg/shard=N) so
+            # the final dynstats (and _metrics.json) stay FULL-corpus
+            # across any kill/resume sequence (gated on `done`, not this
+            # run's lineage flag: the checkpoints are plain parquet)
+            prev = sk.read_agg_partials(out_dir, done)
+            if len(prev):
+                out = (pd.concat([out, prev], ignore_index=True)
+                       .groupby(["sink", "kind", "key"],
+                                as_index=False)["cnt"]
+                       .sum().astype({"cnt": "int64"}))
+        out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
+        sk.write_run_metrics(out_dir, out, _time.perf_counter() - t_run0,
+                             len(pending))
+    finally:
+        if actor is not None:  # a failed run must not leak the named actor
+            ray.kill(actor)
     return out

@@ -91,4 +91,7 @@ def test_cli_end_to_end(pages_small, tmp_path):
         capture_output=True, text=True, env=env, cwd="/root/repo",
         timeout=300)
     line2 = json.loads(r2.stdout.strip().splitlines()[-1])
-    assert line2["aggregate_rows"] == 0  # everything already committed
+    # everything already committed -> no rework, but the report still
+    # covers the FULL corpus (from the _agg checkpoints)
+    assert line2["aggregate_rows"] == line["aggregate_rows"]
+    assert line2["total_delivered"] == line["total_delivered"]

@@ -82,6 +82,13 @@ def test_resume_exactly_once(ray_session, pages_small, tmp_path):
 
 def test_noop_resume(ray_session, pages_small, tmp_path):
     out = str(tmp_path / "out")
-    run_flagship(pages_small, out)
-    agg2 = run_flagship(pages_small, out)  # all committed -> no work
-    assert agg2.empty
+    agg1 = run_flagship(pages_small, out)
+    # all committed -> no rework, but the result still reports the FULL
+    # corpus (from the _agg checkpoints — a crash can land between the
+    # last lineage commit and the metrics write, and the re-invoke must
+    # repair the metrics, not claim an empty corpus)
+    agg2 = run_flagship(pages_small, out)
+    pd.testing.assert_frame_equal(agg2.reset_index(drop=True),
+                                  agg1.reset_index(drop=True))
+    m = json.load(open(os.path.join(out, "_metrics.json")))
+    assert m["total_delivered"] > 0
