@@ -355,8 +355,7 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
         # the full corpus, not an empty one (see flagship.py)
         out = sk.read_agg_partials(c.out_dir, done)
         out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
-        sk.write_run_metrics(c.out_dir, out,
-                             _time.perf_counter() - t_run0, 0)
+        sk.repair_run_metrics(c.out_dir, out, _time.perf_counter() - t_run0)
         return out
 
     lineage_name = None

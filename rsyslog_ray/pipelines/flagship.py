@@ -78,8 +78,7 @@ def run_flagship(
         # metrics, not report an empty corpus)
         out = sk.read_agg_partials(out_dir, done)
         out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
-        sk.write_run_metrics(out_dir, out, _time.perf_counter() - t_run0,
-                             0)
+        sk.repair_run_metrics(out_dir, out, _time.perf_counter() - t_run0)
         return out
 
     lineage_name = None

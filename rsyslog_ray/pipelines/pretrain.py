@@ -111,15 +111,18 @@ def run_pretrain(docs_path: str, out_dir: str, *,
         pack_sequences(ray.data.read_parquet(shuf_path), seq_len,
                        id_col="skey").write_parquet(tmp)))
 
-    import pyarrow.parquet as pq
+    # funnel stats over the packed output: a column-pruned DISTRIBUTED
+    # combiner pass (per-batch (rows, pads) partials; driver reduce is
+    # O(n_batches)) — a driver loop reading every packed file serially
+    # would be O(total packed rows) driver work at 100 TB
+    def _pack_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"rows": [len(df)],
+                             "pads": [int(df["n_pad"].sum())]})
 
-    rows = pads = 0
-    for f in sorted(os.listdir(packed_path)):
-        if f.endswith(".parquet"):
-            t = pq.read_table(os.path.join(packed_path, f),
-                              columns=["n_pad"])
-            rows += len(t)
-            pads += int(pd.Series(t["n_pad"].to_pandas()).sum())
+    agg = (ray.data.read_parquet(packed_path, columns=["n_pad"])
+           .map_batches(_pack_partial, batch_format="pandas").to_pandas())
+    rows = int(agg["rows"].sum())
+    pads = int(agg["pads"].sum())
     stats["packed_rows"] = rows
     stats["packed_tokens"] = rows * seq_len
     stats["pad_tokens"] = pads

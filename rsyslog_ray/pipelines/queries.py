@@ -30,16 +30,38 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _scratch(name: str, sf_dir: str) -> str:
-    """Fixed per-(query, sf) scratch dir, wiped on entry — repeated
-    driver-gate/bench runs reuse ONE tree instead of leaking a
+    """Per-(query, sf, RUN) scratch dir, wiped on entry — repeated
+    driver-gate/bench runs reuse ONE tree per run instead of leaking a
     mkdtemp-per-call copy of the data until /tmp fills.  Wiping (not
     reusing) also keeps composed pipelines' stage-resume from silently
-    skipping work across bench runs."""
+    skipping work across bench runs.
+
+    The run key (env ``GRAFT_RUN_ID``, else uid+pid) isolates CONCURRENT
+    runs of the same query on the same sf dir (bench alongside the
+    driver gate, two users on a shared box) — without it the second
+    run's wipe-on-entry clobbers the first's in-flight bm25/pretrain
+    stage files.  Dead runs' trees are reaped here: any sibling dir
+    whose pid no longer exists is removed, so per-pid keys don't leak."""
     import shutil
     import tempfile
 
-    d = os.path.join(tempfile.gettempdir(), "raylog_q",
-                     f"{name}-{os.path.basename(sf_dir.rstrip('/'))}")
+    run = os.environ.get("GRAFT_RUN_ID") or f"u{os.getuid()}p{os.getpid()}"
+    root = os.path.join(tempfile.gettempdir(), "raylog_q", run)
+    # reap trees left by exited processes (same-uid pid-keyed siblings)
+    base = os.path.dirname(root)
+    if os.path.isdir(base):
+        for sib in os.listdir(base):
+            m = sib.startswith(f"u{os.getuid()}p") and sib != os.path.basename(root)
+            if m:
+                try:
+                    pid = int(sib.rsplit("p", 1)[1])
+                    os.kill(pid, 0)
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(base, sib),
+                                  ignore_errors=True)
+                except (ValueError, PermissionError):
+                    pass
+    d = os.path.join(root, f"{name}-{os.path.basename(sf_dir.rstrip('/'))}")
     shutil.rmtree(d, ignore_errors=True)
     os.makedirs(d, exist_ok=True)
     return d
@@ -1098,7 +1120,8 @@ def q_dedup_simhash(sf_dir):
     from ..stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
-    return simhash_pairs(ds, "doc_id", "text", max_hamming=3)
+    return simhash_pairs(ds, "doc_id", "text", max_hamming=3,
+                         as_dataset=True)
 
 
 def q_decontaminate(sf_dir):
@@ -1664,7 +1687,8 @@ def q_dedup_embed(sf_dir):
         .astype(np.float32))
     df = pd.concat([df, copies], ignore_index=True)
     ds = ray.data.from_pandas(df[["vec_id", "embedding"]]).repartition(16)
-    return embedding_neardup_lsh(ds, "vec_id", "embedding", threshold=0.95)
+    return embedding_neardup_lsh(ds, "vec_id", "embedding", threshold=0.95,
+                                 as_dataset=True)
 
 
 def q_runs_compress(sf_dir):

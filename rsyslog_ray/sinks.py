@@ -421,8 +421,12 @@ class FanoutWriter:
                         # containing '/' (or '..') would escape the
                         # shard dir, beyond plan_resume's wipe (omfile
                         # dynafiles have the same secpath option,
-                        # template.h:157-160)
-                        safe = (kvs or "__null__").replace("/", "%2F")
+                        # template.h:157-160).  quote(safe="") is
+                        # INJECTIVE (escapes '%' itself), so distinct
+                        # values ('a/b' vs a literal 'a%2Fb') never
+                        # merge into one partition dir.
+                        from urllib.parse import quote as _quote
+                        safe = _quote(kvs, safe="") if kvs else "__null__"
                         if safe in (".", ".."):
                             safe = "%2E" * len(safe)
                         kd = os.path.join(d, f"{dyn_col}={safe}")
@@ -475,15 +479,53 @@ class FanoutWriter:
                          "cnt": pa.array([], pa.int64())})
 
 
-def _batch_stem(batch: pa.Table) -> str:
-    """Deterministic 16-hex identity of a batch's row set: md5 over the
-    raw Arrow buffers of the first few columns (plus shard + length).
-    Same rows -> same stem (retry idempotence); disjoint batches ->
-    distinct stems (the flagship's first column is the unique url;
-    hashing three columns keeps the identity unique for config
-    pipelines whose lead column may repeat)."""
+# per-worker-process ordinal state for _task_slot(): holds ONE key at a
+# time (workers are single-threaded; a new (task, attempt) evicts the old)
+_TASK_ORD: dict = {}
+
+
+def _task_slot() -> tuple[str, int]:
+    """(stable task key, per-attempt batch ordinal) for the current Ray
+    task.  The task ID is STABLE across retry attempts of the same task
+    while the ordinal sequence restarts at 0 per attempt (keyed by
+    (task_id, attempt_number) internally) — so a retry re-derives the
+    same (key, ordinal) pairs in the same order and overwrites its own
+    files, while two batches of identical CONTENT (heartbeat runs) in
+    different tasks, or at different positions within one task, get
+    distinct slots.  Driver-side direct calls (unit tests) fall back to
+    a process-local counter."""
+    tid, attempt = "driver", 0
+    try:
+        import ray
+        import ray._private.worker as _w
+        if ray.is_initialized() and _w.global_worker.mode == ray.WORKER_MODE:
+            tid = ray.get_runtime_context().get_task_id() or "driver"
+            if tid != "driver":
+                attempt = (_w.global_worker.core_worker
+                           .get_current_task_attempt_number())
+    except Exception:
+        pass
+    k = (tid, attempt)
+    if tid != "driver" and next(iter(_TASK_ORD), k) != k:
+        _TASK_ORD.clear()                     # new task/attempt on this worker
+    n = _TASK_ORD.get(k, 0)
+    _TASK_ORD[k] = n + 1
+    return tid, n
+
+
+def _batch_stem(batch: pa.Table, slot: tuple[str, int] | None = None) -> str:
+    """Deterministic identity of a batch: md5 over the raw Arrow buffers
+    of the first few light columns (plus shard + length), suffixed with
+    the POSITIONAL slot from :func:`_task_slot` — (task id, batch
+    ordinal within the task attempt).  Content alone is not an identity:
+    two byte-identical batches (runs of repeated heartbeat lines) at
+    different positions must not share a stem, or the second silently
+    overwrites the first's part files while both report to lineage.
+    The slot disambiguates position; the content hash keeps retries
+    self-overwriting even if the positional component ever drifted."""
     import hashlib
 
+    tid, ordinal = slot if slot is not None else _task_slot()
     h = hashlib.md5()
     light = [n for n in batch.column_names
              if n not in FanoutWriter.HEAVY_COLS][:3]
@@ -493,7 +535,8 @@ def _batch_stem(batch: pa.Table) -> str:
                 if buf is not None:
                     h.update(buf)
     h.update(str(len(batch)).encode())
-    return h.hexdigest()[:16]
+    h.update(tid.encode())
+    return f"{h.hexdigest()[:12]}b{ordinal:03d}"
 
 
 def _value_counts(col):
@@ -534,6 +577,12 @@ def _partials_for(sink: str, sub: pa.Table, agg_kinds) -> pa.Table:
             "key": key,
             "cnt": cnt,
         }))
+    if not outs:  # agg_kinds=() — pure fan-out sink, no dynstats
+        return pa.table({"shard": pa.array([], pa.int64()),
+                         "sink": pa.array([], pa.string()),
+                         "kind": pa.array([], pa.string()),
+                         "key": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
     return pa.concat_tables(outs)
 
 
@@ -622,6 +671,20 @@ def compact_sink(out_dir: str, sink: str, compression: str = "zstd",
         stats["files_before"] += len(parts)
         stats["files_after"] += len(finals)
     return stats
+
+
+def repair_run_metrics(out_dir: str, agg: pd.DataFrame,
+                       wall_s: float) -> None:
+    """Metrics write for the NO-PENDING re-invoke path.  An out_dir
+    whose shards committed before the _agg checkpoints existed (legacy
+    layout) yields an empty read_agg_partials — overwriting an existing,
+    previously-correct _metrics.json with zero counts would destroy the
+    only record of the run.  Leave it untouched in that case; write
+    normally whenever we have aggregates or no prior metrics exist."""
+    if len(agg) == 0 and os.path.exists(
+            os.path.join(out_dir, "_metrics.json")):
+        return
+    write_run_metrics(out_dir, agg, wall_s, 0)
 
 
 def read_agg_partials(out_dir: str, shards) -> pd.DataFrame:

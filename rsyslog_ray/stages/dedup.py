@@ -553,11 +553,17 @@ def _close_sig_pairs(sigs: np.ndarray, max_hamming: int, exclude_chunk: int,
             np.asarray(hs_o, np.int64))
 
 
-def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
+def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3,
+                  as_dataset: bool = False):
     """Near-dup pairs with SimHash Hamming distance <= max_hamming.
     Banding: 4 chunks of 16 bits — any pair within distance 3 shares at
     least one exact chunk (pigeonhole), so grouping by (chunk_idx,
-    chunk_value) finds all candidates without an all-pairs pass."""
+    chunk_value) finds all candidates without an all-pairs pass.
+
+    ``as_dataset=True`` returns the deduped pair Dataset WITHOUT any
+    driver collect (pair lists are O(corpus x dup-density) — same
+    contract as minhash_lsh_pairs); the default pandas return is for
+    small/interactive use only."""
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         rows = {"chunk": [], "val": [], "id": [], "sig": []}
         cache: dict[str, int] = {}
@@ -632,7 +638,10 @@ def simhash_pairs(ds, id_col: str, text_col: str, max_hamming: int = 3):
     exploded = ds.map_batches(explode_part, batch_format="pandas")
     pairs = exploded.groupby("pk").map_groups(part_pairs,
                                               batch_format="pandas")
-    return distributed_pair_dedup(pairs, _NPART).to_pandas().reset_index(drop=True)
+    deduped = distributed_pair_dedup(pairs, _NPART)
+    if as_dataset:
+        return deduped
+    return deduped.to_pandas().reset_index(drop=True)
 
 
 def simhash_pairs_oracle(ids: list, texts: list, max_hamming: int = 3) -> set[tuple]:
@@ -651,7 +660,8 @@ def simhash_pairs_oracle(ids: list, texts: list, max_hamming: int = 3) -> set[tu
 
 def embedding_neardup_lsh(ds, id_col: str, vec_col: str,
                           threshold: float = 0.95, n_planes: int = 8,
-                          n_probes: int = 3, seed: int = 11):
+                          n_probes: int = 3, seed: int = 11,
+                          as_dataset: bool = False):
     """Near-dup pairs (cosine >= threshold) for an UNBLOCKED corpus:
     multiprobe hyperplane-LSH blocking, then per-bucket GEMM verify.
 
@@ -702,7 +712,10 @@ def embedding_neardup_lsh(ds, id_col: str, vec_col: str,
     exploded = ds.map_batches(explode, batch_format="pandas")
     pairs = exploded.groupby("b").map_groups(bucket_pairs,
                                              batch_format="pandas")
-    return distributed_pair_dedup(pairs, _NPART).to_pandas().reset_index(drop=True)
+    deduped = distributed_pair_dedup(pairs, _NPART)
+    if as_dataset:
+        return deduped
+    return deduped.to_pandas().reset_index(drop=True)
 
 
 def embedding_neardup_pairs(ds, id_col: str, vec_col: str, bucket_col: str,

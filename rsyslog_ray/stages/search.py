@@ -284,32 +284,61 @@ def bm25_query_index(index_dir: str, queries: dict[str, str], k: int = 10
     nf = float(n)
 
     # pass 2: per-batch integer-micro partial sums per (qid, doc) —
-    # exact under any batch split because integer addition commutes;
-    # the driver reduce is O(matched docs × queries)
+    # exact under any batch split because integer addition commutes.
+    # The final reduce is DISTRIBUTED: partials hash-partition on doc
+    # id (all partials of a (qid, id) share the id, hence one group),
+    # each partition sums and keeps its local top-k, and the driver
+    # sees only O(n_partitions × queries × k) rows — for a query
+    # containing an everywhere-term over a 100 TB index, "matched
+    # docs" ≈ the corpus, so a driver-side groupby-sum would be a full
+    # materialization (broadcast-small / stream-big, the
+    # runtime/lookup.c relationship).
+    n_red = min(int(npart), 32)
+    gold = np.uint64(0x9E3779B97F4A7C15)
+
     def score(df: pd.DataFrame) -> pd.DataFrame:
         m = df.merge(qframe, on="term")
         if not len(m):
             return pd.DataFrame({"qid": pd.Series([], dtype=object),
                                  "id": pd.Series([], dtype="int64"),
-                                 "c": pd.Series([], dtype="int64")})
+                                 "c": pd.Series([], dtype="int64"),
+                                 "pp": pd.Series([], dtype="int64")})
         contrib = bm25_contrib(
             m["tf"].to_numpy(np.float64),
             m["term"].map(dfmap).to_numpy(np.float64),
             m["dl"].to_numpy(np.float64), nf, avgdl)
         m["c"] = np.floor(contrib * 1e6 + 0.5).astype(np.int64)
-        return (m.groupby(["qid", "id"], observed=True)["c"].sum()
+        part = (m.groupby(["qid", "id"], observed=True)["c"].sum()
                 .reset_index())
+        part["pp"] = ((part["id"].to_numpy().astype(np.uint64) * gold)
+                      % np.uint64(n_red)).astype("int64")
+        return part
 
-    sc = (ray.data.read_parquet(files)
-          .map_batches(score, batch_format="pandas").to_pandas())
-    out = (sc.groupby(["qid", "id"], as_index=False)["c"].sum()
-           .rename(columns={"c": "score_micro"}))
-    out = (out[out["score_micro"] > 0]   # same no-match rule as the scan
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["qid", "id"], as_index=False)["c"].sum()
+        out = out[out["c"] > 0]      # same no-match rule as the scan
+        out = (out.sort_values(["qid", "c", "id"],
+                               ascending=[True, False, True])
+               .groupby("qid").head(k))
+        return out.reset_index(drop=True)
+
+    sc = _collect_topk(ray.data.read_parquet(files)
+                       .map_batches(score, batch_format="pandas")
+                       .groupby("pp").map_groups(local_topk,
+                                                 batch_format="pandas"))
+    out = (sc.rename(columns={"c": "score_micro"})
            .sort_values(["qid", "score_micro", "id"],
                         ascending=[True, False, True])
            .groupby("qid").head(k).reset_index(drop=True))
     out["rank"] = (out.groupby("qid").cumcount() + 1).astype("int64")
     return out.astype({"score_micro": "int64"})
+
+
+def _collect_topk(ds) -> pd.DataFrame:
+    """The ONE driver collect of bm25_query_index — the per-partition
+    top-k rows (O(n_partitions × queries × k)).  A named seam so tests
+    can pin the driver-visible row count with monkeypatch."""
+    return ds.to_pandas()
 
 
 def bm25_oracle(ids, texts, queries: dict[str, str], k: int = 10

@@ -230,3 +230,53 @@ def test_stratified_sample_resumable_membership():
     half = sorted(ids[ids % 2 == 0], key=lambda i: (keys[i], i))[:10]
     assert [i for i in full if i % 2 == 0] == \
         [i for i in half if i in full]
+
+
+def test_bm25_index_common_term_bounded_driver(ray_session, tmp_path,
+                                               monkeypatch):
+    """VERDICT r3 #1: a query with a term present in ~every doc must
+    NOT gather every matched (qid, id, c) partial on the driver.  The
+    final reduce is hash-partitioned per-partition top-k, so the ONE
+    driver collect sees at most O(n_partitions x queries x k) rows —
+    pinned here with an injectable collect counter (the minhash
+    to_pandas pin pattern)."""
+    import ray.data
+
+    from rsyslog_ray.stages import search as S
+
+    n = 2000
+    rng = np.random.RandomState(5)
+    texts = [("common " * (1 + int(rng.randint(3)))) + f"unique{i}"
+             for i in range(n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64),
+                       "text": texts})
+    idx = str(tmp_path / "idx")
+    S.build_inverted_index(ray.data.from_pandas(df).repartition(8),
+                           "doc_id", "text", idx, npart=8)
+
+    collected = []
+    orig = S._collect_topk
+
+    def counted(ds):
+        out = orig(ds)
+        collected.append(len(out))
+        return out
+
+    monkeypatch.setattr(S, "_collect_topk", counted)
+    queries = {"q1": "common", "q2": "common unique17"}
+    k = 7
+    got = S.bm25_query_index(idx, queries, k=k)
+    assert collected == [c for c in collected if c <= 8 * len(queries) * k]
+    assert len(collected) == 1 and collected[0] <= 8 * len(queries) * k, \
+        "driver saw more than O(npart x queries x k) rows"
+    # every doc DID match q1 (idf of an everywhere-term stays > 0 at
+    # this corpus size) — the bound above is meaningful
+    assert collected[0] < n / 4
+
+    # correctness unchanged: identical to the direct corpus scan
+    want = S.bm25_search(ray.data.from_pandas(df).repartition(5),
+                         "doc_id", "text", queries, k=k).rename(
+        columns={"doc_id": "id"})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True),
+                                  check_dtype=False)
