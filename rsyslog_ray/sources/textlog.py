@@ -86,11 +86,11 @@ def assemble_multiline_oracle(lines: list[str], start_pattern: str) -> list[str]
 # ---------------------------------------------------------------------
 # Network-stream framing (imtcp/imptcp analogs)
 
-def split_octet_counted(data: bytes):
+def split_octet_counted_bytes(data: bytes):
     """RFC6587 octet-counted framing parser (imtcp/imptcp
     TCP_FRAMING_OCTET_COUNTING, reference runtime/tcps_sess.c:374-460
     processDataRcvd: digits, one space, exactly <len> message octets).
-    Returns (frames, remainder) — the remainder is an incomplete
+    Returns (byte frames, remainder) — the remainder is an incomplete
     trailing frame to prepend to the next read (the per-session
     inputState the reference keeps)."""
     frames = []
@@ -104,17 +104,28 @@ def split_octet_counted(data: bytes):
         end = sp + 1 + ln
         if end > n:
             break  # frame not fully received yet
-        frames.append(data[sp + 1:end].decode("utf-8", errors="replace"))
+        frames.append(data[sp + 1:end])
         pos = end
     return frames, data[pos:]
 
 
-def split_lf_framed(data: bytes):
+def split_octet_counted(data: bytes):
+    """String-decoding wrapper over :func:`split_octet_counted_bytes`."""
+    frames, rem = split_octet_counted_bytes(data)
+    return [f.decode("utf-8", errors="replace") for f in frames], rem
+
+
+def split_lf_framed_bytes(data: bytes):
     """LF framing (TCP_FRAMING_OCTET_STUFFING, the traditional mode):
     newline-delimited; the trailing partial line is the remainder."""
     parts = data.split(b"\n")
     rem = parts.pop()
-    return [p.decode("utf-8", errors="replace") for p in parts], rem
+    return parts, rem
+
+
+def split_lf_framed(data: bytes):
+    frames, rem = split_lf_framed_bytes(data)
+    return [f.decode("utf-8", errors="replace") for f in frames], rem
 
 
 class TcpCapture:
@@ -127,39 +138,64 @@ class TcpCapture:
     forever; a batch capture stops after ``max_conns`` sessions."""
 
     def __init__(self, bind_host: str = "127.0.0.1", port: int = 0,
-                 framing: str = "octet-counted", ack: bool = False):
+                 framing: str = "octet-counted", ack: bool = False,
+                 ssl_context=None, decompress: str = "none"):
         import socket
 
         self._srv = socket.socket()
         self._srv.bind((bind_host, port))
         self._srv.listen(16)
         self.port = self._srv.getsockname()[1]
-        self._split = (split_octet_counted if framing == "octet-counted"
-                       else split_lf_framed)
+        self._split = (split_octet_counted_bytes
+                       if framing == "octet-counted"
+                       else split_lf_framed_bytes)
         # ack=True: RELP-style confirmed delivery (the receiver half of
         # TcpSyslogTransport(ack=True) / plugins/imrelp): a zero-length
         # end-of-batch frame is answered with "ACK\n" and not recorded
         self.ack = ack
+        # ssl_context: server-side TLS (imtcp StreamDriver.Mode=1,
+        # imtcp.c:404-419) — the accepted socket is wrapped before any
+        # framing, mirroring the netstream-driver layering.
+        self.ssl_context = ssl_context
+        # decompress mirrors TcpSyslogTransport's compression modes:
+        #   "single": a frame starting with b"z" is zlib-inflated
+        #     (omfwd COMPRESS_SINGLE_MSG's z-marker wire format)
+        #   "stream": the whole connection byte stream inflates
+        #     through one zlib stream before framing
+        assert decompress in ("none", "single", "stream")
+        self.decompress = decompress
 
     def capture(self, max_conns: int):
+        import zlib
+
         import ray.data
 
         rows = {"record": [], "peer": [], "session": []}
         try:
             for session in range(max_conns):
                 conn, peer = self._srv.accept()
+                if self.ssl_context is not None:
+                    conn = self.ssl_context.wrap_socket(conn,
+                                                        server_side=True)
+                inflate = (zlib.decompressobj()
+                           if self.decompress == "stream" else None)
                 buf = b""
                 while True:
                     chunk = conn.recv(65536)
                     if not chunk:
                         break
+                    if inflate is not None:
+                        chunk = inflate.decompress(chunk)
                     buf += chunk
                     frames, buf = self._split(buf)
                     for f in frames:
                         if self.ack and len(f) == 0:
                             conn.sendall(b"ACK\n")
                             continue
-                        rows["record"].append(f)
+                        if self.decompress == "single" and f[:1] == b"z":
+                            f = zlib.decompress(f[1:])
+                        rows["record"].append(
+                            f.decode("utf-8", errors="replace"))
                         rows["peer"].append(f"{peer[0]}:{peer[1]}")
                         rows["session"].append(session)
                 conn.close()

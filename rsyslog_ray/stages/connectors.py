@@ -49,7 +49,10 @@ class TcpSyslogTransport:
     like the reference's unacked-resend on reconnect)."""
 
     def __init__(self, host: str, port: int, render=None,
-                 framing: str = "octet-counted", ack: bool = False):
+                 framing: str = "octet-counted", ack: bool = False,
+                 ssl_context=None, server_hostname: str | None = None,
+                 compression: str = "none", compression_level: int = 6,
+                 compress_min_size: int = 60, flush_on_tx_end: bool = True):
         self.addr = (host, port)
         self.render = render or (lambda rec: json.dumps(rec, default=str))
         assert framing in ("octet-counted", "lf")
@@ -61,29 +64,80 @@ class TcpSyslogTransport:
         # so an unconfirmed bulk raises and the retry resends it
         # (at-least-once; exactly-once needs downstream dedup).
         self.ack = ack
+        # TLS = imtcp/omfwd stream-driver mode 1 (imtcp.c:404-419,
+        # nsd_gtls/nsd_ossl): pass an ssl.SSLContext; the socket is
+        # wrapped at connect, everything above the wrap (framing,
+        # compression, ack) is unchanged — exactly the reference's
+        # layering, where the netstream driver sits below framing.
+        self.ssl_context = ssl_context
+        self.server_hostname = server_hostname or host
+        # compression modes (omfwd.c:152-156 + 1781-1800):
+        #   "single" = COMPRESS_SINGLE_MSG — each rendered message
+        #     bigger than compress_min_size becomes b"z"+zlib(msg),
+        #     kept only when it actually shrinks; framing wraps the
+        #     compressed bytes.
+        #   "stream" = COMPRESS_STREAM_ALWAYS — one deflate stream per
+        #     connection; each bulk (transaction) ends with a
+        #     Z_SYNC_FLUSH when flush_on_tx_end (strmCompFlushOnTxEnd),
+        #     Z_FINISH at close.
+        assert compression in ("none", "single", "stream")
+        # single-msg compressed bytes may contain 0x0A — only length-
+        # prefixed framing can carry them (stream mode compresses the
+        # frames themselves, so any framing works there)
+        assert not (compression == "single" and framing == "lf"), \
+            "single-message compression requires octet-counted framing"
+        self.compression = compression
+        self.compression_level = compression_level
+        self.compress_min_size = compress_min_size
+        self.flush_on_tx_end = flush_on_tx_end
         self._sock = None
+        self._zstrm = None
 
     def _connected(self):
         import socket
 
         if self._sock is None:
-            self._sock = socket.create_connection(self.addr, timeout=10)
+            s = socket.create_connection(self.addr, timeout=10)
+            if self.ssl_context is not None:
+                s = self.ssl_context.wrap_socket(
+                    s, server_hostname=self.server_hostname)
+            self._sock = s
+            if self.compression == "stream":
+                # new connection = new deflate stream (the reference
+                # inits the zstrm per target connection)
+                import zlib
+                self._zstrm = zlib.compressobj(self.compression_level)
         return self._sock
 
+    def _frame(self, data: bytes) -> bytes:
+        if self.framing == "octet-counted":
+            return b"%d %s" % (len(data), data)
+        return data.replace(b"\n", b"\\n") + b"\n"
+
     def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        import zlib
+
         chunks = []
         for rec in payloads:
-            line = self.render(rec)
-            if self.framing == "octet-counted":
-                data = line.encode()
-                chunks.append(b"%d %s" % (len(data), data))
-            else:
-                chunks.append(line.replace("\n", "\\n").encode() + b"\n")
+            data = self.render(rec).encode()
+            if (self.compression == "single"
+                    and len(data) > self.compress_min_size):
+                comp = zlib.compress(data, self.compression_level)
+                if len(comp) + 1 < len(data):   # only when it gains
+                    data = b"z" + comp
+            chunks.append(self._frame(data))
         if self.ack:
             chunks.append(b"0 ")               # end-of-batch frame
         try:
             s = self._connected()
-            s.sendall(b"".join(chunks))
+            wire = b"".join(chunks)
+            if self.compression == "stream":
+                wire = self._zstrm.compress(wire)
+                if self.flush_on_tx_end or self.ack:
+                    # tx-end sync flush; ack REQUIRES it (the peer
+                    # can't answer a frame still in the deflate buffer)
+                    wire += self._zstrm.flush(zlib.Z_SYNC_FLUSH)
+            s.sendall(wire)
             if self.ack:
                 buf = b""
                 while not buf.endswith(b"\n"):
@@ -98,11 +152,19 @@ class TcpSyslogTransport:
                 self._sock.close()
             finally:
                 self._sock = None
+                self._zstrm = None
             raise
         return []  # stream transport: no per-item rejects
 
     def close(self):
         if self._sock is not None:
+            if self._zstrm is not None:
+                import zlib
+                try:  # finish the deflate stream (omfwd doZipFinish)
+                    self._sock.sendall(self._zstrm.flush(zlib.Z_FINISH))
+                except OSError:
+                    pass
+                self._zstrm = None
             self._sock.close()
             self._sock = None
 
@@ -428,3 +490,50 @@ class ConnectorSink:
             rejected += r
         return pd.DataFrame({"rows_delivered": [delivered],
                              "rows_rejected": [rejected]})
+
+
+def reinject_errorfile(error_file: str, transport, *, batch_rows: int = 500,
+                       max_retries: int = 3, backoff_base_s: float = 0.1,
+                       concurrency=(1, 4), batch_size: int = 2048) -> dict:
+    """omelasticsearch ``retryfailures`` (omelasticsearch.c:227-253):
+    parse the errorfile's quarantined per-item rejects back into a
+    Dataset and re-run them through a fresh delivery pass — the
+    reference re-injects parsed bulk failures into the pipeline as new
+    messages instead of leaving them dead in the errorfile.
+
+    The errorfile is ROTATED first (rename to ``.retrying``) so this
+    round's own rejects quarantine into a fresh errorfile — items that
+    fail again are re-quarantined, never re-looped within one call
+    (each invocation is one retry round; the caller decides how many
+    rounds).  Rows-only driver work is O(errorfile), which is bounded
+    by quarantined-reject volume, not corpus size.
+
+    Returns {"reinjected": n, "rows_delivered": d, "rows_rejected": r}.
+    """
+    import ray.data
+
+    if not os.path.exists(error_file):
+        return {"reinjected": 0, "rows_delivered": 0, "rows_rejected": 0}
+    rot = error_file + ".retrying"
+    os.replace(error_file, rot)
+    payloads = []
+    with open(rot) as fh:
+        for line in fh:
+            line = line.strip()
+            if line:
+                payloads.append(json.loads(line)["payload"])
+    if not payloads:
+        return {"reinjected": 0, "rows_delivered": 0, "rows_rejected": 0}
+    acct = (ray.data.from_pandas(pd.DataFrame(payloads))
+            .map_batches(ConnectorSink,
+                         fn_constructor_kwargs=dict(
+                             transport=transport, batch_rows=batch_rows,
+                             error_file=error_file,
+                             max_retries=max_retries,
+                             backoff_base_s=backoff_base_s),
+                         batch_format="pandas", concurrency=concurrency,
+                         batch_size=batch_size)
+            .to_pandas())
+    return {"reinjected": len(payloads),
+            "rows_delivered": int(acct["rows_delivered"].sum()),
+            "rows_rejected": int(acct["rows_rejected"].sum())}

@@ -350,19 +350,99 @@ def _bloom_build(pairs_ds, m_bits: int = _BLOOM_BITS) -> np.ndarray:
     return bloom
 
 
+# count-min sketch over the pair id columns — the FIXED-driver-memory
+# fan-in estimator behind the verify join's hot-key salting.  CMS only
+# ever OVERestimates, so an estimation error can only over-salt (extra
+# doc-row replication), never under-split a hot group.
+_CMS_W = 1 << 18
+_CMS_SEEDS = (np.uint64(0x2545F4914F6CDD1D),
+              np.uint64(0xC2B2AE3D27D4EB4F))
+
+
+def _cms_positions(ids: np.ndarray, w: int = _CMS_W):
+    u = ids.astype(np.uint64)
+    return [(_splitmix(u ^ s) % np.uint64(w)).astype(np.int64)
+            for s in _CMS_SEEDS]
+
+
+def _pair_sketches(pairs_ds, m_bits: int = _BLOOM_BITS):
+    """ONE pass over the candidate pairs -> (bloom, cms): the Bloom
+    filter that prunes the corpus scan plus two count-min sketches —
+    cms[0] counts id_a occurrences (first join's fan-in), cms[1]
+    counts id_b occurrences (second join's).  Per-batch fixed-size
+    partials, OR/SUM-reduced on the driver: driver memory is
+    O(m_bits + 4·CMS_W), independent of candidate count."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits, dtype=bool)
+        both = np.concatenate([df["id_a"].to_numpy(),
+                               df["id_b"].to_numpy()])
+        for pos in _bloom_positions(both, m_bits):
+            bits[pos] = True
+        cms = np.zeros((2, len(_CMS_SEEDS), _CMS_W), dtype=np.int64)
+        for side, coln in enumerate(("id_a", "id_b")):
+            for r, pos in enumerate(_cms_positions(df[coln].to_numpy())):
+                cms[side, r] += np.bincount(pos, minlength=_CMS_W)
+        return pd.DataFrame(
+            {"bloom": [np.packbits(bits, bitorder="little").tobytes()],
+             "cms": [cms.tobytes()]})
+
+    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+    cms = np.zeros((2, len(_CMS_SEEDS), _CMS_W), dtype=np.int64)
+    parts = pairs_ds.map_batches(partial, batch_format="pandas")
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
+        for buf in b["bloom"]:
+            bloom |= np.frombuffer(buf, dtype=np.uint8)
+        for buf in b["cms"]:
+            cms += np.frombuffer(buf, dtype=np.int64).reshape(cms.shape)
+    return bloom, cms
+
+
+def _nsalt(ids: np.ndarray, cms_side: np.ndarray, bound: int,
+           max_salt: int = 256) -> np.ndarray:
+    """Per-id salt count: ceil(estimated fan-in / bound), in
+    [1, max_salt].  ids with fan-in <= bound get nsalt 1 — the
+    unsalted fast path is byte-identical to the pre-salting engine."""
+    est = None
+    for r, pos in enumerate(_cms_positions(ids)):
+        v = cms_side[r][pos]
+        est = v if est is None else np.minimum(est, v)
+    return np.clip((est + bound - 1) // bound, 1, max_salt).astype(np.int64)
+
+
 def verify_pairs_jaccard(docs_ds, pairs_ds, id_col: str, text_col: str, *,
-                         threshold: float, k: int = 3):
+                         threshold: float, k: int = 3,
+                         fanin_bound: int = 100_000,
+                         max_group_rows: int | None = None):
     """Exact-Jaccard verify of candidate (id_a, id_b) pairs WITHOUT any
     driver-side text gather: Bloom-prune the corpus scan to candidate
     ids, then two sort-based id-joins (union + groupby) attach text_a
     and text_b; the Jaccard check runs inside the second join's
     map_groups.  Returns a Dataset of verified (id_a, id_b).
-    Partitioning assumption: one id's pair fan-in fits one worker
-    (true unless a single document near-dups a constant fraction of
-    the corpus — salt id_b in that regime)."""
+
+    HOT-KEY SALTING (VERDICT r3 #5): a viral doc (boilerplate page
+    near-dupping a constant fraction of a crawl) would fan every one of
+    its pairs into ONE join group.  A count-min sketch of per-id pair
+    counts (built in the same single pass as the Bloom filter; fixed
+    driver memory; overestimates only) sizes a per-id salt count
+    nsalt = ceil(fan-in / fanin_bound): pair rows split into nsalt
+    subgroups keyed by the OTHER id's hash, and the group's single doc
+    row is replicated once per salt — per-group size is bounded by
+    ~fanin_bound while duplicate copies of a pair still share a
+    subgroup (their salt is a pure function of the pair), keeping the
+    in-join dedup exact.  Ids under the bound take nsalt=1: byte-for-
+    byte the unsalted plan.  ``max_group_rows`` is a test hook — when
+    set, any join group larger than it raises inside the worker."""
     import ray
 
-    bloom_ref = ray.put(_bloom_build(pairs_ds))
+    bloom, cms = _pair_sketches(pairs_ds)
+    bloom_ref = ray.put(bloom)
+    cms_ref = ray.put(cms)
+
+    def _check(g: pd.DataFrame) -> None:
+        if max_group_rows is not None and len(g) > max_group_rows:
+            raise AssertionError(
+                f"verify join group of {len(g)} rows exceeds "
+                f"max_group_rows={max_group_rows}")
 
     def prune(df: pd.DataFrame) -> pd.DataFrame:
         bloom = ray.get(bloom_ref)
@@ -380,39 +460,71 @@ def verify_pairs_jaccard(docs_ds, pairs_ds, id_col: str, text_col: str, *,
     # pruned scan instead of re-reading the corpus
     docs_f = docs_ds.map_batches(prune, batch_format="pandas").materialize()
 
+    def _rep_docs(side: int):
+        """Replicate each doc row once per salt of its OWN id, so every
+        salted subgroup of that id's join still contains the text."""
+        def rep(df: pd.DataFrame) -> pd.DataFrame:
+            ns = _nsalt(df["key"].to_numpy(), ray.get(cms_ref)[side],
+                        fanin_bound)
+            idx = np.repeat(np.arange(len(df)), ns)
+            out = df.iloc[idx].reset_index(drop=True)
+            starts = np.cumsum(ns) - ns
+            out["salt"] = (np.arange(int(ns.sum()))
+                           - np.repeat(starts, ns)).astype("int64")
+            # column order must match the pair-side frames (union
+            # requires identical block schemas)
+            return out[["key", "salt", "id_a", "id_b", "t"]]
+        return rep
+
+    def _pair_salt(key_ids: np.ndarray, other_ids: np.ndarray,
+                   side: int) -> np.ndarray:
+        ns = _nsalt(key_ids, ray.get(cms_ref)[side], fanin_bound)
+        return (_splitmix(other_ids.astype(np.uint64))
+                % ns.astype(np.uint64)).astype("int64")
+
     def pairs_keyed_a(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": df["id_a"], "id_a": df["id_a"],
+        return pd.DataFrame({"key": df["id_a"],
+                             "salt": _pair_salt(df["id_a"].to_numpy(),
+                                                df["id_b"].to_numpy(), 0),
+                             "id_a": df["id_a"],
                              "id_b": df["id_b"],
                              "t": np.full(len(df), "", dtype=object)})
 
     def attach_a(g: pd.DataFrame) -> pd.DataFrame:
+        _check(g)
         doc = g[g["id_a"] < 0]
         prs = g[g["id_a"] >= 0]
         if doc.empty or prs.empty:   # Bloom FP doc, or id missing
             return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "salt": pd.Series([], dtype="int64"),
                                  "id_a": pd.Series([], dtype="int64"),
                                  "id_b": pd.Series([], dtype="int64"),
                                  "ta": pd.Series([], dtype=object)})
         # global pair dedup happens HERE: every copy of (id_a, id_b)
-        # is in this id_a group regardless of which band/partition
-        # produced it
+        # is in this (id_a, salt) group — the salt is a pure function
+        # of the pair — regardless of which band/partition produced it
         prs = prs.drop_duplicates(["id_a", "id_b"])
         return pd.DataFrame({"key": prs["id_b"].to_numpy(),
+                             "salt": _pair_salt(prs["id_b"].to_numpy(),
+                                                prs["id_a"].to_numpy(), 1),
                              "id_a": prs["id_a"].to_numpy(),
                              "id_b": prs["id_b"].to_numpy(),
                              "ta": np.full(len(prs), doc["t"].iloc[0],
                                            dtype=object)})
 
     with_ta = (pairs_ds.map_batches(pairs_keyed_a, batch_format="pandas")
-               .union(docs_f)
-               .groupby("key").map_groups(attach_a, batch_format="pandas"))
+               .union(docs_f.map_batches(_rep_docs(0),
+                                         batch_format="pandas"))
+               .groupby(["key", "salt"])
+               .map_groups(attach_a, batch_format="pandas"))
 
     def docs_as_b(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": df["key"],
+        return pd.DataFrame({"key": df["key"], "salt": df["salt"],
                              "id_a": df["id_a"], "id_b": df["id_b"],
                              "ta": df["t"]})
 
     def verify_b(g: pd.DataFrame) -> pd.DataFrame:
+        _check(g)
         doc = g[g["id_a"] < 0]
         prs = g[g["id_a"] >= 0]
         empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
@@ -437,9 +549,11 @@ def verify_pairs_jaccard(docs_ds, pairs_ds, id_col: str, text_col: str, *,
         return pd.DataFrame({"id_a": np.asarray(keep_a, dtype="int64"),
                              "id_b": np.asarray(keep_b, dtype="int64")})
 
-    return (with_ta.union(docs_f.map_batches(docs_as_b,
-                                             batch_format="pandas"))
-            .groupby("key").map_groups(verify_b, batch_format="pandas"))
+    return (with_ta.union(docs_f.map_batches(_rep_docs(1),
+                                             batch_format="pandas")
+                          .map_batches(docs_as_b, batch_format="pandas"))
+            .groupby(["key", "salt"])
+            .map_groups(verify_b, batch_format="pandas"))
 
 
 def minhash_lsh_pairs_oracle(ids: list, texts: list, threshold: float = 0.8,

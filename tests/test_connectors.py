@@ -524,3 +524,218 @@ def test_relp_ack_roundtrip_between_own_halves(ray_session):
     assert out["rows_delivered"].iloc[0] == 6
     recs = sorted(got["ds"].to_pandas()["record"])
     assert recs == [f"<13>m{i}" for i in range(6)]
+
+
+def _self_signed(tmp_path):
+    """Self-signed localhost cert+key PEMs for the TLS drills."""
+    import datetime
+    import ipaddress
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (x509.CertificateBuilder().subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - datetime.timedelta(days=1))
+            .not_valid_after(now + datetime.timedelta(days=1))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.DNSName("localhost"),
+                 x509.IPAddress(ipaddress.ip_address("127.0.0.1"))]),
+                critical=False)
+            .sign(key, hashes.SHA256()))
+    cert_pem = tmp_path / "cert.pem"
+    key_pem = tmp_path / "key.pem"
+    cert_pem.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_pem.write_bytes(key.private_bytes(
+        serialization.Encoding.PEM, serialization.PrivateFormat.PKCS8,
+        serialization.NoEncryption()))
+    return str(cert_pem), str(key_pem)
+
+
+def test_tls_octet_counted_roundtrip(ray_session, tmp_path):
+    """VERDICT r3 #5(TLS): imtcp StreamDriver.Mode=1 semantics
+    (imtcp.c:404-419) via stdlib ssl — octet-counted frames round-trip
+    over TLS localhost between the engine's own halves, with the
+    client VERIFYING the server cert (authmode x509/certvalid)."""
+    import ssl
+    import threading
+
+    pytest.importorskip("cryptography")
+    from rsyslog_ray.sources.textlog import TcpCapture
+    from rsyslog_ray.stages.connectors import TcpSyslogTransport
+
+    cert, key = _self_signed(tmp_path)
+    srv_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    srv_ctx.load_cert_chain(cert, key)
+    cli_ctx = ssl.create_default_context(cafile=cert)
+
+    cap = TcpCapture(ssl_context=srv_ctx)
+    got = {}
+
+    def listen():
+        got["ds"] = cap.capture(1)
+
+    th = threading.Thread(target=listen)
+    th.start()
+    sink = ConnectorSink(
+        transport=TcpSyslogTransport(
+            "127.0.0.1", cap.port, render=lambda r: f"<13>s{r['event_id']}",
+            ssl_context=cli_ctx, server_hostname="localhost"),
+        batch_rows=100)
+    out = sink(_events(8))
+    sink.transport.close()
+    th.join(timeout=15)
+    assert not th.is_alive()
+    assert out["rows_delivered"].iloc[0] == 8
+    recs = sorted(got["ds"].to_pandas()["record"])
+    assert recs == [f"<13>s{i}" for i in range(8)]
+
+
+def test_omfwd_zlib_single_message(ray_session):
+    """omfwd COMPRESS_SINGLE_MSG (omfwd.c:1781-1800): messages above
+    the size floor arrive as b'z'+zlib and inflate back; tiny messages
+    ship raw; both decode identically at the capture half."""
+    import threading
+
+    from rsyslog_ray.sources.textlog import TcpCapture
+    from rsyslog_ray.stages.connectors import TcpSyslogTransport
+
+    cap = TcpCapture(decompress="single")
+    got = {}
+
+    def listen():
+        got["ds"] = cap.capture(1)
+
+    th = threading.Thread(target=listen)
+    th.start()
+    msgs = ["tiny"] + [f"<{i}> " + ("payload " * 40) + f"tail{i}"
+                       for i in range(20)]
+    sink = ConnectorSink(
+        transport=TcpSyslogTransport(
+            "127.0.0.1", cap.port, render=lambda r: r["m"],
+            compression="single", compress_min_size=60),
+        batch_rows=100)
+    out = sink(pd.DataFrame({"m": msgs}))
+    sink.transport.close()
+    th.join(timeout=15)
+    assert not th.is_alive()
+    assert out["rows_delivered"].iloc[0] == len(msgs)
+    assert sorted(got["ds"].to_pandas()["record"]) == sorted(msgs)
+
+
+def test_omfwd_zlib_stream_mode(ray_session):
+    """omfwd COMPRESS_STREAM_ALWAYS: one deflate stream per connection,
+    Z_SYNC_FLUSH per bulk (strmCompFlushOnTxEnd), Z_FINISH at close —
+    the capture half inflates the connection stream before framing.
+    Multiple bulks over one connection must all arrive."""
+    import threading
+
+    from rsyslog_ray.sources.textlog import TcpCapture
+    from rsyslog_ray.stages.connectors import TcpSyslogTransport
+
+    cap = TcpCapture(decompress="stream")
+    got = {}
+
+    def listen():
+        got["ds"] = cap.capture(1)
+
+    th = threading.Thread(target=listen)
+    th.start()
+    sink = ConnectorSink(
+        transport=TcpSyslogTransport(
+            "127.0.0.1", cap.port,
+            render=lambda r: f"<13>stream-{r['event_id']} " + "x" * 100,
+            compression="stream"),
+        batch_rows=25)          # 100 rows -> 4 bulks, one connection
+    out = sink(_events(100))
+    sink.transport.close()
+    th.join(timeout=15)
+    assert not th.is_alive()
+    assert out["rows_delivered"].iloc[0] == 100
+    recs = sorted(got["ds"].to_pandas()["record"])
+    assert recs == sorted(f"<13>stream-{i} " + "x" * 100
+                          for i in range(100))
+
+
+def test_es_retryfailures_reinjection(ray_session, tmp_path):
+    """omelasticsearch retryfailures (omelasticsearch.c:227-253) drill:
+    items rejected per-item on the first bulk round quarantine to the
+    errorfile, reinject_errorfile parses them back into a Dataset pass,
+    and the re-injection round delivers them (the server accepts on
+    the second sight).  The errorfile rotates so the retry round's own
+    rejects would land in a fresh file, never re-loop."""
+    import http.server
+    import json as _json
+    import os
+    import threading
+
+    import ray.data
+
+    from rsyslog_ray.stages.connectors import (ConnectorSink,
+                                               EsBulkTransport,
+                                               reinject_errorfile)
+
+    docs, seen_once = [], set()
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(h):
+            n = int(h.headers["Content-Length"])
+            lines = [l for l in h.rfile.read(n).decode().split("\n") if l]
+            items, errors = [], False
+            for a, d in zip(lines[::2], lines[1::2]):
+                doc = _json.loads(d)
+                flaky = doc["id"] % 10 == 0
+                if flaky and doc["id"] not in seen_once:
+                    seen_once.add(doc["id"])
+                    errors = True
+                    items.append({"index": {"status": 429,
+                                            "error": {"type": "busy"}}})
+                else:
+                    docs.append(doc)
+                    items.append({"index": {"status": 201}})
+            out = _json.dumps({"errors": errors, "items": items}).encode()
+            h.send_response(200)
+            h.send_header("Content-Length", str(len(out)))
+            h.end_headers()
+            h.wfile.write(out)
+
+        def log_message(h, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    err = str(tmp_path / "errors.jsonl")
+    try:
+        df = pd.DataFrame({"id": range(100),
+                           "msg": [f"event {i}" for i in range(100)]})
+        out = (ray.data.from_pandas(df).repartition(2)
+               .map_batches(ConnectorSink,
+                            fn_constructor_kwargs=dict(
+                                transport=EsBulkTransport(
+                                    "127.0.0.1", port, index="logs"),
+                                batch_rows=32, error_file=err),
+                            batch_format="pandas", concurrency=(1, 2),
+                            batch_size=64).to_pandas())
+        assert out["rows_delivered"].sum() == 90
+        assert out["rows_rejected"].sum() == 10
+
+        res = reinject_errorfile(
+            err, EsBulkTransport("127.0.0.1", port, index="logs"),
+            batch_rows=32)
+        assert res == {"reinjected": 10, "rows_delivered": 10,
+                       "rows_rejected": 0}
+        assert os.path.exists(err + ".retrying")   # rotated source
+        assert not os.path.exists(err)             # no new rejects
+        assert sorted(d["id"] for d in docs) == list(range(100))
+        # idempotent: nothing left to re-inject
+        assert reinject_errorfile(err, None)["reinjected"] == 0
+    finally:
+        httpd.shutdown()
+        httpd.server_close()

@@ -672,3 +672,42 @@ def test_pair_ops_as_dataset_no_driver_collect(ray_session, docs,
     got_em = em.to_pandas()
     assert (got_em["id_b"] >= 100_000).all()
     assert len(got_em) >= 40
+
+
+def test_verify_salted_fanin_viral_doc(ray_session):
+    """VERDICT r3 #5: a viral doc whose candidate pairs cover ~50% of a
+    10k corpus must verify with BOUNDED per-join-group fan-in (CMS-
+    sized salting) and produce exactly the oracle pair set.  Both hot
+    directions are planted: a hub with the smallest id (all its pairs
+    share id_a -> first join hot) and a hub with the largest id (all
+    pairs share id_b -> second join hot)."""
+    import ray.data
+
+    T = " ".join(f"w{i}" for i in range(40))          # hub text
+    ids, texts = [0, 20_000], [T, T]                  # hub_a, hub_b
+    pa_a, pa_b = [], []
+    for i in range(1, 5001):                          # hub_a candidates
+        ids.append(i)
+        texts.append(T if i % 2 == 0 else f"junk {i} " * 10)
+        pa_a.append(0)
+        pa_b.append(i)
+    for j in range(10_001, 15_001):                   # hub_b candidates
+        ids.append(j)
+        texts.append(T if j % 2 == 0 else f"noise {j} " * 10)
+        pa_a.append(j)
+        pa_b.append(20_000)
+    docs = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array(ids, dtype="int64"), "text": texts})
+    ).repartition(8)
+    pairs = ray.data.from_pandas(pd.DataFrame(
+        {"id_a": np.array(pa_a, dtype="int64"),
+         "id_b": np.array(pa_b, dtype="int64")})).repartition(8)
+
+    got = dd.verify_pairs_jaccard(
+        docs, pairs, "doc_id", "text", threshold=0.8,
+        fanin_bound=64, max_group_rows=320).to_pandas()
+
+    want = {(0, i) for i in range(1, 5001) if i % 2 == 0}
+    want |= {(j, 20_000) for j in range(10_001, 15_001) if j % 2 == 0}
+    assert set(zip(got["id_a"], got["id_b"])) == want
+    assert len(got) == len(got.drop_duplicates(["id_a", "id_b"]))
