@@ -38,6 +38,7 @@ import json
 import os
 import uuid
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -58,7 +59,8 @@ def _to_pred(p) -> tuple:
 # ---------------------------------------------------------------------
 # `set $x = expr` computed columns (S_SET, grammar.y set_stmt):
 # expression AST = ["prop", name] | ["lit", v] | ["concat", a, b] |
-# ["call", fname, [args...]] — evaluated vectorized per batch.
+# ["arith", op, a, b] | ["call", fname, [args...]] — evaluated
+# vectorized per batch.
 
 _REGISTRY_CACHE: dict = {}
 
@@ -115,6 +117,28 @@ def eval_set_expr(expr, get, templates=None, get_df=None):
             sb = b.astype(str) if isinstance(b, pd.Series) else str(b)
             return sa + sb
         return str(a) + str(b)
+    if op == "arith":
+        # + - * / % (grammar/grammar.y:100-123): float64 with true
+        # division and floor-mod, matching the Router's expression
+        # paths (router._num_pd); non-numeric operands coerce to NaN
+        a = eval_set_expr(expr[2], get, templates, get_df)
+        b = eval_set_expr(expr[3], get, templates, get_df)
+
+        def _num(x):
+            if isinstance(x, pd.Series):
+                return pd.to_numeric(x, errors="coerce").astype("float64")
+            try:
+                return float(x)
+            except (TypeError, ValueError):
+                return float("nan")
+        a, b = _num(a), _num(b)
+        fn = {"+": lambda x, y: x + y, "-": lambda x, y: x - y,
+              "*": lambda x, y: x * y, "/": lambda x, y: x / y,
+              "%": lambda x, y: x % y}[expr[1]]
+        if isinstance(a, pd.Series) or isinstance(b, pd.Series):
+            return fn(a, b)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return float(fn(np.float64(a), np.float64(b)))
     if op == "call":
         if expr[1] == "exec_template":
             from .template import Template

@@ -29,7 +29,14 @@ Supported statements (reference grammar sites cited):
   (grammar.y:if_stmt, cnfexprEval rainerscript.c:3878-4110) with
   ``==  !=  <=  >=  <  >  contains  startswith  endswith``,
   ``re_match($prop, "ere")``, and/or/not, parentheses; else carries
-  the negated condition
+  the negated condition.  Comparison operands may be arithmetic
+  expressions ``+ - * / %`` with normal precedence and parentheses
+  (grammar/grammar.y:100-123 left-assoc %left chains), e.g.
+  ``if $!n * 8 + $!m >= 13``; ``$x == ["a","b"]`` is array
+  membership (rainerscript.c:3752-3776 evalVar against an array —
+  binary-searched there, hash-set `isin` here; ``!=`` array is the
+  negation, grammar.y:211-214 CMP_NE array form); ``exists($!x)``
+  tests field presence (rainerscript.c:3097-3110)
 - ``:prop, [!]op, "value" action(...)`` — classic property filter
   (PROPFILT, runtime/ruleset.c:424-500)
 - ``facility.severity action(...)`` — classic syslog.conf selectors
@@ -50,11 +57,11 @@ import re
 _TOKEN_RE = re.compile(r"""
     (?P<comment>\#[^\n]*)
   | (?P<string>"(?:[^"\\]|\\.)*")
-  | (?P<num>-?\d+(?:\.\d+)?)
+  | (?P<num>\d+(?:\.\d+)?)
   | (?P<prop>\$[!.]?[A-Za-z_][A-Za-z0-9_!.-]*)
   | (?P<word>[A-Za-z_][A-Za-z0-9_.-]*)
   | (?P<op>==|!=|<=|>=|<|>|=)
-  | (?P<punct>[(){},;:!*.&])
+  | (?P<punct>[(){}\[\],;:!*.&+\-/%])
   | (?P<ws>\s+)
 """, re.VERBOSE)
 
@@ -117,20 +124,42 @@ class _P:
 
     # -- value expressions (set $x = ...) ------------------------------
     def value_expr(self):
-        """term (& term)* — RainerScript string concat."""
-        t = self.value_term()
+        """RainerScript value expression: `&` concat binds loosest
+        (grammar.y %left AND..'&' chain), then `+ -`, then `* / %`."""
+        t = self.value_sum()
         while self.peek()[1] == "&":
             self.next()
-            rhs = self.value_term()
+            rhs = self.value_sum()
             t = ("concat", t, rhs)
+        return t
+
+    def value_sum(self):
+        t = self.value_mul()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            t = ("arith", op, t, self.value_mul())
+        return t
+
+    def value_mul(self):
+        t = self.value_term()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            t = ("arith", op, t, self.value_term())
         return t
 
     def value_term(self):
         k, v = self.next()
+        if v == "(":
+            e = self.value_expr()
+            self.expect(")")
+            return e
         if k == "prop":
             return ("prop", _prop_name(v))
         if k == "string":
             return ("lit", v)
+        if v == "-" and self.peek()[0] == "num":
+            nv = self.next()[1]
+            return ("lit", -(float(nv) if "." in nv else int(nv)))
         if k == "num":
             return ("lit", float(v) if "." in v else int(v))
         if k == "word" and self.peek()[1] == "(":
@@ -169,10 +198,30 @@ class _P:
             self.next()
             return ("not", self.unary())
         if v == "(":
+            # Ambiguous: "($a > 1) and ..." (condition parens) vs
+            # "($!n + 1) * 2 > 4" (arithmetic parens).  Try the
+            # condition reading first; backtrack to comparison() —
+            # whose sum_expr owns arithmetic parens — if it fails or
+            # leaves a dangling arithmetic operator.
+            mark = self.i
+            try:
+                self.next()
+                c = self.cond()
+                self.expect(")")
+                if self.peek()[1] not in ("+", "-", "*", "/", "%"):
+                    return c
+            except (SyntaxError, KeyError):
+                pass
+            self.i = mark
+            return self.comparison()
+        if v == "exists":
+            # exists($!path) — rainerscript.c:3097-3110 msgGetJSONPropJSON
+            # probe: field present AND non-null
             self.next()
-            c = self.cond()
+            self.expect("(")
+            prop = _prop_name(self.next()[1])
             self.expect(")")
-            return c
+            return ("exists", prop)
         if v in ("re_match", "re_match_i"):
             # re_match_i (rainerscript.c:4483, REG_ICASE) compiles to
             # the same regex predicate with an inline (?i) — valid in
@@ -188,24 +237,86 @@ class _P:
         return self.comparison()
 
     def comparison(self):
-        k, v = self.next()
-        if k != "prop":
-            raise SyntaxError(f"expected $property, got {v!r}")
-        prop = _prop_name(v)
+        left = self.sum_expr()
         opk, op = self.next()
         if op in ("contains", "startswith", "endswith"):
+            if left[0] != "col":
+                raise SyntaxError(f"{op} needs a $property left side")
             val = self.next()[1]
-            return (op, prop, val)
+            return (op, left[1], val)
         if op not in ("==", "!=", "<=", ">=", "<", ">"):
             raise SyntaxError(f"unknown comparison op {op!r}")
-        vk, vv = self.next()
-        if vk == "num":
-            val = float(vv) if "." in vv else int(vv)
-        elif vv in ("on", "off") and op in ("==", "!="):
-            val = vv == "on"   # boolean sugar for flag columns
-        else:
-            val = vv
-        return (op, prop, val)
+        if self.peek()[1] == "[":
+            # array membership: $x == ["a","b"] / != (negated) —
+            # grammar.y:211-214; rainerscript.c:3752-3776 binary-
+            # searches the sorted array; Router ("in",...) is isin
+            if left[0] != "col":
+                raise SyntaxError("array membership needs a $property")
+            self.next()
+            vals = []
+            while self.peek()[1] != "]":
+                vk, vv = self.next()
+                if vk == "num":
+                    vals.append(float(vv) if "." in vv else int(vv))
+                elif vk == "string":
+                    vals.append(vv)
+                else:
+                    raise SyntaxError(f"bad array element {vv!r}")
+                if self.peek()[1] == ",":
+                    self.next()
+            self.expect("]")
+            if op == "==":
+                return ("in", left[1], sorted(vals, key=str))
+            if op == "!=":
+                return ("not", ("in", left[1], sorted(vals, key=str)))
+            raise SyntaxError(f"array membership needs ==/!=, got {op!r}")
+        vk, vv = self.peek()
+        if vk in ("word", "string") and vv in ("on", "off") \
+                and op in ("==", "!=") and left[0] == "col":
+            self.next()
+            return (op, left[1], vv == "on")  # boolean flag sugar
+        right = self.sum_expr()
+        if left[0] == "col" and right[0] == "lit":
+            return (op, left[1], right[1])     # legacy simple form
+        # arithmetic / col-vs-col comparison: Router expression nodes
+        # (("arith",op,a,b) | ("col",n) | ("lit",v)) — numeric float64
+        return (op, left, right)
+
+    # arithmetic expression operands (grammar/grammar.y:100-123
+    # %left '+' '-' / %left '*' '/' '%'): nodes the Router's
+    # _num_pd/_num_row/_num_arrow evaluate
+    def sum_expr(self):
+        t = self.mul_expr()
+        while self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            t = ("arith", op, t, self.mul_expr())
+        return t
+
+    def mul_expr(self):
+        t = self.atom_expr()
+        while self.peek()[1] in ("*", "/", "%"):
+            op = self.next()[1]
+            t = ("arith", op, t, self.atom_expr())
+        return t
+
+    def atom_expr(self):
+        k, v = self.next()
+        if v == "(":
+            e = self.sum_expr()
+            self.expect(")")
+            return e
+        if v == "-":   # unary minus (constant-fold literals)
+            f = self.atom_expr()
+            if f[0] == "lit" and isinstance(f[1], (int, float)):
+                return ("lit", -f[1])
+            return ("arith", "-", ("lit", 0), f)
+        if k == "num":
+            return ("lit", float(v) if "." in v else int(v))
+        if k == "prop":
+            return ("col", _prop_name(v))
+        if k == "string":
+            return ("lit", v)
+        raise SyntaxError(f"bad expression operand {v!r}")
 
 
 # classic syslog selector tables (RFC3164 §4.1.1; the reference's

@@ -24,9 +24,20 @@ subset):
     ("regex", col, pattern)          # ERE, re.search semantics
     ("isempty", col)                 # "" or null
     ("in", col, [v1, v2, ...])       # sorted-array membership
+    ("exists", col)                  # column present AND non-null
+                                     # (rainerscript.c:3097-3110)
     ("prifilt", col, lo, hi)         # severity range mask (inclusive)
     ("and", p, q) ("or", p, q) ("not", p) ("true",)
-"""
+
+Comparison operands may also be ARITHMETIC EXPRESSION nodes
+(grammar/grammar.y:100-123 `+ - * / %`): ("arith", op, a, b) with
+leaves ("col", name) / ("lit", number), e.g.
+``(">=", ("arith", "+", ("arith", "*", ("col","n"), ("lit",8)),
+("col","m")), 13)``.  All three evaluation paths compute in float64
+with true division and floor-mod (numpy/pandas semantics — the
+reference computes C int64 with truncating division; identical for
+the non-negative integer configs that actually use this, divergent
+only on negative modulo/division corners)."""
 
 from __future__ import annotations
 
@@ -44,6 +55,83 @@ class Route:
     stop: bool = False
 
 
+def _is_expr(x) -> bool:
+    return isinstance(x, (tuple, list)) and x and \
+        x[0] in ("arith", "col", "lit")
+
+
+_ARITH_CMP = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+}
+
+_ARITH = {
+    "+": lambda a, b: a + b,
+    "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b,
+    "/": lambda a, b: a / b,
+    "%": lambda a, b: a % b,
+}
+
+
+def _num_pd(e, df: pd.DataFrame):
+    """Numeric expression -> float64 Series/scalar (nulls stay NaN)."""
+    if not _is_expr(e):
+        return float(e)
+    if e[0] == "col":
+        return pd.to_numeric(df[e[1]], errors="coerce").astype("float64")
+    if e[0] == "lit":
+        return float(e[1])
+    return _ARITH[e[1]](_num_pd(e[2], df), _num_pd(e[3], df))
+
+
+def _num_row(e, row: dict):
+    if not _is_expr(e):
+        return float(e)
+    if e[0] == "col":
+        v = row.get(e[1])
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return float("nan")
+    if e[0] == "lit":
+        return float(e[1])
+    a, b = _num_row(e[2], row), _num_row(e[3], row)
+    # np.float64 + errstate: div-by-zero yields inf/nan exactly like
+    # the pandas and Arrow float64 paths (Python floats would raise)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return float(_ARITH[e[1]](np.float64(a), np.float64(b)))
+
+
+def _num_arrow(e, t):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not _is_expr(e):
+        return pa.scalar(float(e), pa.float64())
+    if e[0] == "col":
+        return pc.cast(t[e[1]], pa.float64(), safe=False)
+    if e[0] == "lit":
+        return pa.scalar(float(e[1]), pa.float64())
+    a, b = _num_arrow(e[2], t), _num_arrow(e[3], t)
+    op = e[1]
+    if op == "+":
+        return pc.add(a, b)
+    if op == "-":
+        return pc.subtract(a, b)
+    if op == "*":
+        return pc.multiply(a, b)
+    if op == "/":
+        return pc.divide(a, b)
+    # floor-mod a - floor(a/b)*b — Arrow ships no modulo kernel; this
+    # matches the pandas/numpy % the other two paths use
+    return pc.subtract(a, pc.multiply(pc.floor(pc.divide(a, b)), b))
+
+
 def _mask(pred: tuple, df: pd.DataFrame) -> pd.Series:
     op = pred[0]
     if op == "true":
@@ -54,6 +142,20 @@ def _mask(pred: tuple, df: pd.DataFrame) -> pd.Series:
         return _mask(pred[1], df) | _mask(pred[2], df)
     if op == "not":
         return ~_mask(pred[1], df)
+    if op == "exists":
+        # exists($!x): column present in the frame AND non-null
+        if pred[1] not in df.columns:
+            return pd.Series(False, index=df.index)
+        return df[pred[1]].notna()
+    if op in ("==", "!=", ">=", "<=", ">", "<") and \
+            (_is_expr(pred[1]) or _is_expr(pred[2])):
+        a, b = _num_pd(pred[1], df), _num_pd(pred[2], df)
+        if not isinstance(a, pd.Series):
+            a = pd.Series(a, index=df.index)
+        if not isinstance(b, pd.Series):
+            b = pd.Series(b, index=df.index)
+        # NaN on either side -> False, incl. for != (the null rule)
+        return (_ARITH_CMP[op](a, b) & a.notna() & b.notna()).astype(bool)
     col = df[pred[1]]
     if op == "==":
         return (col == pred[2]).fillna(False).astype(bool)
@@ -94,6 +196,16 @@ def _eval_row(pred: tuple, row: dict) -> bool:
         return _eval_row(pred[1], row) or _eval_row(pred[2], row)
     if op == "not":
         return not _eval_row(pred[1], row)
+    if op == "exists":
+        v = row.get(pred[1])
+        return not (v is None or (isinstance(v, float) and np.isnan(v))
+                    or v is pd.NA or v is pd.NaT)
+    if op in ("==", "!=", ">=", "<=", ">", "<") and \
+            (_is_expr(pred[1]) or _is_expr(pred[2])):
+        a, b = _num_row(pred[1], row), _num_row(pred[2], row)
+        if np.isnan(a) or np.isnan(b):
+            return False
+        return bool(_ARITH_CMP[op](a, b))
     v = row.get(pred[1])
     isnull = v is None or (isinstance(v, float) and np.isnan(v)) or v is pd.NA or v is pd.NaT
     if op == "==":
@@ -145,6 +257,24 @@ def _mask_arrow(pred: tuple, t):
         return pc.or_(_mask_arrow(pred[1], t), _mask_arrow(pred[2], t))
     if op == "not":
         return pc.invert(_mask_arrow(pred[1], t))
+    if op == "exists":
+        if pred[1] not in t.column_names:
+            return pa.array(np.zeros(len(t), dtype=bool))
+        return pc.is_valid(t[pred[1]].combine_chunks()
+                           if isinstance(t[pred[1]], pa.ChunkedArray)
+                           else t[pred[1]])
+    if op in ("==", "!=", ">=", "<=", ">", "<") and \
+            (_is_expr(pred[1]) or _is_expr(pred[2])):
+        a, b = _num_arrow(pred[1], t), _num_arrow(pred[2], t)
+        cmp = {"==": pc.equal, "!=": pc.not_equal,
+               ">=": pc.greater_equal, "<=": pc.less_equal,
+               ">": pc.greater, "<": pc.less}[op](a, b)
+        if isinstance(cmp, pa.Scalar):    # lit-only both sides
+            v = bool(nn(cmp).as_py())
+            return pa.array(np.full(len(t), v, dtype=bool))
+        # NaN arithmetic results compare False already; nn() covers
+        # nulls from the source columns
+        return nn(cmp)
     col = t[pred[1]]
     if op == "==":
         return nn(pc.equal(col, pred[2]))

@@ -311,6 +311,100 @@ def test_foreach_explode(ray_session, tmp_path):
     assert list(zip(te["doc"], te["w"])) == [("a", "x")]
 
 
+def test_arithmetic_array_exists_filters():
+    """RainerScript expression completeness (grammar/grammar.y:100-123
+    arithmetic %left chains, rainerscript.c:3752-3776 array membership,
+    rainerscript.c:3097-3110 exists()): the .conf front-end compiles
+    `if $!n * 8 + $!m >= 13`, `$!tag == ["a","b"]` and `exists($!x)`
+    to vectorized masks identical to the hand-built Router AST, across
+    all three evaluation paths (pandas / per-row / Arrow)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rsyslog_ray.config import _to_pred
+    from rsyslog_ray.router import _eval_row, _mask, _mask_arrow
+
+    cfg = parse_rainer('''
+    if $!n * 8 + $!m >= 13 then action(type="omfile" file="arith")
+    if $!tag == ["beta", "alpha"] then action(type="omfile" file="member")
+    if $!tag != ["beta", "alpha"] then action(type="omfile" file="notmem")
+    if exists($!x) then action(type="omfile" file="hasx")
+    if ($!n + 1) * 2 > 4 then action(type="omfile" file="parens")
+    if $!n % 3 == 1 then action(type="omfile" file="mod")
+    ''')
+    r = cfg["routes"]
+    # compiled ASTs are exactly the Router tuple forms
+    assert r[0]["pred"] == [">=", ["arith", "+",
+                                   ["arith", "*", ["col", "n"], ["lit", 8]],
+                                   ["col", "m"]], ["lit", 13]]
+    assert r[1]["pred"] == ["in", "tag", ["alpha", "beta"]]
+    assert r[2]["pred"] == ["not", ["in", "tag", ["alpha", "beta"]]]
+    assert r[3]["pred"] == ["exists", "x"]
+    assert r[5]["pred"] == ["==", ["arith", "%", ["col", "n"], ["lit", 3]],
+                            ["lit", 1]]
+
+    df = pd.DataFrame({
+        "n": [1, 2, 0, None, 4],
+        "m": [5, 1, 13, 1, 0],
+        "tag": ["alpha", "x", "beta", None, "alpha"],
+        "x": ["1", None, "v", None, "0"],
+    })
+    expect = {
+        # n*8+m: 13, 17, 13, NaN, 32  (null arithmetic -> False)
+        "arith": [True, True, True, False, True],
+        "member": [True, False, True, False, True],
+        "notmem": [False, True, False, True, False],
+        "hasx": [True, False, True, False, True],
+        # (n+1)*2: 4, 6, 2, NaN, 10
+        "parens": [False, True, False, False, True],
+        # n%3: 1, 2, 0, NaN, 1
+        "mod": [True, False, False, False, True],
+    }
+    t = pa.Table.from_pandas(df)
+    for route in r:
+        pred = _to_pred(route["pred"])
+        want = expect[route["sink"]]
+        assert _mask(pred, df).tolist() == want, route["sink"]
+        assert [_eval_row(pred, row) for row in
+                df.to_dict("records")] == want, route["sink"]
+        got = _mask_arrow(pred, t)
+        assert (np.asarray(got) if isinstance(got, pa.Array)
+                else got.to_pandas().fillna(False)).tolist() == want, \
+            route["sink"]
+
+    # a missing column: exists() is False everywhere, not an error
+    missing = _to_pred(["exists", "nope"])
+    assert _mask(missing, df).tolist() == [False] * 5
+    assert not any(_eval_row(missing, row) for row in df.to_dict("records"))
+    assert np.asarray(_mask_arrow(missing, t)).tolist() == [False] * 5
+
+
+def test_set_arithmetic():
+    """set $x = arithmetic (grammar.y:100-123 in set_stmt): computed
+    columns evaluate + - * / % vectorized with float64/NaN-null
+    semantics matching the Router expression paths."""
+    from rsyslog_ray.config import eval_set_expr, _to_pred
+
+    cfg = parse_rainer('''
+    set $score = $!n * 8 + $!m - 1;
+    set $frac = ($!n + 1) / 4;
+    set $neg = -3;
+    set $mixed = cstr($!n * 2) & "x";
+    ''')
+    exprs = {c["column"]: _to_pred(c["expr"]) for c in cfg["computed"]}
+    df = pd.DataFrame({"n": [1, 2, None], "m": [5.0, 1.0, 2.0]})
+    get = lambda name: df[name]
+    score = eval_set_expr(exprs["score"], get)
+    assert score.tolist()[:2] == [12.0, 16.0]
+    assert pd.isna(score.iloc[2])
+    assert eval_set_expr(exprs["frac"], get).tolist()[:2] == [0.5, 0.75]
+    assert eval_set_expr(exprs["neg"], get) == -3
+    # arithmetic is float64 (router._num_pd semantics), so cstr renders
+    # the float repr
+    assert eval_set_expr(exprs["mixed"], get).tolist()[:2] == \
+        ["2.0x", "4.0x"]
+
+
 def test_re_match_i_in_conf():
     """re_match_i (rainerscript.c:4483 REG_ICASE) compiles to the regex
     predicate with an inline (?i), valid for both re and RE2 paths."""
