@@ -178,6 +178,10 @@ class PipelineConfig:
         self.rulebase = Rulebase([
             _rule(r) for r in cfg.get("rules", [])
         ]) if cfg.get("rules") else None
+        # vendor message normalizers (vendor.py pm* analogs), applied
+        # to the source column before the rulebase chain — the parser
+        # chain order in runtime/parser.c:613-693
+        self.normalizers = cfg.get("normalizers", [])
         def _lookup(spec: dict) -> LookupTable:
             if "file" in spec:  # reference .lkp_tbl JSON file format
                 from .lookup import load_lookup_file
@@ -294,6 +298,16 @@ class _ConfigMapFn:
         import pyarrow.compute as pc
 
         cols = dict(zip(batch.column_names, batch.columns))
+        if self.c.normalizers and self.c.source_column in cols:
+            # vendor rewrites need pandas string ops (the patterns use
+            # lookarounds RE2 lacks); only the one source column
+            # converts, and only on configs that load a pm* normalizer
+            from .vendor import apply_normalizers
+            norm = apply_normalizers(
+                batch[self.c.source_column].to_pandas().astype("string"),
+                self.c.normalizers)
+            cols[self.c.source_column] = pa.array(norm, pa.string())
+            batch = pa.table(cols)
         if self.c.rulebase is not None:
             parsed = self.c.rulebase.parse_table(batch[self.c.source_column])
             cols.update(parsed)

@@ -458,6 +458,19 @@ def parse_rainer(text: str) -> dict:
                                 for r in PAGES_RULEBASE.rules]
                 cfg.setdefault("source_column", "text")
                 cfg.setdefault("extract_column", "html")
+            elif mod == "pmciscoios":
+                # shipped Cisco IOS header grammar (vendor.py;
+                # plugins/pmciscoios/pmciscoios.c) — origin form
+                # first, plain second (first match wins)
+                from .vendor import CISCO_IOS_RULEBASE
+                cfg.setdefault("rules", []).extend(
+                    {"name": r.name, "pattern": r.pattern,
+                     "types": r.types} for r in CISCO_IOS_RULEBASE.rules)
+            elif mod in ("pmsnare", "pmaixforwardedfrom",
+                         "pmcisconames"):
+                # message normalizers: rewrite recognized lines to
+                # RFC3164 shape before the rulebase chain runs
+                cfg.setdefault("normalizers", []).append(mod)
         elif v == "lookup_table":
             # lookup_table(name=".." file="x.lkp_tbl") — the reference's
             # JSON table file format (runtime/lookup.c lookupReadFile)

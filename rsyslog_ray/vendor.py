@@ -1,0 +1,515 @@
+"""Shipped vendor parser modules (pm*) — data, not mechanism.
+
+The generic Rulebase chain (rulebase.py) is the repo's mmnormalize /
+parser-chain analog; this module ships the actual per-vendor rule
+content the reference distributes as pm* plugins, in two shapes:
+
+1. **Header rulebases** (pmciscoios): a full header grammar that
+   replaces pmrfc3164 for the device's format — here a Rulebase
+   factory whose regexes mirror the C character walk.
+2. **Message normalizers** (pmaixforwardedfrom, pmsnare,
+   pmcisconames): parsers that REWRITE the raw message into standard
+   RFC3164 shape and then "abort" so the stock parser chain continues
+   (each C file ends in ABORT_FINALIZE(RS_RET_COULD_NOT_PARSE) after
+   the rewrite).  Here each is a vectorized Series->Series transform
+   plus a per-row reference oracle implementing the C walk literally;
+   tests assert byte-identity between the two (CLAUDE.md invariant 5).
+
+Reference specs:
+- pmciscoios   plugins/pmciscoios/pmciscoios.c:134-263
+- pmaixforwardedfrom contrib/pmaixforwardedfrom/pmaixforwardedfrom.c:65-146
+- pmsnare      contrib/pmsnare/pmsnare.c:282-424
+- pmcisconames contrib/pmcisconames/pmcisconames.c:66-146
+
+All operate on the post-PRI text (the repo's syslog path strips <PRI>
+via SYSLOG_RULEBASE / pri_decompose before vendor handling, matching
+sFEATUREAutomaticPRIParsing in each module's IsCompatibleWithFeature).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from .rulebase import Rule, Rulebase
+
+# ---------------------------------------------------------------------
+# pmciscoios — Cisco IOS "syslog" header grammar
+# (plugins/pmciscoios/pmciscoios.c:134-263)
+# ---------------------------------------------------------------------
+
+# TIMESTAMP3164 with PARSE3164_TZSTRING: "Mmm [d]d HH:MM:SS[.mmm][ TZ]"
+# (runtime/datetime.c ParseTIMESTAMP3164; TZ is a short letter word,
+# e.g. "gmt"/"UTC")
+_TS3164 = (r"(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)"
+           r" (?: \d|\d\d) \d{2}:\d{2}:\d{2}(?:\.\d{1,3})?"
+           r"(?: [A-Za-z]{1,6})?")
+
+
+def cisco_ios_rulebase(origin: bool = False, xr: bool = False) -> Rulebase:
+    """Compile the pmciscoios grammar for one (present.origin,
+    present.xr) parser instance (pmciscoios.c:54-56 parser params) to
+    a one-rule Rulebase.
+
+    The C walk (pmciscoios.c:134-263): MESSAGE COUNTER (digits, may be
+    empty) ": " -> [origin: anything up to the first ": ", IPv6-safe]
+    -> [xr: RSP node up to the first ':'] -> optional '*'/'.' before
+    the TIMESTAMP -> TIMESTAMP3164 ": " -> [xr: skip to '%'] ->
+    "%TAG" (to ':' or ' '; xr skips one char after) ": " -> MSG.
+    """
+    parts = [r"^(?P<seq>\d*): "]
+    if origin:
+        # scan to the FIRST ": " — a lone ':' (IPv6 "::1") doesn't
+        # terminate (pmciscoios.c:169-172).  Non-greedy .*? gives the
+        # first-occurrence semantics without lookahead (the Rulebase
+        # vectorized path runs under RE2, which has none); origin may
+        # be empty (the C while loop can read zero chars)
+        parts.append(r"(?P<origin>.*?): ")
+    if xr:
+        # XR RSP header: scan to the first ':', skip exactly one char
+        # (pmciscoios.c:188-199)
+        parts.append(r"[^:]*:")
+    parts.append(r"[*.]?(?P<ts>" + _TS3164 + r"): ")
+    if xr:
+        # post-timestamp XR scan to the tag's '%' (pmciscoios.c:216-226)
+        parts.append(r"[^%]*")
+        # tag stops at ':' or ' '; XR then skips ONE char before the
+        # ": " delimiter check (pmciscoios.c:236-249) -> "%TAG : msg"
+        parts.append(r"%(?P<tag>[^: ]+) : (?P<msg>.*)")
+    else:
+        parts.append(r"%(?P<tag>[^: ]+): (?P<msg>.*)")
+    name = "ciscoios" + ("_origin" if origin else "") + \
+        ("_xr" if xr else "")
+    return Rulebase([Rule(name, "".join(parts) + "$",
+                          {"seq": "int", "tag": "str", "msg": "str"})])
+
+
+# The default parser chain a `module(load="pmciscoios")` binds: the
+# origin form first (more specific), then the plain form — first match
+# wins, like stacking two parser() instances in rsyslog.conf.
+CISCO_IOS_RULEBASE = Rulebase(
+    cisco_ios_rulebase(origin=True).rules
+    + cisco_ios_rulebase(origin=False).rules)
+
+
+# ---------------------------------------------------------------------
+# pmaixforwardedfrom — strip the AIX "Message forwarded from host:" /
+# "From host:" preamble so the line reverts to plain RFC3164
+# (contrib/pmaixforwardedfrom/pmaixforwardedfrom.c:65-146)
+# ---------------------------------------------------------------------
+
+# leading SP permitted (c:81-84); >=24 chars after it (c:85-89);
+# 16-char timestamp skipped blind (c:92-93); case-insensitive opening
+# (c:95-97 strncasecmp); hostname runs to ':' with no space allowed
+# before it (c:118-133); the ':' is removed (c:135-140)
+_AIX_RE = re.compile(
+    # ' *+' possessive: the C walk consumes ALL leading spaces and
+    # never backtracks the 16-char timestamp window to find a match
+    r"^( *+)(?=.{24})(.{16})(?:message forwarded from |from )"
+    r"(?=..)([^ :]*):",   # >=2 chars after the preamble (c:107-110);
+    re.IGNORECASE)        # hostname may be empty (walk can stop at 0)
+
+
+def aix_forwarded_row(line: str) -> str | None:
+    """Per-row C walk (the oracle). None = COULD_NOT_PARSE without a
+    rewrite (the real module aborts either way; None here means 'leave
+    the line untouched')."""
+    i = 0
+    while i < len(line) and line[i] == " ":
+        i += 1
+    rest = line[i:]
+    if len(rest) < 24:
+        return None
+    ts, after = rest[:16], rest[16:]
+    low = after.lower()
+    if low.startswith("message forwarded from "):
+        after = after[23:]
+    elif low.startswith("from "):
+        after = after[5:]
+    else:
+        return None
+    if len(after) < 2:
+        return None
+    j = 0
+    while j < len(after) and after[j] not in " :":
+        j += 1
+    if j >= len(after):
+        return None
+    if after[j] != ":":
+        return None   # a space first: similar preamble, not AIX
+    return line[:i] + ts + after[:j] + after[j + 1:]
+
+
+def aix_forwarded_normalize(s: pd.Series) -> pd.Series:
+    """Vectorized engine: one compiled-regex pass; non-matching rows
+    pass through unchanged (parser-chain continue semantics)."""
+    return s.str.replace(_AIX_RE, r"\1\2\3", n=1, regex=True)
+
+
+# ---------------------------------------------------------------------
+# pmsnare — un-mangle Snare agent logs: the tab between hostname and
+# the Snare tag (and the tab after the tag) become single spaces so
+# pmrfc3164 parses hostname + tag (contrib/pmsnare/pmsnare.c:282-424)
+# ---------------------------------------------------------------------
+
+_SNARE_TAGS = ("MSWinEventLog", "LinuxKAudit")
+
+
+def snare_row(line: str, tab_rep: str = "\t") -> str | None:
+    """Per-row C walk. ``tab_rep`` is the on-wire tab representation
+    (literal "\\t" by default; "#011" when control characters were
+    escaped on receive — pmsnare.c:236-260 endCnfLoad)."""
+    L = len(tab_rep)
+    if len(line) < 30:                      # c:313-317
+        return None
+    i = 0                                    # first separator (c:321-324)
+    while i < len(line) and line[i] not in (" ", "\t", tab_rep[0]):
+        i += 1
+
+    def tag_after(s: str) -> int | None:
+        # hasPrefixWithFollowingTab (c:116-123)
+        for tag in _SNARE_TAGS:
+            tl = len(tag)
+            if len(s) >= tl + L and s[:tl].lower() == tag.lower() \
+                    and s[tl:tl + L].lower() == tab_rep.lower():
+                return tl
+        return None
+
+    rem = line[i:]
+    if len(rem) > L and rem[:L].lower() == tab_rep.lower():
+        tl = tag_after(rem[L:])              # non-syslog form (c:331-359)
+        if tl is None:
+            return None
+        new = line[:i] + " " + line[i + L:]  # host-tag tab -> one space
+        snare_idx = i + 1 + tl
+    else:                                    # syslog form (c:361-394)
+        if len(line) < 17:
+            return None
+        j = 16                               # skip TIMESTAMP blind
+        while j < len(line) and line[j] != " ":
+            j += 1                           # skip HOSTNAME
+        if j < len(line):
+            j += 1                           # the separating space
+        tl = tag_after(line[j:])
+        if tl is None:
+            return None
+        new = line
+        snare_idx = j + tl
+    if len(new) - snare_idx < L:             # c:402-404
+        return None
+    return new[:snare_idx] + " " + new[snare_idx + L:]  # tag tab -> space
+
+
+def _snare_res(tab_rep: str):
+    t = re.escape(tab_rep)
+    tags = "|".join(_SNARE_TAGS)
+    first = re.escape(tab_rep[0])
+    # branch predicate (c:326-328): the first separator (' ', '\t' or
+    # tab_rep[0]) IS the tab representation, with >=1 char after it —
+    # this selects the non-syslog form; everything else falls to the
+    # syslog form, EVEN when the tag check then fails (no fall-through)
+    br = re.compile(rf"^[^ \t{first}]*{t}.", re.IGNORECASE)
+    # form 1 (non-syslog): host tab TAG tab — both tabs collapse to
+    # single spaces in one match
+    f1 = re.compile(rf"^(?=.{{30}})([^ \t{first}]*){t}({tags}){t}",
+                    re.IGNORECASE)
+    # form 2 (syslog): 16 blind chars, hostname to the next space,
+    # then tag + tab
+    f2 = re.compile(rf"^(?=.{{30}})(.{{16}}[^ ]* )({tags}){t}",
+                    re.IGNORECASE)
+    return br, f1, f2
+
+
+_SNARE_RES = {rep: _snare_res(rep) for rep in ("\t", "#011")}
+
+
+def snare_normalize(s: pd.Series, tab_rep: str = "\t") -> pd.Series:
+    br, f1, f2 = _SNARE_RES.get(tab_rep) or _snare_res(tab_rep)
+    tabsep = s.str.match(br).fillna(False)
+    out1 = s.str.replace(f1, r"\1 \2 ", n=1, regex=True)
+    out2 = s.str.replace(f2, r"\1\2 ", n=1, regex=True)
+    # the C branches are exclusive on the first-separator test: a
+    # tab-separated line that fails the tag check stays UNCHANGED
+    # (pmsnare.c:355-358), it does not retry as the syslog form
+    return out1.where(tabsep, out2)
+
+
+# ---------------------------------------------------------------------
+# pmcisconames — drop the stray " : " a Cisco relay inserts between
+# hostname and "%name" tag (contrib/pmcisconames/pmcisconames.c:66-146)
+# ---------------------------------------------------------------------
+
+def cisconames_row(line: str) -> str | None:
+    i = 0
+    while i < len(line) and line[i] == " ":
+        i += 1
+    rest = line[i:]
+    if len(rest) < 34:                      # c:84-88
+        return None
+
+    def at(k: int, ch: str) -> bool:
+        return k < len(rest) and rest[k] == ch
+    # short 'Mmm DD HH:MM:SS ' (c:97-103) else long
+    # 'Mmm DD YYYY HH:MM:SS ' (c:105-111) — short checked first
+    if at(9, ":") and at(12, ":") and at(3, " ") and at(6, " ") \
+            and at(15, " "):
+        j = 16
+    elif at(14, ":") and at(17, ":") and at(3, " ") and at(6, " ") \
+            and at(11, " ") and at(20, " "):
+        j = 21
+    else:
+        return None
+    k = j
+    while k < len(rest) and rest[k] != " ":
+        k += 1                               # walk past hostname
+    if len(rest) - k < 4:                    # sizeof(": %") incl NUL
+        return None
+    k += 1                                   # the space stays
+    if rest[k:k + 3] != ": %":
+        return None
+    return line[:i] + rest[:k] + rest[k + 2:]   # drop the ": "
+
+
+_CISCONAMES_RE = re.compile(
+    r"^( *)(?=.{34})"
+    r"((?:.{3} .{2} .{2}:.{2}:.{2} )|(?:.{3} .{2} .{4} .{2}:.{2}:.{2} ))"
+    r"([^ ]*) : %")
+
+
+def cisconames_normalize(s: pd.Series) -> pd.Series:
+    return s.str.replace(_CISCONAMES_RE, r"\1\2\3 %", n=1, regex=True)
+
+
+# ---------------------------------------------------------------------
+# registry — what `module(load="pm...")` binds in the .conf front-end
+# ---------------------------------------------------------------------
+
+NORMALIZERS = {
+    "pmaixforwardedfrom": aix_forwarded_normalize,
+    "pmsnare": snare_normalize,
+    "pmcisconames": cisconames_normalize,
+}
+
+NORMALIZER_ORACLES = {
+    "pmaixforwardedfrom": aix_forwarded_row,
+    "pmsnare": snare_row,
+    "pmcisconames": cisconames_row,
+}
+
+
+def apply_normalizers(s: pd.Series, names: list[str]) -> pd.Series:
+    """Run the named normalizers in order — the parser-chain analog:
+    each rewrites the rows it recognizes and passes the rest through
+    (every module 'aborts' so the chain continues, pmaixforwardedfrom.c
+    :141-143)."""
+    for n in names:
+        fn = NORMALIZERS.get(n)
+        if fn is None:
+            raise ValueError(f"unknown vendor normalizer {n!r}")
+        s = fn(s)
+    return s
+
+
+# ---------------------------------------------------------------------
+# mmleefparse — LEEF (Log Event Extended Format) decoder
+# (plugins/mmleefparse/mmleefparse.c:110-520): cookie search in a
+# bounded window, 5-field '|' header with '\'-escapes, delimiter-
+# separated key=value extension block
+# ---------------------------------------------------------------------
+
+_C_SPACE = " \t\n\v\f\r"        # C isspace(), not unicode isspace
+
+
+def _leef_next_segment(s: str, pos: int, delim: str) -> tuple[int, bool]:
+    """find_next_segment (mmleefparse.c:155-177): index of the first
+    unescaped delimiter at/after pos (a '\\' escapes exactly the next
+    char), plus whether one was found."""
+    i, escaped = pos, False
+    while i < len(s):
+        if not escaped and s[i] == "\\":
+            escaped = True
+            i += 1
+            continue
+        if not escaped and s[i] == delim:
+            return i, True
+        escaped = False
+        i += 1
+    return i, False
+
+
+def _leef_unescape(seg: str, delim: str) -> str:
+    """leef_unescape_copy (c:213-235): '\\' before '\\', '=', the
+    delimiter or '|' resolves; any other '\\' stays literal."""
+    out, i = [], 0
+    while i < len(seg):
+        if seg[i] == "\\" and i + 1 < len(seg) and \
+                seg[i + 1] in ("\\", "=", delim, "|"):
+            out.append(seg[i + 1])
+            i += 2
+        else:
+            out.append(seg[i])
+            i += 1
+    return "".join(out)
+
+
+def leef_parse_row(line: str, delimiter: str = "\t",
+                   cookie: str = "LEEF:",
+                   search_window: int = 64) -> dict | None:
+    """Parse one LEEF message to the reference's JSON shape:
+    ``{"header": {protocolVersion, vendor, product, productVersion,
+    eventID}, "fields": {k: v, ...}}``; None = no/invalid LEEF (the
+    module sets parse_ok false and moves on).  Defaults mirror
+    setInstParamDefaults (c:509-513): tab extension delimiter, cookie
+    searched in the first 64 chars after leading whitespace."""
+    i = 0
+    while i < len(line) and line[i] in _C_SPACE:
+        i += 1
+    s = line[i:]
+    window = min(search_window, len(s))
+    at = s.find(cookie, 0, window)  # offset <= window-len(cookie)
+    if at < 0 or at > window - len(cookie):
+        if not s.startswith(cookie):
+            return None
+        at = 0
+    pos = at + len(cookie)
+
+    header = {}
+    for j, name in enumerate(("protocolVersion", "vendor", "product",
+                              "productVersion", "eventID")):
+        end, has = _leef_next_segment(s, pos, "|")
+        if j < 3 and not has:                    # c:261-279 hard-require
+            return None
+        if j == 3 and not has and end == pos:    # c:284 len==0 && !delim
+            return None
+        header[name] = _leef_unescape(s[pos:end], "|")
+        pos = end + 1 if has else end
+
+    fields = {}
+    while pos < len(s):                          # c:315-357
+        end, has = _leef_next_segment(s, pos, delimiter)
+        seg = s[pos:end]
+        if not seg and not has:
+            break
+        if seg:
+            eq = None
+            k, escaped = pos, False
+            while k < end:                       # find_unescaped_char
+                if not escaped and s[k] == "\\":
+                    escaped = True
+                    k += 1
+                    continue
+                if not escaped and s[k] == "=":
+                    eq = k
+                    break
+                escaped = False
+                k += 1
+            if eq is None:
+                fields[_leef_unescape(seg, delimiter)] = ""
+            else:
+                fields[_leef_unescape(s[pos:eq], delimiter)] = \
+                    _leef_unescape(s[eq + 1:end], delimiter)
+        pos = end + 1 if has else end
+    return {"header": header, "fields": fields}
+
+
+def leef_parse(s: pd.Series, delimiter: str = "\t",
+               cookie: str = "LEEF:",
+               search_window: int = 64) -> pd.DataFrame:
+    """Batch decoder: header fields as typed columns + the extension
+    block as a compact-JSON ``fields`` column + ``parse_ok``.  LEEF is
+    inherently per-row state-machine work (escape tracking), like the
+    repo's mmjsonparse — a comprehension over the batch, not a hot-path
+    regex stage."""
+    import json as _json
+
+    rows = [leef_parse_row(v, delimiter, cookie, search_window)
+            if isinstance(v, str) else None for v in s]
+    cols = {n: [r["header"][n] if r else None for r in rows]
+            for n in ("protocolVersion", "vendor", "product",
+                      "productVersion", "eventID")}
+    cols["fields"] = [_json.dumps(r["fields"], separators=(",", ":"))
+                      if r else None for r in rows]
+    cols["parse_ok"] = [r is not None for r in rows]
+    return pd.DataFrame(cols, index=s.index)
+
+
+# ---------------------------------------------------------------------
+# mmaudit — Linux Audit record decoder
+# (plugins/mmaudit/mmaudit.c:113-260): "type=NNNN audit(ID): k=v ..."
+# with '/" quoted values
+# ---------------------------------------------------------------------
+
+def audit_parse_row(line: str) -> dict | None:
+    """Parse one audit record to the reference's JSON shape:
+    ``{"hdr": {"auditid": ..., "type": N}, "data": {k: v, ...}}``.
+
+    Divergence kept deliberate: the C computes ``buf +=
+    sizeof(" audit(")`` (c:232), an off-by-one that silently drops the
+    FIRST char of every audit id; we keep the full id and document the
+    delta rather than reproduce the bug."""
+    i = 0
+    while i < len(line) and line[i] in _C_SPACE:
+        i += 1
+    if not line.startswith("type=", i):
+        return None
+    i += 5
+    type_id = 0
+    ndig = 0
+    while i < len(line) and line[i].isdigit():
+        type_id = type_id * 10 + int(line[i])
+        i += 1
+        ndig += 1
+    if ndig == 0 and not line.startswith(" audit(", i):
+        return None
+    if not line.startswith(" audit(", i):
+        return None
+    i += 7
+    j = line.find(")", i)
+    if j < 0 or not line.startswith("):", j):
+        return None
+    auditid = line[i:j]
+    i = j + 2
+
+    data = {}
+    while i < len(line):                 # audit_parse (c:164-191)
+        while i < len(line) and line[i] in _C_SPACE:
+            i += 1                       # parseName skipWhitespace
+        k = i
+        while k < len(line) and line[k] != "=":
+            k += 1
+        name = line[i:k]
+        if k >= len(line):               # *buf != '=' -> parse error
+            if name:
+                return None
+            break
+        i = k + 1                        # past '='
+        if i < len(line) and line[i] in "'\"":
+            term = line[i]
+            i += 1
+        else:
+            term = " "
+        v = i
+        while v < len(line) and line[v] != term:
+            v += 1
+        data[name] = line[i:v]
+        i = v + 1 if v < len(line) else v
+    return {"hdr": {"auditid": auditid, "type": type_id}, "data": data}
+
+
+def audit_parse(s: pd.Series) -> pd.DataFrame:
+    """Batch decoder: hdr fields as columns + ``data`` compact JSON +
+    ``parse_ok`` (MsgSetParseSuccess analog)."""
+    import json as _json
+
+    rows = [audit_parse_row(v) if isinstance(v, str) else None
+            for v in s]
+    return pd.DataFrame({
+        "auditid": [r["hdr"]["auditid"] if r else None for r in rows],
+        "audit_type": pd.array(
+            [r["hdr"]["type"] if r else None for r in rows],
+            dtype="Int64"),
+        "data": [_json.dumps(r["data"], separators=(",", ":"))
+                 if r else None for r in rows],
+        "parse_ok": [r is not None for r in rows],
+    }, index=s.index)

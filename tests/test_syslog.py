@@ -66,3 +66,324 @@ def test_rfc3164_year_inference():
     assert out2[0] == pd.Timestamp("2026-12-31 23:59:58")
     assert out2[1] == pd.Timestamp("2027-01-01 00:00:05")
     assert out2[2] == pd.Timestamp("2026-06-15 12:00:00")
+
+
+# ---------------------------------------------------------------------
+# Shipped vendor parser modules (rsyslog_ray/vendor.py) — sample lines
+# in the reference's own formats, field splits per the C walks.
+# ---------------------------------------------------------------------
+
+def test_cisco_ios_rulebase():
+    """pmciscoios (plugins/pmciscoios/pmciscoios.c:134-263): seqno,
+    optional ORIGIN, 3164 timestamp with ms+TZ, %TAG, msg — the real
+    line shape from the reference's own test traffic."""
+    from rsyslog_ray.vendor import CISCO_IOS_RULEBASE, cisco_ios_rulebase
+
+    # origin form (present.origin="on"), reference test sample
+    line = ("123456789: HOSTNAME: May 21 12:00:01.123 gmt: "
+            "%IOSXE-6-PLATFORM: F0: cpp_cp: QFP:0.0 Thread:105")
+    name, f = CISCO_IOS_RULEBASE.parse_row(line)
+    assert name == "ciscoios_origin"
+    assert f["seq"] == 123456789
+    assert f["origin"] == "HOSTNAME"
+    assert f["ts"] == "May 21 12:00:01.123 gmt"
+    assert f["tag"] == "IOSXE-6-PLATFORM"
+    assert f["msg"] == "F0: cpp_cp: QFP:0.0 Thread:105"
+
+    # plain form: no origin; '*'/'.' clock-flag prefixes allowed
+    for pfx in ("", "*", "."):
+        nm, f = CISCO_IOS_RULEBASE.parse_row(
+            f"999: {pfx}May 21 12:00:01 UTC: %SYS-5-CONFIG_I: done")
+        assert nm == "ciscoios" and f["seq"] == 999 \
+            and f["tag"] == "SYS-5-CONFIG_I" and f["msg"] == "done"
+
+    # empty seqno is legal (the C counter loop may read zero digits)
+    nm, f = CISCO_IOS_RULEBASE.parse_row(
+        ": May 21 12:00:01: %LINK-3-UPDOWN: Interface up")
+    assert nm == "ciscoios" and f["seq"] is None and f["tag"] == "LINK-3-UPDOWN"
+
+    # IPv6 origin doesn't terminate at a bare ':' (c:169-172)
+    nm, f = CISCO_IOS_RULEBASE.parse_row(
+        "7: ::1: May 21 12:00:01: %SYS-5-RESTART: cold start")
+    assert nm == "ciscoios_origin" and f["origin"] == "::1"
+
+    # XR form (present.xr="on"): RSP node header + "%TAG : msg"
+    nm, f = cisco_ios_rulebase(xr=True).parse_row(
+        "42: RP/0/RSP0/CPU0:Jun 25 11:45:04.123 UTC: proc[123]: "
+        "%ROUTING-BGP-5-ADJCHANGE : neighbor up")
+    assert nm == "ciscoios_xr" and f["tag"] == "ROUTING-BGP-5-ADJCHANGE" \
+        and f["msg"] == "neighbor up"
+
+    # vectorized chain == per-row oracle over a mixed batch
+    lines = [line, "999: May 21 12:00:01 UTC: %SYS-5-CONFIG_I: done",
+             "not cisco at all", "12: broken"]
+    tbl = CISCO_IOS_RULEBASE.parse_table(pa.array(lines))
+    assert tbl["rule"].to_pylist() == ["ciscoios_origin", "ciscoios",
+                                       None, None]
+    assert tbl["parse_ok"].to_pylist() == [True, True, False, False]
+
+
+def test_aix_forwarded_normalize():
+    """pmaixforwardedfrom (contrib/.../pmaixforwardedfrom.c:65-146):
+    the 'Message forwarded from host:'/'From host:' preamble collapses
+    to a plain 3164 hostname; unrecognized lines pass through."""
+    import pandas as pd
+
+    from rsyslog_ray.vendor import (aix_forwarded_normalize,
+                                    aix_forwarded_row)
+
+    s = pd.Series([
+        "Jun 25 11:45:04 Message forwarded from hostxyz: sshd[9]: ok",
+        "Jun 25 11:45:04 From hostabc: su: session opened",
+        "Jun 25 11:45:04 FROM hostabc: case insensitive",
+        "Jun 25 11:45:04 From spaced host: not aix (space before colon)",
+        "Oct 11 22:14:15 mymachine su[230]: untouched 3164",
+    ])
+    out = aix_forwarded_normalize(s)
+    assert out[0] == "Jun 25 11:45:04 hostxyz sshd[9]: ok"
+    assert out[1] == "Jun 25 11:45:04 hostabc su: session opened"
+    assert out[2] == "Jun 25 11:45:04 hostabc case insensitive"
+    assert out[3] == s[3]   # abort path: no rewrite
+    assert out[4] == s[4]
+    # rewritten lines then parse as standard 3164
+    parsed = SYSLOG_RULEBASE.parse_table(pa.array("<13>" + out[0:2]))
+    assert parsed["hostname"].to_pylist() == ["hostxyz", "hostabc"]
+    assert parsed["tag"].to_pylist() == ["sshd", "su"]
+    # vectorized == oracle on every row
+    assert out.tolist() == [aix_forwarded_row(l) or l for l in s]
+
+
+def test_snare_normalize():
+    """pmsnare (contrib/pmsnare/pmsnare.c:282-424): the tab between
+    hostname and the Snare tag, and the tab after the tag, become
+    single spaces — both the tab-separated and the syslog-header
+    forms, with literal tab and the '#011' escaped representation."""
+    import pandas as pd
+
+    from rsyslog_ray.vendor import snare_normalize, snare_row
+
+    syslog_form = ("May 21 12:00:01 hostname MSWinEventLog\t1\tN/A\t"
+                   "113977\tSun May 21 12:00:01.123\tN/A\tnxlog")
+    tabsep_form = ("other.lab.home\tMSWinEventLog\t1\tSecurity\t606129"
+                   "\tWed May 17 02:25:10 2017")
+    linux_form = ("audit.host\tLinuxKAudit\t1\ttype=SYSCALL msg=audit"
+                  "(1234):  arch=c000003e")
+    s = pd.Series([syslog_form, tabsep_form, linux_form,
+                   "Oct 11 22:14:15 mymachine su[230]: not snare"])
+    out = snare_normalize(s)
+    assert out[0] == ("May 21 12:00:01 hostname MSWinEventLog 1\tN/A\t"
+                      "113977\tSun May 21 12:00:01.123\tN/A\tnxlog")
+    # tab-separated: BOTH the host-tag tab and the tag's tab collapse
+    assert out[1] == ("other.lab.home MSWinEventLog 1\tSecurity\t606129"
+                      "\tWed May 17 02:25:10 2017")
+    assert out[2].startswith("audit.host LinuxKAudit 1\ttype=SYSCALL")
+    assert out[3] == s[3]
+    assert out.tolist() == [snare_row(l) or l for l in s]
+
+    # '#011' escaped-control-character representation (c:236-260)
+    esc = pd.Series(["hostname#011MSWinEventLog#0111#011Security#011"
+                     "606129#011Wed May 17 02:25:10 2017"])
+    out2 = snare_normalize(esc, "#011")
+    assert out2[0] == ("hostname MSWinEventLog 1#011Security#011606129"
+                       "#011Wed May 17 02:25:10 2017")
+    assert out2[0] == snare_row(esc[0], "#011")
+
+
+def test_cisconames_normalize():
+    """pmcisconames (contrib/pmcisconames/pmcisconames.c:66-146): drop
+    the stray ' : ' between hostname and '%name' tag, both timestamp
+    widths; the rewritten line parses as 3164 host+tag."""
+    import pandas as pd
+
+    from rsyslog_ray.vendor import cisconames_normalize, cisconames_row
+
+    s = pd.Series([
+        "Jun 25 11:45:04 firewall01 : %ASA-4-102030: Deny udp src vlan",
+        "May 21 2017 00:00:00 fw02 : %ASA-6-102030: SFR requested pkt",
+        "Jun 25 11:45:04 host %ASA-1-000000: already clean",
+    ])
+    out = cisconames_normalize(s)
+    assert out[0] == "Jun 25 11:45:04 firewall01 %ASA-4-102030: Deny udp src vlan"
+    assert out[1] == "May 21 2017 00:00:00 fw02 %ASA-6-102030: SFR requested pkt"
+    assert out[2] == s[2]
+    assert out.tolist() == [cisconames_row(l) or l for l in s]
+
+
+def test_vendor_fuzz_oracle_parity():
+    """Property: every vectorized normalizer is byte-identical to its
+    per-row C-walk oracle on an adversarial fragment corpus (CLAUDE.md
+    invariant 5 — engine and oracle share SPECS, tests enforce)."""
+    import random
+
+    import pandas as pd
+
+    from rsyslog_ray import vendor as V
+
+    rng = random.Random(2026)
+    frags = ["Jun 25 11:45:04 ", "From ", "from ", "Message forwarded from ",
+             "MESSAGE FORWARDED FROM ", "host: ", "h x: ", ": %", " : %",
+             "%TAG: ", "MSWinEventLog\t", "mswineventlog\t", "LinuxKAudit\t",
+             "#011", "MSWinEventLog#011", "\t", " ", "  ", ":", "a",
+             "May 21 2017 00:00:00 ", "abc.def\t", "123: ", "::1: ", "*",
+             ".", "from :", "from :x", "hostname#011", "linuxkaudit#011",
+             "#01", ""]
+    corpus = ["".join(rng.choice(frags) for _ in range(rng.randint(0, 9)))
+              for _ in range(3000)]
+    s = pd.Series(corpus)
+    cases = {
+        "aix": (V.aix_forwarded_normalize, V.aix_forwarded_row),
+        "snare": (lambda x: V.snare_normalize(x, "\t"),
+                  lambda l: V.snare_row(l, "\t")),
+        "snare011": (lambda x: V.snare_normalize(x, "#011"),
+                     lambda l: V.snare_row(l, "#011")),
+        "cisconames": (V.cisconames_normalize, V.cisconames_row),
+    }
+    for nm, (vec, orc) in cases.items():
+        got = vec(s).tolist()
+        want = [orc(l) if orc(l) is not None else l for l in corpus]
+        assert got == want, nm
+
+
+def test_vendor_conf_end_to_end(ray_session, tmp_path):
+    """module(load="pmsnare"/"pmciscoios") in a .conf binds the vendor
+    normalizer chain + rulebase and runs through run_config."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rainerconf import parse_rainer
+
+    src = pd.DataFrame({"text": [
+        "123456789: HOSTNAME: May 21 12:00:01.123 gmt: %IOSXE-6-PLATFORM: F0: cpp",
+        "999: May 21 12:00:01 UTC: %SYS-5-CONFIG_I: done",
+        "not cisco",
+    ]})
+    data = tmp_path / "in"
+    data.mkdir()
+    src.to_parquet(data / "pages-0.parquet", index=False)
+
+    conf = '''
+    module(load="pmciscoios")
+    global(workDirectory="OUT")
+    input(type="imfile" file="DATA/pages-*.parquet")
+    if $parse_ok == "off" then { action(type="omfile" file="dead") stop }
+    *.* action(type="omfile" file="parsed")
+    '''.replace("OUT", str(tmp_path / "o")).replace("DATA", str(data))
+    cfg = parse_rainer(conf)
+    assert [r["name"] for r in cfg["rules"]] == ["ciscoios_origin",
+                                                 "ciscoios"]
+    cfg["output"]["full_sinks"] = ["parsed", "dead"]
+    cfg["aggregates"] = [["tag", "tag"]]
+    run_config(cfg, resume=False, lineage=False)
+    files = glob.glob(str(tmp_path / "o" / "parsed" / "**" / "*.parquet"),
+                      recursive=True)
+    t = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert sorted(t["tag"]) == ["IOSXE-6-PLATFORM", "SYS-5-CONFIG_I"]
+    dead = glob.glob(str(tmp_path / "o" / "dead" / "**" / "*.parquet"),
+                     recursive=True)
+    td = pd.concat([pq.read_table(f).to_pandas() for f in dead])
+    assert td["text"].tolist() == ["not cisco"]
+
+    # normalizer module: snare lines revert to 3164 before the chain
+    src2 = pd.DataFrame({"text": [
+        "May 21 12:00:01 hostname MSWinEventLog\t1\tN/A\t113977\tSun May 21 12:00:01.123\tN/A\tnxlog\tok",
+        "Oct 11 22:14:15 mymachine su[230]: plain 3164",
+    ]})
+    data2 = tmp_path / "in2"
+    data2.mkdir()
+    src2.to_parquet(data2 / "pages-0.parquet", index=False)
+    conf2 = '''
+    module(load="pmsnare")
+    global(workDirectory="OUT")
+    input(type="imfile" file="DATA/pages-*.parquet")
+    parser(name="r3164" pattern="^(?P<ts3164>[A-Z][a-z]{2} [ 0-9]\\\\d \\\\d\\\\d:\\\\d\\\\d:\\\\d\\\\d) (?P<hostname>\\\\S+) (?P<tag>[^:\\\\[ ]+).*$" source="text")
+    *.* action(type="omfile" file="all")
+    '''.replace("OUT", str(tmp_path / "o2")).replace("DATA", str(data2))
+    cfg2 = parse_rainer(conf2)
+    assert cfg2["normalizers"] == ["pmsnare"]
+    cfg2["output"]["full_sinks"] = ["all"]
+    cfg2["aggregates"] = [["host", "hostname"]]
+    run_config(cfg2, resume=False, lineage=False)
+    files2 = glob.glob(str(tmp_path / "o2" / "all" / "**" / "*.parquet"),
+                       recursive=True)
+    t2 = pd.concat([pq.read_table(f).to_pandas() for f in files2])
+    assert sorted(t2["tag"]) == ["MSWinEventLog", "su"]
+    assert sorted(t2["hostname"]) == ["hostname", "mymachine"]
+
+
+def test_leef_parse():
+    """mmleefparse (plugins/mmleefparse/mmleefparse.c:110-520): cookie
+    search window, 5-field '|' header, escape-aware delimiter-separated
+    key=value extensions — against the reference's own PAN-OS test
+    traffic shape."""
+    import pandas as pd
+
+    from rsyslog_ray.vendor import leef_parse, leef_parse_row
+
+    pan = ("Sep 17 13:45:35 firewall.domain.local LEEF:1.0|"
+           "Palo Alto Networks|PAN-OS Syslog Integration|11.1.6-h14|"
+           "allow|cat=TRAFFIC|src=172.19.50.39|dst=172.19.5.50|"
+           "proto=tcp|action=allow|totalBytes=460")
+    r = leef_parse_row(pan, delimiter="|")
+    assert r["header"] == {"protocolVersion": "1.0",
+                           "vendor": "Palo Alto Networks",
+                           "product": "PAN-OS Syslog Integration",
+                           "productVersion": "11.1.6-h14",
+                           "eventID": "allow"}
+    assert r["fields"]["src"] == "172.19.50.39"
+    assert r["fields"]["totalBytes"] == "460"
+
+    # default tab delimiter; '\=' '\\' '\|' '\<delim>' unescape
+    # (c:213-235), bare key -> empty value (c:327-333)
+    tabbed = ("LEEF:2.0|IBM|QRadar|1.0|evt42|src=1.2.3.4\t"
+              "msg=hello \\= pipe \\| end\tflag")
+    r2 = leef_parse_row(tabbed)
+    assert r2["header"]["protocolVersion"] == "2.0"
+    assert r2["fields"] == {"src": "1.2.3.4",
+                            "msg": "hello = pipe | end", "flag": ""}
+
+    # cookie must sit inside the 64-char search window (c:459-481)
+    assert leef_parse_row("x" * 80 + "LEEF:1.0|V|P|1|e|k=v") is None
+    assert leef_parse_row("x" * 20 + "LEEF:1.0|V|P|1|e|k=v") is not None
+    # short header aborts (RS_RET_NO_CEE_MSG)
+    assert leef_parse_row("LEEF:1.0|V|P") is None
+
+    df = leef_parse(pd.Series([pan, "not leef", None]), delimiter="|")
+    assert df["parse_ok"].tolist() == [True, False, False]
+    assert df["vendor"].tolist()[0] == "Palo Alto Networks"
+    import json
+    assert json.loads(df["fields"][0])["action"] == "allow"
+
+
+def test_audit_parse():
+    """mmaudit (plugins/mmaudit/mmaudit.c:113-260): 'type=N audit(ID):'
+    header + space-separated k=v pairs with quoted values.  Deliberate
+    divergence: the C's sizeof(" audit(") skip (c:232) drops the first
+    char of every audit id; we keep the full id."""
+    import pandas as pd
+
+    from rsyslog_ray.vendor import audit_parse, audit_parse_row
+
+    line = ("type=1305 audit(1364481363.243:24287): auid=500 ses=1 "
+            "subj=unconfined_u:unconfined_r msg='op=remove rule "
+            "key=\"test\"' exe=\"/usr/sbin/auditctl\" res=success")
+    r = audit_parse_row(line)
+    assert r["hdr"] == {"auditid": "1364481363.243:24287", "type": 1305}
+    assert r["data"]["auid"] == "500"
+    # single-quoted value keeps inner double quotes (parseValue
+    # termc handling, c:132-159)
+    assert r["data"]["msg"] == 'op=remove rule key="test"'
+    assert r["data"]["exe"] == "/usr/sbin/auditctl"
+    assert r["data"]["res"] == "success"
+
+    assert audit_parse_row("not an audit line") is None
+    assert audit_parse_row("type=13x5 audit(1:2): a=b") is None
+    assert audit_parse_row("type=1305 noaudit(1:2): a=b") is None
+
+    df = audit_parse(pd.Series([line, "nope", None]))
+    assert df["parse_ok"].tolist() == [True, False, False]
+    assert df["audit_type"].tolist()[0] == 1305
+    import json
+    assert json.loads(df["data"][0])["ses"] == "1"
