@@ -739,3 +739,174 @@ def test_es_retryfailures_reinjection(ray_session, tmp_path):
     finally:
         httpd.shutdown()
         httpd.server_close()
+
+
+class _SmtpServer:
+    """Minimal RFC-5321 receiver for ommail drills: speaks the exact
+    response codes sendSMTP expects, records envelopes + DATA bodies.
+    Optionally rejects the first MAIL FROM with a 451 to drive the
+    suspend/retry cycle."""
+
+    def __init__(self, fail_first=False):
+        import socket
+        import threading
+
+        self.mails = []
+        self.fail_first = fail_first
+        self._failed = False
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(8)
+        self.port = self._srv.getsockname()[1]
+        self._stop = False
+        self._t = threading.Thread(target=self._loop, daemon=True)
+        self._t.start()
+
+    def _session(self, conn):
+        rf = conn.makefile("rb")
+        w = lambda t: conn.sendall(t.encode())
+        try:
+            w("220 test ESMTP\r\n")
+            env = {"rcpt": []}
+            while True:
+                ln = rf.readline()
+                if not ln:
+                    return
+                cmd = ln.decode().rstrip("\r\n")
+                up = cmd.upper()
+                if up.startswith("HELO"):
+                    # multiline reply: client must skip '250-' lines
+                    w("250-test greets you\r\n250 OK\r\n")
+                elif up.startswith("MAIL FROM:"):
+                    if self.fail_first and not self._failed:
+                        self._failed = True
+                        w("451 try again later\r\n")
+                        continue
+                    env["from"] = cmd[10:].strip("<>")
+                    w("250 OK\r\n")
+                elif up.startswith("RCPT TO:"):
+                    env["rcpt"].append(cmd[8:].strip("<>"))
+                    w("250 OK\r\n")
+                elif up == "DATA":
+                    w("354 go ahead\r\n")
+                    lines = []
+                    while True:
+                        dl = rf.readline()
+                        if not dl or dl == b".\r\n":
+                            break
+                        lines.append(dl.decode())
+                    env["data"] = "".join(lines)
+                    self.mails.append(dict(env))
+                    env = {"rcpt": []}
+                    w("250 queued\r\n")
+                elif up == "QUIT":
+                    w("221 bye\r\n")
+                    return
+                else:
+                    w("500 what\r\n")
+        except OSError:
+            pass
+        finally:
+            rf.close()
+            conn.close()
+
+    def _loop(self):
+        while not self._stop:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            self._session(conn)
+
+    def stop(self):
+        self._stop = True
+        self._srv.close()
+
+
+def test_ommail_smtp_real_session(tmp_path):
+    """ommail (plugins/ommail/ommail.c:670-705): full SMTP exchange per
+    mail — envelope, RFC822 headers in writeMailMessage order, body
+    dot-escaping, one mail per payload row."""
+    from rsyslog_ray.stages.connectors import ConnectorSink, MailTransport
+
+    srv = _SmtpServer()
+    try:
+        tr = MailTransport("127.0.0.1", srv.port,
+                           mail_from="alerts@example.net",
+                           rcpt_to=("ops@example.net", "sec@example.net"),
+                           subject="raylog alert",
+                           render=lambda r: f"sev={r['event_id']}\r\n.leading dot")
+        sink = ConnectorSink(transport=tr, batch_rows=10)
+        out = sink(_events(3))
+        assert out["rows_delivered"].iloc[0] == 3
+        assert len(srv.mails) == 3
+        m = srv.mails[0]
+        assert m["from"] == "alerts@example.net"
+        assert m["rcpt"] == ["ops@example.net", "sec@example.net"]
+        # header order: Date, From, To*, Subject, X-Mailer, blank, body
+        hdrs = m["data"].split("\r\n")
+        assert hdrs[0].startswith("Date: ")
+        assert hdrs[1] == "From: <alerts@example.net>"
+        assert hdrs[2] == "To: <ops@example.net>"
+        assert hdrs[3] == "To: <sec@example.net>"
+        assert hdrs[4] == "Subject: raylog alert"
+        assert hdrs[5] == "X-Mailer: rsyslog-ommail"
+        assert hdrs[6] == ""
+        assert hdrs[7] == "sev=0"
+        # dot at line start is SMTP-escaped on the wire; the receiver
+        # above does NOT unstuff, so the doubled dot is visible
+        assert hdrs[8] == "..leading dot"
+    finally:
+        srv.stop()
+
+
+def test_ommail_retry_on_451(monkeypatch):
+    """A transient 451 on MAIL FROM suspends and the bulk retries —
+    the reference's action suspend/resume around sendSMTP."""
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    from rsyslog_ray.stages.connectors import ConnectorSink, MailTransport
+
+    srv = _SmtpServer(fail_first=True)
+    try:
+        tr = MailTransport("127.0.0.1", srv.port)
+        sink = ConnectorSink(transport=tr, batch_rows=10)
+        out = sink(_events(2))
+        assert out["rows_delivered"].iloc[0] == 2
+        assert len(srv.mails) == 2
+    finally:
+        srv.stop()
+
+
+def test_ompipe_fifo_roundtrip(tmp_path):
+    """ompipe (tools/ompipe.c:141-182): rendered lines through a real
+    named pipe; O_RDWR open succeeds with no reader yet attached."""
+    import os
+    import threading
+
+    from rsyslog_ray.stages.connectors import ConnectorSink, PipeTransport
+
+    fifo = str(tmp_path / "out.pipe")
+    os.mkfifo(fifo)
+    got = []
+
+    def reader():
+        with open(fifo, "rb") as fh:
+            buf = b""
+            while len(got) < 5:
+                chunk = fh.read1(65536)
+                if not chunk:
+                    break
+                buf += chunk
+                *lines, buf = buf.split(b"\n")
+                got.extend(lines)
+
+    tr = PipeTransport(fifo, render=lambda r: f"ev{r['event_id']}")
+    sink = ConnectorSink(transport=tr, batch_rows=3)
+    # writer first: the O_RDWR|O_NONBLOCK open works reader-less (c:141)
+    t = threading.Thread(target=reader, daemon=True)
+    out = sink(_events(5))
+    t.start()
+    t.join(timeout=10)
+    tr.close()
+    assert out["rows_delivered"].iloc[0] == 5
+    assert got == [b"ev0", b"ev1", b"ev2", b"ev3", b"ev4"]
