@@ -1600,6 +1600,59 @@ def q_curation(sf_dir):
                          "value": [int(v) for v in stats.values()]})
 
 
+def q_vendor_formats(sf_dir):
+    """Shipped vendor decoders roundtrip (vendor.py: pmciscoios header
+    grammar, mmleefparse, mmaudit — plugins/pmciscoios/pmciscoios.c,
+    mmleefparse.c, mmaudit.c): render a deterministic Cisco-IOS line,
+    a LEEF event and a Linux audit record per event row, decode each
+    back through the shipped parsers, emit the recovered fields.
+    Rows-only driver check; lossless recovery + the decoders' C-walk
+    parity are pinned in tests/test_syslog.py."""
+    import pyarrow as pa
+
+    from ..vendor import CISCO_IOS_RULEBASE, audit_parse, leef_parse
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "value"])
+
+    def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
+        seq = df["event_id"].astype("int64")
+        host = "host" + (df["user_id"] % 50).astype(str)
+        etype = df["event_type"].astype(str)
+        cisco = (seq.astype(str) + ": " + host
+                 + ": May 21 12:00:01.123 UTC: %EV-" + (seq % 8).astype(str)
+                 + "-" + etype.str.upper() + ": value="
+                 + df["value"].round(3).astype(str))
+        parsed = CISCO_IOS_RULEBASE.parse_table(
+            pa.array(cisco, pa.string()))
+        leef = ("LEEF:1.0|raylog|events|1.0|" + etype
+                + "|id=" + seq.astype(str)
+                + "\tuser=" + (df["user_id"] % 50).astype(str))
+        lf = leef_parse(pd.Series(leef.to_numpy(), index=df.index))
+        audit = ("type=" + (1300 + seq % 10).astype(str)
+                 + " audit(1700000000." + (seq % 1000).astype(str)
+                 + ":" + seq.astype(str) + "): uid=" + (df["user_id"] % 50)
+                 .astype(str) + " comm=\"" + etype + "\" res=success")
+        au = audit_parse(pd.Series(audit.to_numpy(), index=df.index))
+        return pd.DataFrame({
+            "event_id": seq,
+            "cisco_seq": pd.array(
+                parsed["seq"].to_pandas(), dtype="Int64"),
+            "cisco_origin": parsed["origin"].to_pandas().to_numpy(),
+            "cisco_tag": parsed["tag"].to_pandas().to_numpy(),
+            "cisco_ok": parsed["parse_ok"].to_pandas().to_numpy(),
+            "leef_event": lf["eventID"],
+            "leef_user": [__import__("json").loads(f)["user"]
+                          for f in lf["fields"]],
+            "audit_type": au["audit_type"],
+            "auditid": au["auditid"],
+            "audit_comm": [__import__("json").loads(d)["comm"]
+                           for d in au["data"]],
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pandas")
+
+
 def q_window_hopping(sf_dir):
     """Event-time hopping windows (2h window, 1h hop) over events —
     the overlapping-window generalization of dynstats_bucket.
@@ -2376,4 +2429,5 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "curation": q_curation,
     "pretrain_corpus": q_pretrain_corpus,
+    "vendor_formats": q_vendor_formats,
 }

@@ -387,3 +387,25 @@ def test_audit_parse():
     assert df["audit_type"].tolist()[0] == 1305
     import json
     assert json.loads(df["data"][0])["ses"] == "1"
+
+
+def test_vendor_formats_roundtrip(ray_session):
+    """q:vendor_formats — render→decode roundtrip recovers the source
+    fields exactly for all three shipped decoders."""
+    import numpy as np
+
+    from rsyslog_ray.pipelines.queries import q_vendor_formats
+
+    df = q_vendor_formats("/root/testdata/sf0.001").to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert bool(df["cisco_ok"].all())
+    assert (df["cisco_seq"].astype("int64") == df["event_id"]).all()
+    # tag carries the uppercased event_type back out
+    assert df["cisco_tag"].str.startswith("EV-").all()
+    assert (df["cisco_tag"].str.split("-").str[2]
+            == df["leef_event"].str.upper()).all()
+    assert (df["leef_user"].astype(int) >= 0).all()
+    assert df["audit_type"].between(1300, 1309).all()
+    assert (df["auditid"].str.split(":").str[1].astype("int64")
+            == df["event_id"]).all()
+    assert (df["audit_comm"] == df["leef_event"]).all()
