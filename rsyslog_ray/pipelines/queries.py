@@ -23,10 +23,27 @@ from ..router import Route, Router
 from ..stages.aggregate import two_phase_agg
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, parallel: int = 0):
+    """Column-pruned table read.  ``parallel``: minimum map parallelism
+    for compute-heavy DOWNSTREAM map stages — the bench/gate tables are
+    ONE file with ONE row group, which reads as one block and caps any
+    downstream map at a single task (CLAUDE.md invariant 10).  The
+    repartition fires ONLY when the parquet footer shows fewer row
+    groups than requested; a real corpus (thousands of row groups /
+    files) passes through untouched, so this never collapses
+    at-scale parallelism and never adds a shuffle there.  Only for
+    order-insensitive queries — repartition does not preserve row
+    order."""
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    ds = ray.data.read_parquet(path, columns=columns)
+    if parallel:
+        import pyarrow.parquet as pq
+
+        if pq.ParquetFile(path).metadata.num_row_groups < parallel:
+            ds = ds.repartition(parallel)
+    return ds
 
 
 def _scratch(name: str, sf_dir: str) -> str:
@@ -77,7 +94,7 @@ def q_parse_json(sf_dir):
     Fast path: a vectorized regex lifts the scalar `"k": <int>` member
     (RE2 speed); rows the regex can't serve fall back to one
     json.loads — same values, no per-row Python on the common shape."""
-    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+    ds = _read(sf_dir, "events", columns=["event_type", "props"], parallel=16)
 
     def parse(df: pd.DataFrame) -> pd.DataFrame:
         k = pd.to_numeric(
@@ -102,7 +119,7 @@ def q_fields_split(sf_dir):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = _read(sf_dir, "documents", columns=["text"], parallel=16)
 
     def f1(t: pa.Table) -> pa.Table:
         parts = pc.split_pattern(t["text"], " ")
@@ -137,7 +154,7 @@ def q_scalar_funcs(sf_dir):
 def q_regex_extract(sf_dir):
     """re_extract analog (grammar/rainerscript.c:1681): extract the
     numeric suffix of source, count per value."""
-    ds = _read(sf_dir, "documents", columns=["source"])
+    ds = _read(sf_dir, "documents", columns=["source"], parallel=16)
 
     def ex(df: pd.DataFrame) -> pd.DataFrame:
         n = df["source"].str.extract(r"src(\d+)", expand=False)
@@ -156,7 +173,7 @@ def q_anon_modes(sf_dir):
     from ..stages.transform import ConsistentAnonymizer
 
     an = ConsistentAnonymizer()
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], parallel=16)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         ip = num2ipv4(df["user_id"] * 7919 % 4294967296)
@@ -184,7 +201,7 @@ def q_filter_contains(sf_dir):
     'spark', counted per lang — Arrow match_substring, zero-copy."""
     import pyarrow.compute as pc
 
-    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+    ds = _read(sf_dir, "documents", columns=["text", "lang"], parallel=16)
     ds = ds.map_batches(
         lambda t: t.filter(pc.match_substring(t["text"], "spark"))
         .select(["lang"]),
@@ -265,7 +282,7 @@ def q_dynstats_kinds(sf_dir):
 
     langs = two_phase_agg(
         _read(sf_dir, "documents", columns=["lang"]), ["lang"])
-    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"], parallel=16)
 
     def kk(df: pd.DataFrame) -> pd.DataFrame:
         hours = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
@@ -291,7 +308,7 @@ def q_dynstats_kinds(sf_dir):
 def q_sendertrack(sf_dir):
     """omsendertrack analog (plugins/omsendertrack/omsendertrack.c:76-96):
     per-sender msg count + first/last seen."""
-    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], parallel=16)
     return two_phase_agg(ds, ["user_id"], count="cnt",
                          mins={"ts": "first_seen"}, maxs={"ts": "last_seen"})
 
@@ -302,7 +319,7 @@ def q_percentiles(sf_dir):
     window semantics (p50 of the last `windowsize`=10 observations) —
     one shuffle, one map_groups pass for all three."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "event_id",
-                                          "value"])
+                                          "value"], parallel=16)
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         vals = g["value"].to_numpy(dtype=np.float64)
@@ -326,7 +343,7 @@ def q_mmcount(sf_dir):
     of SURVEY.md §7 M5; must equal a plain group count exactly)."""
     from ..stages.aggregate import salted_count
 
-    ds = _read(sf_dir, "events", columns=["event_type"])
+    ds = _read(sf_dir, "events", columns=["event_type"], parallel=16)
     return salted_count(ds, "event_type", salt_buckets=16, cnt="msg_count")
 
 
@@ -391,7 +408,7 @@ def q_parse_time(sf_dir):
     January event stamps resolve to 2026 on both engine and oracle."""
     from .. import functions as F
 
-    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], parallel=16)
     now = pd.Timestamp("2026-08-17 00:00:00", tz="UTC")
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
@@ -488,7 +505,7 @@ def q_template_render(sf_dir):
                    " date=%d% cents=%cents%")
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_orderstatus", "o_orderdate",
-                        "o_totalprice"])
+                        "o_totalprice"], parallel=16)
 
     def render(df: pd.DataFrame) -> pd.DataFrame:
         aug = pd.DataFrame({
@@ -544,7 +561,7 @@ def q_syslog_roundtrip(sf_dir):
     from ..rulebase import SYSLOG_RULEBASE, pri_decompose
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
-                                          "event_type", "value"])
+                                          "event_type", "value"], parallel=16)
 
     def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
         pri = (df["event_id"] % 192).astype("int64")
@@ -576,7 +593,7 @@ def q_mmpstrucdata(sf_dir):
     RFC5424 STRUCTURED-DATA params out of a rendered SD string."""
     from ..functions import sd_param
 
-    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"], parallel=16)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         sd = ('[evt@1 seq="' + df["event_id"].astype(str)
@@ -616,7 +633,7 @@ def q_lookup_kinds(sf_dir):
     bounds = LookupTable("sparseArray", {0: "low", 50: "mid", 200: "high"},
                          stub="neg")
     ds = _read(sf_dir, "events", columns=["event_id", "event_type",
-                                          "user_id", "value"])
+                                          "user_id", "value"], parallel=16)
 
     class Fx:
         def __init__(self, ref):
@@ -648,7 +665,7 @@ def q_net_funcs(sf_dir):
     from ..functions import faup_decompose, ipv42num, is_in_subnet, num2ipv4
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id",
-                                          "event_type"])
+                                          "event_type"], parallel=16)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         n = (df["user_id"] * 2654435761 + 167772160) % 4294967296
@@ -721,7 +738,7 @@ def q_template_formats(sf_dir):
                              json_string_escape, sql_escape, tocef)
 
     ds = _read(sf_dir, "events", columns=["event_id", "event_type",
-                                          "props"])
+                                          "props"], parallel=16)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         j = ('{"id":' + df["event_id"].astype(str)
@@ -743,7 +760,7 @@ def q_format_time(sf_dir):
     constants because the data is tz-naive."""
     from ..functions import format_time
 
-    ds = _read(sf_dir, "events", columns=["event_id", "ts"])
+    ds = _read(sf_dir, "events", columns=["event_id", "ts"], parallel=16)
 
     FMTS = ["rfc3339", "mysql", "pgsql", "rfc3164", "rfc3164-buggyday",
             "unixtimestamp", "secfrac", "wdayname", "wday", "year",
@@ -1004,7 +1021,7 @@ def q_json_transform(sf_dir):
     from ..stages.transform import (flatten_json_series,
                                     unflatten_json_series)
 
-    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    ds = _read(sf_dir, "events", columns=["event_id", "props"], parallel=16)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         k = df["props"].map(lambda s: json.loads(s)["k"])
@@ -1023,7 +1040,7 @@ def q_hmac_sd(sf_dir):
     sha256; true RFC2104 HMAC stays available as hmac_column)."""
     from ..stages.transform import keyed_digest
 
-    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"], parallel=16)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         payload = df["event_id"].astype(str) + "|" + df["event_type"]
@@ -1139,7 +1156,7 @@ def q_decontaminate(sf_dir):
                          columns=["doc_id", "text"]).to_pandas()
     bench = [" ".join(t.split()[2:20])
              for t in docs["text"].iloc[[1, 7, 13]]]
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], parallel=16)
     return contamination_flags(ds, bench, n=13)
 
 
@@ -1149,7 +1166,7 @@ def q_text_repetition(sf_dir):
     parts-per-10000).  Rows-only; per-row oracle in pytest."""
     from ..stages.text import repetition_frame
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], parallel=16)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         out = repetition_frame(df["text"])
@@ -1165,7 +1182,7 @@ def q_text_quality(sf_dir):
     regex token count."""
     from ..stages.text import quality_frame, token_counts_frame
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], parallel=16)
 
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         q = quality_frame(df)
@@ -1187,7 +1204,7 @@ def q_pii_redact(sf_dir):
 
     from ..stages.text import pii_redact_array
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], parallel=16)
 
     def red(df: pd.DataFrame) -> pd.DataFrame:
         sid = df["doc_id"].astype(str)
@@ -1246,7 +1263,7 @@ def q_bm25_search(sf_dir):
     spec (pytest) and the DuckDB oracle agree bit-for-bit."""
     from ..stages.search import bm25_search
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], parallel=16)
     return bm25_search(ds, "doc_id", "text", BM25_QUERIES, k=10)
 
 
@@ -1259,7 +1276,7 @@ def q_chunk_documents(sf_dir):
     tests/test_search.py."""
     from ..stages.text import chunk_documents
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], parallel=16)
     return chunk_documents(ds, chunk_tokens=24, overlap=8)
 
 
@@ -1272,7 +1289,7 @@ def q_bm25_index(sf_dir):
     to its DuckDB oracle) is pinned in tests/test_search.py."""
     from ..stages.search import bm25_query_index, build_inverted_index
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"], parallel=16)
     idx = _scratch("bm25_idx", sf_dir)
     build_inverted_index(ds, "doc_id", "text", idx, npart=16)
     out = bm25_query_index(idx, BM25_QUERIES, k=10)
@@ -1434,7 +1451,7 @@ def q_url_dedup(sf_dir):
     from ..functions import canonical_url
     from ..stages.aggregate import two_phase_agg
 
-    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"], parallel=16)
 
     def messy(df: pd.DataFrame) -> pd.DataFrame:
         tld = df["user_id"].mod(3).map({0: "com", 1: "org", 2: "net"})
@@ -1496,7 +1513,7 @@ def q_quality_classifier(sf_dir):
     accuracy and bit-determinism pinned in tests/test_classify.py."""
     from ..stages.classify import classifier_scores, train_text_classifier
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"], parallel=16)
 
     def lab(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(label=(df["lang"] == "en").astype("float64"))
@@ -1523,7 +1540,7 @@ def q_kmeans_clusters(sf_dir):
     tests/test_dedup_text.py."""
     from ..stages.similarity import kmeans_assign, kmeans_fit_distributed
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"], parallel=16)
     cent = kmeans_fit_distributed(ds, "embedding", id_col="vec_id",
                                   k=8, iters=5)
     return kmeans_assign(ds, cent, vec_col="embedding", id_col="vec_id")
@@ -1538,7 +1555,7 @@ def q_dsir_select(sf_dir):
     gumbel pinned against the pure-Python spec in tests/test_dsir.py."""
     from ..stages.dsir import dsir_scores
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"], parallel=16)
     target = ds.filter(expr="lang == 'en'")
     scored = dsir_scores(ds, target, seed=11)
 
@@ -1613,7 +1630,7 @@ def q_vendor_formats(sf_dir):
     from ..vendor import CISCO_IOS_RULEBASE, audit_parse, leef_parse
 
     ds = _read(sf_dir, "events",
-               columns=["event_id", "user_id", "event_type", "value"])
+               columns=["event_id", "user_id", "event_type", "value"], parallel=16)
 
     def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
         seq = df["event_id"].astype("int64")
