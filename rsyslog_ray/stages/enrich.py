@@ -154,3 +154,279 @@ def enrich_pages(ds, lookups_ref=None, concurrency=4, batch_size: int = 4096):
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+# ---------------------------------------------------------------------------
+# mmkubernetes (contrib/mmkubernetes/mmkubernetes.c) — REAL HTTP
+# enrichment against a Kubernetes-API-shaped endpoint, stdlib only
+# (the reference uses libcurl; none exists here).
+# ---------------------------------------------------------------------------
+
+K8S_FILENAME_RE = (
+    r"^/var/log/containers/(?P<pod_name>[a-z0-9](?:[-a-z0-9]*[a-z0-9])?"
+    r"(?:\.[a-z0-9](?:[-a-z0-9]*[a-z0-9])?)*)_(?P<namespace_name>[^_]+)_"
+    r"(?P<container_name_and_id>.+)\.log$")
+# journald CONTAINER_NAME form (mmkubernetes.c:84-93): both the
+# name.hash and plain-name variants
+K8S_CONTAINER_RE = (
+    r"^(?P<name_prefix>[^_]+)_(?P<container_name>[^._]+)"
+    r"(?:\.(?P<container_hash>[^_]+))?_(?P<pod_name>[^_]+)_"
+    r"(?P<namespace_name>[^_]+)_[^_]+_[^_]+$")
+
+
+def extract_k8s_meta(df, filename_col: str | None = "filename",
+                     container_col: str | None = None):
+    """extractMsgMetadata (mmkubernetes.c:1602-1671), vectorized:
+    derive (namespace_name, pod_name, container_name, container_id)
+    from the container log path or the journald CONTAINER_NAME field.
+    Rows matching neither get nulls (the reference skips them:
+    RS_RET_NOT_FOUND -> no metadata, message passes unmodified)."""
+    import pandas as pd
+
+    n = len(df)
+    out = pd.DataFrame(index=df.index)
+    for c in ("namespace_name", "pod_name", "container_name",
+              "container_id"):
+        out[c] = pd.Series([None] * n, index=df.index, dtype="object")
+    if filename_col is not None and filename_col in df:
+        m = df[filename_col].astype("string").str.extract(K8S_FILENAME_RE)
+        cn = m["container_name_and_id"]
+        # container_name-dash-container_id split on the LAST dash;
+        # the reference rejects a dash at position 0 or the end
+        # (mmkubernetes.c:1661-1663: last_dash != start, *(last_dash+1))
+        last = cn.str.rsplit("-", n=1)
+        ok = (m["pod_name"].notna() & cn.notna() & (last.str.len() == 2)
+              & (last.str[0].fillna("") != "") & (last.str[1].fillna("") != ""))
+        out.loc[ok, "namespace_name"] = m.loc[ok, "namespace_name"]
+        out.loc[ok, "pod_name"] = m.loc[ok, "pod_name"]
+        out.loc[ok, "container_name"] = last[ok].str[0]
+        out.loc[ok, "container_id"] = last[ok].str[1]
+    if container_col is not None and container_col in df:
+        need = out["pod_name"].isna()
+        m = df.loc[need, container_col].astype("string") \
+            .str.extract(K8S_CONTAINER_RE)
+        ok = m["pod_name"].notna()
+        idx = m.index[ok]
+        out.loc[idx, "namespace_name"] = m.loc[ok, "namespace_name"]
+        out.loc[idx, "pod_name"] = m.loc[ok, "pod_name"]
+        out.loc[idx, "container_name"] = m.loc[ok, "container_name"]
+        out.loc[idx, "container_id"] = m.loc[ok, "container_hash"] \
+            .fillna("")
+    return out
+
+
+def _de_dot(obj: dict, sep: str) -> dict:
+    # de_dot_json_object (mmkubernetes.c:446-492)
+    return {k.replace(".", sep): v for k, v in obj.items()}
+
+
+def _match_annotations(patterns, annotations: dict) -> dict:
+    # match_annotations (mmkubernetes.c:421-443): keep only keys
+    # matching one of the configured regexes
+    import re
+
+    if not patterns:
+        return {}
+    keep = {}
+    for k, v in annotations.items():
+        if any(p.search(k) for p in patterns):
+            keep[k] = v
+    return keep
+
+
+class KubernetesEnrichStage:
+    """mmkubernetes as an actor-pool stage: per-actor persistent HTTP
+    connection + TTL metadata caches (the reference's per-instance
+    cache, mmkubernetes.c:115-127), per-batch distinct-key fan-in so
+    each (ns, pod, container) hits the apiserver ONCE regardless of
+    row count.
+
+    Response handling mirrors queryKB (c:1684-1759): 404 -> negative
+    cache (empty metadata, still enriched from the filename); 429 ->
+    busy, basic metadata only and NOT cached so the next batch
+    retries after ``busy_retry_interval``; other non-200 -> transient,
+    basic metadata, not cached.  Labels/annotations get
+    annotation_match filtering + de_dot. Output: two JSON string
+    columns ``kubernetes`` and ``docker`` (the reference's
+    $!kubernetes / $!docker subtrees).
+    """
+
+    def __init__(self, host: str, port: int, *,
+                 filename_col: str | None = "filename",
+                 container_col: str | None = None,
+                 annotation_match: list[str] | None = None,
+                 de_dot: bool = True, de_dot_separator: str = "_",
+                 cache_entry_ttl: int = 3600,
+                 busy_retry_interval: int = 5):
+        import re
+
+        self.host, self.port = host, port
+        self.url = f"http://{host}:{port}"
+        self.filename_col = filename_col
+        self.container_col = container_col
+        self.annotation_match = [re.compile(p)
+                                 for p in (annotation_match or [])]
+        self.de_dot = de_dot
+        self.sep = de_dot_separator
+        self.ttl = cache_entry_ttl
+        self.busy_retry_interval = busy_retry_interval
+        self._conn = None
+        self._md_cache: dict[str, tuple[float, dict]] = {}
+        self._ns_cache: dict[str, tuple[float, dict]] = {}
+        self._last_busy = 0.0
+
+    # -- HTTP ------------------------------------------------------------
+    def _connected(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(self.host, self.port,
+                                                    timeout=10)
+        return self._conn
+
+    def _get(self, path: str):
+        """-> (status, parsed json or None); 'busy'/'error' map to the
+        reference's RETRY/ERR paths at the caller."""
+        import json as _json
+
+        try:
+            c = self._connected()
+            c.request("GET", path)
+            resp = c.getresponse()
+            data = resp.read()
+            status = resp.status
+        except OSError:
+            if self._conn is not None:
+                self._conn.close()
+            self._conn = None
+            return 599, None  # transient network error
+        if status != 200:
+            return status, None
+        try:
+            return 200, _json.loads(data)
+        except ValueError:
+            return 598, None
+
+    # -- metadata assembly -------------------------------------------------
+    def _labels_annotations(self, meta: dict) -> dict:
+        out = {}
+        ann = _match_annotations(self.annotation_match,
+                                 meta.get("annotations", {}) or {})
+        labels = meta.get("labels", {}) or {}
+        if self.de_dot:
+            ann = _de_dot(ann, self.sep)
+            labels = _de_dot(labels, self.sep)
+        if ann:
+            out["annotations"] = ann
+        if labels:
+            out["labels"] = labels
+        return out
+
+    def _ns_meta(self, ns: str, now: float) -> dict:
+        hit = self._ns_cache.get(ns)
+        if hit is not None and (self.ttl <= 0 or now - hit[0] < self.ttl):
+            return hit[1]
+        if self._last_busy and now - self._last_busy \
+                < self.busy_retry_interval:
+            return {"__busy__": True}
+        status, reply = self._get(f"/api/v1/namespaces/{ns}")
+        if status == 429:
+            self._last_busy = now
+            return {"__busy__": True}
+        meta = {}
+        if status == 200 and reply and "metadata" in reply:
+            m = reply["metadata"]
+            meta = {"uid": m.get("uid"),
+                    "creationTimestamp": m.get("creationTimestamp")}
+            meta.update(self._labels_annotations(m))
+            meta = {k: v for k, v in meta.items() if v is not None}
+        # 404 and transient errors both negative-cache as {} — but
+        # only 404/200 are CACHED (transient errors retry next batch)
+        if status in (200, 404):
+            self._ns_cache[ns] = (now, meta)
+        return meta
+
+    def _pod_meta(self, ns: str, pod: str, now: float) -> tuple[dict, bool]:
+        """-> (assembled-kubernetes-subtree pieces from the apiserver,
+        cacheable?)"""
+        if self._last_busy and now - self._last_busy \
+                < self.busy_retry_interval:
+            return {}, False
+        status, reply = self._get(f"/api/v1/namespaces/{ns}/pods/{pod}")
+        if status == 429:
+            self._last_busy = now
+            return {}, False
+        out = {}
+        if status == 200 and reply:
+            m = reply.get("metadata", {}) or {}
+            if m.get("uid"):
+                out["pod_id"] = m["uid"]
+            out.update(self._labels_annotations(m))
+            node = (reply.get("spec", {}) or {}).get("nodeName")
+            if node:
+                out["host"] = node
+        return out, status in (200, 404)
+
+    def _metadata_for(self, ns: str, pod: str, container: str,
+                      now: float) -> dict:
+        md_key = f"{ns}_{pod}_{container}"
+        hit = self._md_cache.get(md_key)
+        if hit is not None and (self.ttl <= 0 or now - hit[0] < self.ttl):
+            return hit[1]
+        ns_meta = self._ns_meta(ns, now)
+        busy = ns_meta.pop("__busy__", False) if "__busy__" in ns_meta \
+            else False
+        kube = {}
+        if ns_meta.get("uid"):
+            kube["namespace_id"] = ns_meta["uid"]
+        if ns_meta.get("labels"):
+            kube["namespace_labels"] = ns_meta["labels"]
+        if ns_meta.get("annotations"):
+            kube["namespace_annotations"] = ns_meta["annotations"]
+        if ns_meta.get("creationTimestamp"):
+            kube["creation_timestamp"] = ns_meta["creationTimestamp"]
+        cacheable = not busy
+        if not busy:
+            pod_meta, pod_cacheable = self._pod_meta(ns, pod, now)
+            kube.update(pod_meta)
+            cacheable = pod_cacheable
+        kube["pod_name"] = pod
+        kube["namespace_name"] = ns
+        kube["container_name"] = container
+        kube["master_url"] = self.url
+        if cacheable:
+            self._md_cache[md_key] = (now, kube)
+        return kube
+
+    # -- the stage ---------------------------------------------------------
+    def __call__(self, df):
+        import json as _json
+        import time as _time
+
+        import pandas as pd
+
+        meta = extract_k8s_meta(df, self.filename_col, self.container_col)
+        now = _time.time()
+        kube_col = pd.Series([None] * len(df), index=df.index,
+                             dtype="object")
+        docker_col = pd.Series([None] * len(df), index=df.index,
+                               dtype="object")
+        ok = meta["pod_name"].notna()
+        # distinct-key fan-in: one apiserver query set per identity
+        trips = meta.loc[ok, ["namespace_name", "pod_name",
+                              "container_name"]].drop_duplicates()
+        rendered = {}
+        for ns, pod, cont in trips.itertuples(index=False):
+            rendered[(ns, pod, cont)] = _json.dumps(
+                self._metadata_for(ns, pod, cont, now), sort_keys=True)
+        keys = list(zip(meta.loc[ok, "namespace_name"],
+                        meta.loc[ok, "pod_name"],
+                        meta.loc[ok, "container_name"]))
+        kube_col.loc[ok] = [rendered[k] for k in keys]
+        docker_col.loc[ok] = [
+            _json.dumps({"container_id": cid})
+            for cid in meta.loc[ok, "container_id"]]
+        out = df.copy()
+        out["kubernetes"] = kube_col
+        out["docker"] = docker_col
+        return out
