@@ -762,3 +762,248 @@ class KafkaTransport:
                 self._client.close()
             finally:
                 self._client = None
+
+
+class ClickHouseTransport:
+    """omclickhouse (plugins/omclickhouse/omclickhouse.c) — the REAL
+    HTTP interface (default port 8123): bulks POST as one INSERT
+    statement, non-2xx or transport failure raises into ConnectorSink
+    suspend/retry (curlPost c:461-506; checkConn health probe
+    c:233-259).  Two serializations:
+
+    - ``fmt="values"``: ``INSERT INTO t (cols) VALUES (...),(...)`` —
+      the reference's template-rendered default (SQL-quoted strings)
+    - ``fmt="jsoneachrow"``: ``INSERT INTO t (cols) FORMAT
+      JSONEachRow`` + one JSON object per line — ClickHouse's
+      documented bulk-ingest format, the right path for wide rows
+    """
+
+    def __init__(self, host: str, port: int = 8123, table: str = "raylog",
+                 columns: list[str] | None = None,
+                 fmt: str = "jsoneachrow"):
+        assert fmt in ("jsoneachrow", "values")
+        self.host, self.port = host, port
+        self.table = table
+        self.columns = columns
+        self.fmt = fmt
+        self._conn = None
+
+    def _connected(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(self.host, self.port,
+                                                    timeout=10)
+        return self._conn
+
+    def check_conn(self) -> bool:
+        """checkConn (omclickhouse.c:233): POST a trivial query."""
+        try:
+            c = self._connected()
+            c.request("POST", "/", body=b"SELECT 1")
+            return c.getresponse().status == 200
+        except OSError:
+            self.close()
+            return False
+
+    @staticmethod
+    def _sql_quote(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (int, float)):
+            return str(v)
+        s = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s}'"
+
+    def payload(self, payloads: list[dict]) -> bytes:
+        cols = self.columns or sorted(payloads[0].keys())
+        collist = ", ".join(cols)
+        if self.fmt == "values":
+            rows = ",".join(
+                "(" + ",".join(self._sql_quote(rec.get(c)) for c in cols)
+                + ")" for rec in payloads)
+            return (f"INSERT INTO {self.table} ({collist}) "
+                    f"VALUES {rows}").encode()
+        lines = "\n".join(
+            json.dumps({c: rec.get(c) for c in cols}, default=str)
+            for rec in payloads)
+        return (f"INSERT INTO {self.table} ({collist}) "
+                f"FORMAT JSONEachRow\n{lines}\n").encode()
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        body = self.payload(payloads)
+        try:
+            c = self._connected()
+            c.request("POST", "/", body=body,
+                      headers={"Content-Type": "text/plain"})
+            resp = c.getresponse()
+            data = resp.read()
+            if resp.status >= 300:
+                raise ConnectionError(
+                    f"clickhouse HTTP {resp.status}: {data[:200]!r}")
+        except OSError:
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+
+class PgWireTransport:
+    """ompgsql (plugins/ompgsql/ompgsql.c) — but over the REAL
+    PostgreSQL v3 wire protocol in stdlib sockets (the reference links
+    libpq; none exists here): StartupMessage (protocol 3.0,
+    user/database params, trust auth), then per bulk either
+
+    - ``copy=True`` (default): one ``COPY table (cols) FROM STDIN``
+      simple Query, rows streamed as CopyData messages with text-format
+      escaping, CopyDone, CommandComplete — the bulk-ingest path
+    - ``copy=False``: one multi-row ``INSERT`` simple Query — the
+      reference's rendered-template shape (tryExec/writePgSQL
+      ompgsql.c:228-292)
+
+    ErrorResponse ('E') or socket failure closes the connection and
+    raises -> ConnectorSink bounded retry -> suspend, matching
+    initPgSQL/checkDBErrorState reconnect semantics."""
+
+    def __init__(self, host: str, port: int, dbname: str = "syslog",
+                 user: str = "rsyslog", table: str = "raylog",
+                 columns: list[str] | None = None, copy: bool = True):
+        self.addr = (host, port)
+        self.dbname, self.user = dbname, user
+        self.table = table
+        self.columns = columns
+        self.copy = copy
+        self._sock = None
+
+    # -- protocol plumbing -------------------------------------------------
+    def _msg(self, typ: bytes, body: bytes) -> bytes:
+        import struct
+
+        return typ + struct.pack(">i", len(body) + 4) + body
+
+    def _read_msg(self):
+        import struct
+
+        hdr = b""
+        while len(hdr) < 5:
+            c = self._sock.recv(5 - len(hdr))
+            if not c:
+                raise ConnectionError("pg peer closed")
+            hdr += c
+        typ = hdr[:1]
+        (ln,) = struct.unpack(">i", hdr[1:5])
+        body = b""
+        while len(body) < ln - 4:
+            c = self._sock.recv(ln - 4 - len(body))
+            if not c:
+                raise ConnectionError("pg peer closed")
+            body += c
+        return typ, body
+
+    def _connected(self):
+        import socket
+        import struct
+
+        if self._sock is not None:
+            return self._sock
+        self._sock = socket.create_connection(self.addr, timeout=10)
+        params = (f"user\x00{self.user}\x00database\x00{self.dbname}\x00"
+                  "\x00").encode()
+        startup = struct.pack(">ii", len(params) + 8, 196608) + params
+        self._sock.sendall(startup)
+        while True:                      # auth cycle to ReadyForQuery
+            typ, body = self._read_msg()
+            if typ == b"R":
+                (code,) = struct.unpack(">i", body[:4])
+                if code != 0:            # only trust auth supported
+                    raise ConnectionError(f"pg auth method {code} "
+                                          "unsupported (trust only)")
+            elif typ == b"E":
+                raise ConnectionError(f"pg startup error: {body[:200]!r}")
+            elif typ == b"Z":
+                return self._sock
+            # 'S' ParameterStatus / 'K' BackendKeyData: ignore
+
+    def _simple_query_drain(self):
+        """Read until ReadyForQuery; raise on ErrorResponse."""
+        err = None
+        while True:
+            typ, body = self._read_msg()
+            if typ == b"E" and err is None:
+                err = body.decode(errors="replace")
+            elif typ == b"Z":
+                if err is not None:
+                    raise ConnectionError(f"pg error: {err[:300]}")
+                return
+
+    @staticmethod
+    def _copy_escape(v) -> str:
+        if v is None:
+            return "\\N"
+        return (str(v).replace("\\", "\\\\").replace("\t", "\\t")
+                .replace("\n", "\\n").replace("\r", "\\r"))
+
+    @staticmethod
+    def _sql_quote(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (int, float)):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    # -- delivery ------------------------------------------------------------
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        cols = self.columns or sorted(payloads[0].keys())
+        try:
+            s = self._connected()
+            if self.copy:
+                sql = (f"COPY {self.table} ({', '.join(cols)}) "
+                       "FROM STDIN")
+                s.sendall(self._msg(b"Q", sql.encode() + b"\x00"))
+                typ, body = self._read_msg()
+                if typ == b"E":
+                    self._simple_query_drain_after_error(body)
+                if typ != b"G":
+                    raise ConnectionError(
+                        f"expected CopyInResponse, got {typ!r}")
+                data = "".join(
+                    "\t".join(self._copy_escape(rec.get(c)) for c in cols)
+                    + "\n" for rec in payloads).encode()
+                s.sendall(self._msg(b"d", data) + self._msg(b"c", b""))
+                self._simple_query_drain()
+            else:
+                rows = ",".join(
+                    "(" + ",".join(self._sql_quote(rec.get(c))
+                                   for c in cols) + ")"
+                    for rec in payloads)
+                sql = (f"INSERT INTO {self.table} ({', '.join(cols)}) "
+                       f"VALUES {rows}")
+                s.sendall(self._msg(b"Q", sql.encode() + b"\x00"))
+                self._simple_query_drain()
+        except OSError:
+            self.close()
+            raise
+        except ConnectionError:
+            self.close()
+            raise
+        return []
+
+    def _simple_query_drain_after_error(self, first_err: bytes):
+        err = first_err.decode(errors="replace")
+        while True:
+            typ, _body = self._read_msg()
+            if typ == b"Z":
+                raise ConnectionError(f"pg error: {err[:300]}")
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None

@@ -261,6 +261,12 @@ class MiniKafkaBroker:
 
     def stop(self):
         self._stop = True
+        # shutdown() aborts the accept() the thread is blocked in;
+        # close() alone leaves the kernel listener alive via the syscall
+        try:
+            self._srv.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
         try:
             self._srv.close()
         except OSError:
