@@ -1007,3 +1007,151 @@ class PgWireTransport:
                 self._sock.close()
             finally:
                 self._sock = None
+
+
+class MySqlTransport:
+    """ommysql (plugins/ommysql/ommysql.c) over the REAL MySQL
+    client/server protocol in stdlib sockets (the reference links
+    libmysqlclient): HandshakeV10 -> HandshakeResponse41 with the
+    mysql_native_password scramble, then one multi-row ``INSERT``
+    COM_QUERY per bulk (the reference executes its rendered template
+    per message via mysql_real_query, ommysql.c:235-292; bulking is
+    the batch-engine win).  ERR packets and socket failures close the
+    connection and raise -> ConnectorSink bounded retry -> suspend
+    (initMySQL reconnect semantics)."""
+
+    def __init__(self, host: str, port: int = 3306, user: str = "rsyslog",
+                 password: str = "", database: str = "syslog",
+                 table: str = "raylog", columns: list[str] | None = None):
+        self.addr = (host, port)
+        self.user, self.password, self.database = user, password, database
+        self.table = table
+        self.columns = columns
+        self._sock = None
+
+    def _connected(self):
+        import socket
+
+        from ..state import dbwire as w
+
+        if self._sock is not None:
+            return self._sock
+        self._sock = socket.create_connection(self.addr, timeout=10)
+        try:
+            seq, greeting = w.mysql_read_packet(self._sock)
+            hs = w.parse_handshake_v10(greeting)
+            if hs["plugin"] != "mysql_native_password":
+                raise ConnectionError(
+                    f"auth plugin {hs['plugin']} unsupported")
+            w.mysql_send_packet(self._sock, seq + 1,
+                                w.build_handshake_response(
+                                    self.user, self.password,
+                                    self.database, hs["nonce"]))
+            _seq, reply = w.mysql_read_packet(self._sock)
+            kind, msg = w.classify_mysql_reply(reply)
+            if kind != "ok":
+                raise ConnectionError(f"mysql auth failed: {msg}")
+        except (OSError, ConnectionError):
+            self.close()
+            raise
+        return self._sock
+
+    @staticmethod
+    def _sql_quote(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, (int, float)):
+            return str(v)
+        s = (str(v).replace("\\", "\\\\").replace("'", "\\'")
+             .replace("\x00", "\\0"))
+        return f"'{s}'"
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state import dbwire as w
+
+        cols = self.columns or sorted(payloads[0].keys())
+        rows = ",".join(
+            "(" + ",".join(self._sql_quote(rec.get(c)) for c in cols) + ")"
+            for rec in payloads)
+        sql = (f"INSERT INTO {self.table} ({', '.join(cols)}) "
+               f"VALUES {rows}")
+        try:
+            s = self._connected()
+            w.mysql_send_packet(s, 0, bytes([w.COM_QUERY]) + sql.encode())
+            _seq, reply = w.mysql_read_packet(s)
+            kind, msg = w.classify_mysql_reply(reply)
+            if kind == "err":
+                raise ConnectionError(f"mysql error: {msg}")
+        except (OSError, ConnectionError):
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                from ..state import dbwire as w
+
+                w.mysql_send_packet(self._sock, 0, bytes([w.COM_QUIT]))
+            except OSError:
+                pass
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+
+class MongoTransport:
+    """ommongodb (plugins/ommongodb/ommongodb.c) over the REAL wire
+    protocol (OP_MSG + BSON, state/dbwire.py; the reference links
+    libmongoc): each bulk becomes one ``insert`` command with the rows
+    as BSON documents.  A reply without ok:1 (or with writeErrors)
+    surfaces per-item rejects -> errorfile quarantine, matching the
+    reference's error-into-dead-letter behavior."""
+
+    def __init__(self, host: str, port: int = 27017, db: str = "logdb",
+                 collection: str = "log", columns: list[str] | None = None):
+        self.addr = (host, port)
+        self.db = db
+        self.collection = collection
+        self.columns = columns
+        self._sock = None
+        self._req_id = 0
+
+    def _connected(self):
+        import socket
+
+        if self._sock is None:
+            self._sock = socket.create_connection(self.addr, timeout=10)
+        return self._sock
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state import dbwire as w
+
+        cols = self.columns
+        docs = [({c: rec.get(c) for c in cols} if cols else dict(rec))
+                for rec in payloads]
+        self._req_id += 1
+        cmd = {"insert": self.collection, "$db": self.db,
+               "ordered": False, "documents": docs}
+        try:
+            s = self._connected()
+            w.mongo_send_msg(s, self._req_id, cmd)
+            _resp_to, reply = w.mongo_read_msg(s)
+        except (OSError, ConnectionError):
+            self.close()
+            raise
+        if reply.get("ok") != 1.0 and reply.get("ok") != 1:
+            raise ConnectionError(f"mongo insert not ok: {reply}")
+        rejects = []
+        for e in reply.get("writeErrors", []) or []:
+            rejects.append((int(e.get("index", 0)),
+                            str(e.get("errmsg", "writeError"))))
+        return rejects
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
