@@ -23,8 +23,15 @@ output -> FanoutWriter sinks with lineage/resume):
   "aggregates": [["lang", "lang"], ["bucket", "__bucket"]],
   "ts_column": "warc_ts",
   "output":  {"dir": "/tmp/out", "full_sinks": ["archive"],
-              "compression": "zstd"}
+              "compression": "zstd"},
+  "connectors": {"kafka_errors": {"type": "omkafka",
+                                  "broker": "host:9092",
+                                  "topic": "errors", "key": "p_host"}}
 }
+
+Routes may target a "connectors" sink: those rows are DELIVERED over
+the named om* module's real wire protocol (stages/connectors.py)
+instead of written to files, with lineage/resume semantics intact.
 
 Predicates use the Router AST with lists instead of tuples (JSON).
 `load_config` + `run_config` are the API; `python -m rsyslog_ray`
@@ -215,6 +222,115 @@ class PipelineConfig:
         self.compression = out.get("compression", "zstd")
         self.formats = out.get("formats", {})  # sink -> parquet|csv|jsonl
         self.partition_by = out.get("partition_by", {})  # sink -> column
+        # network actions: sink -> {"type": "omkafka"|..., ...params}
+        # (see _connector_spec for the type registry + param aliases)
+        self.connectors = cfg.get("connectors", {})
+
+
+# ---------------------------------------------------------------------
+# network-action registry: the reference's om* output modules mapped to
+# their real-wire transports (stages/connectors.py).  Param aliases
+# follow the reference's action() parameter names (omfwd "target",
+# omelasticsearch "server"/"searchindex", omkafka "broker"/"topic",
+# ompgsql "server"/"db"/"uid"/"pwd", ommysql the same, ommongodb
+# "uristr"-free host/port/db/collection, ompipe "pipe").
+
+def _connector_spec(sink: str, prm: dict) -> dict:
+    """action params -> FanoutWriter connector spec ({"factory": ...}).
+    Everything the transports need is resolved HERE (driver side) so
+    the factory closure ships only plain values to workers."""
+    typ = prm["type"]
+    host = prm.get("host") or prm.get("target") or prm.get("server") \
+        or prm.get("broker") or "127.0.0.1"
+    if ":" in str(host):                 # broker="host:port" form
+        host, _, hp = str(host).partition(":")
+        port = int(hp)
+    else:
+        port = int(prm.get("port", 0)) or None
+
+    def need_port(dflt):
+        return port if port is not None else dflt
+
+    if typ == "omfwd":
+        h, p, fr = host, need_port(514), prm.get("framing",
+                                                 "octet-counted")
+        def factory():
+            from .stages.connectors import TcpSyslogTransport
+            return TcpSyslogTransport(h, p, framing=fr)
+    elif typ == "omkafka":
+        h, p = host, need_port(9092)
+        topic = prm.get("topic", "raylog")
+        keyf = prm.get("key")
+        dyn = prm.get("dynatopic_field") if str(
+            prm.get("dynatopic", "off")) in ("on", "1", "true") else None
+        def factory():
+            from .stages.connectors import KafkaTransport
+            return KafkaTransport(h, p, topic=topic, key_field=keyf,
+                                  dynatopic_field=dyn)
+    elif typ == "omelasticsearch":
+        h, p = host, need_port(9200)
+        index = prm.get("searchindex", prm.get("index", "raylog"))
+        def factory():
+            from .stages.connectors import EsBulkTransport
+            return EsBulkTransport(h, p, index=index)
+    elif typ == "omclickhouse":
+        h, p = host, need_port(8123)
+        table = prm.get("table", prm.get("tablename", "raylog"))
+        def factory():
+            from .stages.connectors import ClickHouseTransport
+            return ClickHouseTransport(h, p, table=table)
+    elif typ == "ompgsql":
+        h, p = host, need_port(5432)
+        db = prm.get("db", "syslog")
+        user = prm.get("uid", prm.get("user", "rsyslog"))
+        table = prm.get("table", "raylog")
+        def factory():
+            from .stages.connectors import PgWireTransport
+            return PgWireTransport(h, p, dbname=db, user=user,
+                                   table=table)
+    elif typ == "ommysql":
+        h, p = host, need_port(3306)
+        db = prm.get("db", "syslog")
+        user = prm.get("uid", prm.get("user", "rsyslog"))
+        pwd = prm.get("pwd", prm.get("password", ""))
+        table = prm.get("table", "raylog")
+        def factory():
+            from .stages.connectors import MySqlTransport
+            return MySqlTransport(h, p, user=user, password=pwd,
+                                  database=db, table=table)
+    elif typ == "ommongodb":
+        h, p = host, need_port(27017)
+        db = prm.get("db", "logdb")
+        coll = prm.get("collection", "log")
+        def factory():
+            from .stages.connectors import MongoTransport
+            return MongoTransport(h, p, db=db, collection=coll)
+    elif typ == "omhttp":
+        h, p = host, need_port(80)
+        path = prm.get("restpath", prm.get("path", "/"))
+        batchfmt = prm.get("batch.format", prm.get("batch_format",
+                                                   "newline"))
+        def factory():
+            from .stages.connectors import HttpBatchTransport
+            return HttpBatchTransport(h, p, restpath=path,
+                                      batch_format=batchfmt)
+    elif typ == "ompipe":
+        pipe = prm.get("pipe", prm.get("path"))
+        def factory():
+            from .stages.connectors import PipeTransport
+            return PipeTransport(pipe)
+    else:
+        raise ValueError(f"unknown connector action type {typ!r}")
+    spec = {"factory": factory}
+    for opt in ("batch_rows", "error_file", "max_retries"):
+        if opt in prm:
+            spec[opt] = prm[opt]
+    return spec
+
+
+CONNECTOR_ACTION_TYPES = frozenset({
+    "omfwd", "omkafka", "omelasticsearch", "omclickhouse", "ompgsql",
+    "ommysql", "ommongodb", "omhttp", "ompipe"})
 
 
 def load_config(path_or_dict) -> PipelineConfig:
@@ -424,13 +540,16 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
             ds = ray.data.read_parquet(pending)
         ds = ds.map_batches(fn, batch_format="pyarrow",
                             batch_size=batch_size)
+        conn_specs = {name: _connector_spec(name, prm)
+                      for name, prm in c.connectors.items()}
         partials = ds.map_batches(
             sk.FanoutWriter(router, c.out_dir, lineage_name,
                             compression=c.compression,
                             full_sinks=c.full_sinks,
                             agg_kinds=c.agg_kinds, ts_col=c.ts_column,
                             formats=c.formats,
-                            partition_by=c.partition_by),
+                            partition_by=c.partition_by,
+                            connectors=conn_specs),
             batch_format="pyarrow", batch_size=write_batch_size)
         out = sk.finalize_aggregates(partials)
         if done:

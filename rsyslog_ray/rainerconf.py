@@ -45,6 +45,11 @@ Supported statements (reference grammar sites cited):
   spliced at the call site; a call under ``if`` ANDs the guard onto
   every spliced route (S_CALL/omruleset)
 - ``action(type="omfile" file="sinkname" [template="t"] [stop])``,
+- network actions over their REAL wire protocols:
+  ``action(type="omkafka" broker="h:p" topic=".." [key="col"])``,
+  ``omfwd/omelasticsearch/omclickhouse/ompgsql/ommysql/
+  ommongodb/omhttp/ompipe`` — compiled to connector delivery
+  sinks inside the FanoutWriter pass (config._connector_spec),
   ``action(type="omdiscard")``, bare ``action(...)`` and ``*.*``
   catch-alls
 """
@@ -362,16 +367,31 @@ _PROPFILT_OPS = {  # runtime/ruleset.c:424-500 FIOP_*
 }
 
 
-def _sink_of(params: dict) -> tuple[str, bool]:
-    """action params -> (sink name, implicit stop)."""
+def _sink_of(params: dict) -> tuple[str, bool, bool]:
+    """action params -> (sink name, implicit stop, is_connector).
+
+    Connector action types (omfwd/omkafka/DB sinks…) become NETWORK
+    sinks: the name defaults to a type-derived identity (topic/index/
+    table/target) and the params travel to config's connector registry
+    (config._connector_spec) — ``action(type="omkafka" broker=".."
+    topic="logs")`` in a .conf now delivers over the real wire."""
+    from .config import CONNECTOR_ACTION_TYPES
+
     typ = params.get("type", "omfile")
     if typ == "omdiscard":
-        return "discard", True
+        return "discard", True, False
+    if typ in CONNECTOR_ACTION_TYPES:
+        ident = (params.get("name") or params.get("topic")
+                 or params.get("searchindex") or params.get("table")
+                 or params.get("collection") or params.get("target")
+                 or params.get("server") or params.get("pipe") or "out")
+        base = os.path.splitext(os.path.basename(str(ident)))[0]
+        return f"{typ[2:]}_{base}", False, True
     f = params.get("file") or params.get("dynafile") or params.get("sink")
     if not f:
         raise SyntaxError(f"action(type={typ!r}) needs file=/sink=")
     base = os.path.basename(f)
-    return os.path.splitext(base)[0], False
+    return os.path.splitext(base)[0], False, False
 
 
 def parse_rainer(text: str) -> dict:
@@ -405,7 +425,9 @@ def parse_rainer(text: str) -> dict:
                 if stmt == "action":
                     p.next()
                     prm = p.params()
-                    sink, istop = _sink_of(prm)
+                    sink, istop, isconn = _sink_of(prm)
+                    if isconn:
+                        cfg.setdefault("connectors", {})[sink] = prm
                     if prm.get("template"):
                         tpl_refs.append((sink, prm))
                     stops_pending.append([sink, pred, istop])
@@ -429,7 +451,9 @@ def parse_rainer(text: str) -> dict:
         else:
             p.expect("action")
             prm = p.params()
-            sink, istop = _sink_of(prm)
+            sink, istop, isconn = _sink_of(prm)
+            if isconn:
+                cfg.setdefault("connectors", {})[sink] = prm
             if prm.get("template"):
                 tpl_refs.append((sink, prm))
             stops_pending.append([sink, pred, istop])

@@ -241,7 +241,8 @@ class FanoutWriter:
                  agg_kinds: tuple | None = None, ts_col: str = "warc_ts",
                  formats: dict | None = None,
                  partition_by: dict | None = None,
-                 impstats_every: int | None = None):
+                 impstats_every: int | None = None,
+                 connectors: dict | None = None):
         self.router = routes if isinstance(routes, Router) else Router(routes)
         self.out_dir = out_dir
         self.drop_cols = drop_cols
@@ -265,8 +266,34 @@ class FanoutWriter:
         # cost when off.
         self.impstats_every = impstats_every
         self._emitter = None
+        # network actions (omkafka/omfwd/DB sinks declared in config):
+        # sink name -> {"factory": zero-arg callable -> transport,
+        # "batch_rows"/"error_file"/"max_retries" optional}.  Routed
+        # rows for these sinks are DELIVERED instead of written —
+        # at-least-once on task retry (the reference's action-queue
+        # resend); resume still skips committed shards, so finished
+        # work is never re-sent on a re-invoke.  Zero hot-path cost
+        # when empty.
+        self.connectors = connectors or {}
+        self._conn_cache: dict = {}  # per-worker ConnectorSink cache
 
     WRITE_RETRIES = 3
+
+    def _deliver(self, sink: str, tbl: pa.Table) -> None:
+        """Network delivery through a per-worker-cached ConnectorSink
+        (transport connects lazily on first bulk; a stateless task's
+        worker process keeps the connection across its batches)."""
+        cs = self._conn_cache.get(sink)
+        if cs is None:
+            from .stages.connectors import ConnectorSink
+            spec = self.connectors[sink]
+            cs = ConnectorSink(
+                transport=spec["factory"](),
+                batch_rows=int(spec.get("batch_rows", 2048)),
+                error_file=spec.get("error_file"),
+                max_retries=int(spec.get("max_retries", 3)))
+            self._conn_cache[sink] = cs
+        cs(tbl.to_pandas())
 
     def _write(self, grp: pa.Table, d: str, stem: str, fmt: str) -> None:
         """Write with bounded retry + backoff (action suspend/retry
@@ -394,6 +421,15 @@ class FanoutWriter:
                 continue
             cols = keep if sink in self.full_sinks else slim_keep
             out_tbl = sub.select(cols)
+            if sink in self.connectors:
+                # network action: deliver instead of write; lineage
+                # still counts rows per shard so commits/resume hold
+                self._deliver(sink, out_tbl)
+                for sid, cnt in zip(*_value_counts(sub["shard"])):
+                    sink_shard_rows[int(sid)][sink] = (
+                        sink_shard_rows[int(sid)].get(sink, 0) + int(cnt))
+                partials.append(_partials_for(sink, sub, self.agg_kinds))
+                continue
             # ---- write one file per (sink, shard[, dynafile key])
             fmt = self.formats.get(sink, "parquet")
             dyn_col = self.partition_by.get(sink)
