@@ -314,6 +314,24 @@ def _connector_spec(sink: str, prm: dict) -> dict:
             from .stages.connectors import HttpBatchTransport
             return HttpBatchTransport(h, p, restpath=path,
                                       batch_format=batchfmt)
+    elif typ == "omhiredis":
+        h, p = host, need_port(6379)
+        mode = prm.get("mode", "queue")
+        key = prm.get("key", "raylog")
+        keyf = prm.get("dynakey_field") if str(
+            prm.get("dynakey", "off")) in ("on", "1", "true") else None
+        rpush = str(prm.get("userpush", "off")) in ("on", "1", "true")
+        exp = int(prm.get("expiration", 0))
+        outf = prm.get("stream.outfield", prm.get("stream_out_field",
+                                                  "msg"))
+        cap = int(prm.get("stream.capacitylimit",
+                          prm.get("capacity_limit", 0)))
+        def factory():
+            from .stages.connectors import RedisTransport
+            return RedisTransport(h, p, mode=mode, key=key,
+                                  key_field=keyf, use_rpush=rpush,
+                                  expiration=exp, stream_out_field=outf,
+                                  capacity_limit=cap)
     elif typ == "ompipe":
         pipe = prm.get("pipe", prm.get("path"))
         def factory():
@@ -330,7 +348,7 @@ def _connector_spec(sink: str, prm: dict) -> dict:
 
 CONNECTOR_ACTION_TYPES = frozenset({
     "omfwd", "omkafka", "omelasticsearch", "omclickhouse", "ompgsql",
-    "ommysql", "ommongodb", "omhttp", "ompipe"})
+    "ommysql", "ommongodb", "omhttp", "ompipe", "omhiredis"})
 
 
 def load_config(path_or_dict) -> PipelineConfig:

@@ -1155,3 +1155,88 @@ class MongoTransport:
                 self._sock.close()
             finally:
                 self._sock = None
+
+
+class RedisTransport:
+    """omhiredis (contrib/omhiredis/omhiredis.c) over the REAL RESP
+    protocol (state/dbwire.py; the reference links hiredis).  All four
+    reference modes (omhiredis.c:61-65 + stream params :78-101):
+
+    - ``mode="queue"``: LPUSH (default) or RPUSH with ``use_rpush``
+    - ``mode="publish"``: PUBLISH to ``key``
+    - ``mode="set"``: SET (or SETEX with ``expiration`` seconds)
+      keyed by ``key`` + the row's ``key_field`` value
+    - ``mode="stream"``: XADD with the rendered message in
+      ``stream_out_field`` and optional MAXLEN ~ ``capacity_limit``
+
+    ``dynakey``: take the key per row from ``key_field`` (dynaKey
+    template analog).  Replies are checked per command; -ERR raises
+    into ConnectorSink's bounded retry/suspend."""
+
+    def __init__(self, host: str, port: int = 6379, mode: str = "queue",
+                 key: str = "raylog", key_field: str | None = None,
+                 use_rpush: bool = False, expiration: int = 0,
+                 stream_out_field: str = "msg",
+                 capacity_limit: int = 0, render=None):
+        assert mode in ("queue", "publish", "set", "stream")
+        self.addr = (host, port)
+        self.mode = mode
+        self.key = key
+        self.key_field = key_field
+        self.use_rpush = use_rpush
+        self.expiration = expiration
+        self.stream_out_field = stream_out_field
+        self.capacity_limit = capacity_limit
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self._sock = None
+
+    def _connected(self):
+        import socket
+
+        if self._sock is None:
+            self._sock = socket.create_connection(self.addr, timeout=10)
+        return self._sock
+
+    def _key_for(self, rec: dict) -> str:
+        if self.key_field is not None:
+            return f"{self.key}{rec.get(self.key_field, '')}"
+        return self.key
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state.dbwire import resp_encode, resp_read
+
+        try:
+            s = self._connected()
+            # pipeline the whole bulk, then read all replies (hiredis
+            # appendCommand/getReply batching, omhiredis doAction)
+            buf = bytearray()
+            for rec in payloads:
+                msg = self.render(rec)
+                k = self._key_for(rec)
+                if self.mode == "queue":
+                    cmd = ["RPUSH" if self.use_rpush else "LPUSH", k, msg]
+                elif self.mode == "publish":
+                    cmd = ["PUBLISH", k, msg]
+                elif self.mode == "set":
+                    cmd = (["SETEX", k, self.expiration, msg]
+                           if self.expiration else ["SET", k, msg])
+                else:
+                    cmd = ["XADD", k]
+                    if self.capacity_limit:
+                        cmd += ["MAXLEN", "~", self.capacity_limit]
+                    cmd += ["*", self.stream_out_field, msg]
+                buf += resp_encode(cmd)
+            s.sendall(bytes(buf))
+            for _ in payloads:
+                resp_read(s)             # raises on -ERR
+        except (OSError, ConnectionError):
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None

@@ -217,3 +217,54 @@ def mongo_read_msg(sock) -> tuple[int, dict]:
         raise ConnectionError("only kind-0 body sections supported")
     doc, _ = bson_decode(payload, 5)
     return response_to, doc
+
+
+# ---------------------------------------------------------------------------
+# Redis RESP (REdis Serialization Protocol) — omhiredis/imhiredis
+# (contrib/omhiredis/omhiredis.c, contrib/imhiredis) link hiredis; the
+# protocol itself is two trivial rules: commands go as RESP arrays of
+# bulk strings, replies are +simple/-error/:int/$bulk/*array.
+# ---------------------------------------------------------------------------
+
+def resp_encode(args: list) -> bytes:
+    out = bytearray(f"*{len(args)}\r\n".encode())
+    for a in args:
+        b = a if isinstance(a, bytes) else str(a).encode()
+        out += f"${len(b)}\r\n".encode() + b + b"\r\n"
+    return bytes(out)
+
+
+def resp_read(sock) -> object:
+    """Read one reply: str (+), int (:), bytes ($), list (*), or raise
+    on (-) errors; None for null bulk/array."""
+    line = _resp_line(sock)
+    t, rest = line[:1], line[1:]
+    if t == b"+":
+        return rest.decode()
+    if t == b"-":
+        raise ConnectionError(f"redis error: {rest.decode()}")
+    if t == b":":
+        return int(rest)
+    if t == b"$":
+        n = int(rest)
+        if n < 0:
+            return None
+        data = _recv_exact(sock, n + 2)[:-2]
+        return data
+    if t == b"*":
+        n = int(rest)
+        if n < 0:
+            return None
+        return [resp_read(sock) for _ in range(n)]
+    raise ConnectionError(f"bad RESP type byte {t!r}")
+
+
+def _resp_line(sock) -> bytes:
+    out = bytearray()
+    while True:
+        c = sock.recv(1)
+        if not c:
+            raise ConnectionError("redis peer closed")
+        out += c
+        if out[-2:] == b"\r\n":
+            return bytes(out[:-2])

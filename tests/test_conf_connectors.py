@@ -55,6 +55,21 @@ def test_connector_spec_registry():
         spec = _connector_spec("s", prm)
         assert isinstance(spec["factory"](), cls), prm["type"]
 
+    # omhiredis: reference param names map onto the transport's modes
+    from rsyslog_ray.stages.connectors import RedisTransport
+    t = _connector_spec("s", {
+        "type": "omhiredis", "server": "h", "mode": "stream",
+        "key": "st", "stream.outfield": "line",
+        "stream.capacitylimit": "500"})["factory"]()
+    assert isinstance(t, RedisTransport)
+    assert (t.mode, t.key, t.stream_out_field, t.capacity_limit) == \
+        ("stream", "st", "line", 500)
+    t = _connector_spec("s", {
+        "type": "omhiredis", "server": "h", "mode": "set",
+        "dynakey": "on", "dynakey_field": "host",
+        "expiration": "30"})["factory"]()
+    assert (t.mode, t.key_field, t.expiration) == ("set", "host", 30)
+
 
 def test_conf_kafka_delivery_with_resume(ray_session, pages_small,
                                          tmp_path):

@@ -317,3 +317,299 @@ def test_db_wire_as_ray_stage(ray_session):
     finally:
         my.stop()
         mo.stop()
+
+
+# ---------------------------------------------------------------------
+# Redis RESP (omhiredis / imhiredis analogs)
+# ---------------------------------------------------------------------
+
+class MiniRedisServer:
+    """RESP counterparty: lists, kv (+TTL), streams, pub/sub.  Decodes
+    commands as arrays of bulk strings and replies per the published
+    protocol; can -ERR the first data command once."""
+
+    def __init__(self, fail_first: bool = False):
+        self.lists: dict[str, list[bytes]] = {}
+        self.kv: dict[str, tuple[bytes, int | None]] = {}
+        self.streams: dict[str, list[tuple[str, list[bytes]]]] = {}
+        self.maxlen_seen: dict[str, int] = {}
+        self.subscribers: dict[str, list] = {}
+        self.published: list[tuple[str, bytes]] = []
+        self.fail_first = fail_first
+        self._seq = 0
+        self._lock = threading.Lock()
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(8)
+        self.port = self._srv.getsockname()[1]
+        threading.Thread(target=self._accept, daemon=True).start()
+
+    def _accept(self):
+        while True:
+            try:
+                conn, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._serve, args=(conn,),
+                             daemon=True).start()
+
+    @staticmethod
+    def _read_cmd(f):
+        hdr = f.readline()
+        if not hdr:
+            return None
+        assert hdr[:1] == b"*"
+        n = int(hdr[1:].strip())
+        args = []
+        for _ in range(n):
+            ln = f.readline()
+            assert ln[:1] == b"$"
+            size = int(ln[1:].strip())
+            args.append(f.read(size + 2)[:-2])
+        return args
+
+    def _serve(self, conn):
+        f = conn.makefile("rb")
+        try:
+            while True:
+                cmd = self._read_cmd(f)
+                if cmd is None:
+                    return
+                with self._lock:
+                    self._dispatch(conn, cmd)
+        except (OSError, AssertionError, ValueError):
+            pass
+        finally:
+            conn.close()
+
+    @staticmethod
+    def _bulk(b: bytes) -> bytes:
+        return b"$%d\r\n%s\r\n" % (len(b), b)
+
+    def _dispatch(self, conn, cmd):
+        op = cmd[0].upper().decode()
+        if self.fail_first and op != "SUBSCRIBE":
+            self.fail_first = False
+            conn.sendall(b"-ERR transient failure injected\r\n")
+            return
+        if op in ("LPUSH", "RPUSH"):
+            lst = self.lists.setdefault(cmd[1].decode(), [])
+            for v in cmd[2:]:
+                lst.insert(0, v) if op == "LPUSH" else lst.append(v)
+            conn.sendall(b":%d\r\n" % len(lst))
+        elif op in ("LPOP", "RPOP"):
+            lst = self.lists.get(cmd[1].decode(), [])
+            if not lst:
+                conn.sendall(b"$-1\r\n")
+            else:
+                v = lst.pop(0) if op == "LPOP" else lst.pop()
+                conn.sendall(self._bulk(v))
+        elif op == "SET":
+            self.kv[cmd[1].decode()] = (cmd[2], None)
+            conn.sendall(b"+OK\r\n")
+        elif op == "SETEX":
+            self.kv[cmd[1].decode()] = (cmd[3], int(cmd[2]))
+            conn.sendall(b"+OK\r\n")
+        elif op == "PUBLISH":
+            ch, msg = cmd[1].decode(), cmd[2]
+            self.published.append((ch, msg))
+            push = (b"*3\r\n" + self._bulk(b"message")
+                    + self._bulk(ch.encode()) + self._bulk(msg))
+            subs = self.subscribers.get(ch, [])
+            for sc in subs:
+                try:
+                    sc.sendall(push)
+                except OSError:
+                    pass
+            conn.sendall(b":%d\r\n" % len(subs))
+        elif op == "SUBSCRIBE":
+            ch = cmd[1].decode()
+            self.subscribers.setdefault(ch, []).append(conn)
+            conn.sendall(b"*3\r\n" + self._bulk(b"subscribe")
+                         + self._bulk(ch.encode()) + b":1\r\n")
+        elif op == "XADD":
+            key = cmd[1].decode()
+            i = 2
+            if cmd[i].upper() == b"MAXLEN":
+                i += 1
+                if cmd[i] == b"~":
+                    i += 1
+                self.maxlen_seen[key] = int(cmd[i])
+                i += 1
+            assert cmd[i] == b"*"
+            self._seq += 1
+            eid = f"1-{self._seq}"
+            entries = self.streams.setdefault(key, [])
+            entries.append((eid, list(cmd[i + 1:])))
+            cap = self.maxlen_seen.get(key)
+            if cap:
+                del entries[:-cap]
+            conn.sendall(self._bulk(eid.encode()))
+        elif op == "XREAD":
+            # XREAD COUNT n STREAMS key id
+            count = int(cmd[2])
+            key, after = cmd[4].decode(), cmd[5].decode()
+
+            def newer(eid):
+                if after == "0":
+                    return True
+                a, b = eid.split("-"), after.split("-")
+                return (int(a[0]), int(a[1])) > (int(b[0]), int(b[1]))
+
+            hits = [(e, kv) for e, kv in self.streams.get(key, [])
+                    if newer(e)][:count]
+            if not hits:
+                conn.sendall(b"*-1\r\n")
+                return
+            body = b"*%d\r\n" % len(hits)
+            for eid, kv in hits:
+                fields = b"".join(self._bulk(x) for x in kv)
+                body += (b"*2\r\n" + self._bulk(eid.encode())
+                         + b"*%d\r\n" % len(kv) + fields)
+            conn.sendall(b"*1\r\n*2\r\n" + self._bulk(key.encode())
+                         + body)
+        else:
+            conn.sendall(b"-ERR unknown command\r\n")
+
+    def stop(self):
+        try:
+            self._srv.shutdown(socket.SHUT_RDWR)
+        except OSError:
+            pass
+        self._srv.close()
+
+
+def test_redis_queue_roundtrip(ray_session):
+    from rsyslog_ray.sources.redisq import RedisCapture
+    from rsyslog_ray.stages.connectors import RedisTransport
+
+    srv = MiniRedisServer()
+    try:
+        t = RedisTransport("127.0.0.1", srv.port, mode="queue",
+                           key="logs", render=lambda r: r["msg"])
+        sink = ConnectorSink(transport=t, batch_rows=100)
+        out = sink(pd.DataFrame({"msg": [f"m{i}" for i in range(5)]}))
+        assert int(out["rows_delivered"].iloc[0]) == 5
+        # LPUSH prepends: list head is the newest
+        assert srv.lists["logs"][0] == b"m4"
+        t.close()
+
+        got = RedisCapture("127.0.0.1", srv.port).capture_queue("logs")
+        recs = sorted(r["record"] for r in got.take_all())
+        assert recs == [f"m{i}" for i in range(5)]
+        assert srv.lists["logs"] == []          # drained
+    finally:
+        srv.stop()
+
+
+def test_redis_rpush_fifo_and_set_modes():
+    from rsyslog_ray.stages.connectors import RedisTransport
+
+    srv = MiniRedisServer()
+    try:
+        t = RedisTransport("127.0.0.1", srv.port, mode="queue",
+                           key="q", use_rpush=True,
+                           render=lambda r: r["m"])
+        ConnectorSink(transport=t)(pd.DataFrame({"m": ["a", "b"]}))
+        assert srv.lists["q"] == [b"a", b"b"]   # RPUSH keeps arrival order
+        t.close()
+
+        # dynakey SET and SETEX-with-expiration
+        t = RedisTransport("127.0.0.1", srv.port, mode="set",
+                           key="host:", key_field="host",
+                           render=lambda r: r["m"])
+        ConnectorSink(transport=t)(pd.DataFrame(
+            {"host": ["h1", "h2"], "m": ["x", "y"]}))
+        assert srv.kv["host:h1"] == (b"x", None)
+        assert srv.kv["host:h2"] == (b"y", None)
+        t.close()
+
+        t = RedisTransport("127.0.0.1", srv.port, mode="set",
+                           key="ttl:", key_field="host", expiration=60,
+                           render=lambda r: r["m"])
+        ConnectorSink(transport=t)(pd.DataFrame(
+            {"host": ["h3"], "m": ["z"]}))
+        assert srv.kv["ttl:h3"] == (b"z", 60)
+        t.close()
+    finally:
+        srv.stop()
+
+
+def test_redis_publish_subscribe(ray_session):
+    import time
+
+    from rsyslog_ray.sources.redisq import RedisCapture
+    from rsyslog_ray.stages.connectors import RedisTransport
+
+    srv = MiniRedisServer()
+    try:
+        box = {}
+
+        def subscriber():
+            cap = RedisCapture("127.0.0.1", srv.port)
+            box["ds"] = cap.capture_subscribe("events", 3)
+
+        th = threading.Thread(target=subscriber, daemon=True)
+        th.start()
+        for _ in range(200):                 # wait for SUBSCRIBE landing
+            with srv._lock:
+                if srv.subscribers.get("events"):
+                    break
+            time.sleep(0.01)
+        t = RedisTransport("127.0.0.1", srv.port, mode="publish",
+                           key="events", render=lambda r: r["m"])
+        ConnectorSink(transport=t)(pd.DataFrame(
+            {"m": ["e1", "e2", "e3"]}))
+        t.close()
+        th.join(timeout=10)
+        assert not th.is_alive()
+        recs = [r["record"] for r in box["ds"].take_all()]
+        assert recs == ["e1", "e2", "e3"]
+        assert [m for _, m in srv.published] == [b"e1", b"e2", b"e3"]
+    finally:
+        srv.stop()
+
+
+def test_redis_stream_xadd_xread_cursor(ray_session):
+    from rsyslog_ray.sources.redisq import RedisCapture
+    from rsyslog_ray.stages.connectors import RedisTransport
+
+    srv = MiniRedisServer()
+    try:
+        t = RedisTransport("127.0.0.1", srv.port, mode="stream",
+                           key="st", stream_out_field="msg",
+                           capacity_limit=100,
+                           render=lambda r: r["m"])
+        ConnectorSink(transport=t)(pd.DataFrame(
+            {"m": ["s1", "s2", "s3"]}))
+        t.close()
+        assert srv.maxlen_seen["st"] == 100
+
+        cap = RedisCapture("127.0.0.1", srv.port)
+        ds, cursor = cap.capture_stream("st")
+        rows = ds.take_all()
+        assert [r["record"] for r in rows] == ["s1", "s2", "s3"]
+        assert all(r["field"] == "msg" for r in rows)
+        assert cursor == rows[-1]["entry_id"]
+
+        # resume from the cursor: nothing new
+        ds2, cursor2 = cap.capture_stream("st", start_id=cursor)
+        assert ds2.count() == 0 and cursor2 == cursor
+    finally:
+        srv.stop()
+
+
+def test_redis_err_reply_retries():
+    from rsyslog_ray.stages.connectors import RedisTransport
+
+    srv = MiniRedisServer(fail_first=True)
+    try:
+        sink = ConnectorSink(
+            transport=RedisTransport("127.0.0.1", srv.port, key="r",
+                                     render=lambda r: r["m"]),
+            backoff_base_s=0.01)
+        out = sink(pd.DataFrame({"m": ["only"]}))
+        assert int(out["rows_delivered"].iloc[0]) == 1
+        assert srv.lists["r"] == [b"only"]
+    finally:
+        srv.stop()
