@@ -314,6 +314,16 @@ def _connector_spec(sink: str, prm: dict) -> dict:
             from .stages.connectors import HttpBatchTransport
             return HttpBatchTransport(h, p, restpath=path,
                                       batch_format=batchfmt)
+    elif typ == "omrelp":
+        h, p = host, need_port(514)
+        win = int(prm.get("windowsize",
+                          prm.get("window_size", 0))) or 128
+        reb = int(prm.get("rebindinterval",
+                          prm.get("rebind_interval", 0)))
+        def factory():
+            from .stages.connectors import RelpTransport
+            return RelpTransport(h, p, window_size=win,
+                                 rebind_interval=reb)
     elif typ == "omhiredis":
         h, p = host, need_port(6379)
         mode = prm.get("mode", "queue")
@@ -348,7 +358,7 @@ def _connector_spec(sink: str, prm: dict) -> dict:
 
 CONNECTOR_ACTION_TYPES = frozenset({
     "omfwd", "omkafka", "omelasticsearch", "omclickhouse", "ompgsql",
-    "ommysql", "ommongodb", "omhttp", "ompipe", "omhiredis"})
+    "ommysql", "ommongodb", "omhttp", "ompipe", "omhiredis", "omrelp"})
 
 
 def load_config(path_or_dict) -> PipelineConfig:

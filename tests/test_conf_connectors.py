@@ -70,6 +70,15 @@ def test_connector_spec_registry():
         "expiration": "30"})["factory"]()
     assert (t.mode, t.key_field, t.expiration) == ("set", "host", 30)
 
+    # omrelp: windowsize/rebindinterval map through; 0 = librelp default
+    from rsyslog_ray.stages.connectors import RelpTransport
+    t = _connector_spec("s", {
+        "type": "omrelp", "target": "h", "port": "2514",
+        "windowsize": "0", "rebindinterval": "50"})["factory"]()
+    assert isinstance(t, RelpTransport)
+    assert (t.addr, t.window_size, t.rebind_interval) == \
+        (("h", 2514), 128, 50)
+
 
 def test_conf_kafka_delivery_with_resume(ray_session, pages_small,
                                          tmp_path):
