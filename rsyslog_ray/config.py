@@ -314,6 +314,23 @@ def _connector_spec(sink: str, prm: dict) -> dict:
             from .stages.connectors import HttpBatchTransport
             return HttpBatchTransport(h, p, restpath=path,
                                       batch_format=batchfmt)
+    elif typ == "omsnmp":
+        h, p = host, need_port(162)
+        ver = int(prm.get("version", 2))
+        comm = prm.get("community", "public")
+        ent = prm.get("enterpriseoid", "1.3.6.1.4.1.3.1.1")
+        toid = prm.get("trapoid", "1.3.6.1.4.1.19406.1.2.1")
+        moid = prm.get("syslogmessageoid", "1.3.6.1.4.1.19406.1.1.2.1")
+        ttype = prm.get("traptype")
+        stype = int(prm.get("specifictype", 0))
+        src = prm.get("snmpv1dynsource")
+        def factory():
+            from .stages.connectors import SnmpTrapTransport
+            return SnmpTrapTransport(
+                h, p, version=ver, community=comm, enterprise_oid=ent,
+                trap_oid=toid, syslog_message_oid=moid,
+                trap_type=None if ttype is None else int(ttype),
+                specific_type=stype, source_field=src)
     elif typ == "omrelp":
         h, p = host, need_port(514)
         win = int(prm.get("windowsize",
@@ -358,7 +375,8 @@ def _connector_spec(sink: str, prm: dict) -> dict:
 
 CONNECTOR_ACTION_TYPES = frozenset({
     "omfwd", "omkafka", "omelasticsearch", "omclickhouse", "ompgsql",
-    "ommysql", "ommongodb", "omhttp", "ompipe", "omhiredis", "omrelp"})
+    "ommysql", "ommongodb", "omhttp", "ompipe", "omhiredis", "omrelp",
+    "omsnmp"})
 
 
 def load_config(path_or_dict) -> PipelineConfig:

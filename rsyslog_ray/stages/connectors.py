@@ -1373,3 +1373,96 @@ class RelpTransport:
 
     def close(self):
         self._close_session()
+
+
+class SnmpTrapTransport:
+    """omsnmp (plugins/omsnmp/omsnmp.c) over the real SNMPv1/v2c trap
+    wire format (state/snmpwire.py BER; the reference builds the same
+    PDUs with net-snmp).  ``version=1``: RFC 1157 Trap-PDU with the
+    enterprise OID, agent-addr taken per row from ``source_field``
+    when set (omsnmp snmpv1dynsource, omsnmp.c:128 + :315-331
+    inet_pton into pdu->agent_addr), generic/specific trap types
+    (defaults enterpriseSpecific/0, omsnmp.c:144-145).  ``version=2``:
+    SNMPv2-Trap opening with the sysUpTime.0 and snmpTrapOID.0
+    varbinds (omsnmp.c:341-358).  The rendered message rides as an
+    OCTET STRING bound to ``syslog_message_oid`` (omsnmp.c:364-377,
+    default 1.3.6.1.4.1.19406.1.1.2.1).  One UDP datagram per trap —
+    fire-and-forget, so delivery accounting is per-send and only
+    socket errors raise into the retry path."""
+
+    def __init__(self, host: str, port: int = 162, version: int = 2,
+                 community: str = "public",
+                 enterprise_oid: str = "1.3.6.1.4.1.3.1.1",
+                 trap_oid: str = "1.3.6.1.4.1.19406.1.2.1",
+                 syslog_message_oid: str = "1.3.6.1.4.1.19406.1.1.2.1",
+                 trap_type: int | None = None, specific_type: int = 0,
+                 source_field: str | None = None, render=None,
+                 uptime_fn=None):
+        from ..state.snmpwire import TRAP_ENTERPRISE_SPECIFIC
+
+        assert version in (1, 2)
+        self.addr = (host, port)
+        self.version = version
+        self.community = community
+        self.enterprise_oid = enterprise_oid
+        self.trap_oid = trap_oid
+        self.syslog_message_oid = syslog_message_oid
+        self.trap_type = (TRAP_ENTERPRISE_SPECIFIC
+                          if trap_type is None else trap_type)
+        self.specific_type = specific_type
+        self.source_field = source_field
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self._t0 = time.monotonic()
+        # uptime in centiseconds, like net-snmp's get_uptime()
+        self.uptime_fn = uptime_fn or (
+            lambda: int((time.monotonic() - self._t0) * 100))
+        self._request_id = 0
+        self._sock = None
+
+    def _connected(self):
+        import socket
+
+        if self._sock is None:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        return self._sock
+
+    @staticmethod
+    def _valid_v4(s) -> bool:
+        parts = str(s).split(".")
+        return (len(parts) == 4 and all(p.isdigit() and int(p) < 256
+                                        for p in parts))
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state.snmpwire import ber_str, trap_v1, trap_v2c, varbind
+
+        try:
+            s = self._connected()
+            for rec in payloads:
+                vb = [varbind(self.syslog_message_oid,
+                              ber_str(self.render(rec)))]
+                if self.version == 1:
+                    src = (rec.get(self.source_field)
+                           if self.source_field else None)
+                    agent = src if src and self._valid_v4(src) \
+                        else "0.0.0.0"
+                    dgram = trap_v1(self.community, self.enterprise_oid,
+                                    agent, self.trap_type,
+                                    self.specific_type,
+                                    self.uptime_fn(), vb)
+                else:
+                    self._request_id += 1
+                    dgram = trap_v2c(self.community, self._request_id,
+                                     self.uptime_fn(), self.trap_oid,
+                                     vb)
+                s.sendto(dgram, self.addr)
+        except OSError:
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
