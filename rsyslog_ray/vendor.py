@@ -513,3 +513,189 @@ def audit_parse(s: pd.Series) -> pd.DataFrame:
                  if r else None for r in rows],
         "parse_ok": [r is not None for r in rows],
     }, index=s.index)
+
+
+# ---------------------------------------------------------------------
+# mmsnmptrapd — rewrite snmptrapd-emitted messages: pull the real
+# severity + origin host out of the TAG and re-home them
+# (plugins/mmsnmptrapd/mmsnmptrapd.c:157-252 getTagComponent/doAction,
+# :255-300 buildSeverityMapping, :326-345 tag defaults)
+# ---------------------------------------------------------------------
+
+def _tag_component(tag: str, pos: int) -> str:
+    """getTagComponent (mmsnmptrapd.c:181-197): empty unless the char
+    at ``pos`` is '/'; then chars until '/', SP or end."""
+    if pos >= len(tag) or tag[pos] != "/":
+        return ""
+    out = []
+    for ch in tag[pos + 1:]:
+        if ch in (" ", "/"):
+            break
+        out.append(ch)
+    return "".join(out)
+
+
+def severity_mapping(spec: str) -> dict[str, int]:
+    """``"warning/4,error/3"`` → mapping; codes outside 0..7 rejected
+    (mmsnmptrapd.c:274-289)."""
+    out = {}
+    for pair in spec.split(","):
+        if not pair.strip():
+            continue
+        name, _, code = pair.partition("/")
+        code = int(code.strip())
+        if not 0 <= code <= 7:
+            raise ValueError(
+                f"severity code {code} outside of valid range 0..7")
+        out[name.strip()] = code
+    return out
+
+
+def snmptrapd_rewrite_row(tag: str, hostname: str, severity,
+                          *, tag_name: str = "snmptrapd",
+                          sever_map: dict[str, int] | None = None):
+    """Per-row oracle of the C walk (mmsnmptrapd.c:217-252): a TAG of
+    ``<name>/<sever>/<host>:`` has its severity string and true origin
+    host extracted; the TAG collapses to ``<name>:``, HOSTNAME becomes
+    the extracted host (trailing ':' stripped, set even when empty —
+    MsgSetHOSTNAME is unconditional on tag match), severity becomes
+    the mapped code when the mapping knows the string."""
+    tag = tag or ""
+    tag_id = tag_name + "/"
+    if not tag.startswith(tag_id):
+        return tag, hostname, severity
+    sever = _tag_component(tag, len(tag_id) - 1)
+    host = _tag_component(tag, len(tag_id) + len(sever))
+    if host.endswith(":"):
+        host = host[:-1]
+    code = (sever_map or {}).get(sever, -1)
+    return (tag_name + ":", host,
+            code if code != -1 else severity)
+
+
+def snmptrapd_rewrite(tag: pd.Series, hostname: pd.Series,
+                      severity: pd.Series, *,
+                      tag_name: str = "snmptrapd",
+                      sever_map: dict[str, int] | None = None):
+    """Vectorized mmsnmptrapd: returns (tag, hostname, severity)
+    Series.  Byte-identical to :func:`snmptrapd_rewrite_row` per row
+    (tests enforce)."""
+    import numpy as np
+
+    tag = tag.fillna("")
+    tag_id = tag_name + "/"
+    # sever: chars after the tag-id '/' until '/', SP or end; host:
+    # only when a '/' immediately follows sever (getTagComponent's
+    # leading-slash requirement), until '/', SP or end
+    ext = tag.str.extract(
+        "^" + re.escape(tag_id) + r"([^/ ]*)(?:/([^/ ]*))?",
+        expand=True)
+    matched = ext[0].notna()
+    sever = ext[0].fillna("")
+    host = ext[1].fillna("").str.replace(r":$", "", regex=True)
+    codes = sever.map(sever_map or {})
+    new_tag = tag.where(~matched, tag_name + ":")
+    new_host = hostname.where(~matched, host)
+    repl = (matched & codes.notna()).to_numpy()
+    new_sev = severity.copy()
+    new_sev[repl] = codes[repl].astype(np.int64)
+    return new_tag, new_host, new_sev
+
+
+# ---------------------------------------------------------------------
+# mmsnareparse — Snare-for-Windows event decoder, CORE SUBSET of
+# plugins/mmsnareparse/mmsnareparse.c (5764 lines; multi-variant).
+# Covered here: literal-tab normalization (c:1038 \t → TAB; the agent
+# also ships #011), PRI skip + MSWinEventLog payload location
+# (c:3004-3160), the classic TSV field layout (Criticality, Channel,
+# SnareCounter, TimeCreated, EventID, Provider, User, SIDType,
+# EventLogType, Computer, Category, Description, with the EventID-
+# as-int typing of c:4693), and key/value extraction of the
+# Description section on multi-space/colon boundaries into EventData
+# (c:687-760 tokenize_on_multispace + c:3919-3960), with int/bool
+# typing (c:3382-3400).  NOT covered: the per-EventID knowledge tables
+# and RFC5424 wrapping variants.
+# ---------------------------------------------------------------------
+
+_SNARE_FIELDS = ("criticality", "channel", "snare_counter",
+                 "time_created", "event_id", "provider", "user",
+                 "sid_type", "event_log_type", "computer", "category")
+
+
+def _snare_typed(v: str):
+    if re.fullmatch(r"[+-]?\d+", v):
+        return int(v)
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
+
+
+def snare_kv_parse(text: str) -> dict:
+    """Description → {key: typed value}: split on TAB or 2+ spaces
+    (a colon-terminated token keeps its following single gap, like
+    tokenize_on_multispace's colon_precedes rule), pair up
+    ``Key:  Value`` segments."""
+    segs = [s.strip() for s in re.split(r"\t+| {2,}", text)
+            if s.strip()]
+    out: dict = {}
+    key = None
+    for seg in segs:
+        if seg.endswith(":"):                 # "Key:" then value seg
+            key = seg[:-1].strip()
+            continue
+        if ":" in seg:
+            k, _, v = seg.partition(":")
+            v = v.strip()
+            if v:
+                out[k.strip()] = _snare_typed(v)
+                key = None
+            else:
+                key = k.strip()
+            continue
+        if key is not None:
+            out[key] = _snare_typed(seg)
+            key = None
+    return out
+
+
+def snare_event_parse_row(line: str) -> dict | None:
+    """One Snare TSV event → {hdr fields..., event_data} or None when
+    the line carries no MSWinEventLog payload."""
+    if not isinstance(line, str):
+        return None
+    # PRI skip (c:3064-3076) + literal-tab normalization (c:1038)
+    s = line.lstrip()
+    m = re.match(r"<\d+>", s)
+    if m:
+        s = s[m.end():].lstrip()
+    s = s.replace("\\t", "\t").replace("#011", "\t")
+    at = s.find("MSWinEventLog")
+    if at < 0:
+        return None
+    parts = s[at:].split("\t")
+    hdr = dict(zip(_SNARE_FIELDS, (p.strip() for p in parts[1:12])))
+    for k in _SNARE_FIELDS:
+        hdr.setdefault(k, "")
+    try:
+        hdr["event_id"] = int(hdr["event_id"])   # c:4693 json int
+    except ValueError:
+        hdr["event_id"] = None
+    desc = parts[12] if len(parts) > 12 else ""
+    hdr["event_data"] = snare_kv_parse(desc)
+    return hdr
+
+
+def snare_event_parse(s: pd.Series) -> pd.DataFrame:
+    """Batch decoder: header fields as columns + ``event_data``
+    compact JSON + ``parse_ok``."""
+    import json as _json
+
+    rows = [snare_event_parse_row(v) for v in s]
+    cols = {f: [r[f] if r else None for r in rows]
+            for f in _SNARE_FIELDS}
+    cols["event_id"] = pd.array(cols["event_id"], dtype="Int64")
+    cols["event_data"] = [
+        _json.dumps(r["event_data"], separators=(",", ":"), sort_keys=True)
+        if r else None for r in rows]
+    cols["parse_ok"] = [r is not None for r in rows]
+    return pd.DataFrame(cols, index=s.index)

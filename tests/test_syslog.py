@@ -1,6 +1,8 @@
 """Syslog rulebase chain: RFC5424 first, RFC3164 fallback, PRI decompose."""
 
+import pandas as pd
 import pyarrow as pa
+import pytest
 import pyarrow.compute as pc
 
 from rsyslog_ray.rulebase import SYSLOG_RULEBASE, pri_decompose
@@ -409,3 +411,82 @@ def test_vendor_formats_roundtrip(ray_session):
     assert (df["auditid"].str.split(":").str[1].astype("int64")
             == df["event_id"]).all()
     assert (df["audit_comm"] == df["leef_event"]).all()
+
+
+def test_mmsnmptrapd_rewrite():
+    """mmsnmptrapd (plugins/mmsnmptrapd/mmsnmptrapd.c:217-252): TAG
+    'snmptrapd/<sever>/<host>:' → TAG 'snmptrapd:', HOSTNAME from the
+    tag (trailing ':' stripped), severity via the user mapping —
+    vectorized path byte-identical to the per-row C-walk oracle."""
+    from rsyslog_ray.vendor import (severity_mapping, snmptrapd_rewrite,
+                                    snmptrapd_rewrite_row)
+
+    smap = severity_mapping("warning/4, error/3,info/6")
+    assert smap == {"warning": 4, "error": 3, "info": 6}
+    with pytest.raises(ValueError):
+        severity_mapping("bad/9")
+
+    tags = pd.Series([
+        "snmptrapd/warning/web01.example.net:",   # the canonical shape
+        "snmptrapd/error/db5:",                   # mapped, short host
+        "snmptrapd/unknown/h:",                   # unmapped severity
+        "snmptrapd/warning stray",                # SP ends sever, no host
+        "snmptrapd/crit",                         # no host component
+        "othertag: hello",                        # no match: untouched
+        "snmptrapdX/warning/h:",                  # prefix mismatch
+        "snmptrapd/",                             # empty components
+    ])
+    hosts = pd.Series([f"relay{i}" for i in range(len(tags))])
+    sevs = pd.Series([5] * len(tags))
+
+    vt, vh, vs = snmptrapd_rewrite(tags, hosts, sevs, sever_map=smap)
+    for i in range(len(tags)):
+        et, eh, es = snmptrapd_rewrite_row(
+            tags[i], hosts[i], sevs[i], sever_map=smap)
+        assert (vt[i], vh[i], vs[i]) == (et, eh, es), tags[i]
+    # and the canonical row's exact values
+    assert (vt[0], vh[0], vs[0]) == ("snmptrapd:",
+                                     "web01.example.net", 4)
+    assert vs[2] == 5                       # unmapped keeps severity
+    assert (vt[5], vh[5]) == ("othertag: hello", "relay5")
+    assert (vt[6], vh[6]) == ("snmptrapdX/warning/h:", "relay6")
+
+
+def test_mmsnareparse_core():
+    """mmsnareparse core subset: literal-tab normalization, PRI skip,
+    MSWinEventLog TSV header, typed EventID, Description key/values."""
+    import json
+
+    from rsyslog_ray.vendor import snare_event_parse, snare_kv_parse
+
+    line = ("<13>Jan  5 10:00:00 host MSWinEventLog\t1\tSecurity\t1234\t"
+            "Fri Jan 05 10:00:00 2024\t4624\tMicrosoft-Windows-"
+            "Security-Auditing\tSYSTEM\tN/A\tSuccess Audit\tWKS01\t"
+            "Logon\tAn account was successfully logged on.    "
+            "Logon Type:  3    Security ID:  S-1-5-18    "
+            "Elevated Token:  true    Source Port:  49152")
+    # the same event with agent-escaped tabs must decode identically
+    esc = line.replace("\t", "#011")
+    df = snare_event_parse(pd.Series([line, esc, "no payload", None]))
+    for i in (0, 1):
+        assert bool(df["parse_ok"][i])
+        assert df["criticality"][i] == "1"
+        assert df["channel"][i] == "Security"
+        assert df["snare_counter"][i] == "1234"
+        assert df["event_id"][i] == 4624
+        assert df["provider"][i] == \
+            "Microsoft-Windows-Security-Auditing"
+        assert df["event_log_type"][i] == "Success Audit"
+        assert df["computer"][i] == "WKS01"
+        assert df["category"][i] == "Logon"
+        ev = json.loads(df["event_data"][i])
+        assert ev["Logon Type"] == 3           # typed int
+        assert ev["Security ID"] == "S-1-5-18"
+        assert ev["Elevated Token"] is True    # typed bool
+        assert ev["Source Port"] == 49152
+    assert not df["parse_ok"][2] and not df["parse_ok"][3]
+    assert df["event_id"].isna()[2]
+
+    # kv edge: "Key:" split from its value by a segment boundary
+    assert snare_kv_parse("Account Name:\tALICE   Count:  2") == {
+        "Account Name": "ALICE", "Count": 2}
