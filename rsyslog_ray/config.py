@@ -314,6 +314,15 @@ def _connector_spec(sink: str, prm: dict) -> dict:
             from .stages.connectors import HttpBatchTransport
             return HttpBatchTransport(h, p, restpath=path,
                                       batch_format=batchfmt)
+    elif typ == "omjournal":
+        # batch analog writes the journal Export Format to a file; the
+        # "namespace" param names the stream file, like omjournal's
+        # namespace stream target
+        jpath = prm.get("path") or prm.get("namespace") or "journal.export"
+        jfields = prm.get("fields")
+        def factory():
+            from .stages.connectors import JournalTransport
+            return JournalTransport(jpath, fields=jfields)
     elif typ == "omsnmp":
         h, p = host, need_port(162)
         ver = int(prm.get("version", 2))
@@ -376,7 +385,7 @@ def _connector_spec(sink: str, prm: dict) -> dict:
 CONNECTOR_ACTION_TYPES = frozenset({
     "omfwd", "omkafka", "omelasticsearch", "omclickhouse", "ompgsql",
     "ommysql", "ommongodb", "omhttp", "ompipe", "omhiredis", "omrelp",
-    "omsnmp"})
+    "omsnmp", "omjournal"})
 
 
 def load_config(path_or_dict) -> PipelineConfig:

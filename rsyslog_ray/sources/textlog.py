@@ -264,3 +264,27 @@ class UnixSockCapture:
             if os.path.exists(self.path):
                 os.unlink(self.path)
         return ray.data.from_pandas(pd.DataFrame({"record": rows}))
+
+
+class FifoCapture:
+    """imfifo analog: read LF-framed records from a named pipe until
+    EOF or ``max_records`` (the reference's fifo input is the same
+    line framing as imfile over a FIFO fd).  The FIFO is created if
+    missing; open blocks until a writer connects, like the reference's
+    open loop."""
+
+    def __init__(self, path: str, create: bool = True):
+        self.path = path
+        if create and not os.path.exists(path):
+            os.mkfifo(path)
+
+    def capture(self, max_records: int = 1_000_000):
+        import ray.data
+
+        rows = []
+        with open(self.path, "r", errors="replace") as fh:
+            for line in fh:
+                rows.append(line.rstrip("\n"))
+                if len(rows) >= max_records:
+                    break
+        return ray.data.from_pandas(pd.DataFrame({"record": rows}))

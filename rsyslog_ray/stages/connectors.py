@@ -1466,3 +1466,83 @@ class SnmpTrapTransport:
                 self._sock.close()
             finally:
                 self._sock = None
+
+
+class JournalTransport:
+    """omjournal (plugins/omjournal/omjournal.c) — batch analog.  The
+    container has no journald, so entries are emitted in the journal
+    Export Format that imjournal consumes (the documented interchange
+    stream; sources/journal.py is the reader half), appended to a
+    file — a namespace-style stream target, like omjournal.c:253's
+    sd_journal_stream_fd_with_namespace file fallback.  Two modes,
+    mirroring the reference exactly:
+
+    - non-template (omjournal.c:290-302 send_non_template_message):
+      MESSAGE from ``msg_field``, PRIORITY = facility*8|severity
+      (the reference sends the full PRI value here, not the 0-7
+      journald level — mirrored faithfully), SYSLOG_FACILITY,
+      SYSLOG_IDENTIFIER from ``tag_field``.
+    - template (omjournal.c:304-315 send_template_message + :186
+      build_iovec): every row key becomes a journal field verbatim;
+      ``fields=[...]`` selects and uppercases row columns.
+
+    Values with embedded newlines use the export format's binary form
+    (NAME LF + 64-bit LE size + raw + LF)."""
+
+    def __init__(self, path: str, fields: list[str] | None = None,
+                 msg_field: str = "msg", tag_field: str = "tag",
+                 severity_field: str = "severity",
+                 facility_field: str = "facility"):
+        self.path = path
+        self.fields = fields
+        self.msg_field = msg_field
+        self.tag_field = tag_field
+        self.severity_field = severity_field
+        self.facility_field = facility_field
+        self._fh = None
+
+    def _opened(self):
+        if self._fh is None:
+            self._fh = open(self.path, "ab")
+        return self._fh
+
+    @staticmethod
+    def _field(name: str, value) -> bytes:
+        v = str(value).encode()
+        if b"\n" in v:
+            return (name.encode() + b"\n"
+                    + len(v).to_bytes(8, "little") + v + b"\n")
+        return name.encode() + b"=" + v + b"\n"
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        try:
+            fh = self._opened()
+            out = bytearray()
+            for rec in payloads:
+                if self.fields is not None:          # template mode
+                    for k in self.fields:
+                        if k in rec and rec[k] is not None:
+                            out += self._field(k.upper(), rec[k])
+                else:                                # omjournal.c:300
+                    sev = int(rec.get(self.severity_field, 5))
+                    fac = int(rec.get(self.facility_field, 1))
+                    out += self._field("MESSAGE",
+                                       rec.get(self.msg_field, ""))
+                    out += self._field("PRIORITY", fac * 8 | sev)
+                    out += self._field("SYSLOG_FACILITY", fac)
+                    out += self._field("SYSLOG_IDENTIFIER",
+                                       rec.get(self.tag_field, ""))
+                out += b"\n"
+            fh.write(bytes(out))
+            fh.flush()
+        except OSError:
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._fh is not None:
+            try:
+                self._fh.close()
+            finally:
+                self._fh = None

@@ -112,3 +112,111 @@ def test_read_kmsg_dataset(ray_session, tmp_path):
     assert len(df) == 3
     assert df["ts"].iloc[0] == pd.Timestamp("2024-01-01 00:02:03.456789")
     assert df["pri"].tolist() == [6, 30, 3]
+
+
+def test_omjournal_export_roundtrip(ray_session, tmp_path):
+    """omjournal (plugins/omjournal/omjournal.c) template mode writes
+    export-format entries that OUR imjournal reader maps back — the
+    two halves share the published format, not code.  Binary form
+    exercised with an embedded newline."""
+    from rsyslog_ray.sources.journal import read_journal_export
+    from rsyslog_ray.stages.connectors import (ConnectorSink,
+                                               JournalTransport)
+
+    path = tmp_path / "out.export"
+    t = JournalTransport(str(path), fields=[
+        "message", "priority", "syslog_facility", "syslog_identifier",
+        "_hostname", "__realtime_timestamp"])
+    sink = ConnectorSink(transport=t, batch_rows=100)
+    out = sink(pd.DataFrame({
+        "message": ["hello", "line1\nline2", "third"],
+        "priority": ["3", "7", "5"],
+        "syslog_facility": ["4", "1", "23"],
+        "syslog_identifier": ["sshd", "app", "cron"],
+        "_hostname": ["h1", "h2", "h3"],
+        "__realtime_timestamp": ["1700000000000000"] * 3}))
+    t.close()
+    assert int(out["rows_delivered"].iloc[0]) == 3
+
+    df = read_journal_export([str(path)]).to_pandas()
+    assert len(df) == 3
+    assert df["msg"].tolist() == ["hello", "line1\nline2", "third"]
+    assert df["severity"].tolist() == [3, 7, 5]
+    assert df["facility"].tolist() == [4, 1, 23]
+    assert df["tag"].tolist() == ["sshd:", "app:", "cron:"]
+    assert df["host"].tolist() == ["h1", "h2", "h3"]
+    assert df["ts"].iloc[0] == pd.Timestamp("2023-11-14 22:13:20")
+
+
+def test_omjournal_non_template_pri_quirk(tmp_path):
+    """Non-template mode (omjournal.c:300): the reference sends
+    PRIORITY as facility*8|severity — the full PRI, not the 0..7
+    journald level.  Mirrored faithfully; the reader therefore falls
+    back to its NOTICE default on the multi-digit value, exactly as
+    imjournal would on real omjournal output."""
+    from rsyslog_ray.sources.journal import (entry_to_row,
+                                             split_journal_export)
+    from rsyslog_ray.stages.connectors import (ConnectorSink,
+                                               JournalTransport)
+
+    path = tmp_path / "nt.export"
+    t = JournalTransport(str(path))
+    ConnectorSink(transport=t)(pd.DataFrame(
+        {"msg": ["boot ok"], "severity": [6], "facility": [0],
+         "tag": ["kernel"]}))
+    t.close()
+    entries = split_journal_export(path.read_bytes())
+    assert entries == [{"MESSAGE": "boot ok", "PRIORITY": "6",
+                        "SYSLOG_FACILITY": "0",
+                        "SYSLOG_IDENTIFIER": "kernel"}]
+    # facility 0: PRI == severity, so the single digit survives the
+    # reader; a nonzero facility would not (documented quirk)
+    row = entry_to_row(entries[0])
+    assert (row["severity"], row["facility"]) == (6, 0)
+
+
+def test_improg_capture(ray_session):
+    """improg (contrib/improg/improg.c:380-400): child stdout lines
+    become records; confirm_messages paces the child via ACK lines on
+    its stdin (c:394-396) — the child below refuses to emit the next
+    line until acked, so completion proves the ACKs flowed."""
+    import sys
+
+    from rsyslog_ray.sources.prog import ProgCapture
+
+    child = (
+        "import sys\n"
+        "for i in range(5):\n"
+        "    print(f'ev {i}', flush=True)\n"
+        "    assert sys.stdin.readline() == 'ACK\\n'\n")
+    cap = ProgCapture([sys.executable, "-u", "-c", child],
+                      confirm_messages=True)
+    df = cap.capture().to_pandas()
+    assert df["record"].tolist() == [f"ev {i}" for i in range(5)]
+    assert df["seq"].tolist() == list(range(5))
+
+    # unconfirmed mode + max_records bound
+    cap = ProgCapture([sys.executable, "-u", "-c",
+                       "print('a'); print('b'); print('c')"])
+    assert cap.capture(max_records=2).to_pandas()["record"].tolist() \
+        == ["a", "b"]
+
+
+def test_imfifo_capture(ray_session, tmp_path):
+    import threading
+
+    from rsyslog_ray.sources.textlog import FifoCapture
+
+    fifo = str(tmp_path / "in.fifo")
+    cap = FifoCapture(fifo)
+
+    def writer():
+        with open(fifo, "w") as fh:
+            for i in range(7):
+                fh.write(f"<13>fifo {i}\n")
+
+    th = threading.Thread(target=writer)
+    th.start()
+    df = cap.capture().to_pandas()
+    th.join(timeout=5)
+    assert df["record"].tolist() == [f"<13>fifo {i}" for i in range(7)]
