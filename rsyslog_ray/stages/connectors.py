@@ -1546,3 +1546,113 @@ class JournalTransport:
                 self._fh.close()
             finally:
                 self._fh = None
+
+
+class SpoofUdpTransport:
+    """omudpspoof (plugins/omudpspoof/omudpspoof.c) — UDP with a forged
+    source address, rebuilt on a raw socket instead of libnet.  Per
+    the reference: the spoofed source IP comes per row from
+    ``source_field`` (the sourcetemplate default is the message's
+    fromhost-ip), the source PORT cycles sourceport.start..end per
+    message (omudpspoof.c:110-111,365-366, defaults 32000..42000),
+    oversized messages truncate at 65528 (c:361), and payloads past
+    ``mtu`` are IP-fragmented — 8-byte-aligned fragments sharing one
+    IP id with MF set on all but the last (c:381-492).  IP header
+    checksum computed; UDP checksum 0 (optional for IPv4).  Requires
+    CAP_NET_RAW, like the reference."""
+
+    def __init__(self, host: str, port: int = 514, render=None,
+                 source: str = "127.0.0.2",
+                 source_field: str | None = "fromhost_ip",
+                 source_port_start: int = 32000,
+                 source_port_end: int = 42000, mtu: int = 1500):
+        self.addr = (host, port)
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.source = source
+        self.source_field = source_field
+        self.source_port_start = source_port_start
+        self.source_port_end = source_port_end
+        self._sport = source_port_start
+        self.mtu = mtu
+        self._ip_id = 0
+        self._sock = None
+
+    def _connected(self):
+        import socket
+
+        if self._sock is None:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_RAW,
+                                       socket.IPPROTO_RAW)
+        return self._sock
+
+    @staticmethod
+    def _cksum(b: bytes) -> int:
+        import struct as _s
+
+        if len(b) % 2:
+            b += b"\x00"
+        s = sum(_s.unpack(">%dH" % (len(b) // 2), b))
+        while s >> 16:
+            s = (s & 0xFFFF) + (s >> 16)
+        return (~s) & 0xFFFF
+
+    def _ip_hdr(self, src: str, dst: str, total: int, ip_id: int,
+                frag: int) -> bytes:
+        import socket
+        import struct as _s
+
+        hdr = _s.pack(">BBHHHBBH4s4s", 0x45, 0, total, ip_id, frag,
+                      64, 17, 0, socket.inet_aton(src),
+                      socket.inet_aton(dst))
+        return hdr[:10] + _s.pack(">H", self._cksum(hdr)) + hdr[12:]
+
+    def _datagrams(self, src: str, sport: int, data: bytes):
+        """Yield raw IP packets: one, or MTU-bound fragments."""
+        import struct as _s
+
+        dst = self.addr[0]
+        self._ip_id = self._ip_id % 0xFFFF + 1
+        udp = _s.pack(">4H", sport, self.addr[1], 8 + len(data),
+                      0) + data
+        max_payload = (self.mtu - 20) & ~0x07      # c:381
+        if len(udp) <= max_payload:
+            yield self._ip_hdr(src, dst, 20 + len(udp), self._ip_id,
+                               0) + udp
+            return
+        off = 0
+        while off < len(udp):
+            chunk = udp[off:off + max_payload]
+            more = off + len(chunk) < len(udp)
+            frag = (0x2000 if more else 0) | (off >> 3)
+            yield self._ip_hdr(src, dst, 20 + len(chunk), self._ip_id,
+                               frag) + chunk
+            off += len(chunk)
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        try:
+            s = self._connected()
+            for rec in payloads:
+                # c:361 truncates at 65528, but an IPv4 datagram tops
+                # out at 65535 INCLUDING the 20-byte header — anything
+                # past 65507 payload bytes is unreassemblable, so
+                # clamp at the protocol maximum instead
+                data = self.render(rec).encode()[:65507]
+                src = (rec.get(self.source_field)
+                       if self.source_field else None) or self.source
+                sport = self._sport
+                self._sport = (self.source_port_start
+                               if self._sport >= self.source_port_end
+                               else self._sport + 1)
+                for pkt in self._datagrams(str(src), sport, data):
+                    s.sendto(pkt, (self.addr[0], 0))
+        except OSError:
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
