@@ -220,3 +220,62 @@ def test_imfifo_capture(ray_session, tmp_path):
     df = cap.capture().to_pandas()
     th.join(timeout=5)
     assert df["record"].tolist() == [f"<13>fifo {i}" for i in range(7)]
+
+
+def test_ulog_parse_readme_cases():
+    """The four README.md sample cases of imtuxedoulog, asserted
+    against the documented field splits."""
+    from rsyslog_ray.sources.tuxedo import parse_ulog_line
+
+    d = pd.Timestamp("2024-03-07")
+    # Case 1: precision 2
+    r = parse_ulog_line(
+        "105211.70.sic-in2-tmsl1!IMSproxiCSFI4EC.26607818.1.0: "
+        "TSAM_CAT:305:4563628752 ; I ;TPSUCCESS service", d)
+    assert r["host"] == "sic-in2-tmsl1"
+    assert r["procid"] == "IMSproxiCSFI4EC.26607818.1"
+    assert r["msg"].startswith("TSAM_CAT:305:4563628752")
+    assert r["ts"] == pd.Timestamp("2024-03-07 10:52:11.700000")
+    assert r["secfrac_precision"] == 2
+    # Case 2: precision 3
+    r = parse_ulog_line(
+        "011458.705.sic-tst-tmsl1!LMS.5243392.772.3: TSAM_CAT:305: "
+        "WARN: (23498) times logon TSAM Plus manager", d)
+    assert r["host"] == "sic-tst-tmsl1"
+    assert r["procid"] == "LMS.5243392.772"
+    assert r["ts"] == pd.Timestamp("2024-03-07 01:14:58.705000")
+    assert r["secfrac_precision"] == 3
+    # Case 3: ECID
+    r = parse_ulog_line(
+        "105211.704.sic-in2-tmsl1!IMSproxiCSFI4EC.26607818.1.0: "
+        "ECID <000003GBORvD4iopwSXBiW01xG2M00001n>: 4563628752", d)
+    assert r["ecid"] == "000003GBORvD4iopwSXBiW01xG2M00001n"
+    assert r["structured_data"] == \
+        '[ECID="000003GBORvD4iopwSXBiW01xG2M00001n"]'
+    assert r["msg"] == "4563628752"
+    # Case 4: gtrid then ECID
+    r = parse_ulog_line(
+        "164313.151.sic-tst-tmsm1!ARTIMPP_UDB.42722.1.0: "
+        "gtrid x0 x0 xa0f: ECID <000001833^5pVl3iY00f003UF^>: "
+        "TRACE:at", d)
+    assert r["ecid"] == "000001833^5pVl3iY00f003UF^"
+    assert r["msg"] == "TRACE:at"
+    assert r["procid"] == "ARTIMPP_UDB.42722.1"
+    # rejects: bad time, no bang
+    assert parse_ulog_line("996611.70.h!p.1: x", d) is None
+    assert parse_ulog_line("105211.70.no-bang-here: x", d) is None
+
+
+def test_read_ulog_dataset(ray_session, tmp_path):
+    from rsyslog_ray.sources.tuxedo import read_ulog, ulog_date_from_name
+
+    p = tmp_path / "ULOG.030724"
+    p.write_text(
+        "105211.70.h1!app.10.1.0: CAT:1: first\n"
+        "105212.71.h1!app.10.1.0: CAT:2: second\n"
+        "garbage line\n")
+    assert ulog_date_from_name(str(p)) == pd.Timestamp("2024-03-07")
+    df = read_ulog([str(p)]).to_pandas()
+    assert len(df) == 2                   # garbage skipped
+    assert df["msg"].tolist() == ["CAT:1: first", "CAT:2: second"]
+    assert df["ts"].iloc[1] == pd.Timestamp("2024-03-07 10:52:12.710")
