@@ -1656,3 +1656,108 @@ class SpoofUdpTransport:
                 self._sock.close()
             finally:
                 self._sock = None
+
+
+class CzmqTransport:
+    """omczmq (contrib/omczmq/omczmq.c) over the REAL ZMTP 3.0 wire
+    (state/zmtpwire.py; the reference links czmq/libzmq).  Socket
+    types mirroring the reference's useful batch subset:
+
+    - ``socktype="PUSH"``: one frame per rendered message.
+    - ``socktype="PUB"`` + ``topics``: per topic, either a separate
+      topic frame with MORE set (``topic_frame=True``,
+      omczmq.c:255-256 zstr_sendx) or topic+message concatenated in
+      one frame (c:260-263 zstr_sendf); ``dynatopic_field`` takes the
+      topic per row (c:250-251).  Real PUB filtering: ``\\x01topic``
+      subscription messages received from the peer are drained before
+      every bulk and only subscribed topics are sent (prefix match,
+      like libzmq's trie).
+
+    Handshake failures and socket errors raise into ConnectorSink's
+    bounded retry/suspend (c:266-268 sendError → SUSPENDED)."""
+
+    def __init__(self, host: str, port: int, socktype: str = "PUSH",
+                 render=None, topics: list[str] | None = None,
+                 topic_frame: bool = True,
+                 dynatopic_field: str | None = None):
+        assert socktype in ("PUSH", "PUB")
+        self.addr = (host, port)
+        self.socktype = socktype
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.topics = list(topics or [])
+        self.topic_frame = topic_frame
+        self.dynatopic_field = dynatopic_field
+        self._sock = None
+        self._subs: set[str] = set()
+
+    def _connected(self):
+        import socket
+
+        from ..state.zmtpwire import handshake
+
+        if self._sock is None:
+            s = socket.create_connection(self.addr, timeout=10)
+            handshake(s, self.socktype)
+            self._sock = s
+        return self._sock
+
+    def _drain_subscriptions(self, s):
+        import select
+
+        from ..state.zmtpwire import read_frame
+
+        # first drain waits briefly for the initial subscription —
+        # the batch answer to zmq's classic slow-joiner race (a real
+        # PUB silently drops until the SUB's \x01 lands)
+        if not self._subs and select.select([s], [], [], 2.0)[0]:
+            body, _more, is_cmd = read_frame(s)
+            if not is_cmd and body[:1] == b"\x01":
+                self._subs.add(body[1:].decode())
+        while select.select([s], [], [], 0)[0]:
+            body, _more, is_cmd = read_frame(s)
+            if is_cmd:
+                continue
+            if body[:1] == b"\x01":
+                self._subs.add(body[1:].decode())
+            elif body[:1] == b"\x00":
+                self._subs.discard(body[1:].decode())
+
+    def _subscribed(self, topic: str) -> bool:
+        return any(topic.startswith(sub) for sub in self._subs)
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state.zmtpwire import frame
+
+        try:
+            s = self._connected()
+            out = bytearray()
+            if self.socktype == "PUB":
+                self._drain_subscriptions(s)
+            for rec in payloads:
+                msg = self.render(rec).encode()
+                if self.socktype == "PUSH":
+                    out += frame(msg)
+                    continue
+                topics = ([str(rec.get(self.dynatopic_field, ""))]
+                          if self.dynatopic_field else self.topics)
+                for topic in topics:
+                    if not self._subscribed(topic):
+                        continue
+                    if self.topic_frame:
+                        out += frame(topic.encode(), more=True)
+                        out += frame(msg)
+                    else:
+                        out += frame(topic.encode() + msg)
+            if out:
+                s.sendall(bytes(out))
+        except (OSError, ConnectionError):
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
