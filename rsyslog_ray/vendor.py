@@ -699,3 +699,167 @@ def snare_event_parse(s: pd.Series) -> pd.DataFrame:
         if r else None for r in rows]
     cols["parse_ok"] = [r is not None for r in rows]
     return pd.DataFrame(cols, index=s.index)
+
+
+# ---------------------------------------------------------------------
+# pmdb2diag — DB2 diagnostic log parser
+# (contrib/pmdb2diag/pmdb2diag.c:84-210; defaults :226-229,274-281)
+# ---------------------------------------------------------------------
+
+_DB2_LEVELS = {  # first level char → (severity, level token length)
+    "C": (0, 8),   # Critical → EMERG
+    "A": (1, 5),   # Alert
+    "S": (2, 6),   # Severe → CRIT
+    "W": (4, 7),   # Warning
+    "I": (6, 4),   # Info
+    "D": (7, 5),   # Debug
+}
+
+
+def _fmt_width(fmt: str) -> int:
+    """Rendered width of a fixed-width strptime format (the C uses
+    strptime's consumed-pointer; Python lacks partial parses, so the
+    supported formats are the fixed-width ones — which db2diag's are)."""
+    w, i = 0, 0
+    widths = {"Y": 4, "m": 2, "d": 2, "H": 2, "M": 2, "S": 2, "y": 2,
+              "j": 3}
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            w += widths.get(fmt[i + 1], 2)
+            i += 2
+        else:
+            w += 1
+            i += 1
+    return w
+
+
+def db2diag_parse_row(msg: str, *, levelpos: int = 59, timepos: int = 0,
+                      timeformat: str = "%Y-%m-%d-%H.%M.%S.",
+                      pid_to_prog_shift: int = 49) -> dict | None:
+    """One (multiline, newline-joined) db2diag record → severity,
+    timestamp (fraction + minute-offset timezone), procid, appname —
+    the literal C walk: level char switch (E disambiguates Error vs
+    Event on the second char, c:120-123), PID after the first ':'
+    past the level token, PROC at the fixed pid→prog shift, program
+    ending at space or backslash."""
+    from datetime import datetime
+
+    if levelpos > len(msg) - 4 or timepos >= len(msg):
+        return None
+    lvl = msg[levelpos:]
+    first = lvl[:1]
+    if first == "E":                    # Error vs Event (c:120-123)
+        sev, lvl_len = (3, 5) if lvl[1:2] == "r" else (5, 5)
+    elif first in _DB2_LEVELS:
+        sev, lvl_len = _DB2_LEVELS[first]
+    else:
+        return None
+    if levelpos > len(msg) - lvl_len:
+        return None
+
+    out: dict = {"severity": sev, "ts": None, "procid": None,
+                 "appname": None}
+    width = _fmt_width(timeformat)
+    sep_sec = timeformat[-1]
+    try:
+        base = datetime.strptime(msg[timepos:timepos + width],
+                                 timeformat)
+        rest = msg[timepos + width:]
+        if msg[timepos + width - 1] == sep_sec:
+            m = re.match(r"(\d+)([+-])(\d+)", rest)
+            if m:
+                frac, sign, tz = m.groups()
+                us = int(frac.ljust(6, "0")[:6])
+                off = int(tz)
+                tzs = f"{sign}{off // 60:02d}:{off % 60:02d}"
+                out["ts"] = pd.Timestamp(base).replace(
+                    microsecond=us).tz_localize(tzs)
+    except ValueError:
+        pass
+
+    colon = msg.find(":", levelpos + lvl_len)
+    if colon < 0 or colon + 2 >= len(msg):
+        return out
+    pid_at = colon + 2
+    space = msg.find(" ", pid_at)
+    if space < 0:
+        return out
+    out["procid"] = msg[pid_at:space]
+    prog_at = pid_at + pid_to_prog_shift
+    if prog_at >= len(msg):
+        return out
+    eprog = msg.find(" ", prog_at)
+    backslash = msg.find("\\", prog_at)
+    ends = [e for e in (eprog, backslash) if e >= 0]
+    out["appname"] = msg[prog_at:min(ends)] if ends else msg[prog_at:]
+    return out
+
+
+# ---------------------------------------------------------------------
+# pmpanngfw — Palo Alto Networks NGFW CSV → TSV normalizer
+# (contrib/pmpanngfw/pmpanngfw.c:80-230)
+# ---------------------------------------------------------------------
+
+_PAN_LOG_TYPES = ("TRAFFIC,", "THREAT,", "SYSTEM,", "CONFIG,")
+
+
+def panngfw_row(msg: str) -> str | None:
+    """PAN-OS syslog CSV → TAB-separated, or None when not PAN-OS:
+    the first three comma fields must exist, the fourth must be a
+    known log type (the C's int64-mask compare of c:61-66 == a
+    startswith on these literals), and the remainder converts through
+    the quoted-CSV state machine (``""`` → ``"``)."""
+    commas = []
+    for i, ch in enumerate(msg):
+        if ch == ",":
+            commas.append(i)
+            if len(commas) == 3:
+                break
+    if len(commas) != 3:
+        return None
+    rest_at = commas[2] + 1
+    rest = msg[rest_at:]
+    if len(rest) < 8 or not rest.startswith(_PAN_LOG_TYPES):
+        return None
+    head = msg[:rest_at].replace(",", "\t")
+    out = []
+    state = "field_start"
+    for ch in rest:
+        if state == "field_start":
+            if ch == '"':
+                state = "in_quote"
+            elif ch == ",":
+                out.append("\t")
+            else:
+                out.append(ch)
+                state = "in_field"
+        elif state == "in_field":
+            if ch == ",":
+                out.append("\t")
+                state = "field_start"
+            else:
+                out.append(ch)
+        elif state == "in_quote":
+            if ch == '"':
+                state = "quote_quote"
+            else:
+                out.append(ch)
+        else:                            # quote_quote
+            if ch == '"':                # escaped quote
+                out.append('"')
+                state = "in_quote"
+            elif ch == ",":
+                out.append("\t")
+                state = "field_start"
+            else:                        # quote closed mid-field
+                out.append(ch)
+                state = "in_field"
+    return head + "".join(out)
+
+
+def panngfw_normalize(s: pd.Series) -> pd.Series:
+    """Vectorized wrapper: PAN-OS rows rewritten to TSV, everything
+    else passed through untouched (the parser-chain abort contract)."""
+    return pd.Series([panngfw_row(v) if isinstance(v, str) else v
+                      for v in s], index=s.index).where(
+        lambda x: x.notna(), s)

@@ -490,3 +490,56 @@ def test_mmsnareparse_core():
     # kv edge: "Key:" split from its value by a segment boundary
     assert snare_kv_parse("Account Name:\tALICE   Count:  2") == {
         "Account Name": "ALICE", "Count": 2}
+
+
+def test_pmdb2diag_parse():
+    """pmdb2diag (contrib/pmdb2diag/pmdb2diag.c) against the
+    documentation's db2diag sample, newline-joined as imfile's
+    startmsg.regex merge delivers it — default offsets 59/0/49."""
+    from rsyslog_ray.vendor import db2diag_parse_row
+
+    rec = ("2015-05-06-16.53.26.989402+120 E1876227378A1702     "
+           "LEVEL: Info\n"
+           "PID     : 4390948              TID : 89500          "
+           "PROC : db2sysc 0\n"
+           "INSTANCE: db2itst              NODE : 000\n"
+           "MESSAGE : ZRC=0x80100024 Transaction was not found")
+    r = db2diag_parse_row(rec)
+    assert r["severity"] == 6                   # Info
+    assert r["procid"] == "4390948"
+    assert r["appname"] == "db2sysc"
+    assert r["ts"] == pd.Timestamp(
+        "2015-05-06 16:53:26.989402+02:00")
+
+    # every level token of the C switch, incl. Error-vs-Event on 'E'
+    for token, sev in (("Critical", 0), ("Alert", 1), ("Severe", 2),
+                       ("Error", 3), ("Event", 5), ("Warning", 4),
+                       ("Info", 6), ("Debug", 7)):
+        line = ("2015-05-06-16.53.26.989402+120 E0000000000A0000     "
+                f"LEVEL: {token}\nPID     : 77 X")
+        assert db2diag_parse_row(line)["severity"] == sev, token
+    assert db2diag_parse_row("x" * 80) is None  # no level char match
+
+
+def test_pmpanngfw_csv_to_tsv():
+    """pmpanngfw (contrib/pmpanngfw/pmpanngfw.c): PAN-OS CSV rows
+    rewritten TAB-separated through the quoted-CSV state machine;
+    non-PAN rows pass through."""
+    from rsyslog_ray.vendor import panngfw_normalize, panngfw_row
+
+    row = ('1,2015/05/06 16:00:01,001606001116,TRAFFIC,end,1,'
+           '2015/05/06 15:59:51,10.0.0.1,"quoted,comma",'
+           '"say ""hi""",tail')
+    out = panngfw_row(row)
+    # "" unescapes only INSIDE a quoted field (the C state machine's
+    # STATE_IN_QUOTE_QUOTE path); unquoted fields copy verbatim
+    assert out == ("1\t2015/05/06 16:00:01\t001606001116\tTRAFFIC\t"
+                   "end\t1\t2015/05/06 15:59:51\t10.0.0.1\t"
+                   'quoted,comma\tsay "hi"\ttail')
+    # gate: unknown log type / missing fields → untouched
+    assert panngfw_row("1,2,3,NOTATYPE,x") is None
+    assert panngfw_row("no commas here") is None
+    s = pd.Series([row, "plain syslog line"])
+    norm = panngfw_normalize(s)
+    assert norm[0] == out
+    assert norm[1] == "plain syslog line"
