@@ -1761,3 +1761,199 @@ class CzmqTransport:
                 self._sock.close()
             finally:
                 self._sock = None
+
+
+class HttpFsTransport:
+    """omhttpfs (contrib/omhttpfs/omhttpfs.c) — HDFS over the
+    WebHDFS/HttpFS REST interface, stdlib http.client instead of
+    libcurl.  The reference's doAction flow (c:540-595): try
+    ``POST /webhdfs/v1<file>?user.name=<u>&op=append&data=true``
+    first; a 404 means the file does not exist yet → ``PUT ...
+    op=create&data=true`` (c:444-500), then resume appending.  Rows
+    render to LF-terminated lines, bulked per ConnectorSink batch.
+    Any other non-2xx raises into the bounded retry/suspend."""
+
+    def __init__(self, host: str, port: int = 14000, file: str = "/raylog",
+                 user: str = "hdfs", render=None):
+        self.host = host
+        self.port = port
+        self.file = file if file.startswith("/") else "/" + file
+        self.user = user
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self._conn = None
+
+    def _connected(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(self.host, self.port,
+                                                    timeout=10)
+        return self._conn
+
+    def _url(self, op: str) -> str:
+        return (f"/webhdfs/v1{self.file}?user.name={self.user}"
+                f"&op={op}&data=true")
+
+    def _req(self, method: str, op: str, body: bytes) -> int:
+        c = self._connected()
+        c.request(method, self._url(op), body=body,
+                  headers={"Content-Type": "application/octet-stream"})
+        resp = c.getresponse()
+        resp.read()
+        return resp.status
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        body = ("\n".join(self.render(r) for r in payloads)
+                + "\n").encode()
+        try:
+            status = self._req("POST", "append", body)
+            if status == 404:                    # c:557-570
+                status = self._req("PUT", "create", body)
+            if status >= 300:
+                raise ConnectionError(f"httpfs HTTP {status}")
+        except OSError:
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+
+class AmqpTransport:
+    """omrabbitmq (contrib/omrabbitmq/omrabbitmq.c) over the REAL
+    AMQP 0-9-1 wire (state/amqpwire.py; the reference links
+    rabbitmq-c).  Connection: protocol header, PLAIN login
+    (start/start-ok with the \\0user\\0pass response), tune/tune-ok
+    echoing the server's limits, connection.open to the vhost,
+    channel.open.  With ``exchange_type`` set the exchange is
+    declared (c:302-309 amqp_exchange_declare with the durable bit).
+    Each row is one basic.publish (exchange + routing key — fixed or
+    per-row via ``routing_key_field``, the routing_key_template
+    analog) followed by the content header carrying content-type and
+    delivery-mode (c:127,134) and one body frame.  Server-initiated
+    connection.close / socket errors raise into the bounded
+    retry/suspend."""
+
+    def __init__(self, host: str, port: int = 5672, user: str = "guest",
+                 password: str = "guest", vhost: str = "/",
+                 exchange: str = "", routing_key: str = "raylog",
+                 routing_key_field: str | None = None,
+                 exchange_type: str | None = None, durable: bool = False,
+                 delivery_mode: int = 1,
+                 content_type: str = "application/json", render=None):
+        self.addr = (host, port)
+        self.user = user
+        self.password = password
+        self.vhost = vhost
+        self.exchange = exchange
+        self.routing_key = routing_key
+        self.routing_key_field = routing_key_field
+        self.exchange_type = exchange_type
+        self.durable = durable
+        self.delivery_mode = delivery_mode
+        self.content_type = content_type
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self._sock = None
+        self._max_frame = 131072
+
+    def _expect(self, cm: tuple[int, int]) -> bytes:
+        from ..state import amqpwire as w
+
+        while True:
+            ftype, _ch, payload = w.read_frame(self._sock)
+            if ftype == w.FRAME_HEARTBEAT:
+                continue
+            if ftype != w.FRAME_METHOD:
+                raise ConnectionError(f"amqp: unexpected frame {ftype}")
+            got, args = w.parse_method(payload)
+            if got == w.CONN_CLOSE:
+                r = w.Reader(args)
+                code = r.u16()
+                text = r.shortstr()
+                raise ConnectionError(f"amqp: closed {code} {text}")
+            if got != cm:
+                raise ConnectionError(f"amqp: expected {cm}, got {got}")
+            return args
+
+    def _connected(self):
+        import socket
+
+        from ..state import amqpwire as w
+
+        if self._sock is not None:
+            return self._sock
+        s = socket.create_connection(self.addr, timeout=10)
+        self._sock = s
+        s.sendall(w.PROTO_HEADER)
+        self._expect(w.CONN_START)
+        resp = b"\x00" + self.user.encode() + b"\x00" \
+            + self.password.encode()
+        s.sendall(w.method(0, w.CONN_START_OK,
+                           w.table({"product": "rsyslog_ray"})
+                           + w.shortstr("PLAIN") + w.longstr(resp)
+                           + w.shortstr("en_US")))
+        tune = w.Reader(self._expect(w.CONN_TUNE))
+        chan_max, frame_max, heartbeat = (tune.u16(), tune.u32(),
+                                          tune.u16())
+        self._max_frame = frame_max or self._max_frame
+        import struct as _s
+        s.sendall(w.method(0, w.CONN_TUNE_OK,
+                           _s.pack(">HIH", chan_max or 1,
+                                   self._max_frame, 0)))
+        s.sendall(w.method(0, w.CONN_OPEN,
+                           w.shortstr(self.vhost) + w.shortstr("")
+                           + b"\x00"))
+        self._expect(w.CONN_OPEN_OK)
+        s.sendall(w.method(1, w.CH_OPEN, w.shortstr("")))
+        self._expect(w.CH_OPEN_OK)
+        if self.exchange_type:
+            bits = 0x02 if self.durable else 0    # passive|durable|...
+            s.sendall(w.method(1, w.EXCH_DECLARE,
+                               b"\x00\x00" + w.shortstr(self.exchange)
+                               + w.shortstr(self.exchange_type)
+                               + bytes([bits]) + w.table()))
+            self._expect(w.EXCH_DECLARE_OK)
+        return s
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state import amqpwire as w
+
+        try:
+            s = self._connected()
+            out = bytearray()
+            max_body = self._max_frame - 8
+            for rec in payloads:
+                body = self.render(rec).encode()
+                rk = (str(rec.get(self.routing_key_field, ""))
+                      if self.routing_key_field else self.routing_key)
+                out += w.method(1, w.BASIC_PUBLISH,
+                                b"\x00\x00" + w.shortstr(self.exchange)
+                                + w.shortstr(rk) + b"\x00")
+                out += w.content_header(1, len(body),
+                                        self.content_type,
+                                        self.delivery_mode)
+                for off in range(0, len(body) or 1, max_body):
+                    out += w.frame(w.FRAME_BODY, 1,
+                                   body[off:off + max_body])
+            s.sendall(bytes(out))
+            # drain any server-pushed frame (connection.close on a
+            # bad publish) without blocking
+            import select
+            if select.select([s], [], [], 0)[0]:
+                self._expect((0, 0))   # any method here is an error
+        except (OSError, ConnectionError):
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None

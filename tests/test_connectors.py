@@ -910,3 +910,62 @@ def test_ompipe_fifo_roundtrip(tmp_path):
     tr.close()
     assert out["rows_delivered"].iloc[0] == 5
     assert got == [b"ev0", b"ev1", b"ev2", b"ev3", b"ev4"]
+
+
+def test_httpfs_append_create_flow(tmp_path):
+    """omhttpfs (contrib/omhttpfs/omhttpfs.c:540-595): append first,
+    404 → create, then appends — against a WebHDFS-shaped HTTP
+    double that tracks file existence."""
+    import http.server
+    import threading
+
+    from rsyslog_ray.stages.connectors import HttpFsTransport
+
+    store = {}
+    reqs = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def _body(self):
+            n = int(self.headers.get("Content-Length", 0))
+            return self.rfile.read(n)
+
+        def do_POST(self):          # op=append
+            reqs.append(("POST", self.path))
+            path = self.path.split("?")[0]
+            assert "op=append" in self.path
+            if path not in store:
+                self.send_response(404)
+                self.end_headers()
+                return
+            store[path] += self._body()
+            self.send_response(200)
+            self.end_headers()
+
+        def do_PUT(self):           # op=create
+            reqs.append(("PUT", self.path))
+            path = self.path.split("?")[0]
+            assert "op=create" in self.path
+            store[path] = self._body()
+            self.send_response(201)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        t = HttpFsTransport("127.0.0.1", srv.server_port,
+                            file="/logs/app.log", user="hdfs",
+                            render=lambda r: f"l{r['event_id']}")
+        sink = ConnectorSink(transport=t, batch_rows=3)
+        out = sink(_events(6))
+        t.close()
+        assert int(out["rows_delivered"].iloc[0]) == 6
+        key = "/webhdfs/v1/logs/app.log"
+        assert store[key] == b"l0\nl1\nl2\nl3\nl4\nl5\n"
+        # first bulk: append 404s then create; second bulk: append OK
+        assert [m for m, _ in reqs] == ["POST", "PUT", "POST"]
+        assert "user.name=hdfs" in reqs[0][1]
+    finally:
+        srv.shutdown()
