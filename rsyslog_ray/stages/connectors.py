@@ -1957,3 +1957,408 @@ class AmqpTransport:
                 self._sock.close()
             finally:
                 self._sock = None
+
+
+# OTLP severity mapping: syslog severity 0..7 -> (severityNumber,
+# severityText) — plugins/omotel/omotel.c:498-500 severity_lookup.
+OTLP_SEVERITY = ((24, "EMERGENCY"), (23, "ALERT"), (22, "CRITICAL"),
+                 (17, "ERROR"), (13, "WARNING"), (11, "NOTICE"),
+                 (9, "INFO"), (5, "DEBUG"))
+
+
+class OtlpTransport:
+    """omotel (plugins/omotel) — OpenTelemetry OTLP/HTTP logs export
+    over a REAL connection, speaking the public OTLP JSON encoding
+    (proto3 JSON mapping of ExportLogsServiceRequest).
+
+    Envelope per otlp_json.c:247-374: ``resourceLogs`` → one resource
+    entry (service.name/telemetry.sdk.* attributes, otlp_json.c:270-273,
+    plus ``host.name`` promoted to the resource ONLY when every record
+    in the batch shares one hostname, otlp_json.c:343-366) →
+    ``scopeLogs`` with scope name ``rsyslog.omotel`` → ``logRecords``.
+    Per record (otlp_json.c:399-492): ``timeUnixNano`` /
+    ``observedTimeUnixNano`` as STRINGS (proto3 fixed64 JSON quirk,
+    otlp_json.c:414), ``severityNumber`` + ``severityText`` from the
+    syslog-severity lookup (omotel.c:498-500, overridable like
+    parse_severity_map omotel.c:969-1045), body ``{"stringValue": msg}``
+    and ``log.syslog.{appname,procid,msgid,facility,hostname}``
+    attributes (attribute_map renames supported, otlp_json.c:455-485).
+
+    Delivery policy mirrors omotel.c:1740-1760 / omotel_http.c:378-392:
+    2xx clears the batch; 408/429/5xx raise into ConnectorSink's
+    bounded retry → suspend; any other 4xx means the collector REJECTED
+    the payload (RS_RET_DISCARDMSG, omotel_http.c:498) — the whole bulk
+    is returned as per-item rejects so it quarantines to the errorfile
+    instead of retrying.  ``compression="gzip"`` gzips the body and
+    sends Content-Encoding: gzip (omotel.c:1685-1720, 2741)."""
+
+    def __init__(self, host: str, port: int = 4318, path: str = "/v1/logs",
+                 compression: str = "none",
+                 resource_attributes: dict | None = None,
+                 severity_map: dict | None = None,
+                 attribute_map: dict | None = None,
+                 msg_field: str = "msg", ts_field: str | None = None,
+                 hostname_field: str = "hostname",
+                 appname_field: str = "appname",
+                 procid_field: str = "procid", msgid_field: str = "msgid",
+                 facility_field: str = "facility",
+                 severity_field: str = "severity",
+                 extra_headers: dict | None = None):
+        assert compression in ("none", "gzip")
+        self.host, self.port, self.path = host, port, path
+        self.compression = compression
+        self.resource_attributes = resource_attributes or {}
+        # severity_map: {syslog_severity: (number, text)} overrides
+        self.severity_map = {i: OTLP_SEVERITY[i] for i in range(8)}
+        self.severity_map.update(severity_map or {})
+        self.attribute_map = attribute_map or {}
+        self.fields = dict(msg=msg_field, ts=ts_field, hostname=hostname_field,
+                           appname=appname_field, procid=procid_field,
+                           msgid=msgid_field, facility=facility_field,
+                           severity=severity_field)
+        self.extra_headers = extra_headers or {}
+        self._conn = None
+
+    def _attr_name(self, logical: str, default: str) -> str:
+        return self.attribute_map.get(logical, default)
+
+    @staticmethod
+    def _attr(key: str, value) -> dict:
+        # add_attribute_entry otlp_json.c:77-118: {"key":k,"value":{T:v}}
+        if isinstance(value, bool):
+            return {"key": key, "value": {"boolValue": value}}
+        if isinstance(value, int):
+            return {"key": key, "value": {"intValue": value}}
+        if isinstance(value, float):
+            return {"key": key, "value": {"doubleValue": value}}
+        return {"key": key, "value": {"stringValue": str(value)}}
+
+    @staticmethod
+    def _nanos(ts) -> int:
+        if ts is None:
+            return 0
+        if hasattr(ts, "value"):          # pandas Timestamp
+            return int(ts.value)
+        return int(float(ts) * 1e9)
+
+    def serialize(self, payloads: list[dict]) -> bytes:
+        f = self.fields
+        res_attrs = [self._attr("service.name", "rsyslog"),
+                     self._attr("telemetry.sdk.name", "rsyslog-omotel"),
+                     self._attr("telemetry.sdk.language", "python")]
+        for k, v in self.resource_attributes.items():
+            res_attrs.append(self._attr(k, v))
+        hosts = {str(r.get(f["hostname"]) or "") for r in payloads}
+        if len(hosts) == 1 and "" not in hosts:     # otlp_json.c:343-366
+            res_attrs.append(self._attr("host.name", next(iter(hosts))))
+        records = []
+        for rec in payloads:
+            sev = rec.get(f["severity"])
+            num, text = self.severity_map.get(
+                int(sev) if sev is not None else 6, (9, "INFO"))
+            lr = {"timeUnixNano": str(self._nanos(
+                      rec.get(f["ts"]) if f["ts"] else None)),
+                  "severityNumber": num, "severityText": text,
+                  "body": {"stringValue": str(rec.get(f["msg"], ""))}}
+            attrs = []
+            for logical, default in (("appname", "log.syslog.appname"),
+                                     ("procid", "log.syslog.procid"),
+                                     ("msgid", "log.syslog.msgid")):
+                v = rec.get(f[logical])
+                if v is not None:
+                    attrs.append(self._attr(self._attr_name(logical, default),
+                                            str(v)))
+            fac = rec.get(f["facility"])
+            if fac is not None:
+                attrs.append(self._attr(
+                    self._attr_name("facility", "log.syslog.facility"),
+                    int(fac)))
+            host = rec.get(f["hostname"])
+            if host:                                 # otlp_json.c:488-489
+                attrs.append(self._attr(
+                    self._attr_name("hostname", "log.syslog.hostname"),
+                    str(host)))
+            lr["attributes"] = attrs
+            records.append(lr)
+        return json.dumps({"resourceLogs": [{
+            "resource": {"attributes": res_attrs},
+            "scopeLogs": [{"scope": {"name": "rsyslog.omotel",
+                                     "version": "ray"},
+                           "logRecords": records}]}]}).encode()
+
+    def _connected(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(self.host, self.port,
+                                                    timeout=10)
+        return self._conn
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        body = self.serialize(payloads)
+        headers = {"Content-Type": "application/json"}
+        headers.update(self.extra_headers)
+        if self.compression == "gzip":
+            import gzip
+            body = gzip.compress(body)
+            headers["Content-Encoding"] = "gzip"
+        try:
+            c = self._connected()
+            c.request("POST", self.path, body=body, headers=headers)
+            resp = c.getresponse()
+            resp.read()
+            status = resp.status
+        except OSError:
+            self.close()
+            raise
+        if 200 <= status < 300:
+            return []
+        if status in (408, 429) or status >= 500:   # omotel_http.c:378-392
+            raise ConnectionError(f"omotel HTTP {status} (retryable)")
+        # other 4xx: collector rejected the payload — DISCARDMSG
+        # (omotel_http.c:498): quarantine the bulk, never retry it.
+        return [(i, f"otlp rejected HTTP {status}")
+                for i in range(len(payloads))]
+
+    def close(self):
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+
+class CwlHlcTransport:
+    """omawslogshlc (plugins/omawslogshlc) — Amazon CloudWatch Logs via
+    the HTTP Log Collector endpoint, bearer-token auth, stdlib
+    http.client instead of libcurl.
+
+    Wire shape (omawslogshlc.c:198-210, 296-305): POST to
+    ``/services/collector/event?logGroup=<enc>&logStream=<enc>`` with
+    ``Authorization: Bearer <token>`` and a body of CONCATENATED event
+    JSON objects — ``{"event":"...","time":<epoch.6f>,"host":"...",
+    "source":"rsyslog"}`` back to back, no array wrapper or separators.
+    HLC limits enforced like the reference: 256 KiB max per event
+    (c:52-54, over-limit events are dropped as per-item rejects),
+    1 MiB max request (flush-and-continue, c:233-248), and a
+    ``max_batch_size`` events-per-request cap (default 100, c:407,523).
+
+    Status policy (c:362-388): 2xx ok; 429/5xx AND 401/403 raise into
+    bounded retry → suspend (the reference suspends on auth errors too,
+    c:380-383, so a rotated token resumes delivery); other 4xx drops
+    the batch (resetBatch, c:385-388) — surfaced as per-item rejects."""
+
+    MAX_REQUEST_BYTES = 1024 * 1024        # c:52
+    MAX_EVENT_BYTES = 256 * 1024           # c:53
+
+    def __init__(self, host: str, port: int, *, region: str = "local",
+                 bearer_token: str, log_group: str, log_stream: str,
+                 max_batch_size: int = 100,
+                 msg_field: str = "msg", ts_field: str | None = None,
+                 hostname_field: str = "hostname"):
+        from urllib.parse import quote
+
+        assert 0 < max_batch_size <= 10000   # c:604-606
+        self.host, self.port = host, port
+        self.region = region
+        self.token = bearer_token
+        self.path = (f"/services/collector/event"
+                     f"?logGroup={quote(log_group, safe='')}"
+                     f"&logStream={quote(log_stream, safe='')}")
+        self.max_batch = max_batch_size
+        self.fields = (msg_field, ts_field, hostname_field)
+        self._conn = None
+
+    def _event_json(self, rec: dict) -> bytes:
+        msg_f, ts_f, host_f = self.fields
+        ts = rec.get(ts_f) if ts_f else None
+        secs = (ts.timestamp() if hasattr(ts, "timestamp")
+                else float(ts) if ts is not None else 0.0)
+        return json.dumps(
+            {"event": str(rec.get(msg_f, "")), "time": round(secs, 6),
+             "host": str(rec.get(host_f, "")), "source": "rsyslog"}
+        ).encode()
+
+    def _connected(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(self.host, self.port,
+                                                    timeout=30)
+        return self._conn
+
+    def _post(self, body: bytes) -> None:
+        try:
+            c = self._connected()
+            c.request("POST", self.path, body=body, headers={
+                "Content-Type": "application/json",
+                "Authorization": f"Bearer {self.token}",
+                "User-Agent": "rsyslog-ray/1.0"})
+            resp = c.getresponse()
+            resp.read()
+            status = resp.status
+        except OSError:
+            self.close()
+            raise
+        if 200 <= status < 300:
+            return
+        if status in (429, 401, 403) or status >= 500:   # c:362-383
+            raise ConnectionError(f"awslogshlc HTTP {status} (retryable)")
+        raise _CwlDropped(status)                        # c:385-388
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        rejects: list[tuple[int, str]] = []
+        buf = bytearray()
+        pending: list[int] = []   # payload indices in buf, for drop acct
+        for i, rec in enumerate(payloads):
+            ev = self._event_json(rec)
+            if len(ev) > self.MAX_EVENT_BYTES:           # c:219-230
+                rejects.append((i, "event exceeds 256 KiB HLC limit"))
+                continue
+            if (len(buf) + len(ev) > self.MAX_REQUEST_BYTES
+                    or len(pending) >= self.max_batch):  # c:233-248,523
+                self._flush(buf, pending, rejects)
+            buf += ev
+            pending.append(i)
+        self._flush(buf, pending, rejects)
+        return rejects
+
+    def _flush(self, buf: bytearray, pending: list[int],
+               rejects: list[tuple[int, str]]) -> None:
+        if not pending:
+            return
+        try:
+            self._post(bytes(buf))
+        except _CwlDropped as ex:
+            rejects.extend((i, f"awslogshlc dropped HTTP {ex.status}")
+                           for i in pending)
+        buf.clear()
+        pending.clear()
+
+    def close(self):
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
+
+
+class _CwlDropped(Exception):
+    def __init__(self, status: int):
+        super().__init__(status)
+        self.status = status
+
+
+class AzureDceTransport:
+    """omazuredce (plugins/omazuredce) — Azure Monitor Logs-ingestion
+    API through a Data Collection Endpoint, with the real OAuth2
+    client-credentials flow, stdlib http.client instead of libcurl.
+
+    Auth (omazuredce.c:247-356): POST form-encoded
+    ``client_id=…&scope=https%3A%2F%2Fmonitor.azure.com%2F.default&
+    client_secret=…&grant_type=client_credentials`` to
+    ``/<tenant>/oauth2/v2.0/token`` on the login host
+    (login.microsoftonline.com in production, c:275); the JSON
+    response's ``access_token`` is cached for the worker.
+
+    Ingest (c:414, 594-601): POST a JSON ARRAY of records to
+    ``/dataCollectionRules/<dcr>/streams/<stream>?api-version=2023-01-01``
+    on the DCE host with ``Authorization: Bearer`` and optional gzip
+    (c:559-560,596).  Status policy (c:618-643): 2xx ok; 401 refreshes
+    the token THEN raises so the bounded retry re-sends with the fresh
+    token (c:626-634); 408/429/5xx raise (retryable); any other 4xx is
+    an IO error — the batch is surfaced as per-item rejects."""
+
+    def __init__(self, dce_host: str, dce_port: int, *,
+                 login_host: str | None = None, login_port: int | None = None,
+                 tenant_id: str, client_id: str, client_secret: str,
+                 dcr_immutable_id: str, stream_name: str,
+                 compression: str = "none", render=None):
+        assert compression in ("none", "gzip")
+        self.dce = (dce_host, dce_port)
+        self.login = (login_host or dce_host, login_port or dce_port)
+        self.tenant_id = tenant_id
+        self.client_id = client_id
+        self.client_secret = client_secret
+        self.path = (f"/dataCollectionRules/{dcr_immutable_id}"
+                     f"/streams/{stream_name}?api-version=2023-01-01")
+        self.compression = compression
+        self.render = render or (lambda rec: {
+            k: (str(v) if not isinstance(v, (int, float, bool, str,
+                                             type(None))) else v)
+            for k, v in rec.items()})
+        self._token: str | None = None
+        self._conn = None
+
+    # -- OAuth2 client-credentials (c:247-356) -------------------------
+    def _fetch_token(self) -> str:
+        import http.client
+        from urllib.parse import quote_plus
+
+        body = ("client_id=" + quote_plus(self.client_id)
+                + "&scope=" + quote_plus("https://monitor.azure.com/.default")
+                + "&client_secret=" + quote_plus(self.client_secret)
+                + "&grant_type=client_credentials").encode()
+        c = http.client.HTTPConnection(*self.login, timeout=30)
+        try:
+            c.request("POST", f"/{self.tenant_id}/oauth2/v2.0/token",
+                      body=body, headers={
+                          "Content-Type":
+                              "application/x-www-form-urlencoded"})
+            resp = c.getresponse()
+            data = resp.read()
+            if resp.status != 200:
+                raise ConnectionError(
+                    f"azuredce token HTTP {resp.status}")
+        finally:
+            c.close()
+        tok = json.loads(data).get("access_token")
+        if not tok:                                      # c:356-360
+            raise ConnectionError("azuredce: token response missing "
+                                  "access_token")
+        return tok
+
+    def _connected(self):
+        import http.client
+
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(*self.dce, timeout=30)
+        return self._conn
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        if self._token is None:
+            self._token = self._fetch_token()
+        body = json.dumps([self.render(r) for r in payloads],
+                          default=str).encode()
+        headers = {"Content-Type": "application/json",
+                   "Authorization": f"Bearer {self._token}"}
+        if self.compression == "gzip":
+            import gzip
+            body = gzip.compress(body)
+            headers["Content-Encoding"] = "gzip"
+        try:
+            c = self._connected()
+            c.request("POST", self.path, body=body, headers=headers)
+            resp = c.getresponse()
+            resp.read()
+            status = resp.status
+        except OSError:
+            self.close()
+            raise
+        if 200 <= status < 300:
+            return []
+        if status == 401:                                # c:626-634
+            self._token = self._fetch_token()
+            raise ConnectionError("azuredce HTTP 401 (token refreshed, "
+                                  "retrying)")
+        if status in (408, 429) or status >= 500:        # c:635-639
+            raise ConnectionError(f"azuredce HTTP {status} (retryable)")
+        return [(i, f"azuredce rejected HTTP {status}")   # c:640-643
+                for i in range(len(payloads))]
+
+    def close(self):
+        if self._conn is not None:
+            try:
+                self._conn.close()
+            finally:
+                self._conn = None
