@@ -2362,3 +2362,270 @@ class AzureDceTransport:
                 self._conn.close()
             finally:
                 self._conn = None
+
+
+class Amqp1Transport:
+    """omamqp1 (contrib/omamqp1/omamqp1.c) over the REAL AMQP 1.0 wire
+    (state/amqp1wire.py; the reference links qpid-proton).
+
+    Connection bring-up mirrors the proton reactor's sender path:
+    optional SASL layer (header exchange, read sasl-mechanisms, send
+    sasl-init with the PLAIN ``\\0user\\0pass`` initial response or
+    ANONYMOUS, require sasl-outcome code 0; ``disable_sasl`` skips the
+    layer entirely — omamqp1.c:165,429-433 disableSASL), then the AMQP
+    layer: header exchange, open (container-id), begin, attach as
+    SENDER (role=false) to the configured ``target`` node
+    (omamqp1.c:91,158 target param), wait for flow link-credit.
+
+    omamqp1's transaction shape (omamqp1.c:251-303): each committed
+    batch is ONE message whose body is an amqp-value LIST of the
+    rendered log strings.  Transfers go unsettled (at-least-once) and
+    the call blocks until the peer's disposition; a ``rejected``
+    outcome or connection error raises into ConnectorSink's bounded
+    retry → suspend (the reference requeues the tx on
+    PN_DELIVERY remote-state != ACCEPTED)."""
+
+    def __init__(self, host: str, port: int = 5672, *,
+                 target: str = "rsyslog_ray",
+                 user: str | None = None, password: str | None = None,
+                 disable_sasl: bool = False,
+                 container: str = "rsyslog_ray", render=None,
+                 idle_timeout_s: float = 10.0):
+        self.addr = (host, port)
+        self.target = target
+        self.user = user
+        self.password = password
+        self.disable_sasl = disable_sasl
+        self.container = container
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.timeout = idle_timeout_s
+        self._sock = None
+        self._max_frame = 65536
+        self._credit = 0
+        self._next_delivery = 0
+        self._settled: set[int] = set()
+
+    # ---- connection state machine -----------------------------------
+    def _sasl(self, s):
+        from ..state import amqp1wire as w
+
+        s.sendall(w.SASL_HEADER)
+        hdr = w.read_exact(s, 8)
+        if hdr != w.SASL_HEADER:
+            raise ConnectionError(f"amqp1: bad SASL header {hdr!r}")
+        ftype, _ch, perf, _ = w.read_frame(s)
+        if ftype != w.FRAME_SASL or perf.descriptor != w.SASL_MECHANISMS:
+            raise ConnectionError("amqp1: expected sasl-mechanisms")
+        mechs = w.field(perf, 0, [])
+        mechs = [str(m) for m in (mechs if isinstance(mechs, list)
+                                  else [mechs])]
+        if self.user is not None and "PLAIN" in mechs:
+            init = w.performative(w.SASL_INIT, [
+                w.Symbol("PLAIN"),
+                w.binary(b"\x00" + self.user.encode()
+                         + b"\x00" + (self.password or "").encode()),
+                None])
+        elif "ANONYMOUS" in mechs:
+            init = w.performative(w.SASL_INIT,
+                                  [w.Symbol("ANONYMOUS"), None, None])
+        else:
+            raise ConnectionError(f"amqp1: no usable mechanism in {mechs}")
+        s.sendall(w.frame(w.FRAME_SASL, 0, init))
+        ftype, _ch, perf, _ = w.read_frame(s)
+        if perf.descriptor != w.SASL_OUTCOME or w.field(perf, 0, 1) != 0:
+            raise ConnectionError(
+                f"amqp1: sasl outcome {w.field(perf, 0, 'missing')}")
+
+    def _handle(self, perf) -> None:
+        """Track flow credit and disposition settlement."""
+        from ..state import amqp1wire as w
+
+        if perf.descriptor == w.FLOW:
+            delivery_count = w.field(perf, 5, 0)
+            credit = w.field(perf, 6, 0)
+            self._credit = int(delivery_count) + int(credit) \
+                - self._next_delivery
+        elif perf.descriptor == w.DISPOSITION:
+            first = int(w.field(perf, 1, 0))
+            last = int(w.field(perf, 2, first))
+            state = w.field(perf, 4)
+            if (isinstance(state, type(perf))
+                    and state.descriptor == w.REJECTED):
+                raise ConnectionError("amqp1: delivery rejected by peer")
+            self._settled.update(range(first, last + 1))
+        elif perf.descriptor == w.CLOSE:
+            err = w.field(perf, 0)
+            raise ConnectionError(f"amqp1: peer closed: {err}")
+
+    def _pump(self):
+        from ..state import amqp1wire as w
+
+        _ft, _ch, perf, _pl = w.read_frame(self._sock)
+        if perf is not None:
+            self._handle(perf)
+
+    def _connected(self):
+        import socket
+
+        from ..state import amqp1wire as w
+
+        if self._sock is not None:
+            return self._sock
+        s = socket.create_connection(self.addr, timeout=self.timeout)
+        try:
+            if not self.disable_sasl:
+                self._sasl(s)
+            s.sendall(w.AMQP_HEADER)
+            hdr = w.read_exact(s, 8)
+            if hdr != w.AMQP_HEADER:
+                raise ConnectionError(f"amqp1: bad AMQP header {hdr!r}")
+            s.sendall(w.frame(w.FRAME_AMQP, 0, w.performative(
+                w.OPEN, [self.container, self.addr[0],
+                         self._max_frame, None])))
+            s.sendall(w.frame(w.FRAME_AMQP, 0, w.performative(
+                w.BEGIN, [None, 0, 2048, 2048])))
+            s.sendall(w.frame(w.FRAME_AMQP, 0, w.performative(
+                w.ATTACH, [f"{self.container}-sender", 0, False, 0, 0,
+                           w.Described(w.SOURCE, []),
+                           w.Described(w.TARGET, [self.target])])))
+            self._sock = s
+            self._credit = 0
+            self._next_delivery = 0
+            self._settled = set()
+            # drain open/begin/attach echoes until the first flow grant
+            seen_attach = False
+            while self._credit <= 0:
+                _ft, _ch, perf, _pl = w.read_frame(s)
+                if perf is None:
+                    continue
+                if perf.descriptor == w.ATTACH:
+                    seen_attach = True
+                elif perf.descriptor == w.OPEN:
+                    # frames we SEND must fit the peer's max-frame-size
+                    peer_max = w.field(perf, 2)
+                    if peer_max:
+                        self._max_frame = min(self._max_frame,
+                                              int(peer_max))
+                elif perf.descriptor == w.BEGIN:
+                    pass
+                else:
+                    self._handle(perf)
+            if not seen_attach:
+                raise ConnectionError("amqp1: peer never attached")
+        except BaseException:
+            self._sock = None
+            s.close()
+            raise
+        return s
+
+    # ---- sending -----------------------------------------------------
+    def _send_message(self, sections: bytes) -> int:
+        from ..state import amqp1wire as w
+
+        s = self._sock
+        while self._credit <= 0:
+            self._pump()
+        did = self._next_delivery
+        self._next_delivery += 1
+        self._credit -= 1
+        max_body = self._max_frame - 64
+        chunks = [sections[i:i + max_body]
+                  for i in range(0, len(sections) or 1, max_body)]
+        for i, chunk in enumerate(chunks):
+            more = i < len(chunks) - 1
+            tr = w.performative(w.TRANSFER, [
+                0, did, w.binary(struct_pack_tag(did)), 0, False, more])
+            s.sendall(w.frame(w.FRAME_AMQP, 0, tr, chunk))
+        return did
+
+    def _await_settled(self, deliveries: list[int]) -> None:
+        while not all(d in self._settled for d in deliveries):
+            self._pump()
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state import amqp1wire as w
+
+        try:
+            self._connected()
+            body = [str(self.render(rec)) for rec in payloads]
+            did = self._send_message(w.message(body))
+            self._await_settled([did])
+        except (OSError, ConnectionError):
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._sock is not None:
+            try:
+                from ..state import amqp1wire as w
+
+                self._sock.sendall(
+                    w.frame(w.FRAME_AMQP, 0, w.performative(w.CLOSE, [])))
+            except OSError:
+                pass
+            try:
+                self._sock.close()
+            finally:
+                self._sock = None
+
+
+def struct_pack_tag(did: int) -> bytes:
+    import struct as _s
+
+    return _s.pack(">I", did)
+
+
+class EventHubsTransport(Amqp1Transport):
+    """omazureeventhubs (plugins/omazureeventhubs/omazureeventhubs.c)
+    — Azure Event Hubs over the same AMQP 1.0 wire, SASL PLAIN with the
+    shared-access key name/key as user/password
+    (omazureeventhubs.c:423-429 pn_sasl_allowed_mechs "PLAIN").
+
+    Unlike omamqp1's one-message-per-batch list body, each row becomes
+    its own message (proton_encode_message c:297-339): properties
+    section with a per-message string message-id and content-type
+    ``application/octet-stream`` (c:305-315), optional string→string
+    application-properties (eventProperties c:313-327), and the
+    rendered payload as a binary DATA section (c:329-332,
+    pn_message_set_inferred).  All transfers in the bulk are sent
+    pipelined, then the call blocks until every disposition arrives."""
+
+    def __init__(self, host: str, port: int = 5672, *,
+                 amqp_address: str, key_name: str, key: str,
+                 event_properties: dict | None = None,
+                 msgid_field: str | None = None,
+                 container: str = "rsyslog_ray", render=None,
+                 clock=None, idle_timeout_s: float = 10.0):
+        super().__init__(host, port, target=amqp_address, user=key_name,
+                         password=key, container=container, render=render,
+                         idle_timeout_s=idle_timeout_s)
+        self.event_properties = event_properties or {}
+        self.msgid_field = msgid_field
+        self._clock = clock or (lambda: int(time.time() * 1000))
+        self._msg_seq = 0
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state import amqp1wire as w
+
+        try:
+            self._connected()
+            dids = []
+            for rec in payloads:
+                if self.msgid_field:
+                    msg_id = str(rec.get(self.msgid_field))
+                else:
+                    msg_id = f"{self.container}-{self._msg_seq}"
+                    self._msg_seq += 1
+                sections = w.message(
+                    data=str(self.render(rec)).encode(),
+                    message_id=msg_id,
+                    content_type="application/octet-stream",
+                    creation_time_ms=self._clock(),
+                    app_properties=self.event_properties or None)
+                dids.append(self._send_message(sections))
+            self._await_settled(dids)
+        except (OSError, ConnectionError):
+            self.close()
+            raise
+        return []
