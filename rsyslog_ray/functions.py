@@ -136,6 +136,15 @@ def re_extract(s: pd.Series, pattern: str, group: int = 1) -> pd.Series:
                          expand=True).iloc[:, group - 1 if group > 0 else 0]
 
 
+def pcre_match(s: pd.Series, pattern: str) -> pd.Series:
+    """fmpcre pcre_match(str, pattern) -> 0/1
+    (plugins/fmpcre/fmpcre.c:31-93).  The reference's re_match is
+    POSIX ERE while pcre_match is Perl-compatible; Python's re IS
+    Perl-compatible, so this is the exact semantic (and re_match
+    above is the approximation)."""
+    return s.str.contains(pattern, regex=True, na=False)
+
+
 def re_match_i(s: pd.Series, pattern: str) -> pd.Series:
     """re_match_i (rainerscript.c:4483, initFunc_re_match_i -> REG_ICASE):
     case-insensitive re_match."""

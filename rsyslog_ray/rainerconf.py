@@ -227,7 +227,7 @@ class _P:
             prop = _prop_name(self.next()[1])
             self.expect(")")
             return ("exists", prop)
-        if v in ("re_match", "re_match_i"):
+        if v in ("re_match", "re_match_i", "pcre_match"):
             # re_match_i (rainerscript.c:4483, REG_ICASE) compiles to
             # the same regex predicate with an inline (?i) — valid in
             # both Python re (pandas path) and RE2 (Arrow path)

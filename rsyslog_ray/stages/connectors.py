@@ -2629,3 +2629,120 @@ class EventHubsTransport(Amqp1Transport):
             self.close()
             raise
         return []
+
+
+class TclTransport:
+    """omtcl (contrib/omtcl/omtcl.c) — invoke a Tcl procedure for every
+    message, in a REAL Tcl interpreter.  The reference embeds libtcl
+    (Tcl_CreateInterp, Tcl_EvalFile on the script, then per message
+    Tcl_EvalObjv ``<proc> <rendered>``, omtcl.c:100-108,131); here ONE
+    persistent ``tclsh`` child per actor sources the same script and a
+    driver loop applies the proc per message.  Messages cross the pipe
+    base64-encoded so Tcl quoting/newlines can't corrupt the call; a
+    TCL_OK call answers ``OK``, a TCL_ERROR answers ``ERR <result>`` —
+    surfaced as a per-item reject (the reference maps it to
+    RS_RET_ERR, omtcl.c:104-106)."""
+
+    DRIVER = (
+        'fconfigure stdout -buffering line\n'
+        'if {[catch {source $::env(OMTCL_SCRIPT)} serr]} {\n'
+        '    puts "FAILSOURCE $serr"\n'
+        '    exit 1\n'
+        '}\n'
+        'set omtcl_proc $::env(OMTCL_PROC)\n'
+        'puts READY\n'
+        'while {[gets stdin line] >= 0} {\n'
+        '    set msg [encoding convertfrom utf-8 '
+        '[binary decode base64 $line]]\n'
+        '    if {[catch {$omtcl_proc $msg} err]} {\n'
+        '        puts "ERR $err"\n'
+        '    } else {\n'
+        '        puts OK\n'
+        '    }\n'
+        '}\n')
+
+    def __init__(self, script_file: str, proc_name: str, render=None,
+                 tclsh: str = "tclsh"):
+        self.script_file = script_file
+        self.proc_name = proc_name
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.tclsh = tclsh
+        self._proc = None
+
+    def _spawned(self):
+        import subprocess
+
+        if self._proc is None or self._proc.poll() is not None:
+            env = dict(os.environ, OMTCL_SCRIPT=self.script_file,
+                       OMTCL_PROC=self.proc_name)
+            self._proc = subprocess.Popen(
+                [self.tclsh], stdin=subprocess.PIPE,
+                stdout=subprocess.PIPE, env=env, text=True)
+            self._proc.stdin.write(self.DRIVER)
+            self._proc.stdin.flush()
+            if self._proc.stdout.readline().strip() != "READY":
+                raise ConnectionError(
+                    "omtcl: script failed to source "
+                    f"({self.script_file})")
+        return self._proc
+
+    def _kill(self):
+        if self._proc is not None:
+            try:
+                self._proc.kill()
+            except OSError:
+                pass
+            self._proc = None
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        import base64
+
+        rejects: list[tuple[int, str]] = []
+        try:
+            p = self._spawned()
+            for i, rec in enumerate(payloads):
+                line = base64.b64encode(
+                    str(self.render(rec)).encode()).decode()
+                p.stdin.write(line + "\n")
+                p.stdin.flush()
+                resp = p.stdout.readline().strip()
+                if not resp:
+                    raise ConnectionError("omtcl: interpreter died")
+                if resp != "OK":
+                    rejects.append((i, resp))
+        except (BrokenPipeError, OSError, ConnectionError):
+            self._kill()
+            raise
+        return rejects
+
+    def close(self):
+        if self._proc is not None:
+            try:
+                self._proc.stdin.close()
+                self._proc.wait(timeout=5)
+            except Exception:
+                self._kill()
+            self._proc = None
+
+
+class StdoutTransport:
+    """omstdout (plugins/omstdout/omstdout.c) — write each rendered
+    message to stdout (a test/debug driver in the reference too).
+    ``ensure_lf`` mirrors ensureLFEnding: append \\n when missing."""
+
+    def __init__(self, render=None, ensure_lf: bool = True, stream=None):
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.ensure_lf = ensure_lf
+        self.stream = stream
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        import sys
+
+        out = self.stream or sys.stdout
+        for rec in payloads:
+            s = str(self.render(rec))
+            if self.ensure_lf and not s.endswith("\n"):
+                s += "\n"
+            out.write(s)
+        out.flush()
+        return []

@@ -432,3 +432,58 @@ def test_azuredce_gzip_and_reject_policy(tmp_path):
         assert "HTTP 413" in err.read_text()
     finally:
         srv.stop()
+
+
+# --------------------------------------------------- omtcl / omstdout
+
+def test_omtcl_real_interpreter(tmp_path):
+    """A REAL tclsh sources the user's script and applies the proc per
+    message (omtcl.c:100-108): the proc writes what it got to a file;
+    a TCL_ERROR from the proc becomes a per-item reject."""
+    import shutil
+
+    from rsyslog_ray.stages.connectors import TclTransport
+
+    if shutil.which("tclsh") is None:
+        pytest.skip("no tclsh in PATH")
+    outfile = tmp_path / "tcl.out"
+    script = tmp_path / "handler.tcl"
+    script.write_text(
+        'proc logmsg {msg} {\n'
+        '    if {[string match *boom* $msg]} {error "refused: $msg"}\n'
+        f'    set fh [open {outfile} a]\n'
+        '    puts $fh $msg\n'
+        '    close $fh\n'
+        '}\n')
+    df = pd.DataFrame({"msg": ["hello tcl", 'quote " brace } $var',
+                               "boom goes", "multi\nline"]})
+    err = tmp_path / "tcl.err"
+    out = ConnectorSink(transport=TclTransport(
+        str(script), "logmsg", render=lambda r: r["msg"]),
+        batch_rows=100, error_file=str(err))(df)
+    assert out["rows_delivered"].iloc[0] == 3
+    assert out["rows_rejected"].iloc[0] == 1
+    got = outfile.read_text()
+    assert 'quote " brace } $var' in got       # Tcl quoting survived
+    assert "multi\nline" in got
+    assert "boom" not in got
+    rej = json.loads(err.read_text().strip())
+    assert rej["error"].startswith("ERR refused")
+
+    # a script that fails to source raises (startup confirmation)
+    bad = tmp_path / "bad.tcl"
+    bad.write_text("this is not tcl {{{")
+    with pytest.raises(TransportSuspended):
+        ConnectorSink(transport=TclTransport(str(bad), "logmsg"),
+                      batch_rows=10, max_retries=2,
+                      backoff_base_s=0.01)(df.head(1))
+
+
+def test_omstdout(capsys):
+    from rsyslog_ray.stages.connectors import StdoutTransport
+
+    out = ConnectorSink(transport=StdoutTransport(
+        render=lambda r: r["msg"]), batch_rows=10)(
+        pd.DataFrame({"msg": ["a", "b\n"]}))
+    assert out["rows_delivered"].iloc[0] == 2
+    assert capsys.readouterr().out == "a\nb\n"

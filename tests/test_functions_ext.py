@@ -333,3 +333,34 @@ def test_cbool_re_i_append_json():
     out3 = append_json(js, pd.Series([9, 8, 7, 6], index=js.index),
                        key="k").tolist()
     assert out3 == ["[1,2,9]", '{"a":1,"k":8}', "null", "null"]
+
+
+def test_pcre_match_is_perl_compatible():
+    """fmpcre pcre_match (fmpcre.c:31-93): Perl-compatible syntax
+    (\\d, lookahead) that POSIX ERE re_match wouldn't guarantee."""
+    import pandas as pd
+
+    from rsyslog_ray.functions import pcre_match
+
+    t = pd.Series(["id=42 ok", "id=xx no", "pw: hunter2!", None])
+    assert pcre_match(t, r"id=\d+").tolist() == [True, False, False,
+                                                 False]
+    assert pcre_match(t, r"pw: (?=\w+\d)").tolist() == [False, False,
+                                                        True, False]
+
+
+def test_pcre_match_in_conf_filter():
+    """pcre_match() usable in .conf if-filters like re_match
+    (fmpcre registers it in the same function table the grammar
+    resolves, fmpcre.c:93)."""
+    from rsyslog_ray.rainerconf import parse_rainer
+    from rsyslog_ray.router import _eval_row
+
+    cfg = parse_rainer(
+        'if pcre_match($msg, "er{2}or \\\\d+") then '
+        'action(type="omfile" file="x")\n')
+    pred = cfg["routes"][0]["pred"]
+    assert pred == ["regex", "msg", "er{2}or \\d+"]
+    assert _eval_row(tuple(pred), {"msg": "error 17 hit"})
+    assert not _eval_row(tuple(pred), {"msg": "eror 2"})
+    assert not _eval_row(tuple(pred), {"msg": "error x"})
