@@ -93,7 +93,7 @@ def _set_registry() -> dict:
         "cstr": F.cstr, "cnum": F.cnum, "cbool": F.cbool,
         "hash64mod": F.hash64mod,
         "re_extract": F.re_extract, "re_extract_i": F.re_extract_i,
-        "append_json": F.append_json,
+        "append_json": F.append_json, "unflatten": F.unflatten,
         "tocef": F.tocef, "cef_ext_escape": F.cef_ext_escape,
         "parse_time": F.parse_time, "parse_time_localtz": F.parse_time_localtz,
         "is_time": F.is_time, "random": F.random_gen,

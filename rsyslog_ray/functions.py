@@ -10,6 +10,7 @@ loop per row in the hot path.
 
 from __future__ import annotations
 
+import copy
 import re
 
 import numpy as np
@@ -899,6 +900,75 @@ def append_json(js: pd.Series, value, key: str | None = None) -> pd.Series:
         return json.dumps(obj, separators=(",", ":"))
 
     return pd.Series([app(j, v) for j, v in zip(js, vals)], index=js.index)
+
+
+# ---- fmunflatten (contrib/fmunflatten/fmunflatten.c): unflatten a
+#      JSON object whose keys embed a delimiter into a nested tree.
+_UNFLAT_KBUF = 255  # segment truncation bound (FMUNFLATTEN_KBUFLEN-1)
+
+
+def _unflatten_add(dst: dict, key: str, value, delim: str) -> None:
+    """unflatten_add (fmunflatten.c:56-132): walk `key` split on
+    `delim`; intermediate segments become (or override non-objects
+    into) nested dicts; the final segment deep-copies scalar/array
+    values but RECURSES into object values so their keys split too.
+    Segments truncate at 255 chars (the reference's kbuf bound)."""
+    segs = key.split(delim)
+    for seg in segs[:-1]:
+        seg = seg[:_UNFLAT_KBUF]
+        o = dst.get(seg)
+        if not isinstance(o, dict):   # missing OR non-object: override
+            o = {}
+            dst[seg] = o
+        dst = o
+    seg = segs[-1][:_UNFLAT_KBUF]
+    if isinstance(value, dict):
+        o = dst.get(seg)
+        if not isinstance(o, dict):
+            o = {}
+            dst[seg] = o
+        for k, v in value.items():    # recurse: nested keys split too
+            _unflatten_add(o, k, v, delim)
+    else:
+        dst[seg] = copy.deepcopy(value)  # arrays are NOT recursed into
+
+
+def unflatten_row(js, delim) -> str:
+    """Scalar spec for unflatten() (fmunflatten.c doFunc_unflatten
+    :149-196).  ``delim`` is a single-char string or an integer
+    charcode; anything else is invalid (reference logs and returns
+    number 0 with script_errno EINVAL — rendered here as "0").
+    Non-object JSON values pass through (deep copy); non-JSON input
+    (datatype != 'J') also yields "0"."""
+    import json
+    if isinstance(delim, str) and len(delim) == 1:
+        d = delim
+    elif isinstance(delim, (int, np.integer)) and int(delim) & 0xFF:
+        d = chr(int(delim) & 0xFF)  # C `char delim = n` truncation
+    else:
+        return None  # invalid delim: caller renders "0" + EINVAL
+    try:
+        obj = json.loads(js)
+    except (TypeError, ValueError):
+        return None
+    if not isinstance(obj, dict):
+        return json.dumps(obj, separators=(",", ":"))
+    out: dict = {}
+    for k, v in obj.items():
+        _unflatten_add(out, k, v, d)
+    return json.dumps(out, separators=(",", ":"))
+
+
+def unflatten(js: pd.Series, delim) -> pd.Series:
+    """unflatten(src, delim) over a JSON-string column (fmunflatten.c).
+    Per-row failures (bad JSON / non-'J' input) and an invalid
+    delimiter return "0" with script_errno EINVAL, mirroring the
+    reference's dummy number-0 return + wtiSetScriptErrno contract."""
+    vals = [unflatten_row(j, delim) for j in js]
+    bad = [v is None for v in vals]
+    _set_script_errno(bad, js.index)
+    return pd.Series(["0" if v is None else v for v in vals],
+                     index=js.index)
 
 
 # ---- structured-data parse (mmpstrucdata analog,

@@ -364,3 +364,69 @@ def test_pcre_match_in_conf_filter():
     assert _eval_row(tuple(pred), {"msg": "error 17 hit"})
     assert not _eval_row(tuple(pred), {"msg": "eror 2"})
     assert not _eval_row(tuple(pred), {"msg": "error x"})
+
+
+def test_unflatten_fmunflatten():
+    """unflatten(src, delim) — contrib/fmunflatten/fmunflatten.c:
+    intermediate segments nest (overriding non-objects), final object
+    values recurse (their keys split too), arrays deep-copy without
+    recursion, delim accepts a 1-char string or a charcode, and
+    invalid delim / non-JSON rows return "0" with errno EINVAL."""
+    import json
+
+    import pandas as pd
+
+    from rsyslog_ray.functions import (SCRIPT_EINVAL, SCRIPT_EOK,
+                                       script_error, unflatten,
+                                       unflatten_row)
+
+    # basic nesting + sibling merge
+    assert json.loads(unflatten_row('{"a.b.c":1,"a.b.d":2}', ".")) == \
+        {"a": {"b": {"c": 1, "d": 2}}}
+    # intermediate override: scalar "a" replaced by an object
+    assert json.loads(unflatten_row('{"a":1,"a.b":2}', ".")) == \
+        {"a": {"b": 2}}
+    # final object value recurses and MERGES into the existing object
+    assert json.loads(unflatten_row(
+        '{"a.b":"v","a":{"c.d":1}}', ".")) == \
+        {"a": {"b": "v", "c": {"d": 1}}}
+    # arrays are not recursed into (fmunflatten.c final-node else arm)
+    assert json.loads(unflatten_row('{"a.b":[1,{"c.d":2}]}', ".")) == \
+        {"a": {"b": [1, {"c.d": 2}]}}
+    # empty segments from consecutive delimiters are real keys
+    assert json.loads(unflatten_row('{"a..b":1}', ".")) == \
+        {"a": {"": {"b": 1}}}
+    # charcode delim (datatype 'N'): 47 == "/"
+    assert json.loads(unflatten_row('{"x/y":3}', 47)) == {"x": {"y": 3}}
+    # non-object JSON passes through as a deep copy
+    assert unflatten_row('[1,2]', ".") == "[1,2]"
+    assert unflatten_row('3', ".") == "3"
+    # segment truncation at the reference's 255-char kbuf bound
+    long = "k" * 300
+    out = json.loads(unflatten_row(json.dumps({long + ".v": 1}), "."))
+    assert list(out) == ["k" * 255]
+
+    # vectorized form + errno contract
+    s = pd.Series(['{"a.b":1}', "not json", "[5]"])
+    got = unflatten(s, ".")
+    assert got.tolist() == ['{"a":{"b":1}}', "0", "[5]"]
+    assert script_error().tolist() == [SCRIPT_EOK, SCRIPT_EINVAL,
+                                       SCRIPT_EOK]
+    # invalid delimiter (multi-char / zero) fails every row
+    got = unflatten(s, "..")
+    assert got.tolist() == ["0", "0", "0"]
+    assert (script_error() == SCRIPT_EINVAL).all()
+
+
+def test_unflatten_in_conf_set():
+    """unflatten is callable from a .conf set-statement (fmunflatten
+    registers in the rscript function table its MODULE_TYPE_FUNCTION
+    exposes)."""
+    import pandas as pd
+
+    from rsyslog_ray.config import eval_set_expr
+
+    df = pd.DataFrame({"js": ['{"m.n":7}', '{"m":{"p.q":0}}']})
+    expr = ["call", "unflatten", [["prop", "js"], ["lit", "."]]]
+    out = eval_set_expr(expr, lambda n: df[n])
+    assert out.tolist() == ['{"m":{"n":7}}', '{"m":{"p":{"q":0}}}']
