@@ -173,6 +173,9 @@ class ReloadableLookup:
                     return self._v, None       # unchanged: no payload
                 return self._v, self._t
 
+            def version(self):
+                return self._v
+
         kwargs = {"name": name} if name else {}
         return ReloadableLookup(
             _Holder.options(**kwargs).remote(path_or_text, stub))
@@ -183,6 +186,12 @@ class ReloadableLookup:
 
     def probe(self) -> "LookupProbe":
         return LookupProbe(self._handle)
+
+    def version(self) -> int:
+        """Current table version (no payload ships) — the reload
+        observable imdiag's awaitlookuptablereload blocks on."""
+        import ray
+        return ray.get(self._handle.version.remote())
 
 
 class LookupProbe:

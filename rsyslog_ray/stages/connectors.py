@@ -539,6 +539,137 @@ def reinject_errorfile(error_file: str, transport, *, batch_rows: int = 500,
             "rows_rejected": int(acct["rows_rejected"].sum())}
 
 
+RAND_MAX = 0x7FFFFFFF  # glibc RAND_MAX, the randfail probability base
+
+
+class OmtestingTransport:
+    """omtesting (plugins/omtesting/omtesting.c) — the reference's
+    action-engine test aid: an injectable failure state machine that
+    drills suspend/resume exactly the way the testbench does.
+
+    The action line (``:omtesting:<mode> [params]``,
+    parseSelectorAct c:253-330) selects the mode:
+
+    - ``sleep <sec> <usec>`` — every message sleeps then succeeds
+      (doSleep c:158-168); unknown modes fall back to the
+      createInstance defaults = ``sleep 1 0`` (c:98-100,318-320).
+    - ``fail <fail-frequency> <resume-after>`` — every
+      fail-frequency'th doAction call SUSPENDS (doFail c:139-155,
+      counter starts at 1: c:314), and tryResume succeeds only on the
+      resume-after'th retry (doFailOnResume c:124-136); the action
+      engine then REDOES the message, which increments the call
+      counter again.
+    - ``randfail`` — ~50/50 suspend per call
+      (doRandFail c:171-182: ``(rand() >> 4) < (RAND_MAX >> 5)``).
+    - ``always_suspend`` — doAction and tryResume both suspend
+      forever (c:188-199,225-227).
+
+    ``deliver(msgs)`` runs the reference's doAction → suspend →
+    tryResume → redo cycle per message (runtime/action.c's retry
+    loop), appending each message that completed OK to ``echoed``
+    (bEchoStdout c:232-235 — echo happens only on the successful
+    call).  ``history`` records every state-machine step for
+    assertions.  As a ConnectorSink transport, a message whose resume
+    budget is exhausted raises, handing escalation to the sink's
+    bounded retry → TransportSuspended — the reference's
+    action-suspension ladder.
+    """
+
+    def __init__(self, action_line: str = ":omtesting:sleep 0 0",
+                 echo_stdout: bool = False, render=None, rng=None,
+                 sleep_fn=None, max_resume_attempts: int = 100):
+        p = action_line
+        if p.startswith(":omtesting:"):
+            p = p[len(":omtesting:"):]
+        words = p.split()
+        mode, args = (words[0] if words else ""), words[1:]
+
+        def _n(i, default=0):
+            try:
+                return int(args[i])
+            except (IndexError, ValueError):
+                return default
+        self.wait_s, self.wait_us = 1, 0     # createInstance defaults
+        self.fail_frequency = self.resume_after = 0
+        if mode == "sleep":
+            self.wait_s, self.wait_us = _n(0), _n(1)
+        elif mode == "fail":
+            self.fail_frequency = max(_n(0, 1), 1)
+            self.resume_after = _n(1)
+        elif mode not in ("randfail", "always_suspend"):
+            mode = "sleep"                   # invalid mode -> sleep 1 0
+        self.mode = mode
+        self.curr_call_nbr = 1               # c:314 iCurrCallNbr = 1
+        self.curr_retries = 0
+        self.failed = False
+        self.echo_stdout = echo_stdout
+        self.render = render or (lambda rec: rec.get("msg", str(rec))
+                                 if isinstance(rec, dict) else str(rec))
+        import random as _random
+        self.rng = rng or (lambda: _random.getrandbits(31))
+        self.sleep_fn = sleep_fn or time.sleep
+        self.max_resume_attempts = max_resume_attempts
+        self.echoed: list[str] = []
+        self.history: list[tuple[str, str]] = []
+
+    # -- the reference's per-call verbs --------------------------------
+    def _do_action(self) -> bool:
+        """One doAction call; True = OK, False = SUSPENDED."""
+        if self.mode == "sleep":
+            self.sleep_fn(self.wait_s + self.wait_us / 1e6)
+            return True
+        if self.mode == "fail":
+            if self.failed:
+                return False
+            ok = self.curr_call_nbr % self.fail_frequency != 0
+            self.curr_call_nbr += 1
+            if not ok:
+                self.curr_retries = 0
+                self.failed = True
+            return ok
+        if self.mode == "randfail":
+            return (self.rng() >> 4) < (RAND_MAX >> 5)
+        return False                          # always_suspend
+
+    def _try_resume(self) -> bool:
+        """One tryResume call; True = resumed."""
+        if self.mode == "fail":
+            self.curr_retries += 1            # doFailOnResume c:128
+            if self.curr_retries == self.resume_after:
+                self.failed = False
+                return True
+            return False
+        if self.mode == "randfail":
+            return (self.rng() >> 4) < (RAND_MAX >> 5)
+        return self.mode == "sleep"           # sleep: OK, a_s: never
+
+    # -- the action engine's retry loop ---------------------------------
+    def deliver(self, msgs: list[str]) -> None:
+        for msg in msgs:
+            attempts = 0
+            while not self._do_action():
+                self.history.append(("suspend", msg))
+                while not self._try_resume():
+                    self.history.append(("resume-fail", msg))
+                    attempts += 1
+                    if attempts >= self.max_resume_attempts:
+                        raise TransportSuspended(
+                            f"omtesting: resume budget exhausted on {msg!r}")
+                self.history.append(("resumed", msg))
+                attempts += 1
+                if attempts >= self.max_resume_attempts:
+                    raise TransportSuspended(
+                        f"omtesting: redo budget exhausted on {msg!r}")
+            self.history.append(("ok", msg))
+            self.echoed.append(msg)
+            if self.echo_stdout:               # bEchoStdout c:232-235
+                print(msg, end="", flush=True)
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        self.deliver([self.render(p) for p in payloads])
+        return []
+
+
 class MailTransport:
     """ommail (plugins/ommail/ommail.c) — a REAL SMTP client speaking
     the reference's exact wire exchange (sendSMTP c:670-705): one SMTP
