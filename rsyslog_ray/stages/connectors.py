@@ -2877,3 +2877,162 @@ class StdoutTransport:
             out.write(s)
         out.flush()
         return []
+
+
+class Beep3195Transport:
+    """RFC 3195 relay (sender) side of im3195.  The reference has no
+    om3195 — its relay half lives inside liblogging (the library
+    plugins/im3195/im3195.c links); the wire is public and shared with
+    the listener via ``state/beepwire.py``: BEEP framing (RFC 3080),
+    TCP SEQ flow control (RFC 3081), syslog RAW profile (RFC 3195 §3).
+
+    Handshake once per actor (lazy, like every transport here):
+    exchange greetings on channel 0, ``<start>`` a channel with the
+    RAW profile URI, await the listener's banner MSG that opens the
+    one-to-many exchange.  Each payload is delivered as one ANS reply
+    to that MSG.  Outbound frames honor the peer's advertised SEQ
+    window — a full window blocks until the listener extends it
+    (counted in ``window_stalls``) — and fragment with ``more='*'``
+    when the message exceeds the window or ``max_frame``.  Socket
+    errors tear the session down and re-raise so ConnectorSink's
+    bounded retry reopens and resends the bulk.  ``close()`` ends the
+    exchange with NUL and a channel-0 ``<close>``."""
+
+    RAW_CHANNEL = 1
+
+    def __init__(self, host: str, port: int, render=None,
+                 max_frame: int = 4096):
+        self.addr = (host, port)
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.max_frame = max_frame
+        self.window_stalls = 0
+        self._sock = None
+        self._reader = None
+        self._ansno = 0
+        self._ch0_msgno = 0
+        self._banner_msgno = 0
+        self._out_seq = {}
+        self._win = {}
+
+    # -- frame plumbing ------------------------------------------------
+    def _next_data(self):
+        """Next data frame; SEQ frames update window state in passing."""
+        while True:
+            fr = self._reader.read_frame()
+            if fr[0] == "SEQ":
+                _, ch, ackno, window = fr
+                self._win[ch] = (ackno, window)
+                continue
+            return fr
+
+    def _await_seq(self, channel: int) -> None:
+        from ..state import beepwire as bw
+
+        while True:
+            fr = self._reader.read_frame()
+            if fr[0] != "SEQ":
+                raise bw.BeepProtocolError(
+                    f"expected SEQ while window-blocked, got {fr[0]}")
+            self._win[fr[1]] = (fr[2], fr[3])
+            if fr[1] == channel:
+                return
+
+    def _send(self, kw: str, channel: int, msgno: int, payload: bytes,
+              ansno: int | None = None) -> None:
+        from ..state import beepwire as bw
+
+        if not payload:
+            self._sock.sendall(bw.data_frame(
+                kw, channel, msgno, self._out_seq[channel], b"",
+                ansno=ansno))
+            return
+        off, total = 0, len(payload)
+        while off < total:
+            ackno, window = self._win[channel]
+            avail = min(ackno + window - self._out_seq[channel],
+                        self.max_frame)
+            if avail <= 0:
+                self.window_stalls += 1
+                self._await_seq(channel)
+                continue
+            chunk = payload[off:off + avail]
+            more = off + len(chunk) < total
+            self._sock.sendall(bw.data_frame(
+                kw, channel, msgno, self._out_seq[channel], chunk,
+                more=more, ansno=ansno))
+            self._out_seq[channel] += len(chunk)
+            off += len(chunk)
+
+    # -- session -------------------------------------------------------
+    def _connected(self):
+        import socket
+
+        from ..state import beepwire as bw
+
+        if self._sock is not None:
+            return self._sock
+        s = socket.create_connection(self.addr, timeout=10)
+        self._sock = s
+        self._reader = bw.FrameReader(s)
+        self._out_seq = {0: 0, self.RAW_CHANNEL: 0}
+        # RFC 3081 §3.1.4: every channel starts with a 4096-octet window
+        self._win = {0: (0, bw.DEFAULT_WINDOW),
+                     self.RAW_CHANNEL: (0, bw.DEFAULT_WINDOW)}
+        self._ansno = 0
+        self._send("RPY", 0, 0, bw.greeting_xml())
+        fr = self._next_data()          # listener greeting
+        if fr[0] != "RPY" or fr[1] != 0 or \
+                bw.RAW_PROFILE_URI not in bw.parse_profiles(fr[5]):
+            raise ConnectionError("3195: peer does not offer RAW profile")
+        self._ch0_msgno = 1
+        self._send("MSG", 0, self._ch0_msgno,
+                   bw.start_xml(self.RAW_CHANNEL, bw.RAW_PROFILE_URI))
+        fr = self._next_data()          # <profile> confirmation
+        if fr[0] != "RPY" or \
+                bw.RAW_PROFILE_URI not in bw.parse_profiles(fr[5]):
+            raise ConnectionError("3195: channel start refused")
+        fr = self._next_data()          # the listener's banner MSG
+        if fr[0] != "MSG" or fr[1] != self.RAW_CHANNEL:
+            raise ConnectionError("3195: no listener banner MSG")
+        self._banner_msgno = fr[2]
+        return s
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state import beepwire as bw
+
+        try:
+            self._connected()
+            for rec in payloads:
+                self._send("ANS", self.RAW_CHANNEL, self._banner_msgno,
+                           bw.mime_wrap(self.render(rec).encode()),
+                           ansno=self._ansno)
+                self._ansno += 1
+        except (OSError, ConnectionError):
+            self._abort()
+            raise
+        return []
+
+    def close(self):
+        from ..state import beepwire as bw
+
+        if self._sock is None:
+            return
+        try:
+            self._send("NUL", self.RAW_CHANNEL, self._banner_msgno, b"")
+            self._ch0_msgno += 1
+            self._send("MSG", 0, self._ch0_msgno, bw.close_xml())
+            self._sock.settimeout(2)
+            self._next_data()           # RPY <ok />
+        except (OSError, ConnectionError):
+            pass
+        finally:
+            self._abort()
+
+    def _abort(self):
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        self._sock = None
+        self._reader = None
