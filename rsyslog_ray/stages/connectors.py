@@ -240,44 +240,84 @@ class ProgTransport:
 
 
 class UnixSockTransport:
-    """omuxsock (doc/source/configuration/modules/omuxsock.rst): sends
-    each rendered line as ONE AF_UNIX datagram — the producer mirror of
-    the imuxsock listener (``sources/textlog.UnixSockCapture``), i.e.
-    the /dev/log writer side.  Socket opened lazily once per actor;
-    datagram semantics mean no framing and natural per-message
-    boundaries.  Errors close the socket and re-raise so ConnectorSink
-    retries the bulk."""
+    """omuxsock (plugins/omuxsock/omuxsock.c): sends each rendered
+    line to an AF_UNIX socket — the producer mirror of the imuxsock
+    listener (``sources/textlog.UnixSockCapture``), i.e. the /dev/log
+    writer side.
 
-    def __init__(self, path: str, render=None):
+    The reference's full surface (omuxsock.c:123-161 socketType map,
+    :498-520 openSocket): ``socktype`` DGRAM (default) / STREAM /
+    SEQPACKET — the latter two are connection oriented and connect()
+    at open; ``abstract`` prepends the leading NUL of the Linux
+    abstract namespace (omuxsock.c:512-524's bAbstract offset).
+    Failure semantics mirror sendMsg (omuxsock.c:427-476): connected
+    sockets close and re-raise so ConnectorSink's bounded retry /
+    suspend takes over; unconnected datagrams with ``lossy_dgram``
+    close the socket and report the row as a per-item reject ("simply
+    try again on the next message" — the reference drops it), else
+    the default re-raise keeps at-least-once on the bulk."""
+
+    _TYPES = {"dgram": "SOCK_DGRAM", "stream": "SOCK_STREAM",
+              "seqpacket": "SOCK_SEQPACKET"}
+
+    def __init__(self, path: str, render=None, socktype: str = "dgram",
+                 abstract: bool = False, lossy_dgram: bool = False):
+        if socktype not in self._TYPES:
+            raise ValueError(f"unknown socket type {socktype!r}")
         self.path = path
         self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.socktype = socktype
+        self.connected = socktype != "dgram"   # omuxsock.c:128-133
+        self.abstract = abstract
+        self.lossy_dgram = lossy_dgram and not self.connected
         self._sock = None
 
-    def _connected(self):
+    @property
+    def _addr(self):
+        return ("\0" + self.path) if self.abstract else self.path
+
+    def _opened(self):
         import socket
 
         if self._sock is None:
-            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+            s = socket.socket(socket.AF_UNIX,
+                              getattr(socket, self._TYPES[self.socktype]))
+            if self.connected:
+                try:
+                    s.connect(self._addr)
+                except OSError:
+                    s.close()
+                    raise
+            self._sock = s
         return self._sock
 
-    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+    def _drop_sock(self):
         try:
-            s = self._connected()
-            for rec in payloads:
-                s.sendto(self.render(rec).encode(), self.path)
-        except OSError:
+            if self._sock is not None:
+                self._sock.close()
+        finally:
+            self._sock = None
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        rejects: list[tuple[int, str]] = []
+        for i, rec in enumerate(payloads):
+            data = self.render(rec).encode()
             try:
-                if self._sock is not None:
-                    self._sock.close()
-            finally:
-                self._sock = None
-            raise
-        return []
+                s = self._opened()
+                if self.connected:
+                    s.sendall(data)
+                else:
+                    s.sendto(data, self._addr)
+            except OSError as ex:
+                self._drop_sock()
+                if self.lossy_dgram:
+                    rejects.append((i, f"uxsock dgram: {ex}"))
+                    continue
+                raise
+        return rejects
 
     def close(self):
-        if self._sock is not None:
-            self._sock.close()
-            self._sock = None
+        self._drop_sock()
 
 
 class EsBulkTransport:

@@ -969,3 +969,95 @@ def test_httpfs_append_create_flow(tmp_path):
         assert "user.name=hdfs" in reqs[0][1]
     finally:
         srv.shutdown()
+
+
+def test_omuxsock_stream_seqpacket_abstract(tmp_path):
+    """omuxsock socketType map (omuxsock.c:123-133): STREAM/SEQPACKET
+    are connection oriented (connect at open, send()), DGRAM sendto;
+    abstract names get the leading-NUL Linux namespace address
+    (omuxsock.c:512-524)."""
+    import os
+    import socket
+    import threading
+
+    from rsyslog_ray.stages.connectors import UnixSockTransport
+
+    # -- connected STREAM against a live listener ----------------------
+    path = str(tmp_path / "stream.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(path)
+    srv.listen(1)
+    got = {}
+
+    def accept():
+        conn, _ = srv.accept()
+        buf = b""
+        while not buf.endswith(b"<13>msg 2\n"):
+            chunk = conn.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+        got["data"] = buf
+        conn.close()
+
+    th = threading.Thread(target=accept)
+    th.start()
+    tr = UnixSockTransport(path, socktype="stream",
+                           render=lambda r: f"<13>msg {r['event_id']}\n")
+    assert tr([{"event_id": i} for i in range(3)]) == []
+    tr.close()
+    th.join(timeout=10)
+    srv.close()
+    assert got["data"] == b"<13>msg 0\n<13>msg 1\n<13>msg 2\n"
+
+    # -- abstract-namespace DGRAM --------------------------------------
+    name = f"raylog-test-{os.getpid()}"
+    rx = socket.socket(socket.AF_UNIX, socket.SOCK_DGRAM)
+    rx.bind("\0" + name)
+    rx.settimeout(5)
+    tr = UnixSockTransport(name, abstract=True,
+                           render=lambda r: f"a{r['event_id']}")
+    assert tr([{"event_id": 0}, {"event_id": 1}]) == []
+    assert sorted([rx.recv(256), rx.recv(256)]) == [b"a0", b"a1"]
+    tr.close()
+    rx.close()
+
+    # -- SEQPACKET round-trip (message boundaries preserved) -----------
+    spath = str(tmp_path / "seq.sock")
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_SEQPACKET)
+    srv.bind(spath)
+    srv.listen(1)
+
+    def accept_seq():
+        conn, _ = srv.accept()
+        got["pkts"] = [conn.recv(4096), conn.recv(4096)]
+        conn.close()
+
+    th = threading.Thread(target=accept_seq)
+    th.start()
+    tr = UnixSockTransport(spath, socktype="seqpacket",
+                           render=lambda r: f"p{r['event_id']}")
+    assert tr([{"event_id": 7}, {"event_id": 8}]) == []
+    tr.close()
+    th.join(timeout=10)
+    srv.close()
+    assert got["pkts"] == [b"p7", b"p8"]
+
+
+def test_omuxsock_lossy_dgram_rejects(tmp_path):
+    """Unconnected DGRAM failure with lossy_dgram: the reference drops
+    the message and tries again next time (omuxsock.c:460-470's
+    non-connected branch) — here that surfaces as per-item rejects,
+    not a suspend."""
+    from rsyslog_ray.stages.connectors import UnixSockTransport
+
+    err = str(tmp_path / "err.jsonl")
+    sink = ConnectorSink(
+        transport=UnixSockTransport(str(tmp_path / "absent.sock"),
+                                    lossy_dgram=True),
+        batch_rows=10, max_retries=2, backoff_base_s=0.01,
+        error_file=err)
+    out = sink(_events(3))
+    assert out["rows_rejected"].iloc[0] == 3
+    assert out["rows_delivered"].iloc[0] == 0
+    assert sum(1 for _ in open(err)) == 3
