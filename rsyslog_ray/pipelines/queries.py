@@ -1670,6 +1670,56 @@ def q_vendor_formats(sf_dir):
     return ds.map_batches(roundtrip, batch_format="pandas")
 
 
+def q_ngram_topk(sf_dir):
+    """Wimbd-style corpus n-gram statistics (Elazar et al. 2023): the
+    global top-20 3-grams by frequency, deterministic tie-break (cnt
+    desc, gram asc).  Two-phase with an adaptive distributed final —
+    per-batch partial counts, gram-hash-partitioned per-partition
+    top-k, O(nparts × k) driver rows; normalization mirrored exactly
+    by the DuckDB oracle."""
+    from ..stages.text import ngram_topk
+
+    ds = _read(sf_dir, "documents", columns=["text"], parallel=16)
+    return ngram_topk(ds, n=3, k=20)
+
+
+def q_gopher_rules(sf_dir):
+    """Gopher quality filter (Rae et al. 2021 A.1.1): every published
+    document rule as an integer column + the composite keep flag.
+    Rows-only driver check; tests/test_text_ops.py pins the vectorized
+    frame == the per-row spec oracle (gopher_row) on adversarial
+    fixtures."""
+    from ..stages.text import gopher_quality_frame
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               parallel=16)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        out = gopher_quality_frame(df["text"])
+        out.insert(0, "doc_id", df["doc_id"])
+        return out
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
+def q_c4_filters(sf_dir):
+    """C4 cleaning (Raffel et al. 2020 §2.2): line retention (terminal
+    punctuation, >=5 words, no 'javascript') + document gates (>=3
+    sentences, no 'lorem ipsum', no '{').  Rows-only driver check;
+    engine == per-row spec oracle (c4_row) pinned in pytest."""
+    from ..stages.text import c4_filter_frame
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               parallel=16)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        out = c4_filter_frame(df["text"])
+        out.insert(0, "doc_id", df["doc_id"])
+        return out
+
+    return ds.map_batches(fx, batch_format="pandas")
+
+
 def q_window_hopping(sf_dir):
     """Event-time hopping windows (2h window, 1h hop) over events —
     the overlapping-window generalization of dynstats_bucket.
@@ -1785,6 +1835,27 @@ def q_runs_compress(sf_dir):
 # ======================================================================
 # SQL oracles (DuckDB) — names and aliases must match the Ray outputs
 # ======================================================================
+
+# DuckDB oracles for TAIL entries (positions past the driver's 50-query
+# gate window).  oracle_sql() exposes only SQL — the driver contract
+# pins positions 1-50 as exactly the oracle-backed set
+# (tests/test_property.py) — but tools/check_correctness.py verifies
+# these too, so tail entries with SQL-expressible semantics still get
+# the full rows+schema+hash comparison locally.
+SQL_TAIL: dict[str, str] = {
+    "ngram_topk": """
+        WITH words AS (
+          SELECT list_filter(string_split(regexp_replace(lower(text),
+                     '[^a-z0-9]+', ' ', 'g'), ' '), w -> w <> '') AS w
+          FROM documents
+        ), grams AS (
+          SELECT array_to_string(w[i:i+2], ' ') AS gram
+          FROM (SELECT w, unnest(range(1, len(w) - 1)) AS i FROM words)
+        )
+        SELECT gram, CAST(count(*) AS BIGINT) AS cnt
+        FROM grams GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
+    """,
+}
 
 SQL: dict[str, str] = {
     "parse_json": """
@@ -2447,4 +2518,7 @@ QUERIES = {
     "curation": q_curation,
     "pretrain_corpus": q_pretrain_corpus,
     "vendor_formats": q_vendor_formats,
+    "ngram_topk": q_ngram_topk,
+    "gopher_rules": q_gopher_rules,
+    "c4_filters": q_c4_filters,
 }

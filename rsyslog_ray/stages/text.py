@@ -882,3 +882,218 @@ def epoch_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
         return out
 
     return ds.map_batches(key, batch_format="pandas").sort(key_col)
+
+
+# ---------------------------------------------------------------------
+# Corpus n-gram statistics — Wimbd-style "what's in my big data" top-k
+# (Elazar et al. 2023).  rsyslog has no analog; first-class
+# training-data op.  Normalization contract (mirrored EXACTLY by the
+# q:ngram_topk DuckDB oracle): lower, [^a-z0-9]+ -> space, split,
+# drop empties; grams never cross document boundaries.
+# ---------------------------------------------------------------------
+
+def ngram_count_frame(texts: pd.Series, n: int = 3) -> pd.DataFrame:
+    """Per-batch partial: (gram, cnt) counts, fully vectorized —
+    explode words, boundary-masked shifted joins, value_counts."""
+    toks = (texts.str.lower()
+            .str.replace(r"[^a-z0-9]+", " ", regex=True).str.split())
+    ex = toks.explode().dropna()
+    ex = ex[ex != ""]
+    ids = ex.index.to_numpy()
+    words = ex.to_numpy(dtype=object)
+    m = len(words) - n + 1
+    if m <= 0:
+        return pd.DataFrame({"gram": pd.Series([], dtype="object"),
+                             "cnt": pd.Series([], dtype="int64")})
+    ok = np.ones(m, dtype=bool)
+    g = words[:m].astype(str)
+    for j in range(1, n):
+        ok &= ids[j:m + j] == ids[:m]
+        g = np.char.add(np.char.add(g, " "), words[j:m + j].astype(str))
+    cnt = pd.Series(g[ok]).value_counts()
+    return pd.DataFrame({"gram": cnt.index.to_numpy(),
+                         "cnt": cnt.to_numpy(dtype="int64")})
+
+
+def ngram_topk(ds, *, n: int = 3, k: int = 20, text_col: str = "text",
+               nparts: int = 32, driver_threshold: int = 2_000_000):
+    """Global top-k n-grams by corpus frequency (cnt desc, gram asc —
+    fully deterministic incl. the rank-k boundary).  Two-phase with an
+    adaptive final: per-batch partial counts; small partial sets
+    reduce on the driver (CLAUDE.md invariant 3), large ones
+    hash-partition on the gram (a gram lives wholly in one partition,
+    so per-partition sum + local top-k is exact) and the driver only
+    ever sees O(nparts × k) rows."""
+    from ..functions import hash64mod
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return ngram_count_frame(df[text_col], n)
+
+    def head(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["cnt", "gram"], ascending=[False, True])
+                .head(k).reset_index(drop=True).astype({"cnt": "int64"}))
+
+    partials = ds.map_batches(partial, batch_format="pandas").materialize()
+    if partials.count() <= driver_threshold:
+        df = partials.to_pandas().groupby("gram", as_index=False)["cnt"].sum()
+        return head(df)
+
+    def pp(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pp=hash64mod(df["gram"], nparts))
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        summed = g.groupby("gram", as_index=False)["cnt"].sum()
+        return head(summed)[["gram", "cnt"]]
+
+    cand = (partials.map_batches(pp, batch_format="pandas")
+            .groupby("pp").map_groups(local_topk, batch_format="pandas")
+            .to_pandas())                       # O(nparts × k) rows
+    return head(cand)
+
+
+# ---------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A.1.1) — the
+# published document-level filter thresholds, each surfaced as its own
+# column plus the composite keep flag.  Vectorized; the per-row spec
+# oracle gopher_row is the ground truth (tests pin equality).
+# ---------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+_BULLETS = ("•", "‣", "▶", "- ", "* ")
+
+
+def gopher_quality_frame(texts: pd.Series) -> pd.DataFrame:
+    n_words = texts.str.split().str.len().fillna(0).astype("int64")
+    # mean word length = non-whitespace chars / words (whitespace split
+    # means every non-space char belongs to exactly one word)
+    n_chars = (texts.str.replace(r"\s", "", regex=True).str.len()
+               .fillna(0).astype("int64"))
+    mean_wlen = np.where(n_words > 0, n_chars / n_words.replace(0, 1), 0.0)
+    # symbol-to-word: '#' chars + '...'/'…' occurrences per word
+    n_sym = (texts.str.count("#") + texts.str.count(r"\.\.\.")
+             + texts.str.count("…")).astype("int64")
+    sym_ratio = np.where(n_words > 0, n_sym / n_words.replace(0, 1), 0.0)
+
+    lines = texts.str.split("\n")
+    n_lines = lines.str.len().fillna(0).astype("int64")
+    ex = lines.explode().dropna().str.strip()
+    bullet = ex.str.startswith(_BULLETS).groupby(level=0).sum()
+    ellip = (ex.str.endswith("...") | ex.str.endswith("…")) \
+        .groupby(level=0).sum()
+    bullet_frac = (bullet.reindex(texts.index, fill_value=0)
+                   / n_lines.replace(0, 1)).to_numpy()
+    ellipsis_frac = (ellip.reindex(texts.index, fill_value=0)
+                     / n_lines.replace(0, 1)).to_numpy()
+
+    wex = texts.str.split().explode().dropna()
+    alpha = wex.str.contains("[A-Za-z]", regex=True).groupby(level=0).sum()
+    alpha_frac = (alpha.reindex(texts.index, fill_value=0)
+                  / n_words.replace(0, 1)).to_numpy()
+    alpha_frac = np.where(n_words > 0, alpha_frac, 0.0)
+
+    stop_hits = sum(
+        texts.str.contains(rf"\b{w}\b", case=False, regex=True)
+        .astype("int64") for w in GOPHER_STOPWORDS)
+
+    keep = ((n_words >= 50) & (n_words <= 100_000)
+            & (mean_wlen >= 3) & (mean_wlen <= 10)
+            & (sym_ratio <= 0.1)
+            & (bullet_frac <= 0.9) & (ellipsis_frac <= 0.3)
+            & (alpha_frac >= 0.8) & (stop_hits >= 2))
+    return pd.DataFrame({
+        "n_words": n_words.to_numpy(),
+        "mean_wlen_x100": np.floor(mean_wlen * 100 + 0.5).astype("int64"),
+        "sym_per_kword": np.floor(sym_ratio * 1000 + 0.5).astype("int64"),
+        "bullet_pct": np.floor(bullet_frac * 100 + 0.5).astype("int64"),
+        "ellipsis_pct": np.floor(ellipsis_frac * 100 + 0.5).astype("int64"),
+        "alpha_pct": np.floor(alpha_frac * 100 + 0.5).astype("int64"),
+        "stop_hits": np.asarray(stop_hits, dtype="int64"),
+        "gopher_keep": np.asarray(keep, dtype="int64"),
+    }, index=texts.index)
+
+
+def gopher_row(text: str) -> dict:
+    """Pure-Python spec oracle for one document (ground truth)."""
+    import math
+    import re as _re
+
+    words = text.split()
+    n_words = len(words)
+    n_chars = sum(len(w) for w in words)
+    mean_wlen = n_chars / n_words if n_words else 0.0
+    n_sym = text.count("#") + text.count("…") + len(
+        _re.findall(r"\.\.\.", text))
+    sym_ratio = n_sym / n_words if n_words else 0.0
+    lines = [ln.strip() for ln in text.split("\n")]
+    n_lines = len(lines)
+    bullet_frac = (sum(ln.startswith(_BULLETS) for ln in lines)
+                   / n_lines if n_lines else 0.0)
+    ellipsis_frac = (sum(ln.endswith(("...", "…")) for ln in lines)
+                     / n_lines if n_lines else 0.0)
+    alpha_frac = (sum(bool(_re.search("[A-Za-z]", w)) for w in words)
+                  / n_words if n_words else 0.0)
+    stop_hits = sum(
+        bool(_re.search(rf"\b{w}\b", text, _re.I)) for w in GOPHER_STOPWORDS)
+    keep = (50 <= n_words <= 100_000 and 3 <= mean_wlen <= 10
+            and sym_ratio <= 0.1 and bullet_frac <= 0.9
+            and ellipsis_frac <= 0.3 and alpha_frac >= 0.8
+            and stop_hits >= 2)
+    return {"n_words": n_words,
+            "mean_wlen_x100": math.floor(mean_wlen * 100 + 0.5),
+            "sym_per_kword": math.floor(sym_ratio * 1000 + 0.5),
+            "bullet_pct": math.floor(bullet_frac * 100 + 0.5),
+            "ellipsis_pct": math.floor(ellipsis_frac * 100 + 0.5),
+            "alpha_pct": math.floor(alpha_frac * 100 + 0.5),
+            "stop_hits": stop_hits, "gopher_keep": int(keep)}
+
+
+# ---------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020, §2.2) — line-level retention
+# (terminal punctuation, >=5 words, no "javascript") and the document
+# gates (>=3 sentences after cleaning, no "lorem ipsum", no '{').
+# Vectorized explode/regroup; c4_row is the per-row spec oracle.
+# ---------------------------------------------------------------------
+
+_C4_TERMINALS = (".", "!", "?", '"')
+
+
+def c4_filter_frame(texts: pd.Series) -> pd.DataFrame:
+    lines = texts.str.split("\n")
+    ex = lines.explode().dropna().str.strip()
+    keep_line = (ex.str.endswith(_C4_TERMINALS)
+                 & (ex.str.split().str.len().fillna(0) >= 5)
+                 & ~ex.str.contains("javascript", case=False, regex=False))
+    kept = ex[keep_line]
+    clean = (kept.groupby(level=0).agg("\n".join)
+             .reindex(texts.index, fill_value=""))
+    n_kept = (keep_line.groupby(level=0).sum()
+              .reindex(texts.index, fill_value=0).astype("int64"))
+    n_sent = clean.str.count(r"[.!?]").astype("int64")
+    keep_doc = ((n_sent >= 3)
+                & ~clean.str.contains("lorem ipsum", case=False,
+                                      regex=False)
+                & ~clean.str.contains("{", regex=False))
+    return pd.DataFrame({"clean": clean.to_numpy(),
+                         "n_lines_kept": n_kept.to_numpy(),
+                         "n_sentences": n_sent.to_numpy(),
+                         "c4_keep": np.asarray(keep_doc, dtype="int64")},
+                        index=texts.index)
+
+
+def c4_row(text: str) -> dict:
+    """Pure-Python spec oracle for one document (ground truth)."""
+    import re as _re
+
+    kept = []
+    for ln in text.split("\n"):
+        ln = ln.strip()
+        if (ln.endswith(_C4_TERMINALS) and len(ln.split()) >= 5
+                and "javascript" not in ln.lower()):
+            kept.append(ln)
+    clean = "\n".join(kept)
+    n_sent = len(_re.findall(r"[.!?]", clean))
+    keep = (n_sent >= 3 and "lorem ipsum" not in clean.lower()
+            and "{" not in clean)
+    return {"clean": clean, "n_lines_kept": len(kept),
+            "n_sentences": n_sent, "c4_keep": int(keep)}

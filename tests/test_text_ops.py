@@ -211,3 +211,132 @@ def test_epoch_shuffle_keys_and_order(ray_session, docs):
     assert list(again["doc_id"]) == list(out["doc_id"])
     other = tx.epoch_shuffle(ds, seed=4).to_pandas()
     assert list(other["doc_id"]) != list(out["doc_id"])
+
+
+# ---------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021 A.1.1)
+
+GOPHER_FIXTURES = [
+    # passes every rule: 60 normal words with stopwords
+    " ".join(["the quick brown fox jumps over and that have with be"] * 6),
+    # too short
+    "the and of short doc.",
+    # bullets dominate (>90% of lines)
+    "\n".join(["- bullet item level entry"] * 20),
+    # ellipsis endings dominate
+    "\n".join(["the words trail off here..."] * 10
+              + ["plain line of the text"] * 10),
+    # symbol-heavy (# per word > 0.1)
+    "the tag #a #b #c #d #e #f #g and that have with be ok",
+    # mostly non-alphabetic words
+    " ".join(["123 456 789 000"] * 20) + " the and",
+    # no stopwords at all
+    " ".join(["zebra quokka lorax pangolin"] * 20),
+    # unicode ellipsis + unicode bullet lines
+    "• first…\n‣ second…\nthe plain and line that have with be",
+    "",                                     # empty doc
+    "\n\n\n",                               # only blank lines
+]
+
+
+def test_gopher_frame_matches_row_spec(docs):
+    texts = pd.Series(GOPHER_FIXTURES + list(docs["text"].head(100)))
+    got = tx.gopher_quality_frame(texts)
+    for i, t in texts.items():
+        want = tx.gopher_row(t)
+        have = {c: int(got.loc[i, c]) for c in got.columns}
+        assert have == want, (i, t[:60], have, want)
+
+
+def test_gopher_rule_boundaries():
+    # exactly 50 words with stopwords -> keep; 49 -> drop
+    w49 = "the and " + " ".join(f"word{i}" for i in range(47))
+    w50 = w49 + " more"
+    assert tx.gopher_row(w50)["gopher_keep"] == 1
+    assert tx.gopher_row(w49)["gopher_keep"] == 0
+    # one stopword is not enough, two are
+    base = " ".join(f"word{i}" for i in range(60))
+    assert tx.gopher_row(base + " the")["gopher_keep"] == 0
+    assert tx.gopher_row(base + " the and")["gopher_keep"] == 1
+
+
+# ---------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2)
+
+C4_FIXTURES = [
+    # kept: 3 terminal-punct sentences of >=5 words
+    "This is the first good sentence.\nHere is another good one!\n"
+    "And a third question to keep?",
+    # line dropped: <5 words
+    "Too short line.\nThis one has five words.\n"
+    "Another keeper with five words.\nAnd one more to clear three.",
+    # javascript line dropped (case-insensitive)
+    "Enable JavaScript to view this.\nReal content sentence number one.\n"
+    "Real content sentence number two.\nReal content sentence number three.",
+    # doc gate: lorem ipsum
+    "Lorem ipsum dolor sit amet consectetur.\nSecond real sentence is "
+    "here now.\nThird real sentence is here too.",
+    # doc gate: curly brace
+    "This code block has braces {x}.\nSecond real sentence is here "
+    "now.\nThird real sentence is here too.",
+    # doc gate: <3 sentences after cleaning
+    "Only one good sentence survives here.\nno terminal punct\nshort.",
+    # quoted-terminal line is kept
+    'He said "this is a quote."\nShe replied with more words there.\n'
+    'Then everyone nodded along quietly again.',
+    "",
+]
+
+
+def test_c4_frame_matches_row_spec(docs):
+    texts = pd.Series(C4_FIXTURES + list(docs["text"].head(100)))
+    got = tx.c4_filter_frame(texts)
+    for i, t in texts.items():
+        want = tx.c4_row(t)
+        have = {"clean": got.loc[i, "clean"],
+                "n_lines_kept": int(got.loc[i, "n_lines_kept"]),
+                "n_sentences": int(got.loc[i, "n_sentences"]),
+                "c4_keep": int(got.loc[i, "c4_keep"])}
+        assert have == want, (i, t[:60], have, want)
+    # the named gates fire as designed
+    keeps = list(got["c4_keep"][:len(C4_FIXTURES)])
+    assert keeps == [1, 1, 1, 0, 0, 0, 1, 0]
+
+
+# ---------------------------------------------------------------------
+# corpus n-gram top-k (Wimbd-style)
+
+def _ngram_spec(texts, n):
+    from collections import Counter
+    c = Counter()
+    for t in texts:
+        w = [x for x in re.sub(r"[^a-z0-9]+", " ", t.lower()).split()
+             if x]
+        for i in range(len(w) - n + 1):
+            c[" ".join(w[i:i + n])] += 1
+    return c
+
+
+def test_ngram_topk_matches_spec(ray_session, docs):
+    import ray.data
+
+    ds = ray.data.from_pandas(docs[["text"]]).repartition(8)
+    got = tx.ngram_topk(ds, n=3, k=25)
+    spec = _ngram_spec(docs["text"], 3)
+    want = sorted(spec.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert list(zip(got["gram"], got["cnt"])) == want
+    # distributed-final path (tiny threshold forces the partitioned
+    # per-gram sum + local top-k) must agree exactly
+    got2 = tx.ngram_topk(ds, n=3, k=25, driver_threshold=1, nparts=8)
+    assert list(zip(got2["gram"], got2["cnt"])) == want
+
+
+def test_ngram_boundaries_do_not_cross_docs(ray_session):
+    import ray.data
+
+    df = pd.DataFrame({"text": ["alpha beta", "beta gamma delta"]})
+    ds = ray.data.from_pandas(df)
+    got = tx.ngram_topk(ds, n=2, k=10)
+    grams = set(got["gram"])
+    assert "alpha beta" in grams and "beta gamma" in grams
+    assert "beta beta" not in grams          # would need a cross-doc gram

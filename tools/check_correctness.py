@@ -68,6 +68,10 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     qs, sqls = e.queries(), e.oracle_sql()
+    # tail entries past the 50-query driver window may still carry a
+    # local DuckDB oracle — check those with the same rigor
+    from rsyslog_ray.pipelines.queries import SQL_TAIL
+    sqls = {**SQL_TAIL, **sqls}
 
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
