@@ -91,7 +91,8 @@ def _set_registry() -> dict:
         # both names to doFunct_Ipv42num)
         "ip42num": F.ipv42num, "wrap": F.wrap,
         "cstr": F.cstr, "cnum": F.cnum, "cbool": F.cbool,
-        "hash64mod": F.hash64mod,
+        "hash64mod": F.hash64mod, "hash64": F.hash64,
+        "hash32": F.hash32, "hash32mod": F.hash32mod,
         "re_extract": F.re_extract, "re_extract_i": F.re_extract_i,
         "append_json": F.append_json, "unflatten": F.unflatten,
         "tocef": F.tocef, "cef_ext_escape": F.cef_ext_escape,

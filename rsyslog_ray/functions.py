@@ -1009,3 +1009,17 @@ def hash64_fnv(v: str) -> int:
 def hash64mod(s: pd.Series, mod: int) -> pd.Series:
     return pd.Series(hash64(s).to_numpy().astype(np.uint64) % np.uint64(mod),
                      index=s.index).astype("int64")
+
+
+def hash32(s: pd.Series) -> pd.Series:
+    """fmhash hash32 (contrib/fmhash/fmhash.c:350-356 exposes a 32-bit
+    variant alongside hash64): xor-fold of the repo-standard 64-bit
+    hash — stable, vectorized, uniformly distributed."""
+    h = hash64(s).to_numpy().astype(np.uint64)
+    return pd.Series(((h >> np.uint64(32)) ^ (h & np.uint64(0xFFFFFFFF)))
+                     .astype(np.int64), index=s.index)
+
+
+def hash32mod(s: pd.Series, mod: int) -> pd.Series:
+    return pd.Series(hash32(s).to_numpy().astype(np.uint64) % np.uint64(mod),
+                     index=s.index).astype("int64")

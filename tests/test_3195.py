@@ -193,3 +193,50 @@ def test_3195_window_fragmentation_and_truncation(ray_session):
     assert tr.window_stalls > 0
     assert cap.truncated == 1
     assert list(df["record"]) == [big[:1500], small]
+
+
+# ---------------------------------------------------------------------
+# property fuzz: arbitrary binary payloads, arbitrary fragment sizes
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(st.lists(st.binary(min_size=0, max_size=300), min_size=1,
+                max_size=6),
+       st.integers(min_value=1, max_value=97))
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_beep_fragmentation_fuzz(payloads, frag):
+    """Any byte payload, any fragment size: frames written in `frag`-
+    byte fragments with correct per-channel seqnos reassemble byte-
+    identically through FrameReader (the listener's reassembly rule:
+    accumulate per (channel, msgno, ansno) until more='.')."""
+    a, b = socket.socketpair()
+    try:
+        seq = 0
+        for ansno, p in enumerate(payloads):
+            chunks = [p[i:i + frag] for i in range(0, len(p), frag)] or [b""]
+            for ci, c in enumerate(chunks):
+                a.sendall(bw.data_frame("ANS", 1, 0, seq, c,
+                                        more=ci < len(chunks) - 1,
+                                        ansno=ansno))
+                seq += len(c)
+        a.sendall(bw.data_frame("NUL", 1, 0, seq, b""))
+        r = bw.FrameReader(b)
+        partial: dict[int, bytes] = {}
+        got = []
+        while True:
+            fr = r.read_frame()
+            kw, _, _, more, _, payload, ansno = fr
+            if kw == "NUL":
+                break
+            partial[ansno] = partial.get(ansno, b"") + payload
+            if not more:
+                got.append(partial.pop(ansno))
+        assert got == list(payloads)
+        assert not partial
+    finally:
+        a.close()
+        b.close()
