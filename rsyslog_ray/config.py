@@ -106,20 +106,23 @@ def _set_registry() -> dict:
     return _REGISTRY_CACHE
 
 
-def eval_set_expr(expr, get, templates=None, get_df=None):
+def eval_set_expr(expr, get, templates=None, get_df=None, lookups=None):
     """Evaluate a set-expression AST; ``get(name)`` yields the column
     as a pandas Series.  Returns a Series or a scalar (callers
     broadcast scalars).  ``templates``/``get_df`` feed exec_template
     (rainerscript.c doFunc_exec_template:1784 — render a declared
-    template against the current message/row)."""
+    template against the current message/row); ``lookups`` feeds the
+    stateful ``lookup("tbl", key)`` script function
+    (rainerscript.c doFunct_Lookup / runtime/lookup.c:400-416 — the
+    broadcast-small read side of lookup tables)."""
     op = expr[0]
     if op == "prop":
         return get(expr[1])
     if op == "lit":
         return expr[1]
     if op == "concat":
-        a = eval_set_expr(expr[1], get, templates, get_df)
-        b = eval_set_expr(expr[2], get, templates, get_df)
+        a = eval_set_expr(expr[1], get, templates, get_df, lookups)
+        b = eval_set_expr(expr[2], get, templates, get_df, lookups)
         if isinstance(a, pd.Series) or isinstance(b, pd.Series):
             sa = a.astype(str) if isinstance(a, pd.Series) else str(a)
             sb = b.astype(str) if isinstance(b, pd.Series) else str(b)
@@ -129,8 +132,8 @@ def eval_set_expr(expr, get, templates=None, get_df=None):
         # + - * / % (grammar/grammar.y:100-123): float64 with true
         # division and floor-mod, matching the Router's expression
         # paths (router._num_pd); non-numeric operands coerce to NaN
-        a = eval_set_expr(expr[2], get, templates, get_df)
-        b = eval_set_expr(expr[3], get, templates, get_df)
+        a = eval_set_expr(expr[2], get, templates, get_df, lookups)
+        b = eval_set_expr(expr[3], get, templates, get_df, lookups)
 
         def _num(x):
             if isinstance(x, pd.Series):
@@ -148,9 +151,24 @@ def eval_set_expr(expr, get, templates=None, get_df=None):
         with np.errstate(divide="ignore", invalid="ignore"):
             return float(fn(np.float64(a), np.float64(b)))
     if op == "call":
+        if expr[1] == "lookup":
+            # lookup("tbl", key) — stateful script function against a
+            # declared lookup_table (doFunct_Lookup; the table is the
+            # broadcast small side, never a shuffle join)
+            name = eval_set_expr(expr[2][0], get, templates, get_df,
+                                 lookups)
+            key = eval_set_expr(expr[2][1], get, templates, get_df,
+                                lookups)
+            table = (lookups or {}).get(name)
+            if table is None:
+                return ""          # unknown table -> nomatch value
+            if not isinstance(key, pd.Series):
+                key = pd.Series([key])
+                return table.lookup_series(key.astype(str)).iloc[0]
+            return table.lookup_series(key.astype(str))
         if expr[1] == "exec_template":
             from .template import Template
-            name = eval_set_expr(expr[2][0], get, templates, get_df)
+            name = eval_set_expr(expr[2][0], get, templates, get_df, lookups)
             text = (templates or {}).get(name)
             if text is None or get_df is None:
                 # undeclared template -> "" (reference returns an empty
@@ -160,7 +178,7 @@ def eval_set_expr(expr, get, templates=None, get_df=None):
         fn = _set_registry().get(expr[1])
         if fn is None:
             raise ValueError(f"unknown function in set: {expr[1]!r}")
-        return fn(*[eval_set_expr(x, get, templates, get_df)
+        return fn(*[eval_set_expr(x, get, templates, get_df, lookups)
                     for x in expr[2]])
     raise ValueError(f"bad set expression op {op!r}")
 
@@ -518,7 +536,7 @@ class _ConfigMapFn:
                 return s
 
             res = eval_set_expr(spec["expr"], get, self.c.templates,
-                                lambda _t=tbl: _t.to_pandas())
+                                lambda _t=tbl: _t.to_pandas(), lookups=lk)
             if not isinstance(res, pd.Series):
                 res = pd.Series([res] * len(tbl))
             tbl = tbl.append_column(spec["column"],

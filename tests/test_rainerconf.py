@@ -416,3 +416,50 @@ def test_re_match_i_in_conf():
     assert pred == ["regex", "url", "(?i)LOGIN"]
     assert _eval_row(tuple(pred), {"url": "https://a/Login"})
     assert not _eval_row(tuple(pred), {"url": "https://a/out"})
+
+
+def test_lookup_in_set_statement(ray_session, pages_small, tmp_path):
+    """set $x = lookup("tbl", $key) — the stateful script function
+    (rainerscript.c doFunct_Lookup over runtime/lookup.c:400-416)
+    against a declared lookup_table object, evaluated vectorized with
+    the broadcast table (never a shuffle join); unknown table yields
+    the nomatch ''."""
+    import json
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rulebase import PAGES_RULEBASE
+
+    lkp = tmp_path / "apptype.lkp_tbl"
+    lkp.write_text(json.dumps({
+        "version": 1, "nomatch": "other", "type": "string",
+        "table": [{"index": "nginx", "value": "web"},
+                  {"index": "postgres", "value": "db"}]}))
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="PAGES/pages-*.parquet")
+    lookup_table(name="apptype" file="LKP")
+    set $atype = lookup("apptype", $p_app);
+    set $missing = lookup("no_such_table", $p_app);
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")) \
+       .replace("PAGES", pages_small).replace("LKP", str(lkp))
+    cfg = parse_rainer(conf)
+    cfg["rules"] = [{"name": r.name, "pattern": r.pattern,
+                     "types": r.types} for r in PAGES_RULEBASE.rules]
+    cfg["source_column"] = "text"
+    cfg["extract_column"] = "html"
+    cfg["output"]["full_sinks"] = ["archive"]
+    run_config(cfg, resume=False, lineage=False)
+
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    files = glob.glob(str(tmp_path / "o" / "archive" / "**" / "*.parquet"),
+                      recursive=True)
+    assert files
+    t = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    want = t["p_app"].map({"nginx": "web", "postgres": "db"}) \
+        .fillna("other")
+    assert list(t["atype"]) == list(want)
+    assert (t["missing"] == "").all()
