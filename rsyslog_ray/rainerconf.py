@@ -469,6 +469,23 @@ def parse_rainer(text: str) -> dict:
             return [_pred_json(x) for x in t]
         return t
 
+    def _dyn_inc(args):
+        """dyn_inc("bucket", KEY) -> an agg_kinds entry.  A bare
+        property key counts that column directly; any other expression
+        becomes a hidden computed column first."""
+        if len(args) != 2 or args[0][0] != "lit":
+            raise SyntaxError("dyn_inc needs (\"bucket\", key-expr)")
+        bucket = str(args[0][1])
+        key = args[1]
+        if key[0] == "prop":
+            col = key[1]
+        else:
+            col = f"__dyn_{bucket}"
+            cfg.setdefault("computed", []).append(
+                {"column": col, "expr": _pred_json(key)})
+        cfg.setdefault("aggregates", [["lang", "lang"]]).append(
+            [bucket, col])
+
     def statement():
         k, v = p.peek()
         if v == "module":
@@ -560,6 +577,19 @@ def parse_rainer(text: str) -> dict:
                 cfg["input"]["format"] = prm["format"]
             if prm.get("startmsg.regex"):
                 cfg["input"]["multiline_start"] = prm["startmsg.regex"]
+        elif v == "dyn_inc":
+            # bare-call form: dyn_inc("bucket", $key);
+            p.next()
+            p.expect("(")
+            args = []
+            while p.peek()[1] != ")":
+                args.append(p.value_expr())
+                if p.peek()[1] == ",":
+                    p.next()
+            p.expect(")")
+            if p.peek()[1] == ";":
+                p.next()
+            _dyn_inc(args)
         elif v == "set":
             # set $x = EXPR;  (S_SET, grammar.y:set_stmt — computed
             # column; RainerScript & concat and scalar function calls)
@@ -569,8 +599,19 @@ def parse_rainer(text: str) -> dict:
             expr = p.value_expr()
             if p.peek()[1] == ";":
                 p.next()
-            cfg.setdefault("computed", []).append(
-                {"column": set_col, "expr": _pred_json(expr)})
+            if expr[0] == "call" and expr[1] == "dyn_inc":
+                # set $.x = dyn_inc("bucket", $key) — the reference's
+                # dynstats idiom (rainerscript.c doFunct_DynInc).  The
+                # batch analog: the bucket becomes a keyed aggregate
+                # (sinks._partials_for agg_kinds channel -> final
+                # counts + impstats), the set-variable gets the
+                # success status 0.
+                _dyn_inc(expr[2])
+                cfg.setdefault("computed", []).append(
+                    {"column": set_col, "expr": ["lit", 0]})
+            else:
+                cfg.setdefault("computed", []).append(
+                    {"column": set_col, "expr": _pred_json(expr)})
         elif v == "foreach":
             # foreach ($.x in $!arr) do STMTS done (S_FOREACH,
             # grammar.y FOREACH / runtime/ruleset.c:377-402

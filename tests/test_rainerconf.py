@@ -463,3 +463,47 @@ def test_lookup_in_set_statement(ray_session, pages_small, tmp_path):
         .fillna("other")
     assert list(t["atype"]) == list(want)
     assert (t["missing"] == "").all()
+
+
+def test_dyn_inc_in_conf(ray_session, pages_small, tmp_path):
+    """dyn_inc("bucket", key) (rainerscript.c doFunct_DynInc) in both
+    reference idioms — `set $.x = dyn_inc(...)` and a bare call —
+    compiles to keyed aggregates: final counts ride the existing
+    combiner-partial channel into the returned frame / _metrics."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rulebase import PAGES_RULEBASE
+
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="PAGES/pages-*.parquet")
+    set $.r = dyn_inc("by_app", $p_app);
+    dyn_inc("by_tag", $p_host & "/" & $p_app);
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("PAGES", pages_small)
+    cfg = parse_rainer(conf)
+    assert ["by_app", "p_app"] in cfg["aggregates"]
+    assert ["by_tag", "__dyn_by_tag"] in cfg["aggregates"]
+    cfg["rules"] = [{"name": r.name, "pattern": r.pattern,
+                     "types": r.types} for r in PAGES_RULEBASE.rules]
+    cfg["source_column"] = "text"
+    cfg["extract_column"] = "html"
+    cfg["output"]["full_sinks"] = ["archive"]
+    agg = run_config(cfg, resume=False, lineage=False)
+
+    files = glob.glob(str(tmp_path / "o" / "archive" / "**" / "*.parquet"),
+                      recursive=True)
+    t = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert (t["r"] == 0).all()            # dyn_inc returns success 0
+    by_app = agg[agg["kind"] == "by_app"].set_index("key")["cnt"]
+    want_app = t["p_app"].value_counts()
+    for k, v in want_app.items():
+        assert int(by_app[k]) == int(v), k
+    by_tag = agg[agg["kind"] == "by_tag"].set_index("key")["cnt"]
+    want_tag = (t["p_host"] + "/" + t["p_app"]).value_counts()
+    for k, v in want_tag.items():
+        assert int(by_tag[k]) == int(v), k
