@@ -1855,6 +1855,64 @@ SQL_TAIL: dict[str, str] = {
         SELECT gram, CAST(count(*) AS BIGINT) AS cnt
         FROM grams GROUP BY gram ORDER BY cnt DESC, gram LIMIT 20
     """,
+    "window_hopping": """
+        WITH e AS (
+          SELECT event_type,
+                 (epoch_ms(ts) // 1000 // 3600) * 3600 AS last_start
+          FROM events
+        ), x AS (
+          SELECT event_type,
+                 make_timestamp((last_start - 3600 * j) * 1000000)
+                     AS window_start
+          FROM (SELECT event_type, last_start, unnest([0, 1]) AS j
+                FROM e)
+        )
+        SELECT window_start, event_type, CAST(count(*) AS BIGINT) AS cnt
+        FROM x GROUP BY window_start, event_type
+        ORDER BY window_start, event_type
+    """,
+    "line_dedup": """
+        WITH lines AS (
+          SELECT doc_id, unnest(string_split(text, chr(10))) AS ln,
+                 unnest(range(len(string_split(text, chr(10))))) AS pos
+          FROM documents
+        ), winners AS (
+          SELECT doc_id, ln, pos,
+                 row_number() OVER (PARTITION BY ln
+                                    ORDER BY doc_id, pos) AS rn
+          FROM lines
+        )
+        SELECT d.doc_id, coalesce(w.text, '') AS text
+        FROM documents d LEFT JOIN (
+          SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+          FROM winners WHERE rn = 1 GROUP BY doc_id) w USING (doc_id)
+        ORDER BY doc_id
+    """,
+    "c4_filters": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(list_transform(string_split(text, chr(10)),
+                     x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)
+                                  || chr(11) || chr(12))),
+                   l -> (ends_with(l, '.') OR ends_with(l, '!') OR
+                         ends_with(l, '?') OR ends_with(l, '"'))
+                        AND len(regexp_extract_all(l, '\\S+')) >= 5
+                        AND NOT contains(lower(l), 'javascript')) AS kept
+          FROM documents
+        ), c AS (
+          SELECT doc_id,
+                 coalesce(array_to_string(kept, chr(10)), '') AS clean,
+                 CAST(len(kept) AS BIGINT) AS n_lines_kept
+          FROM t
+        )
+        SELECT doc_id, clean, n_lines_kept,
+               CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT)
+                   AS n_sentences,
+               CAST((len(regexp_extract_all(clean, '[.!?]')) >= 3
+                     AND NOT contains(lower(clean), 'lorem ipsum')
+                     AND NOT contains(clean, '{')) AS BIGINT) AS c4_keep
+        FROM c ORDER BY doc_id
+    """,
 }
 
 SQL: dict[str, str] = {
