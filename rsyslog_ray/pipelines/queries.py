@@ -1913,6 +1913,58 @@ SQL_TAIL: dict[str, str] = {
                      AND NOT contains(clean, '{')) AS BIGINT) AS c4_keep
         FROM c ORDER BY doc_id
     """,
+    # q_chunk_documents: 24-token windows, 8-token overlap (step 16);
+    # engine keeps window s iff s == 0 or window s-1 did not reach the
+    # end (start-16+24 < nw); empty docs yield one empty chunk.
+    "chunk_documents": """
+        WITH w AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '') AS toks
+          FROM documents
+        ), starts AS (
+          SELECT doc_id, toks, len(toks) AS nw,
+                 unnest(range(0, greatest(len(toks), 1), 16)) AS start
+          FROM w
+        )
+        SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_seq,
+               coalesce(array_to_string(toks[start + 1 : start + 24],
+                                        ' '), '') AS chunk_text,
+               CAST(least(start + 24, nw) - start AS BIGINT) AS n_tokens
+        FROM starts
+        WHERE start = 0 OR start + 8 < nw
+        ORDER BY doc_id, chunk_seq
+    """,
+    # q_decontaminate: bench = words 3..20 (1-based) of docs 1/7/13;
+    # n_hits counts doc 13-gram POSITIONS whose gram is in the bench
+    # set; docs shorter than 13 words form one whole-doc gram.
+    "decontaminate": """
+        WITH w AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                                     x -> x <> '') AS toks
+          FROM documents
+        ), bw AS (
+          SELECT toks[3:20] AS bt FROM w WHERE doc_id IN (1, 7, 13)
+        ), bg AS (
+          SELECT DISTINCT array_to_string(bt[i:i+12], ' ') AS gram
+          FROM (SELECT bt, unnest(range(1, len(bt) - 11)) AS i FROM bw)
+        ), dg AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) < 13
+                      THEN array_to_string(toks, ' ')
+                      ELSE array_to_string(toks[i:i+12], ' ') END AS gram
+          FROM (SELECT doc_id, toks,
+                       unnest(range(1, greatest(len(toks) - 11,
+                           CASE WHEN len(toks) BETWEEN 1 AND 12
+                                THEN 2 ELSE 1 END))) AS i
+                FROM w)
+        )
+        SELECT w.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n, 0) > 0 AS BIGINT) AS contaminated
+        FROM w LEFT JOIN (
+          SELECT doc_id, count(*) AS n FROM dg JOIN bg USING (gram)
+          GROUP BY doc_id) h USING (doc_id)
+        ORDER BY doc_id
+    """,
 }
 
 SQL: dict[str, str] = {
