@@ -1934,6 +1934,121 @@ SQL_TAIL: dict[str, str] = {
         WHERE start = 0 OR start + 8 < nw
         ORDER BY doc_id, chunk_seq
     """,
+    # q_gopher_rules: raw fractions gate the keep flag, outputs are
+    # floor(x*scale+0.5) ints (the engine's exact rounding)
+    "gopher_rules": """
+        WITH b AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS toks,
+                 list_transform(string_split(text, chr(10)),
+                     x -> trim(x, ' ' || chr(9) || chr(10) || chr(13)
+                                  || chr(11) || chr(12))) AS lns,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
+                 (length(text) - length(replace(text, '#', '')))
+                   + len(regexp_extract_all(text, '\\.\\.\\.'))
+                   + (length(text) - length(replace(text, '…', '')))
+                     AS n_sym,
+                 (CAST(regexp_matches(text, '\\bthe\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bbe\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bto\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bof\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\band\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bthat\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bhave\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bwith\\b', 'i') AS INT))
+                     AS stop_hits
+          FROM documents
+        ), m AS (
+          SELECT doc_id, len(toks) AS n_words, n_chars, n_sym, stop_hits,
+                 CASE WHEN len(toks) > 0
+                      THEN n_chars / CAST(len(toks) AS DOUBLE)
+                      ELSE 0 END AS mean_wlen,
+                 CASE WHEN len(toks) > 0
+                      THEN n_sym / CAST(len(toks) AS DOUBLE)
+                      ELSE 0 END AS sym_ratio,
+                 len(list_filter(lns, l -> starts_with(l, '•')
+                     OR starts_with(l, '‣') OR starts_with(l, '▶')
+                     OR starts_with(l, '- ') OR starts_with(l, '* ')))
+                   / CAST(greatest(len(lns), 1) AS DOUBLE) AS bullet_frac,
+                 len(list_filter(lns, l -> ends_with(l, '...')
+                     OR ends_with(l, '…')))
+                   / CAST(greatest(len(lns), 1) AS DOUBLE)
+                     AS ellipsis_frac,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks,
+                               w -> regexp_matches(w, '[A-Za-z]')))
+                           / CAST(len(toks) AS DOUBLE)
+                      ELSE 0 END AS alpha_frac
+          FROM b
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(floor(mean_wlen * 100 + 0.5) AS BIGINT)
+                   AS mean_wlen_x100,
+               CAST(floor(sym_ratio * 1000 + 0.5) AS BIGINT)
+                   AS sym_per_kword,
+               CAST(floor(bullet_frac * 100 + 0.5) AS BIGINT)
+                   AS bullet_pct,
+               CAST(floor(ellipsis_frac * 100 + 0.5) AS BIGINT)
+                   AS ellipsis_pct,
+               CAST(floor(alpha_frac * 100 + 0.5) AS BIGINT) AS alpha_pct,
+               CAST(stop_hits AS BIGINT) AS stop_hits,
+               CAST((n_words BETWEEN 50 AND 100000
+                     AND mean_wlen >= 3 AND mean_wlen <= 10
+                     AND sym_ratio <= 0.1 AND bullet_frac <= 0.9
+                     AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                     AND stop_hits >= 2) AS BIGINT) AS gopher_keep
+        FROM m ORDER BY doc_id
+    """,
+    # q_text_repetition: dup n-gram occurrence fractions (x10000 floor
+    # div) + top-2-gram char coverage with the engine's np.unique
+    # tie-break (lexicographically first among most frequent)
+    "text_repetition": """
+        WITH w AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id, n, array_to_string(toks[i:i+n-1], ' ') AS gram
+          FROM (
+            SELECT doc_id, toks, n,
+                   unnest(range(1, len(toks) - n + 2)) AS i
+            FROM (SELECT doc_id, toks, unnest([2, 3, 4]) AS n FROM w))
+        ), counts AS (
+          SELECT doc_id, n, gram, count(*) AS c
+          FROM g GROUP BY doc_id, n, gram
+        ), dup AS (
+          SELECT doc_id, n,
+                 coalesce(sum(c) FILTER (c > 1), 0) * 10000
+                   // sum(c) AS pm
+          FROM counts GROUP BY doc_id, n
+        ), top2 AS (
+          SELECT doc_id, gram, c,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY c DESC, gram) AS rn
+          FROM counts WHERE n = 2
+        )
+        SELECT w.doc_id,
+               CAST(coalesce(d2.pm, 0) AS BIGINT) AS dup_2gram_pm,
+               CAST(coalesce(d3.pm, 0) AS BIGINT) AS dup_3gram_pm,
+               CAST(coalesce(d4.pm, 0) AS BIGINT) AS dup_4gram_pm,
+               CAST(CASE WHEN t.gram IS NULL OR length(w.text) = 0
+                         THEN 0
+                         ELSE least(10000, length(t.gram) * t.c * 10000
+                                           // length(w.text)) END
+                    AS BIGINT) AS top_2gram_chars_pm
+        FROM w
+        LEFT JOIN (SELECT doc_id, pm FROM dup WHERE n = 2) d2
+               USING (doc_id)
+        LEFT JOIN (SELECT doc_id, pm FROM dup WHERE n = 3) d3
+               USING (doc_id)
+        LEFT JOIN (SELECT doc_id, pm FROM dup WHERE n = 4) d4
+               USING (doc_id)
+        LEFT JOIN (SELECT doc_id, gram, c FROM top2 WHERE rn = 1) t
+               USING (doc_id)
+        ORDER BY w.doc_id
+    """,
     # q_decontaminate: bench = words 3..20 (1-based) of docs 1/7/13;
     # n_hits counts doc 13-gram POSITIONS whose gram is in the bench
     # set; docs shorter than 13 words form one whole-doc gram.
