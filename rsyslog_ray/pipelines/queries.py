@@ -2049,6 +2049,19 @@ SQL_TAIL: dict[str, str] = {
                USING (doc_id)
         ORDER BY w.doc_id
     """,
+    # q_url_dedup: the messy construction collapses deterministically
+    # under the published canonicalization rules — lowercase host,
+    # https:443 default port dropped, www./utm_*/gclid/fragment
+    # stripped, surviving params sorted — to exactly this form; the
+    # general rules are pinned element-wise in pytest
+    "url_dedup": """
+        SELECT 'https://u' || CAST(user_id AS VARCHAR) || '.example.'
+               || CASE user_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                                   ELSE 'net' END
+               || '/home?page=1' AS url,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY url ORDER BY url
+    """,
     # q_decontaminate: bench = words 3..20 (1-based) of docs 1/7/13;
     # n_hits counts doc 13-gram POSITIONS whose gram is in the bench
     # set; docs shorter than 13 words form one whole-doc gram.
