@@ -103,6 +103,8 @@ def _set_registry() -> dict:
         "script_error": F.script_error,
         "previous_action_suspended": F.previous_action_suspended,
     })
+    from .stages.sketch import pctl_bin_series
+    _REGISTRY_CACHE["pctl_bin"] = pctl_bin_series
     return _REGISTRY_CACHE
 
 

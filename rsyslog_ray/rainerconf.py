@@ -486,6 +486,29 @@ def parse_rainer(text: str) -> dict:
         cfg.setdefault("aggregates", [["lang", "lang"]]).append(
             [bucket, col])
 
+    def _pctl_observe(args):
+        """percentile_observe("name", VALUE) (perctile_stats,
+        rainerscript doFunct_percentile_observe): the value compiles to
+        a DDSketch bin-label column (sketch.pctl_bin_series) counted on
+        the aggregate channel as kind "pctl:<name>" — mergeable,
+        resumable; read back with sketch.quantiles_from_bins.
+        Contract: the channel counts per DELIVERED (sink, row) — the
+        returned frame carries the sink column, so filter to one sink
+        (or use a single terminal route) for per-message semantics."""
+        if len(args) != 2 or args[0][0] != "lit":
+            raise SyntaxError(
+                "percentile_observe needs (\"name\", value-expr)")
+        name = str(args[0][1])
+        col = f"__pctl_{name}"
+        cfg.setdefault("computed", []).append(
+            {"column": col,
+             "expr": ["call", "pctl_bin", [_pred_json(args[1])]]})
+        cfg.setdefault("aggregates", [["lang", "lang"]]).append(
+            [f"pctl:{name}", col])
+
+    _STATS_CALLS = {"dyn_inc": _dyn_inc,
+                    "percentile_observe": _pctl_observe}
+
     def statement():
         k, v = p.peek()
         if v == "module":
@@ -577,8 +600,9 @@ def parse_rainer(text: str) -> dict:
                 cfg["input"]["format"] = prm["format"]
             if prm.get("startmsg.regex"):
                 cfg["input"]["multiline_start"] = prm["startmsg.regex"]
-        elif v == "dyn_inc":
-            # bare-call form: dyn_inc("bucket", $key);
+        elif v in _STATS_CALLS:
+            # bare-call form: dyn_inc("bucket", $key); /
+            # percentile_observe("name", $val);
             p.next()
             p.expect("(")
             args = []
@@ -589,7 +613,7 @@ def parse_rainer(text: str) -> dict:
             p.expect(")")
             if p.peek()[1] == ";":
                 p.next()
-            _dyn_inc(args)
+            _STATS_CALLS[v](args)
         elif v == "set":
             # set $x = EXPR;  (S_SET, grammar.y:set_stmt — computed
             # column; RainerScript & concat and scalar function calls)
@@ -599,14 +623,16 @@ def parse_rainer(text: str) -> dict:
             expr = p.value_expr()
             if p.peek()[1] == ";":
                 p.next()
-            if expr[0] == "call" and expr[1] == "dyn_inc":
-                # set $.x = dyn_inc("bucket", $key) — the reference's
-                # dynstats idiom (rainerscript.c doFunct_DynInc).  The
-                # batch analog: the bucket becomes a keyed aggregate
+            if expr[0] == "call" and expr[1] in _STATS_CALLS:
+                # set $.x = dyn_inc("bucket", $key) /
+                # percentile_observe("name", $val) — the reference's
+                # stats idioms (rainerscript.c doFunct_DynInc /
+                # doFunct_percentile_observe).  The batch analog: the
+                # observation becomes a keyed aggregate
                 # (sinks._partials_for agg_kinds channel -> final
                 # counts + impstats), the set-variable gets the
                 # success status 0.
-                _dyn_inc(expr[2])
+                _STATS_CALLS[expr[1]](expr[2])
                 cfg.setdefault("computed", []).append(
                     {"column": set_col, "expr": ["lit", 0]})
             else:

@@ -238,3 +238,44 @@ def approx_percentiles(ds, key: str, value: str, percentiles,
         for p in percentiles:
             out[f"p{int(p * 100)}"].append(acc.quantile(p))
     return pd.DataFrame(out)
+
+
+PCTL_REL_ERR = 0.01
+
+
+def pctl_bin_series(s, rel_err: float = PCTL_REL_ERR):
+    """DDSketch bin label per value — the compile target for
+    ``percentile_observe("name", expr)`` in .conf configs
+    (perctile_stats analog, runtime/perctile_stats.c): 'z' for zeros,
+    'n' for null/negative (ignored at quantile time), else
+    str(ceil(log_gamma(x))).  String labels so observations ride the
+    existing (kind, key, cnt) aggregate-partial channel — mergeable by
+    count addition, resume/idempotence for free."""
+    import pandas as pd
+
+    v = pd.to_numeric(s, errors="coerce").astype("float64").to_numpy()
+    gamma = (1 + rel_err) / (1 - rel_err)
+    out = np.full(len(v), "n", dtype=object)
+    zero = v == 0
+    pos = v > 0
+    out[zero] = "z"
+    if pos.any():
+        with np.errstate(divide="ignore"):
+            idx = np.ceil(np.log(np.where(pos, v, 1.0))
+                          / np.log(gamma)).astype(np.int64)
+        out[pos] = idx[pos].astype(str).astype(object)
+    return pd.Series(out, index=s.index, dtype=object)
+
+
+def quantiles_from_bins(keys, counts, qs,
+                        rel_err: float = PCTL_REL_ERR) -> dict:
+    """Rebuild the sketch from aggregated (bin-label, count) rows and
+    answer quantiles — the read side of pctl_bin_series."""
+    sk = QuantileSketch(rel_err)
+    for k, c in zip(keys, counts):
+        k = str(k)
+        if k == "z":
+            sk.zeros += int(c)
+        elif k != "n":
+            sk.bins[int(k)] = sk.bins.get(int(k), 0) + int(c)
+    return {q: sk.quantile(q) for q in qs}

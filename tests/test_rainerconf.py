@@ -507,3 +507,50 @@ def test_dyn_inc_in_conf(ray_session, pages_small, tmp_path):
     want_tag = (t["p_host"] + "/" + t["p_app"]).value_counts()
     for k, v in want_tag.items():
         assert int(by_tag[k]) == int(v), k
+
+
+def test_percentile_observe_in_conf(ray_session, pages_small, tmp_path):
+    """percentile_observe("name", $val) (perctile_stats analog): the
+    observation compiles to DDSketch bin labels on the aggregate
+    channel; quantiles_from_bins answers p50/p95 within the sketch's
+    relative-error bound of the exact percentiles."""
+    import glob
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rulebase import PAGES_RULEBASE
+    from rsyslog_ray.stages.sketch import quantiles_from_bins
+
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="PAGES/pages-*.parquet")
+    percentile_observe("sz", $p_bytes);
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("PAGES", pages_small)
+    cfg = parse_rainer(conf)
+    assert ["pctl:sz", "__pctl_sz"] in cfg["aggregates"]
+    cfg["rules"] = [{"name": r.name, "pattern": r.pattern,
+                     "types": r.types} for r in PAGES_RULEBASE.rules]
+    cfg["source_column"] = "text"
+    cfg["extract_column"] = "html"
+    cfg["output"]["full_sinks"] = ["archive"]
+    agg = run_config(cfg, resume=False, lineage=False)
+
+    bins = agg[agg["kind"] == "pctl:sz"]
+    got = quantiles_from_bins(bins["key"], bins["cnt"], [0.5, 0.95])
+
+    files = glob.glob(str(tmp_path / "o" / "archive" / "**" / "*.parquet"),
+                      recursive=True)
+    vals = pd.concat([pq.read_table(f, columns=["p_bytes"]).to_pandas()
+                      for f in files])["p_bytes"]
+    vals = pd.to_numeric(vals, errors="coerce").dropna()
+    vals = vals[vals >= 0]
+    for q in (0.5, 0.95):
+        exact = float(np.quantile(vals, q))
+        assert abs(got[q] - exact) <= max(0.03 * exact, 1.0), \
+            (q, got[q], exact)
+    # total observations == routed rows with a numeric value
+    assert int(bins["cnt"].sum()) >= len(vals)
