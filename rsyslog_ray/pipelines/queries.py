@@ -2049,6 +2049,37 @@ SQL_TAIL: dict[str, str] = {
                USING (doc_id)
         ORDER BY w.doc_id
     """,
+    # q_text_langid: the shipped 4-language stopword profiles scored by
+    # distinct-token overlap, argmax with profile-order tie-break
+    # (en > de > fr > es), 'und' when every score is zero
+    "text_langid": """
+        WITH t AS (
+          SELECT list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   x -> x <> '')) AS toks
+          FROM documents
+        ), s AS (
+          SELECT
+            len(list_intersect(toks,
+                ['the','and','of','a','to','is','in'])) AS en,
+            len(list_intersect(toks,
+                ['der','die','das','und','ist','nicht'])) AS de,
+            len(list_intersect(toks,
+                ['le','la','les','et','est','une'])) AS fr,
+            len(list_intersect(toks,
+                ['el','los','las','es','una','y'])) AS es
+          FROM t
+        ), p AS (
+          SELECT CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+                      WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                      WHEN de >= fr AND de >= es THEN 'de'
+                      WHEN fr >= es THEN 'fr'
+                      ELSE 'es' END AS pred_lang
+          FROM s
+        )
+        SELECT pred_lang, CAST(count(*) AS BIGINT) AS cnt
+        FROM p GROUP BY pred_lang ORDER BY pred_lang
+    """,
     # q_url_dedup: the messy construction collapses deterministically
     # under the published canonicalization rules — lowercase host,
     # https:443 default port dropped, www./utm_*/gclid/fragment
