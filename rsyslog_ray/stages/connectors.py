@@ -3076,3 +3076,33 @@ class Beep3195Transport:
                 pass
         self._sock = None
         self._reader = None
+
+
+class ShellTransport:
+    """omshell (tools/omshell.c:105-110): fork/exec the configured
+    program once PER MESSAGE with the rendered message as its single
+    argument — ``execProg(progName, 1, msg)``.  Unlike omprog /
+    mmexternal (one long-lived child with a pipe protocol), there is
+    no session: every message is an independent process.  A nonzero
+    exit or spawn failure is a per-item reject (the reference logs
+    'Executing program failed' and moves on)."""
+
+    def __init__(self, prog: str, render=None, timeout: float = 10.0):
+        self.prog = prog
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.timeout = timeout
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        import subprocess
+
+        rejects: list[tuple[int, str]] = []
+        for i, rec in enumerate(payloads):
+            msg = str(self.render(rec))
+            try:
+                r = subprocess.run([self.prog, msg], timeout=self.timeout,
+                                   capture_output=True)
+                if r.returncode != 0:
+                    rejects.append((i, f"exit {r.returncode}"))
+            except (OSError, subprocess.TimeoutExpired) as ex:
+                rejects.append((i, f"spawn: {ex}"))
+        return rejects

@@ -291,7 +291,7 @@ def _words_ngram_hash(w: list, n: int) -> np.ndarray:
 
 def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
                mode: str = "keep_first", min_count: int = 2,
-               npart: int = 64):
+               npart: int = 64, sep: str = "\n"):
     """Line-granularity dedup across the whole corpus — the CCNet/C4
     curation staple (navbars, cookie banners and footers repeat across
     millions of pages; document-level dedup never sees them).
@@ -300,7 +300,9 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
     its first occurrence (min (doc, position)); later copies are
     stripped.  mode="drop_common": lines occurring in >= min_count
     documents are stripped EVERYWHERE (pure boilerplate removal);
-    unique lines always survive.
+    unique lines always survive.  ``sep``: the unit boundary — the
+    default "\\n" dedups lines; "\\n\\n" dedups PARAGRAPHS (the
+    MassiveText/Gopher repetition-removal granularity).
 
     Shape at 100 TB: explode docs to (pk, key_hi, key_lo, doc, pos,
     line) — one row per line, hash-partitioned by a 128-bit line key
@@ -317,7 +319,7 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         docs = df[id_col].to_numpy()
         # null text == empty doc (NaN propagates 0-d arrays into the
         # concatenate below otherwise)
-        split = df[text_col].fillna("").str.split("\n")
+        split = df[text_col].fillna("").str.split(sep, regex=False)
         lens = split.str.len().to_numpy()
         lines = np.concatenate([np.asarray(x, dtype=object)
                                 for x in split]) if len(df) else \
@@ -364,7 +366,7 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
         doc = g["doc"].iloc[0]
         g = g[g["pos"] >= 0].sort_values("pos")
         return pd.DataFrame({id_col: [doc],
-                             text_col: ["\n".join(g["line"])]})
+                             text_col: [sep.join(g["line"])]})
 
     return (ds.map_batches(explode, batch_format="pandas")
             .groupby("pk").map_groups(resolve, batch_format="pandas")
@@ -372,10 +374,10 @@ def line_dedup(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def line_dedup_oracle(ids: list, texts: list, mode: str = "keep_first",
-                      min_count: int = 2) -> dict:
+                      min_count: int = 2, sep: str = "\n") -> dict:
     """Pure-Python spec for line_dedup (tests compare element-wise).
     Docs whose every line is stripped map to ''."""
-    lines = {i: t.split("\n") for i, t in zip(ids, texts)}
+    lines = {i: t.split(sep) for i, t in zip(ids, texts)}
     if mode == "drop_common":
         ndocs: dict[str, set] = {}
         for i in ids:
@@ -393,7 +395,7 @@ def line_dedup_oracle(ids: list, texts: list, mode: str = "keep_first",
                     seen.add(ln)
                     out.append(ln)
             keep[i] = out
-    return {i: "\n".join(keep[i]) for i in ids}
+    return {i: sep.join(keep[i]) for i in ids}
 
 
 # ---------------------------------------------------------------------

@@ -1061,3 +1061,30 @@ def test_omuxsock_lossy_dgram_rejects(tmp_path):
     assert out["rows_rejected"].iloc[0] == 3
     assert out["rows_delivered"].iloc[0] == 0
     assert sum(1 for _ in open(err)) == 3
+
+
+def test_omshell_exec_per_message(tmp_path):
+    """omshell (tools/omshell.c:105-110 execProg): one process per
+    message, rendered message as the single argv argument; nonzero
+    exit = per-item reject."""
+    import os
+    import stat
+
+    from rsyslog_ray.stages.connectors import ShellTransport
+
+    out = tmp_path / "got.txt"
+    prog = tmp_path / "collect.sh"
+    prog.write_text(f"#!/bin/sh\necho \"$1\" >> {out}\n")
+    prog.chmod(prog.stat().st_mode | stat.S_IEXEC)
+    tr = ShellTransport(str(prog), render=lambda r: f"m{r['event_id']}")
+    assert tr([{"event_id": i} for i in range(5)]) == []
+    assert out.read_text().splitlines() == [f"m{i}" for i in range(5)]
+
+    bad = tmp_path / "fail.sh"
+    bad.write_text("#!/bin/sh\nexit 3\n")
+    bad.chmod(bad.stat().st_mode | stat.S_IEXEC)
+    sink = ConnectorSink(transport=ShellTransport(str(bad)),
+                         batch_rows=10,
+                         error_file=str(tmp_path / "err.jsonl"))
+    res = sink(_events(2))
+    assert res["rows_rejected"].iloc[0] == 2

@@ -711,3 +711,31 @@ def test_verify_salted_fanin_viral_doc(ray_session):
     want |= {(j, 20_000) for j in range(10_001, 15_001) if j % 2 == 0}
     assert set(zip(got["id_a"], got["id_b"])) == want
     assert len(got) == len(got.drop_duplicates(["id_a", "id_b"]))
+
+
+def test_paragraph_dedup_sep(ray_session):
+    """line_dedup(sep="\\n\\n") — paragraph granularity (the
+    MassiveText repetition-removal unit): a boilerplate paragraph
+    repeated across docs survives only at its first occurrence, and
+    multi-line paragraphs stay intact."""
+    import ray.data
+
+    from rsyslog_ray.stages.text import line_dedup, line_dedup_oracle
+
+    boiler = "subscribe to our newsletter\nfollow us on social"
+    docs = {
+        0: f"unique intro zero.\n\n{boiler}\n\nunique body zero.",
+        1: f"{boiler}\n\nunique body one.",
+        2: f"unique body two.\n\n{boiler}",
+        3: boiler,
+    }
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": list(docs), "text": list(docs.values())}))
+    got = (line_dedup(ds, sep="\n\n").to_pandas()
+           .set_index("doc_id")["text"].to_dict())
+    want = line_dedup_oracle(list(docs), list(docs.values()), sep="\n\n")
+    assert got == want
+    assert boiler in got[0]            # first occurrence survives
+    for i in (1, 2, 3):
+        assert boiler not in got[i]
+    assert "unique body one." in got[1]
