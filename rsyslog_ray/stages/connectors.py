@@ -3106,3 +3106,72 @@ class ShellTransport:
             except (OSError, subprocess.TimeoutExpired) as ex:
                 rejects.append((i, f"spawn: {ex}"))
         return rejects
+
+
+class UsrMsgTransport:
+    """omusrmsg (tools/omusrmsg.c) — wall-style terminal delivery:
+    walk the utmp login records (the public glibc struct layout,
+    ``state/utmpwire.py``), pick sessions per the reference's rules
+    (skip empty users, non-USER_PROCESS types and the 'LOGIN'
+    paranoia entry — omusrmsg.c:414-421; ``users=None`` is wall mode,
+    else only the named users, first-32-bytes compare :427-433), and
+    write the rendered message to ``<dev_root>/<ut_line>`` opened
+    O_WRONLY|O_NOCTTY|O_NONBLOCK — an unwritable or blocked terminal
+    is skipped, never stalls delivery (sendwallmsg :280-316).
+
+    The wall banner is the TEMPLATE's job in the reference (WallFmt),
+    so ``render`` owns it here too."""
+
+    def __init__(self, users: list[str] | None = None,
+                 utmp_path: str = "/var/run/utmp",
+                 dev_root: str = "/dev", render=None):
+        self.users = None if users is None else [u[:32] for u in users]
+        self.utmp_path = utmp_path
+        self.dev_root = dev_root
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+
+    def _ttys(self) -> list[str]:
+        from ..state.utmpwire import USER_PROCESS, parse_utmp
+
+        try:
+            with open(self.utmp_path, "rb") as fh:
+                entries = parse_utmp(fh.read())
+        except OSError:
+            return []
+        ttys = []
+        for e in entries:
+            if not e.ut_user or e.ut_type != USER_PROCESS:
+                continue
+            if e.ut_user == "LOGIN":          # omusrmsg.c:420 paranoia
+                continue
+            if self.users is not None and \
+                    e.ut_user[:32] not in self.users:
+                continue
+            ttys.append(e.ut_line)
+        return ttys
+
+    def _write_tty(self, line: str, data: bytes) -> None:
+        import os
+        import stat
+
+        path = os.path.join(self.dev_root, line)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_NOCTTY | os.O_NONBLOCK)
+        except OSError:
+            return
+        try:
+            st = os.fstat(fd)
+            if st.st_mode & stat.S_IWRITE:
+                try:
+                    os.write(fd, data)
+                except (BlockingIOError, OSError):
+                    pass              # blocked terminal: drop, don't stall
+        finally:
+            os.close(fd)
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        for rec in payloads:
+            data = str(self.render(rec)).encode()
+            for line in self._ttys():
+                self._write_tty(line, data)
+        return []

@@ -1088,3 +1088,57 @@ def test_omshell_exec_per_message(tmp_path):
                          error_file=str(tmp_path / "err.jsonl"))
     res = sink(_events(2))
     assert res["rows_rejected"].iloc[0] == 2
+
+
+def test_omusrmsg_wall_to_real_ptys(tmp_path):
+    """omusrmsg against REAL terminals: a packed utmp file (the public
+    glibc 384-byte struct layout) routes the wall message to pty
+    slaves; non-USER_PROCESS, empty-user and 'LOGIN' records are
+    skipped (omusrmsg.c:414-421), user filtering matches :427-433,
+    and a missing tty never errors (sendwallmsg :304 open-or-skip)."""
+    import os
+
+    from rsyslog_ray.stages.connectors import UsrMsgTransport
+    from rsyslog_ray.state.utmpwire import (USER_PROCESS,
+                                            pack_utmp_entry, parse_utmp)
+
+    # two live ptys exposed under a private dev root
+    m1, s1 = os.openpty()
+    m2, s2 = os.openpty()
+    dev = tmp_path / "dev"
+    (dev / "pts").mkdir(parents=True)
+    os.symlink(os.ttyname(s1), dev / "pts" / "7")
+    os.symlink(os.ttyname(s2), dev / "pts" / "8")
+
+    utmp = tmp_path / "utmp"
+    utmp.write_bytes(
+        pack_utmp_entry(USER_PROCESS, 100, "pts/7", "p7", "alice")
+        + pack_utmp_entry(USER_PROCESS, 101, "pts/8", "p8", "bob")
+        + pack_utmp_entry(5, 1, "pts/9", "p9", "carol")      # INIT type
+        + pack_utmp_entry(USER_PROCESS, 102, "pts/9", "p9", "")
+        + pack_utmp_entry(USER_PROCESS, 103, "pts/9", "p9", "LOGIN")
+        + pack_utmp_entry(USER_PROCESS, 104, "pts/gone", "pg", "dave"))
+    # codec round-trip sanity
+    ents = parse_utmp(utmp.read_bytes())
+    assert [(e.ut_user, e.ut_line) for e in ents][:2] == \
+        [("alice", "pts/7"), ("bob", "pts/8")]
+
+    wall = UsrMsgTransport(utmp_path=str(utmp), dev_root=str(dev),
+                           render=lambda r: f"\r\n\x07Message from "
+                                            f"syslogd: {r['m']}\r\n")
+    assert wall([{"m": "hello"}]) == []
+    assert b"Message from syslogd: hello" in os.read(m1, 4096)
+    assert b"Message from syslogd: hello" in os.read(m2, 4096)
+
+    # user-filtered mode: only bob's tty sees the second message
+    only_bob = UsrMsgTransport(users=["bob"], utmp_path=str(utmp),
+                               dev_root=str(dev),
+                               render=lambda r: f"psst {r['m']}")
+    assert only_bob([{"m": "2"}]) == []
+    assert b"psst 2" in os.read(m2, 4096)
+    os.set_blocking(m1, False)
+    import pytest as _pytest
+    with _pytest.raises(BlockingIOError):
+        os.read(m1, 4096)          # nothing was written to alice
+    for fd in (m1, s1, m2, s2):
+        os.close(fd)
