@@ -3175,3 +3175,18 @@ class UsrMsgTransport:
             for line in self._ttys():
                 self._write_tty(line, data)
         return []
+
+
+def libdbi_transport(driver: str, **kw):
+    """omlibdbi (plugins/omlibdbi/omlibdbi.c): generic DB output whose
+    ``driver`` param selects the wire implementation (dbiDrvrName —
+    the reference delegates to libdbi's driver plugins).  Here the
+    drivers ARE the real-wire transports this module already ships;
+    the templated-statement rendering they share is the omlibdbi
+    doAction shape."""
+    drivers = {"mysql": MySqlTransport, "pgsql": PgWireTransport,
+               "clickhouse": ClickHouseTransport, "mongodb": MongoTransport}
+    if driver not in drivers:
+        raise ValueError(f"omlibdbi: unknown driver {driver!r} "
+                         f"(have {sorted(drivers)})")
+    return drivers[driver](**kw)

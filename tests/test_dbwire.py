@@ -613,3 +613,27 @@ def test_redis_err_reply_retries():
         assert srv.lists["r"] == [b"only"]
     finally:
         srv.stop()
+
+
+def test_libdbi_driver_dispatch():
+    """omlibdbi's dbiDrvrName param selects the wire driver
+    (omlibdbi.c); here the drivers are the shipped real-wire
+    transports."""
+    import pytest
+
+    from rsyslog_ray.stages.connectors import (ClickHouseTransport,
+                                               MongoTransport,
+                                               MySqlTransport,
+                                               PgWireTransport,
+                                               libdbi_transport)
+
+    assert isinstance(libdbi_transport("mysql", host="h", port=1),
+                      MySqlTransport)
+    assert isinstance(libdbi_transport("pgsql", host="h", port=1),
+                      PgWireTransport)
+    assert isinstance(libdbi_transport("clickhouse", host="h", port=1),
+                      ClickHouseTransport)
+    assert isinstance(libdbi_transport("mongodb", host="h", port=1),
+                      MongoTransport)
+    with pytest.raises(ValueError):
+        libdbi_transport("oracle")
