@@ -987,6 +987,31 @@ def q_asof_join(sf_dir):
     return out.select_columns(["event_id", "user_id", "last_signup"])
 
 
+def q_range_join(sf_dir):
+    """Time-range (interval) join (stages/join.range_join — the
+    one-to-many generalization of asof_join): every (purchase, click)
+    pair for the same user with the click in the 30 minutes up to and
+    including the purchase.  Key-bucket co-partition, one groupby,
+    contiguous-slice pairing inside each bucket."""
+    from ..stages.join import range_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"]
+        .rename(columns={"event_id": "purchase_id"})
+        [["purchase_id", "user_id", "ts"]], batch_format="pandas")
+    ev2 = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                           "event_type"])
+    clicks = ev2.map_batches(
+        lambda df: df[df["event_type"] == "click"]
+        .rename(columns={"event_id": "click_id"})
+        [["user_id", "ts", "click_id"]], batch_format="pandas")
+    out = range_join(purchases, clicks, key="user_id", ts="ts",
+                     right_cols=["click_id"], lookback_s=1800)
+    return out.select_columns(["purchase_id", "user_id", "click_id"])
+
+
 def q_session_windows(sf_dir):
     """Session windows (streaming-shape operator, ray_guide streaming
     section): per user, a >12h gap starts a new session; output session
@@ -1934,6 +1959,17 @@ SQL_TAIL: dict[str, str] = {
         WHERE start = 0 OR start + 8 < nw
         ORDER BY doc_id, chunk_seq
     """,
+    # q_range_join: inclusive-bound interval join, purchase joined to
+    # every same-user click in the 30 minutes up to it
+    "range_join": """
+        SELECT l.event_id AS purchase_id, l.user_id,
+               r.event_id AS click_id
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'purchase' AND r.event_type = 'click'
+         AND r.ts BETWEEN l.ts - INTERVAL 1800 SECOND AND l.ts
+        ORDER BY purchase_id, click_id
+    """,
     # q_gopher_rules: raw fractions gate the keep flag, outputs are
     # floor(x*scale+0.5) ints (the engine's exact rounding)
     "gopher_rules": """
@@ -2790,4 +2826,5 @@ QUERIES = {
     "ngram_topk": q_ngram_topk,
     "gopher_rules": q_gopher_rules,
     "c4_filters": q_c4_filters,
+    "range_join": q_range_join,
 }

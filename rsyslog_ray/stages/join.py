@@ -130,3 +130,95 @@ def asof_join(left, right, key: str, ts: str, right_cols: list[str],
                              suffixes=("", suffix))
 
     return both.groupby("__b").map_groups(merge_bucket, batch_format="pandas")
+
+
+def range_join(left, right, key: str, ts: str, right_cols: list[str],
+               lookback_s: float, n_buckets: int = 32,
+               suffix: str = "_r", how: str = "inner"):
+    """Time-range (interval) join per key: every (left, right) pair
+    with the same key and ``left.ts - lookback_s <= right.ts <=
+    left.ts`` — the one-to-MANY generalization of :func:`asof_join`
+    (which keeps only the latest such right row).  Same scale shape:
+    both sides bucket by key hash, one groupby co-locates buckets,
+    the pairing is a per-bucket sorted-merge.  Output can multiply
+    rows (each left row joins all right rows in its window).
+
+    Per-bucket pairing: the right side is (key, ts)-sorted once, so
+    each left row's matches are one contiguous slice found by two
+    C-level ``searchsorted`` calls (a per-row loop whose body is only
+    C kernels — the small-kernel-per-row shape this host prefers over
+    giant flat temporaries, see stages/multimodal.batch_features);
+    materialization is one repeat + concatenate.  ``how="left"`` keeps
+    windowless left rows with NA right columns.
+    """
+    l_schema = _schema_dict(left)
+    r_schema = _schema_dict(right)
+    l_missing = {k: v for k, v in r_schema.items() if k not in l_schema}
+    r_missing = {k: v for k, v in l_schema.items() if k not in r_schema}
+    l_cols = list(l_schema)
+
+    both = (_unify_tag(left, "l", key, n_buckets, l_missing)
+            .union(_unify_tag(right, "r", key, n_buckets, r_missing)))
+    out_r = [c + suffix if c in l_cols else c for c in [ts] + right_cols]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"][l_cols].sort_values([key, ts],
+                                                       kind="mergesort")
+        rg = (g[g["__side"] == "r"][[key, ts] + right_cols]
+              .sort_values([key, ts], kind="mergesort"))
+        if lg.empty:
+            return pd.DataFrame({**{c: lg.get(c, pd.Series(dtype=object))
+                                    for c in l_cols},
+                                 **{c: pd.Series(dtype=object)
+                                    for c in out_r}})
+        # window bounds per left row: right rows are (key, ts)-sorted,
+        # so each left row's matches are one contiguous slice found by
+        # two searchsorted calls over a composite sort key
+        def _ts_us(col: pd.Series) -> np.ndarray:
+            # exact integer-microsecond domain: float seconds at epoch
+            # scale lose sub-us precision and flip inclusive bounds
+            d = str(col.dtype)
+            if d.startswith("datetime64"):
+                unit = d.split("[")[1].split(",")[0].rstrip("]")
+                v = col.to_numpy().astype("int64")
+                return {"ns": v // 1000, "us": v, "ms": v * 1000,
+                        "s": v * 1_000_000}[unit]
+            v = pd.to_numeric(col, errors="coerce").to_numpy(
+                dtype="float64")
+            return np.round(v * 1e6).astype("int64")
+
+        lk = lg[key].to_numpy()
+        lt = _ts_us(lg[ts])
+        rk = rg[key].to_numpy()
+        rt = _ts_us(rg[ts])
+        lo = np.zeros(len(lg), dtype=np.int64)
+        hi = np.zeros(len(lg), dtype=np.int64)
+        # per-key slices of the right side
+        rkeys, rstarts = np.unique(rk, return_index=True)
+        rends = np.append(rstarts[1:], len(rk))
+        kpos = np.searchsorted(rkeys, lk)
+        found = (kpos < len(rkeys))
+        found[found] &= rkeys[kpos[found]] == lk[found]
+        tol = int(round(float(lookback_s) * 1_000_000))
+        for i in np.flatnonzero(found):
+            s, e = rstarts[kpos[i]], rends[kpos[i]]
+            lo[i] = s + np.searchsorted(rt[s:e], lt[i] - tol, side="left")
+            hi[i] = s + np.searchsorted(rt[s:e], lt[i], side="right")
+        n = np.maximum(hi - lo, 0)
+        n[~found] = 0
+        ridx = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) \
+            if n.sum() else np.empty(0, dtype=np.int64)
+        lrep = lg.iloc[np.repeat(np.arange(len(lg)), n)].reset_index(
+            drop=True)
+        rsel = rg.iloc[ridx][[ts] + right_cols].reset_index(drop=True)
+        rsel.columns = out_r
+        matched = pd.concat([lrep, rsel], axis=1)
+        if how != "left":
+            return matched
+        miss = lg.iloc[np.flatnonzero(n == 0)].reset_index(drop=True)
+        for c in out_r:
+            miss[c] = pd.NA
+        return pd.concat([matched, miss], ignore_index=True)
+
+    return both.groupby("__b").map_groups(merge_bucket,
+                                          batch_format="pandas")

@@ -134,3 +134,44 @@ def test_finalize_aggregates_adaptive(ray_session, tmp_path):
             .sum().sort_values(["sink", "kind", "key"])
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(driver, want, check_dtype=False)
+
+
+def test_range_join_semantics(ray_session):
+    """stages/join.range_join: inclusive [ts - lookback, ts] window per
+    key, one-to-many pairs, how='left' keeps windowless rows with NA,
+    keys never cross."""
+    import ray.data
+
+    from rsyslog_ray.stages.join import range_join
+
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "b", "c"],
+        "ts": [100.0, 200.0, 100.0, 50.0],
+        "lid": [1, 2, 3, 4]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "a", "b", "z"],
+        "ts": [90.0, 100.0, 151.0, 40.0, 100.0],
+        "rid": [10, 11, 12, 13, 14]}))
+
+    out = (range_join(left, right, key="k", ts="ts", right_cols=["rid"],
+                      lookback_s=50).to_pandas()
+           .sort_values(["lid", "rid"]).reset_index(drop=True))
+    got = list(zip(out["lid"], out["rid"]))
+    # lid=1 window [50,100]: rids 10 (90) and 11 (100, inclusive upper)
+    # lid=2 window [150,200]: rid 12 (151); 100 is out (lower bound 150)
+    # lid=3 (key b) window [50,100]: nothing (40 < 50, exclusive? no —
+    #   window is [50,100] inclusive, 40 misses)
+    # lid=4 (key c): no right side at all
+    assert got == [(1, 10), (1, 11), (2, 12)]
+
+    outl = (range_join(left, right, key="k", ts="ts",
+                       right_cols=["rid"], lookback_s=50, how="left")
+            .to_pandas())
+    assert len(outl) == 5                   # 3 pairs + 2 NA left rows
+    na = outl[outl["rid"].isna()]
+    assert sorted(na["lid"]) == [3, 4]
+    # exact lower bound inclusive: lookback 60 brings (lid=3, rid=13)?
+    # 40 < 100-60 -> still out; lookback exactly 60 gives [40, 100]
+    out60 = (range_join(left, right, key="k", ts="ts",
+                        right_cols=["rid"], lookback_s=60).to_pandas())
+    assert (3, 13) in set(zip(out60["lid"], out60["rid"]))
