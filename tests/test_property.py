@@ -113,6 +113,14 @@ def test_catalog_ordering_contract():
         [n for n in head if n not in SQL]
     assert set(SQL) <= set(head)          # no oracle-backed entry past 50
     assert set(SQL) == set(head)          # exactly the checked window
+    # SQL_TAIL: local-only oracles for tail entries — they must stay
+    # OUT of the driver window (or they'd shift the pinned set) and
+    # every key must name a real queries() entry
+    from rsyslog_ray.pipelines.queries import SQL_TAIL
+
+    assert set(SQL_TAIL).isdisjoint(head)
+    assert set(SQL_TAIL) <= set(names)
+    assert set(SQL_TAIL).isdisjoint(SQL)
 
 
 @given(st.lists(st.text(alphabet=st.characters(min_codepoint=32,
