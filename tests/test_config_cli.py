@@ -95,3 +95,37 @@ def test_cli_end_to_end(pages_small, tmp_path):
     # covers the FULL corpus (from the _agg checkpoints)
     assert line2["aggregate_rows"] == line["aggregate_rows"]
     assert line2["total_delivered"] == line["total_delivered"]
+
+
+def test_cli_query_runner(tmp_path):
+    """--query runs one catalog operator from the CLI in its own Ray
+    session and writes/prints the result; --list-queries enumerates."""
+    import json
+    import os
+    import sys
+
+    import pandas as pd
+
+    env = {**os.environ, "PYTHONPATH": "/root/repo"}
+    r = subprocess.run(
+        [sys.executable, "-m", "rsyslog_ray", "--list-queries"],
+        capture_output=True, text=True, env=env, timeout=120)
+    names = r.stdout.split()
+    assert r.returncode == 0 and "ngram_topk" in names and len(names) >= 80
+
+    out = str(tmp_path / "q.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "rsyslog_ray", "--query", "text_quality",
+         "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+         "--num-cpus", "4"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    status = json.loads(r.stdout.strip().splitlines()[-1])
+    assert status["rows"] == 500
+    assert len(pd.read_parquet(out)) == 500
+
+    r = subprocess.run(
+        [sys.executable, "-m", "rsyslog_ray", "--query", "nope",
+         "--num-cpus", "2"],
+        capture_output=True, text=True, env=env, timeout=300)
+    assert r.returncode == 2 and "unknown query" in r.stderr
