@@ -430,3 +430,47 @@ def test_unflatten_in_conf_set():
     expr = ["call", "unflatten", [["prop", "js"], ["lit", "."]]]
     out = eval_set_expr(expr, lambda n: df[n])
     assert out.tolist() == ['{"m":{"n":7}}', '{"m":{"p":{"q":0}}}']
+
+
+# ---------------------------------------------------------------------
+# property fuzz: canonical_url vectorized == scalar spec on generated
+# component combinations (schemes/case/www/ports/tracking params/
+# fragments/credentials)
+
+from hypothesis import HealthCheck as _HC
+from hypothesis import given as _given
+from hypothesis import settings as _settings
+from hypothesis import strategies as _st
+
+_host_label = _st.text(alphabet="abcdefgXYZ019-", min_size=1, max_size=8)
+_url_parts = _st.tuples(
+    _st.sampled_from(["http", "HTTP", "https", "HTTPS", "ftp", ""]),
+    _st.sampled_from(["", "user", "u:p"]),                # credential
+    _st.booleans(),                                       # leading www.
+    _st.lists(_host_label, min_size=1, max_size=3),
+    _st.sampled_from(["", ":80", ":443", ":8080", ":21"]),
+    _st.sampled_from(["", "/", "/A/b", "/x%20y"]),
+    _st.lists(_st.sampled_from(
+        ["utm_source=x", "UTM_X=1", "gclid=g", "fbclid=f", "page=2",
+         "b=1", "a=2", "a=1", "empty=", "noval"]), max_size=4),
+    _st.sampled_from(["", "#frag", "#a?b=1"]))
+
+
+@_given(_st.lists(_url_parts, min_size=1, max_size=10))
+@_settings(max_examples=60, deadline=None,
+           suppress_health_check=[_HC.too_slow])
+def test_canonical_url_fuzz(parts_list):
+    from rsyslog_ray import functions as F
+
+    urls = []
+    for scheme, cred, www, labels, port, path, params, frag in parts_list:
+        host = ("www." if www else "") + ".".join(labels)
+        u = (f"{scheme}://" if scheme else "") + \
+            (f"{cred}@" if cred else "") + host + port + path
+        if params:
+            u += "?" + "&".join(params)
+        u += frag
+        urls.append(u)
+    got = F.canonical_url(pd.Series(urls))
+    for u, g in zip(urls, got):
+        assert g == F.canonical_url_row(u), u
