@@ -86,6 +86,43 @@ def exact_dedup(ds, id_col: str, text_col: str, *, count: str = "copies",
                          mins={id_col: keeper})[[keeper, count]]
 
 
+def exact_dedup_best(ds, id_col: str, text_col: str, score_col: str, *,
+                     count: str = "copies", keeper: str = "keeper_id",
+                     score_out: str = "keeper_score", h1=None, h2=None):
+    """:func:`exact_dedup` with a QUALITY-RANKED survivor: per
+    identical-content group keep the highest-``score_col`` copy (ties
+    -> min id) instead of the min id — the curation variant where
+    byte-identical docs differ in metadata quality (crawl timestamp,
+    render score) and the survivor should be the best copy.
+
+    Same scale shape: the shuffle moves (key_hi, key_lo, id, score)
+    partials — one row per (batch, group) after the combiner, never
+    the text.  The (score desc, id asc) argmax is associative, so the
+    driver reduce is the same sort+first pass over partials."""
+    def best_first(df: pd.DataFrame, cnt_col: str) -> pd.DataFrame:
+        df = df.sort_values(["th", "th2", score_col, id_col],
+                            ascending=[True, True, False, True],
+                            kind="mergesort")
+        first = df.drop_duplicates(["th", "th2"], keep="first")
+        cnt = (df.groupby(["th", "th2"], sort=False)[cnt_col].sum()
+               .reset_index())
+        return first.drop(columns=[cnt_col]).merge(cnt, on=["th", "th2"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        a, b = content_key128_frame(df[text_col], h1, h2)
+        keyed = pd.DataFrame({id_col: df[id_col],
+                              score_col: df[score_col],
+                              "th": a, "th2": b, "__n": 1})
+        return best_first(keyed, "__n")
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas())                  # one row per (batch, group)
+    out = best_first(parts, "__n")
+    return (out.rename(columns={id_col: keeper, score_col: score_out,
+                                "__n": count})
+            [[keeper, score_out, count]].reset_index(drop=True))
+
+
 def write_corpus_keys(ds, text_col: str, out_dir: str, *,
                       h1=None, h2=None) -> str:
     """Persist a corpus's 128-bit content-key SET as parquet (th, th2)

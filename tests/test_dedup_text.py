@@ -739,3 +739,25 @@ def test_paragraph_dedup_sep(ray_session):
     for i in (1, 2, 3):
         assert boiler not in got[i]
     assert "unique body one." in got[1]
+
+
+def test_exact_dedup_best_survivor(ray_session):
+    """exact_dedup_best: the highest-score copy survives per
+    identical-content group (ties -> min id), copies counted, combiner
+    argmax associative across batches."""
+    import ray.data
+
+    from rsyslog_ray.stages.dedup import exact_dedup_best
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6, 7],
+        "text": ["dup A", "dup A", "dup A", "uniq", "dup B", "dup B",
+                 "dup B"],
+        "score": [5.0, 9.0, 9.0, 1.0, 2.0, 2.0, 2.0]})
+    ds = ray.data.from_pandas(df).repartition(4)   # split across batches
+    out = (exact_dedup_best(ds, "doc_id", "text", "score")
+           .sort_values("keeper_id").reset_index(drop=True))
+    got = list(zip(out["keeper_id"], out["keeper_score"], out["copies"]))
+    # dup A: max score 9.0 held by ids 2 and 3 -> min id 2, 3 copies
+    # uniq: itself; dup B: all tied at 2.0 -> min id 5, 3 copies
+    assert got == [(2, 9.0, 3), (4, 1.0, 1), (5, 2.0, 3)]
