@@ -46,9 +46,15 @@ _LOGNORM_TYPES = {
     "rest": (r".*", "str"),
     "alpha": (r"[A-Za-z]+", "str"),
     "iso8601us": (r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d{6}Z", "ts"),
+    # liblognorm v2 additions (parser.c of the public liblognorm):
+    "hexnumber": (r"0x[0-9a-fA-F]+", "str"),
+    "mac48": (r"[0-9a-fA-F]{2}(?::[0-9a-fA-F]{2}){5}", "str"),
+    "ipv6": (r"[0-9a-fA-F:]*:[0-9a-fA-F:]+(?:%\w+)?", "str"),
+    "whitespace": (r"\s+", "str"),
 }
 
-_LOGNORM_FIELD = re.compile(r"%([A-Za-z_][A-Za-z0-9_]*):([a-z0-9-]+)(?::([^%]*))?%")
+_LOGNORM_FIELD = re.compile(
+    r"%(-|[A-Za-z_][A-Za-z0-9_]*):([a-z0-9-]+)(?::([^%]*))?%")
 
 
 def lognorm_rule(name: str, sample: str) -> Rule:
@@ -74,12 +80,30 @@ def lognorm_rule(name: str, sample: str) -> Rule:
             if not arg:
                 raise ValueError(f"char-to needs a delimiter: {m.group(0)}")
             frag, cast = rf"[^{re.escape(arg)}]*", "str"
+        elif ptype == "string-to":
+            # consume up to (not including) a multi-char literal
+            # (liblognorm v2 string-to).  RE2 (the parse_table engine)
+            # has no lookahead, so the bound is the non-greedy capture
+            # plus the terminator literal itself, which must follow
+            # the field in the sample text.
+            if not arg:
+                raise ValueError(
+                    f"string-to needs a terminator: {m.group(0)}")
+            if not sample[m.end():].startswith(arg):
+                raise ValueError(
+                    "string-to terminator must immediately follow "
+                    f"the field in the sample: {m.group(0)}")
+            frag, cast = r".*?", "str"
         elif ptype in _LOGNORM_TYPES:
             frag, cast = _LOGNORM_TYPES[ptype]
         else:
             raise ValueError(f"unsupported lognorm type {ptype!r}")
-        out.append(f"(?P<{field}>{frag})")
-        types[field] = cast
+        if field == "-":
+            # liblognorm's dash name: match-and-discard (no capture)
+            out.append(f"(?:{frag})")
+        else:
+            out.append(f"(?P<{field}>{frag})")
+            types[field] = cast
         pos = m.end()
     out.append(re.escape(sample[pos:]))
     return Rule(name, "^" + "".join(out) + "$", types)

@@ -78,3 +78,36 @@ def test_write_retry_fault_injection(tmp_path, monkeypatch):
     with pytest.raises(OSError, match="disk is gone"):
         w(t)
     assert calls["n"] == FanoutWriter.WRITE_RETRIES
+
+
+def test_lognorm_v2_types(ray_session):
+    """liblognorm v2 parser types added round 4: hexnumber, mac48,
+    ipv6, whitespace, string-to:<lit>, and the dash skip-field — both
+    the per-row oracle path and the Arrow/RE2 parse_table path."""
+    import pyarrow as pa
+
+    from rsyslog_ray.rulebase import lognorm_rulebase
+
+    rb = lognorm_rulebase([
+        ("net", "if %mac:mac48% addr %ip6:ipv6% flags %h:hexnumber%"),
+        ("st", "user %u:string-to: said% said %-:whitespace%%m:rest%"),
+    ])
+    lines = [
+        "if 00:1B:44:11:3a:b7 addr fe80::1ff:fe23:4567:890a flags 0x1A3",
+        "user jo anne said   hi there",
+        "no match at all",
+    ]
+    # per-row oracle
+    n, out = rb.parse_row(lines[0])
+    assert n == "net" and out["mac"] == "00:1B:44:11:3a:b7"
+    assert out["ip6"] == "fe80::1ff:fe23:4567:890a" and out["h"] == "0x1A3"
+    n, out = rb.parse_row(lines[1])
+    assert n == "st" and out["u"] == "jo anne" and out["m"] == "hi there"
+    # vectorized Arrow path agrees
+    t = rb.parse_table(pa.array(lines, pa.string()))
+    assert t["rule"].to_pylist() == ["net", "st", None]
+    assert t["mac"].to_pylist()[0] == "00:1B:44:11:3a:b7"
+    assert t["u"].to_pylist()[1] == "jo anne"
+    assert t["m"].to_pylist()[1] == "hi there"
+    # dash fields never become columns
+    assert "-" not in dict(rb.fields)
