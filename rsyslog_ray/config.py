@@ -102,6 +102,15 @@ def _set_registry() -> dict:
         "getenv": lambda n: F.getenv_fn(n if isinstance(n, str) else str(n)),
         "script_error": F.script_error,
         "previous_action_suspended": F.previous_action_suspended,
+        # remaining doFunct_* table entries (rainerscript.c:4420-4510):
+        # re_match as a VALUE is the 0/1 int the reference returns;
+        # split yields a JSON array string so `foreach` can explode it
+        "format_time": F.format_time,
+        "is_in_subnet": lambda s, cidr: F.is_in_subnet(
+            s, cidr).astype("int64"),
+        "re_match": lambda s, p: F.re_match(s, p).astype("int64"),
+        "re_match_i": lambda s, p: F.re_match_i(s, p).astype("int64"),
+        "split": lambda s, d: F.split(s, d).map(json.dumps),
     })
     from .stages.sketch import pctl_bin_series
     _REGISTRY_CACHE["pctl_bin"] = pctl_bin_series

@@ -474,3 +474,32 @@ def test_canonical_url_fuzz(parts_list):
     got = F.canonical_url(pd.Series(urls))
     for u, g in zip(urls, got):
         assert g == F.canonical_url_row(u), u
+
+
+def test_set_registry_covers_reference_function_table():
+    """Every entry of the reference's script-function table
+    (grammar/rainerscript.c:4420-4510 doFunct registry) is reachable
+    from .conf set-expressions — via the value registry, a
+    special-cased evaluator path, or the grammar itself."""
+    from rsyslog_ray.config import _set_registry
+
+    reference_table = {
+        "append_json", "b64_decode", "cbool", "cef_ext_escape", "cnum",
+        "cstr", "dyn_inc", "exec_template", "field", "format_time",
+        "get_property", "getenv", "int2hex", "ip42num", "ipv42num",
+        "is_in_subnet", "is_time", "lookup", "ltrim", "num2ipv4",
+        "parse_json", "parse_time", "parse_time_localtz",
+        "percentile_observe", "previous_action_suspended", "prifilt",
+        "random", "re_extract", "re_extract_i", "re_match",
+        "re_match_i", "replace", "rtrim", "script_error", "split",
+        "strlen", "substring", "tocef", "tolower", "toupper", "wrap",
+    }
+    special_cased = {
+        "lookup", "exec_template",          # eval_set_expr branches
+        "dyn_inc", "percentile_observe",    # rainerconf stats compile
+        "prifilt",       # the grammar's fac.sev selectors / PRIFILT
+        "parse_json",    # container-setting: mmjsonparse stage +
+                         # flatten/unflatten transforms own this shape
+    }
+    missing = reference_table - set(_set_registry()) - special_cased
+    assert not missing, sorted(missing)
