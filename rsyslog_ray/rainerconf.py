@@ -244,10 +244,19 @@ class _P:
     def comparison(self):
         left = self.sum_expr()
         opk, op = self.next()
-        if op in ("contains", "startswith", "endswith"):
+        if op in ("contains", "startswith", "endswith",
+                  "contains_i", "startswith_i"):
             if left[0] != "col":
                 raise SyntaxError(f"{op} needs a $property left side")
             val = self.next()[1]
+            if op.endswith("_i"):
+                # CMP_CONTAINSI / CMP_STARTSWITHI (grammar.y:106-109,
+                # rainerscript.c:3768 case-insensitive compares) —
+                # compiled to an anchored (?i) regex mask
+                import re as _re
+                pat = "(?i)" + ("^" if op == "startswith_i" else "") \
+                    + _re.escape(val)
+                return ("regex", left[1], pat)
             return (op, left[1], val)
         if op not in ("==", "!=", "<=", ">=", "<", ">"):
             raise SyntaxError(f"unknown comparison op {op!r}")

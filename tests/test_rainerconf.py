@@ -554,3 +554,35 @@ def test_percentile_observe_in_conf(ray_session, pages_small, tmp_path):
             (q, got[q], exact)
     # total observations == routed rows with a numeric value
     assert int(bins["cnt"].sum()) >= len(vals)
+
+
+def test_case_insensitive_compares():
+    """CMP_CONTAINSI / CMP_STARTSWITHI (grammar.y:106-109,
+    rainerscript.c:3768): `contains_i` / `startswith_i` compile to
+    case-insensitive masks matching the reference's semantics."""
+    import pandas as pd
+
+    from rsyslog_ray.router import Route, Router
+
+    cfg = parse_rainer(r'''
+    if $p_app contains_i "NGI.+X" then action(type="omfile" file="a")
+    if $p_app startswith_i "NG" then action(type="omfile" file="b")
+    ''' + "\n*.* action(type=\"omfile\" file=\"rest\")\n")
+    routes = [Route(r["sink"], tuple(_tuplify(r["pred"])),
+                    bool(r.get("stop"))) for r in cfg["routes"]]
+    router = Router(routes)
+    df = pd.DataFrame({"p_app": ["nginx", "NGINX", "ngi.+x!", "postfix",
+                                 "anginx", None]})
+    masks = router.masks(df)
+    # contains_i is a LITERAL compare (regex chars escaped): only the
+    # literal 'ngi.+x' row matches, case-insensitively
+    assert masks["a"].tolist() == [False, False, True, False, False,
+                                   False]
+    assert masks["b"].tolist() == [True, True, True, False, False,
+                                   False]
+
+
+def _tuplify(p):
+    if isinstance(p, (list, tuple)):
+        return tuple(_tuplify(x) for x in p)
+    return p
