@@ -550,8 +550,16 @@ class _ConfigMapFn:
                                 lambda _t=tbl: _t.to_pandas(), lookups=lk)
             if not isinstance(res, pd.Series):
                 res = pd.Series([res] * len(tbl))
-            tbl = tbl.append_column(spec["column"],
-                                    pa.Array.from_pandas(res))
+            arr = pa.Array.from_pandas(res)
+            if spec["column"] in tbl.column_names:
+                # set/reset over an existing property overwrites it;
+                # unset nulls it (exists() then reads False) — never
+                # a duplicate-name column
+                tbl = tbl.set_column(
+                    tbl.column_names.index(spec["column"]),
+                    spec["column"], arr)
+            else:
+                tbl = tbl.append_column(spec["column"], arr)
         return tbl
 
 

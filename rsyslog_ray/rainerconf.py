@@ -623,9 +623,26 @@ def parse_rainer(text: str) -> dict:
             if p.peek()[1] == ";":
                 p.next()
             _STATS_CALLS[v](args)
-        elif v == "set":
-            # set $x = EXPR;  (S_SET, grammar.y:set_stmt — computed
-            # column; RainerScript & concat and scalar function calls)
+        elif v == "continue":
+            # CONTINUE (grammar.y:77): an explicit no-op statement
+            p.next()
+            if p.peek()[1] == ";":
+                p.next()
+        elif v == "unset":
+            # unset $x; (S_UNSET): the variable stops existing — the
+            # batch analog nulls the column, so exists($x) reads False
+            # and propfilt comparisons see null (-> False)
+            p.next()
+            col = _prop_name(p.next()[1])
+            if p.peek()[1] == ";":
+                p.next()
+            cfg.setdefault("computed", []).append(
+                {"column": col, "expr": ["lit", None]})
+        elif v in ("set", "reset"):
+            # set/reset $x = EXPR;  (S_SET/RESET, grammar.y:set_stmt —
+            # computed column; RainerScript & concat and scalar
+            # function calls; reset differs only for containers, which
+            # a column assignment overwrites anyway)
             p.next()
             set_col = _prop_name(p.next()[1])
             p.expect("=")

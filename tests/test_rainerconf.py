@@ -586,3 +586,45 @@ def _tuplify(p):
     if isinstance(p, (list, tuple)):
         return tuple(_tuplify(x) for x in p)
     return p
+
+
+def test_set_reset_unset_continue(ray_session, pages_small, tmp_path):
+    """S_SET overwrite of an EXISTING property, RESET (same
+    semantics on columns), UNSET (variable stops existing: exists()
+    false, filters see null), CONTINUE no-op — grammar.y:74-78."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rulebase import PAGES_RULEBASE
+
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="PAGES/pages-*.parquet")
+    continue;
+    set $p_app = toupper($p_app);
+    reset $r2 = $p_app & "!";
+    unset $p_sev;
+    if exists($p_sev) then action(type="omfile" file="never")
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("PAGES", pages_small)
+    cfg = parse_rainer(conf)
+    cfg["rules"] = [{"name": r.name, "pattern": r.pattern,
+                     "types": r.types} for r in PAGES_RULEBASE.rules]
+    cfg["source_column"] = "text"
+    cfg["extract_column"] = "html"
+    cfg["output"]["full_sinks"] = ["archive", "never"]
+    run_config(cfg, resume=False, lineage=False)
+
+    files = glob.glob(str(tmp_path / "o" / "archive" / "**" / "*.parquet"),
+                      recursive=True)
+    t = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    ok = t["p_app"].notna()                 # unparsed rows stay null
+    assert ok.any()
+    assert (t.loc[ok, "p_app"].str.upper() == t.loc[ok, "p_app"]).all()
+    assert (t.loc[ok, "r2"] == t.loc[ok, "p_app"] + "!").all()
+    assert t["p_sev"].isna().all()                        # unset -> null
+    assert not glob.glob(str(tmp_path / "o" / "never" / "**" /
+                             "*.parquet"), recursive=True)
