@@ -424,6 +424,18 @@ def parse_rainer(text: str) -> dict:
             target[-1].append({"sink": r["sink"], "pred": combined,
                                "stop": r["stop"]})
 
+    def _splice_call_indirect(col, pred):
+        """CALL_INDIRECT (grammar.y:80): ``call_indirect $var`` picks
+        the ruleset named by the VARIABLE's per-row value.  Batch
+        analog: splice every declared ruleset, each additionally
+        guarded by ($var == "<name>") — rows dispatch to exactly the
+        ruleset their value names, rows naming no ruleset fall
+        through (the reference logs and drops those)."""
+        for name in rulesets:
+            guard = ("==", col, name)
+            full = guard if pred == ("true",) else ("and", pred, guard)
+            _splice_call(name, full)
+
     def actions_block(pred):
         """{ action(...) [stop] ... } or a single action(...)"""
         stops_pending = []
@@ -449,12 +461,20 @@ def parse_rainer(text: str) -> dict:
                 elif stmt == "call":
                     p.next()
                     _splice_call(p.next()[1], pred)
+                elif stmt == "call_indirect":
+                    p.next()
+                    _splice_call_indirect(_prop_name(p.next()[1]), pred)
                 else:
                     raise SyntaxError(f"unexpected {stmt!r} in action block")
             p.expect("}")
         elif p.peek()[1] == "call":
             p.next()
             _splice_call(p.next()[1], pred)
+            if p.peek()[1] == ";":
+                p.next()
+        elif p.peek()[1] == "call_indirect":
+            p.next()
+            _splice_call_indirect(_prop_name(p.next()[1]), pred)
             if p.peek()[1] == ";":
                 p.next()
         else:
@@ -717,6 +737,11 @@ def parse_rainer(text: str) -> dict:
         elif v == "call":
             p.next()
             _splice_call(p.next()[1], ("true",))
+            if p.peek()[1] == ";":
+                p.next()
+        elif v == "call_indirect":
+            p.next()
+            _splice_call_indirect(_prop_name(p.next()[1]), ("true",))
             if p.peek()[1] == ";":
                 p.next()
         elif v == ":":  # :prop, [!]op, "value"  action(...)

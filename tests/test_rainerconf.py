@@ -628,3 +628,44 @@ def test_set_reset_unset_continue(ray_session, pages_small, tmp_path):
     assert t["p_sev"].isna().all()                        # unset -> null
     assert not glob.glob(str(tmp_path / "o" / "never" / "**" /
                              "*.parquet"), recursive=True)
+
+
+def test_call_indirect_dispatch(ray_session, pages_small, tmp_path):
+    """call_indirect $var (grammar.y:80 CALL_INDIRECT): rows dispatch
+    to the ruleset their VALUE names; unmatched values fall through."""
+    import glob
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.rulebase import PAGES_RULEBASE
+
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imfile" file="PAGES/pages-*.parquet")
+    ruleset(name="nginx") { action(type="omfile" file="web") }
+    ruleset(name="sshd") { action(type="omfile" file="db") }
+    call_indirect $p_app;
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("PAGES", pages_small)
+    cfg = parse_rainer(conf)
+    cfg["rules"] = [{"name": r.name, "pattern": r.pattern,
+                     "types": r.types} for r in PAGES_RULEBASE.rules]
+    cfg["source_column"] = "text"
+    cfg["extract_column"] = "html"
+    cfg["output"]["full_sinks"] = ["web", "db", "archive"]
+    run_config(cfg, resume=False, lineage=False)
+
+    def rows(sink):
+        fs = glob.glob(str(tmp_path / "o" / sink / "**" / "*.parquet"),
+                       recursive=True)
+        return pd.concat([pq.read_table(f).to_pandas() for f in fs]) \
+            if fs else pd.DataFrame(columns=["p_app"])
+
+    web, db, arch = rows("web"), rows("db"), rows("archive")
+    assert set(web["p_app"]) == {"nginx"} and len(web)
+    assert set(db["p_app"]) == {"sshd"} and len(db)
+    # dispatch counts match the full stream's composition
+    assert len(web) == int((arch["p_app"] == "nginx").sum())
+    assert len(db) == int((arch["p_app"] == "sshd").sum())
