@@ -643,6 +643,39 @@ def parse_rainer(text: str) -> dict:
             if p.peek()[1] == ";":
                 p.next()
             _STATS_CALLS[v](args)
+        elif v == "include":
+            # include(file="glob" | text="...") (grammar.y:142
+            # includeProcessCnf; doc/source/rainerscript/include.rst):
+            # wildcard files splice in FILENAME SORT ORDER; mode =
+            # abort-if-missing (raise) | required (default: note and
+            # continue) | optional (silent skip).  Tokens splice at
+            # the current position, so included statements see the
+            # same rulesets/templates scope.
+            import glob as _glob
+
+            p.next()
+            prm = p.params()
+            texts: list[str] = []
+            if "text" in prm:
+                texts.append(prm["text"])
+            if "file" in prm:
+                files = sorted(_glob.glob(prm["file"]))
+                mode = prm.get("mode", "required")
+                if not files:
+                    if mode == "abort-if-missing":
+                        raise FileNotFoundError(
+                            f"include file '{prm['file']}' missing "
+                            f"(mode=abort-if-missing)")
+                    if mode != "optional":
+                        cfg.setdefault("warnings", []).append(
+                            f"include file '{prm['file']}' not found")
+                for f in files:
+                    with open(f) as fh:
+                        texts.append(fh.read())
+            spliced = []
+            for t in texts:
+                spliced.extend(_tokenize(t))
+            p.toks[p.i:p.i] = spliced
         elif v == "continue":
             # CONTINUE (grammar.y:77): an explicit no-op statement
             p.next()

@@ -669,3 +669,29 @@ def test_call_indirect_dispatch(ray_session, pages_small, tmp_path):
     # dispatch counts match the full stream's composition
     assert len(web) == int((arch["p_app"] == "nginx").sum())
     assert len(db) == int((arch["p_app"] == "sshd").sum())
+
+
+def test_include_statement(tmp_path):
+    """include(file=glob / text=...) (grammar.y:142, include.rst):
+    wildcard files splice in sort order at the include point; modes
+    abort-if-missing / required / optional."""
+    import pytest
+
+    (tmp_path / "10-first.conf").write_text(
+        'if $a == "1" then action(type="omfile" file="s1")\n')
+    (tmp_path / "20-second.conf").write_text(
+        'if $a == "2" then action(type="omfile" file="s2")\n')
+    cfg = parse_rainer(f'''
+    include(file="{tmp_path}/*.conf")
+    include(text="*.* action(type=\\"omfile\\" file=\\"tail\\")")
+    ''')
+    assert [r["sink"] for r in cfg["routes"]] == ["s1", "s2", "tail"]
+
+    with pytest.raises(FileNotFoundError):
+        parse_rainer(f'include(file="{tmp_path}/absent-*.conf" '
+                     f'mode="abort-if-missing")')
+    cfg = parse_rainer(f'include(file="{tmp_path}/absent-*.conf")')
+    assert cfg["warnings"]                     # required: note, continue
+    cfg = parse_rainer(f'include(file="{tmp_path}/absent-*.conf" '
+                       f'mode="optional")')
+    assert "warnings" not in cfg               # optional: silent
