@@ -1811,6 +1811,28 @@ def q_media_features(sf_dir):
     return out.select_columns(["url", "media_len", "entropy_milli"])
 
 
+def q_media_frames(sf_dir):
+    """Multimodal frame-sample plumbing (the video half of the brief):
+    opaque binary payloads explode to per-frame rows through an
+    actor-pool stage (deterministic stand-in kernel — no video libs in
+    this container; the Ray-side fan-out, schema and batch sizing are
+    the real contract).  Rows-only driver check; kernel spec pinned in
+    pytest."""
+    from .. import gen
+    from ..stages.multimodal import sample_frames
+
+    import ray.data
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    sf = float(base.replace("sf", "") or 0.01)
+    files = gen.ensure_pages(sf)
+    ds = ray.data.read_parquet(files[:2], columns=["url", "html"],
+                               override_num_blocks=16)
+    out = sample_frames(ds, media_col="html", id_col="url",
+                        concurrency=(1, 8), batch_size=256)
+    return out.select_columns(["url", "frame_idx", "frame_len"])
+
+
 def q_dedup_embed(sf_dir):
     """Embedding-cosine near-dup for an UNBLOCKED corpus: multiprobe
     hyperplane-LSH blocking → per-bucket GEMM verify → distributed
@@ -2827,4 +2849,5 @@ QUERIES = {
     "gopher_rules": q_gopher_rules,
     "c4_filters": q_c4_filters,
     "range_join": q_range_join,
+    "media_frames": q_media_frames,
 }

@@ -151,3 +151,97 @@ def media_features(ds, media_col: str = "html", concurrency=(1, 8),
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class FrameSampleStage:
+    """Frame sampling — the video half of the multimodal brief: one
+    input row (opaque binary payload) explodes to ``n_frames`` frame
+    rows (id, frame_idx, frame, frame_len).  A real system decodes the
+    container and samples at fixed timestamps in a codec loaded ONCE
+    per actor in ``__init__``; this container has no video libs, so
+    ``strict=True`` raises (the integration hook) and the default
+    kernel is the deterministic stand-in: evenly-strided fixed-size
+    byte windows — which keeps every Ray-side contract (actor pool,
+    pyarrow batches, explode fan-out, per-frame binary schema) real
+    and testable.  Payloads shorter than one frame yield a single
+    short frame; empty/null payloads yield zero frames."""
+
+    def __init__(self, media_col: str = "payload", id_col: str = "url",
+                 n_frames: int = 4, frame_bytes: int = 256,
+                 strict: bool = False):
+        self.media_col = media_col
+        self.id_col = id_col
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+        self.strict = strict
+        # real system: self.codec = load_video_codec()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "frame sampling requires a video decoder not present in "
+                "this environment; plug it in here")
+        ids, idxs, frames = [], [], []
+        for rid, payload in zip(batch[self.id_col].to_pylist(),
+                                batch[self.media_col].to_pylist()):
+            if not payload:
+                continue
+            payload = bytes(payload)
+            k = min(self.n_frames,
+                    max(1, len(payload) // self.frame_bytes))
+            stride = max((len(payload) - self.frame_bytes) // k, 1) \
+                if len(payload) > self.frame_bytes else 1
+            for j in range(k):
+                off = j * stride
+                ids.append(rid)
+                idxs.append(j)
+                frames.append(payload[off:off + self.frame_bytes])
+        return pa.table({
+            self.id_col: pa.array(ids),
+            "frame_idx": pa.array(idxs, pa.int64()),
+            "frame": pa.array(frames, pa.binary()),
+            "frame_len": pa.array([len(f) for f in frames], pa.int64()),
+        })
+
+
+class ThumbnailStage:
+    """Resize — the image half of the brief: payload -> a smaller
+    payload column (``thumb``) plus its length.  Real system: image
+    lib loaded once per actor resizes; the deterministic stand-in
+    keeps every ``scale``-th byte (bounded output size), preserving
+    the binary-in/binary-out schema and actor-pool shape."""
+
+    def __init__(self, media_col: str = "payload", scale: int = 8,
+                 max_bytes: int = 4096, strict: bool = False):
+        self.media_col = media_col
+        self.scale = max(1, int(scale))
+        self.max_bytes = max_bytes
+        self.strict = strict
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.strict:
+            raise NotImplementedError(
+                "thumbnailing requires an image library not present in "
+                "this environment; plug it in here")
+        thumbs = []
+        for payload in batch[self.media_col].to_pylist():
+            b = bytes(payload) if payload else b""
+            thumbs.append(b[::self.scale][:self.max_bytes])
+        out = batch.drop_columns([self.media_col])
+        out = out.append_column("thumb", pa.array(thumbs, pa.binary()))
+        return out.append_column(
+            "thumb_len", pa.array([len(t) for t in thumbs], pa.int64()))
+
+
+def sample_frames(ds, media_col: str = "payload", id_col: str = "url",
+                  n_frames: int = 4, frame_bytes: int = 256,
+                  concurrency=(1, 8), batch_size: int = 128):
+    """Attach the frame-sample explode stage (actor pool; small
+    batches — a batch is batch_size × payload bytes of heap)."""
+    return ds.map_batches(
+        FrameSampleStage,
+        fn_constructor_kwargs={"media_col": media_col, "id_col": id_col,
+                               "n_frames": n_frames,
+                               "frame_bytes": frame_bytes},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, num_cpus=1)

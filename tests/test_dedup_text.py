@@ -761,3 +761,63 @@ def test_exact_dedup_best_survivor(ray_session):
     # dup A: max score 9.0 held by ids 2 and 3 -> min id 2, 3 copies
     # uniq: itself; dup B: all tied at 2.0 -> min id 5, 3 copies
     assert got == [(2, 9.0, 3), (4, 1.0, 1), (5, 2.0, 3)]
+
+
+def test_frame_sample_and_thumbnail_stages(ray_session):
+    """Multimodal frame-sample + resize plumbing: explode fan-out and
+    binary schemas through real actor-pool map_batches; deterministic
+    stand-in kernels pinned (strided windows / byte subsample);
+    strict mode raises the integration hook."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from rsyslog_ray.stages.multimodal import (FrameSampleStage,
+                                               ThumbnailStage,
+                                               sample_frames)
+
+    payloads = [bytes(range(256)) * 8,      # 2048 B -> 4 frames
+                b"tiny",                    # < frame -> 1 short frame
+                b"",                        # empty -> 0 frames
+                None]                       # null  -> 0 frames
+    tbl = pa.table({"url": [f"u{i}" for i in range(4)],
+                    "payload": pa.array(payloads, pa.binary())})
+
+    # direct kernel spec
+    st = FrameSampleStage(n_frames=4, frame_bytes=256)
+    out = st(tbl)
+    df = out.to_pandas()
+    assert list(df[df["url"] == "u0"]["frame_idx"]) == [0, 1, 2, 3]
+    assert (df[df["url"] == "u0"]["frame_len"] == 256).all()
+    # frame 0 is the payload head
+    assert bytes(df[df["url"] == "u0"]["frame"].iloc[0]) == \
+        payloads[0][:256]
+    # evenly strided: frame j starts at j*stride
+    stride = (2048 - 256) // 4
+    assert bytes(df[df["url"] == "u0"]["frame"].iloc[2]) == \
+        payloads[0][2 * stride:2 * stride + 256]
+    assert list(df[df["url"] == "u1"]["frame_len"]) == [4]
+    assert not (df["url"] == "u2").any()
+    assert not (df["url"] == "u3").any()
+
+    # distributed: same rows through the actor pool
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    ddf = (sample_frames(ds, concurrency=(1, 2), batch_size=2)
+           .to_pandas().sort_values(["url", "frame_idx"])
+           .reset_index(drop=True))
+    want = (df.sort_values(["url", "frame_idx"]).reset_index(drop=True))
+    assert list(ddf["url"]) == list(want["url"])
+    assert list(ddf["frame_len"]) == list(want["frame_len"])
+
+    # thumbnail: every scale-th byte, bounded, schema swap
+    th = ThumbnailStage(scale=8, max_bytes=100)
+    tout = th(tbl).to_pandas()
+    assert bytes(tout["thumb"].iloc[0]) == payloads[0][::8][:100]
+    assert tout["thumb_len"].iloc[0] == 100
+    assert tout["thumb"].iloc[2] == b"" and tout["thumb_len"].iloc[2] == 0
+    assert "payload" not in tout.columns
+
+    with pytest.raises(NotImplementedError):
+        FrameSampleStage(strict=True)(tbl)
+    with pytest.raises(NotImplementedError):
+        ThumbnailStage(strict=True)(tbl)
