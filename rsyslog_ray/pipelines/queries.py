@@ -1769,6 +1769,25 @@ def q_approx_percentiles(sf_dir):
     return out.sort_values("event_type").reset_index(drop=True)
 
 
+def q_knn_pq(sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): codebooks from a
+    bounded sample (broadcast), per-batch uint8 encode + ADC
+    table-gather scoring, exact driver reduce of local top-k partials
+    — m bytes per vector instead of dim floats at scale.  Rows-only
+    driver check; encode/ADC spec + clustered-recall pinned in
+    pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_pq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5).to_pandas()
+    queries = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].tolist()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_pq(ds, "embedding", "vec_id", queries, qids, k=5,
+                  m=4, ksub=16)
+
+
 def q_knn_ivf(sf_dir):
     """IVF ANN variant: k-means coarse quantizer (fit on a driver-side
     sample, centroids broadcast) + probed-cluster search.  Rows-only
@@ -2850,4 +2869,5 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "range_join": q_range_join,
     "media_frames": q_media_frames,
+    "knn_pq": q_knn_pq,
 }

