@@ -582,3 +582,75 @@ def knn_pq(ds, vec_col: str, id_col: str, queries: np.ndarray,
     top = partials.groupby("qid", as_index=False).head(k).copy()
     top["rank"] = top.groupby("qid").cumcount() + 1
     return top[["qid", "id", "rank"]].reset_index(drop=True)
+
+
+def knn_ivfpq(ds, vec_col: str, id_col: str, queries: np.ndarray,
+              query_ids: list, k: int = 5, n_centroids: int = 16,
+              n_probe: int = 4, m: int = 4, ksub: int = 16,
+              sample_size: int = 2048, iters: int = 8, seed: int = 5):
+    """Composed IVF-PQ (the classic large-scale ANN recipe): a coarse
+    k-means quantizer routes each vector to a cluster, PQ codebooks
+    are trained on the RESIDUALS (v - centroid) of the sample, and a
+    query scores only its ``n_probe`` closest clusters via ADC over
+    the residual codes plus the exact query·centroid term:
+
+        sim(q, v) ≈ q·c(v) + q·decode(residual_code(v))
+
+    Per-vector state at scale is m bytes + a cluster id; the whole
+    index is (centroids, codebooks) broadcast once.  Same exact local
+    tie-break + tiny driver reduce as the other knn entries."""
+    import ray
+
+    sample = _normalize(np.stack(
+        ds.limit(sample_size).to_pandas()[vec_col].to_numpy())
+        .astype(np.float64))
+    cent = kmeans_fit(sample, n_centroids, iters, seed)
+    res = sample - cent[(sample @ cent.T).argmax(axis=1)]
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.stack([
+        _kmeans_l2(res[:, j * dsub:(j + 1) * dsub], ksub, iters,
+                   seed + 17 * (j + 1)) for j in range(m)])
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    probes = np.argsort(-(qm @ cent.T), axis=1)[:, :n_probe]
+    ref = ray.put((qm, cent, probes, books))
+
+    def _encode_res(r: np.ndarray, books_: np.ndarray) -> np.ndarray:
+        codes = np.empty((len(r), m), dtype=np.uint8)
+        for j in range(m):
+            sub = r[:, j * dsub:(j + 1) * dsub]
+            d = ((sub[:, None, :] - books_[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = d.argmin(axis=1).astype(np.uint8)
+        return codes
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        q, c, pr, books_ = ray.get(ref)
+        ids = df[id_col].to_numpy()
+        v = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        assign = (v @ c.T).argmax(axis=1)
+        codes = _encode_res(v - c[assign], books_)
+        out = {"qid": [], "id": [], "sim": []}
+        for j in range(q.shape[0]):
+            mask = np.isin(assign, pr[j])
+            if not mask.any():
+                continue
+            sim = (q[j] @ c[assign[mask]].T
+                   + pq_adc_scores(codes[mask], books_, q[j]))
+            sub_ids = ids[mask]
+            kk = min(k, len(sub_ids))
+            part = _topk_ties(sim, sub_ids, kk)
+            out["qid"].extend([query_ids[j]] * len(part))
+            out["id"].extend(sub_ids[part])
+            out["sim"].extend(sim[part])
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"qid": [], "id": [], "rank": []})
+    partials = partials.sort_values(["qid", "sim", "id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("qid", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return top[["qid", "id", "rank"]].reset_index(drop=True)

@@ -869,3 +869,41 @@ def test_knn_pq_adc(ray_session):
         rows = out[out["qid"] == qid]
         assert len(rows) == 5
         assert all(base <= i < base + 100 for i in rows["id"]), rows
+
+
+def test_knn_ivfpq_clustered_recall(ray_session):
+    """Composed IVF-PQ (residual codes + coarse term): on a clustered
+    corpus, full-probe IVF-PQ recovers each query's own cluster in the
+    top-k; probing fewer clusters never returns vectors outside the
+    probed set."""
+    import ray.data
+
+    rng = np.random.RandomState(7)
+    centers = rng.normal(0, 1, (6, 16))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, ids = [], []
+    for c in range(6):
+        for i in range(40):
+            vecs.append(centers[c] + rng.normal(0, 0.02, 16))
+            ids.append(c * 100 + i)
+    vecs = np.asarray(vecs)
+    df = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    queries = vecs[[0, 45, 230]]          # clusters 0, 1, 5
+    qids = [0, 100, 500]
+    out = sim.knn_ivfpq(ds, "embedding", "vec_id", queries, qids, k=5,
+                        n_centroids=6, n_probe=6, m=4, ksub=16,
+                        sample_size=240)
+    for qid, base in zip(qids, [0, 100, 500]):
+        rows = out[out["qid"] == qid]
+        assert len(rows) == 5
+        assert all(base <= i < base + 100 for i in rows["id"]), rows
+    # narrow probe: results still confined to the query's own cluster
+    ds2 = ray.data.from_pandas(df).repartition(4)
+    out1 = sim.knn_ivfpq(ds2, "embedding", "vec_id", queries, qids,
+                         k=5, n_centroids=6, n_probe=1, m=4, ksub=16,
+                         sample_size=240)
+    for qid, base in zip(qids, [0, 100, 500]):
+        rows = out1[out1["qid"] == qid]
+        assert all(base <= i < base + 100 for i in rows["id"]), rows
