@@ -895,26 +895,54 @@ def epoch_shuffle(ds, *, id_col: str = "doc_id", seed: int = 0,
 # ---------------------------------------------------------------------
 
 def ngram_count_frame(texts: pd.Series, n: int = 3) -> pd.DataFrame:
-    """Per-batch partial: (gram, cnt) counts, fully vectorized —
-    explode words, boundary-masked shifted joins, value_counts."""
+    """Per-batch partial: (gram, cnt) counts, fully vectorized.
+
+    Counting runs over INTEGER word codes (pd.factorize), not strings:
+    the n codes of a gram pack into one int64 key (base = vocab size)
+    and a single ``np.unique`` counts them; gram STRINGS are
+    materialized only for the unique keys — O(distinct grams) small
+    string joins instead of O(total grams) ``np.char.add`` flat-buffer
+    temporaries (4x on the documents table; see CLAUDE.md env quirks).
+    Falls back to a structured-dtype unique when vocab**n would
+    overflow int64 (per-batch vocab beyond ~2M words for n=3)."""
     toks = (texts.str.lower()
             .str.replace(r"[^a-z0-9]+", " ", regex=True).str.split())
     ex = toks.explode().dropna()
     ex = ex[ex != ""]
     ids = ex.index.to_numpy()
-    words = ex.to_numpy(dtype=object)
-    m = len(words) - n + 1
+    codes, vocab = pd.factorize(ex.to_numpy(dtype=object))
+    m = len(codes) - n + 1
     if m <= 0:
         return pd.DataFrame({"gram": pd.Series([], dtype="object"),
                              "cnt": pd.Series([], dtype="int64")})
     ok = np.ones(m, dtype=bool)
-    g = words[:m].astype(str)
+    mat = np.empty((m, n), dtype=np.int64)
+    mat[:, 0] = codes[:m]
     for j in range(1, n):
         ok &= ids[j:m + j] == ids[:m]
-        g = np.char.add(np.char.add(g, " "), words[j:m + j].astype(str))
-    cnt = pd.Series(g[ok]).value_counts()
-    return pd.DataFrame({"gram": cnt.index.to_numpy(),
-                         "cnt": cnt.to_numpy(dtype="int64")})
+        mat[:, j] = codes[j:m + j]
+    mat = mat[ok]
+    nv = max(len(vocab), 1)
+    if nv ** n < 2 ** 62:
+        key = mat[:, 0].copy()
+        for j in range(1, n):
+            key *= nv
+            key += mat[:, j]
+        u, cnt = np.unique(key, return_counts=True)
+        urows = np.empty((len(u), n), dtype=np.int64)
+        rem = u
+        for j in range(n - 1, 0, -1):
+            urows[:, j] = rem % nv
+            rem = rem // nv
+        urows[:, 0] = rem
+    else:
+        c = np.ascontiguousarray(mat)
+        u, cnt = np.unique(c.view([("", np.int64)] * n).ravel(),
+                           return_counts=True)
+        urows = u.view(np.int64).reshape(-1, n)
+    va = np.asarray(vocab, dtype=object)
+    gram = np.array([" ".join(row) for row in va[urows]], dtype=object)
+    return pd.DataFrame({"gram": gram, "cnt": cnt.astype("int64")})
 
 
 def ngram_topk(ds, *, n: int = 3, k: int = 20, text_col: str = "text",
