@@ -1708,6 +1708,23 @@ def q_ngram_topk(sf_dir):
     return ngram_topk(ds, n=3, k=20)
 
 
+def q_table_profile(sf_dir):
+    """ANALYZE/SUMMARIZE-style column statistics over events (count,
+    nulls, exact ndv, typed min/max rendered as DuckDB VARCHAR).  Two
+    coordination-light passes: one wide typed partial row per batch
+    (driver reduce O(n_batches), CLAUDE.md invariant 3) and an exact
+    distinct count via per-batch-unique 128-bit keys hash-partitioned
+    so the driver only sums O(columns × nparts) tiny rows — the raw
+    values never shuffle.  Mirrors the reference's statsobj
+    self-description surface (runtime/statsobj.c) at table grain."""
+    from ..stages.profile import table_profile
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type", "value"],
+               parallel=16)
+    return table_profile(ds, ["event_id", "event_type", "ts", "value"])
+
+
 def q_gopher_rules(sf_dir):
     """Gopher quality filter (Rae et al. 2021 A.1.1): every published
     document rule as an integer column + the composite keep flag.
@@ -1909,6 +1926,39 @@ def q_runs_compress(sf_dir):
 # these too, so tail entries with SQL-expressible semantics still get
 # the full rows+schema+hash comparison locally.
 SQL_TAIL: dict[str, str] = {
+    # q_table_profile: per-column count / nulls / exact ndv / min / max,
+    # min_s/max_s rendered exactly as DuckDB CAST(x AS VARCHAR) (the
+    # engine renders AFTER a typed reduce — stages/profile.py).
+    "table_profile": """
+        WITH p AS (
+          SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(count(*) - count(event_id) AS BIGINT) AS nulls,
+                 CAST(count(DISTINCT event_id) AS BIGINT) AS ndv,
+                 CAST(min(event_id) AS VARCHAR) AS min_s,
+                 CAST(max(event_id) AS VARCHAR) AS max_s
+          FROM events
+          UNION ALL
+          SELECT 'event_type', CAST(count(*) AS BIGINT),
+                 CAST(count(*) - count(event_type) AS BIGINT),
+                 CAST(count(DISTINCT event_type) AS BIGINT),
+                 CAST(min(event_type) AS VARCHAR),
+                 CAST(max(event_type) AS VARCHAR)
+          FROM events
+          UNION ALL
+          SELECT 'ts', CAST(count(*) AS BIGINT),
+                 CAST(count(*) - count(ts) AS BIGINT),
+                 CAST(count(DISTINCT ts) AS BIGINT),
+                 CAST(min(ts) AS VARCHAR), CAST(max(ts) AS VARCHAR)
+          FROM events
+          UNION ALL
+          SELECT 'value', CAST(count(*) AS BIGINT),
+                 CAST(count(*) - count(value) AS BIGINT),
+                 CAST(count(DISTINCT value) AS BIGINT),
+                 CAST(min(value) AS VARCHAR), CAST(max(value) AS VARCHAR)
+          FROM events
+        )
+        SELECT * FROM p ORDER BY col
+    """,
     "ngram_topk": """
         WITH words AS (
           SELECT list_filter(string_split(regexp_replace(lower(text),
@@ -2870,4 +2920,5 @@ QUERIES = {
     "range_join": q_range_join,
     "media_frames": q_media_frames,
     "knn_pq": q_knn_pq,
+    "table_profile": q_table_profile,
 }
