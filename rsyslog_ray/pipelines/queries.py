@@ -1708,6 +1708,19 @@ def q_ngram_topk(sf_dir):
     return ngram_topk(ds, n=3, k=20)
 
 
+def q_heavy_hitters(sf_dir):
+    """Exact top-20 corpus words via mergeable Misra-Gries summaries +
+    broadcast exact recount (stages/sketch.heavy_hitters).  Nothing
+    vocabulary-sized ever shuffles or reaches the driver — the
+    bounded-summary alternative to ngram_topk's hash-partitioned
+    final, with an exactness certificate (widens and reruns when the
+    MG undercount bound could displace rank k)."""
+    from ..stages.sketch import heavy_hitters
+
+    ds = _read(sf_dir, "documents", columns=["text"], parallel=16)
+    return heavy_hitters(ds, "text", k=20, tokenize=True)
+
+
 def q_table_profile(sf_dir):
     """ANALYZE/SUMMARIZE-style column statistics over events (count,
     nulls, exact ndv, typed min/max rendered as DuckDB VARCHAR).  Two
@@ -1958,6 +1971,19 @@ SQL_TAIL: dict[str, str] = {
           FROM events
         )
         SELECT * FROM p ORDER BY col
+    """,
+    # q_heavy_hitters: exact top-20 words — same normalization contract
+    # as ngram_topk, 1-gram grain; the ENGINE path is MG summaries +
+    # recount, the oracle is the plain exact groupby.
+    "heavy_hitters": """
+        WITH words AS (
+          SELECT unnest(list_filter(string_split(regexp_replace(
+                     lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     w -> w <> '')) AS token
+          FROM documents
+        )
+        SELECT token, CAST(count(*) AS BIGINT) AS cnt
+        FROM words GROUP BY token ORDER BY cnt DESC, token LIMIT 20
     """,
     "ngram_topk": """
         WITH words AS (
@@ -2921,4 +2947,5 @@ QUERIES = {
     "media_frames": q_media_frames,
     "knn_pq": q_knn_pq,
     "table_profile": q_table_profile,
+    "heavy_hitters": q_heavy_hitters,
 }

@@ -279,3 +279,131 @@ def quantiles_from_bins(keys, counts, qs,
         elif k != "n":
             sk.bins[int(k)] = sk.bins.get(int(k), 0) + int(c)
     return {q: sk.quantile(q) for q in qs}
+
+
+# ---------------------------------------------------------------------
+# Heavy hitters — EXACT top-k by frequency without shuffling the
+# vocabulary.  Misra-Gries summaries are mergeable (Agarwal et al.
+# 2012, "Mergeable Summaries"): per-batch counters reduce to a fixed
+# width w, the driver merges O(n_batches × w) tiny rows, and a second
+# broadcast-candidates pass recounts only the ≤w survivors exactly.
+# Where ngram_topk hash-partitions O(distinct grams) across the
+# cluster, this moves nothing but bounded summaries — the right shape
+# when the vocabulary itself is corpus-scale but the answer is tiny.
+# The MG undercount bound makes the result PROVABLY exact: any item
+# absent from the candidate set has true frequency ≤ D (the total
+# decrement applied across all reduces), so if the exact k-th
+# candidate count exceeds D the top-k cannot be displaced; otherwise
+# the operator widens w and reruns (terminates: at w ≥ vocab, D = 0).
+# rsyslog analog: dynstats maxCardinality refusal
+# (runtime/dynstats.c:43-45) — the reference punts on unbounded key
+# spaces; this is the bounded-memory answer.
+# ---------------------------------------------------------------------
+
+def mg_reduce(tokens: np.ndarray, counts: np.ndarray, width: int
+              ) -> tuple[np.ndarray, np.ndarray, int]:
+    """Reduce exact (or merged-MG) counters to at most ``width``
+    survivors: subtract the (width+1)-th largest count from every
+    counter, drop non-positive.  Returns (tokens, counts, dec) where
+    ``dec`` bounds the additional per-item undercount introduced."""
+    if len(tokens) <= width:
+        return tokens, counts.astype(np.int64), 0
+    order = np.argsort(counts, kind="stable")[::-1]
+    dec = int(counts[order[width]])
+    keep = order[:width]
+    kept = counts[keep] - dec
+    pos = kept > 0
+    return tokens[keep][pos], kept[pos].astype(np.int64), dec
+
+
+def _word_tokens(texts: pd.Series) -> pd.Series:
+    """The ngram_topk normalization contract (mirrored by the DuckDB
+    oracle): lower, [^a-z0-9]+ -> space, split, drop empties."""
+    ex = (texts.str.lower()
+          .str.replace(r"[^a-z0-9]+", " ", regex=True)
+          .str.split().explode().dropna())
+    return ex[ex != ""]
+
+
+def heavy_hitters(ds, col: str, k: int = 20, *, width: int = 0,
+                  tokenize: bool = False, max_rounds: int = 8
+                  ) -> pd.DataFrame:
+    """Exact global top-``k`` items of ``col`` by frequency (cnt desc,
+    token asc), computed via bounded MG summaries + a broadcast exact
+    recount.  ``tokenize=True`` treats the column as text and counts
+    words; otherwise values count as opaque items (cast to str).
+    Ray must already be initialised by the caller."""
+    import ray
+
+    w = width or max(64, 8 * k)
+    for _ in range(max_rounds):
+        w_cur = w
+
+        def partial(df: pd.DataFrame, _w=w_cur) -> pd.DataFrame:
+            s = _word_tokens(df[col]) if tokenize else \
+                df[col].dropna().astype(str)
+            toks, cnts = np.unique(s.to_numpy(dtype=object),
+                                   return_counts=True)
+            toks, cnts, dec = mg_reduce(toks, cnts, _w)
+            n_tok = int(len(s))
+            return pd.DataFrame({
+                "token": np.concatenate([toks, [None]]),
+                "cnt": np.concatenate([cnts, [0]]).astype("int64"),
+                "dec": np.concatenate(
+                    [np.zeros(len(toks), np.int64), [dec]]),
+                "n_tok": np.concatenate(
+                    [np.zeros(len(toks), np.int64), [n_tok]]),
+            })
+
+        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+        d_total = int(parts["dec"].sum())
+        merged = (parts[parts["token"].notna()]
+                  .groupby("token", as_index=False)["cnt"].sum())
+        ct, cc, dec2 = mg_reduce(merged["token"].to_numpy(dtype=object),
+                                 merged["cnt"].to_numpy(), w_cur)
+        d_total += dec2
+        if not len(ct):
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+
+        # ---- pass 2: exact recount of the ≤w candidates (broadcast)
+        cand_ref = ray.put(pd.Index(ct))
+
+        def recount(df: pd.DataFrame, _ref=cand_ref) -> pd.DataFrame:
+            idx = ray.get(_ref) if not isinstance(_ref, pd.Index) else _ref
+            s = _word_tokens(df[col]) if tokenize else \
+                df[col].dropna().astype(str)
+            toks, cnts = np.unique(s.to_numpy(dtype=object),
+                                   return_counts=True)
+            pos = idx.get_indexer(toks)
+            hit = pos >= 0
+            return pd.DataFrame({"ti": pos[hit].astype("int64"),
+                                 "c": cnts[hit].astype("int64")})
+
+        rc = ds.map_batches(recount, batch_format="pandas").to_pandas()
+        exact = rc.groupby("ti")["c"].sum()
+        out = (pd.DataFrame({"token": np.asarray(ct, dtype=object)[
+                                 exact.index.to_numpy()],
+                             "cnt": exact.to_numpy().astype("int64")})
+               .sort_values(["cnt", "token"], ascending=[False, True])
+               .head(k).reset_index(drop=True))
+        # exactness certificate: nothing outside the candidate set can
+        # reach the k-th count (missing items have true freq ≤ d_total)
+        if len(out) and (len(out) < k or int(out["cnt"].iloc[-1]) > d_total):
+            return out
+        if d_total == 0:
+            return out                      # full vocabulary counted
+        w *= 4
+    raise RuntimeError(
+        f"heavy_hitters failed to certify exactness at width {w // 4}")
+
+
+def heavy_hitters_oracle(values: pd.Series, k: int = 20, *,
+                         tokenize: bool = False) -> pd.DataFrame:
+    """Driver-side pandas spec oracle for pytest."""
+    s = _word_tokens(values) if tokenize else values.dropna().astype(str)
+    vc = s.value_counts()
+    df = pd.DataFrame({"token": vc.index.to_numpy(dtype=object),
+                       "cnt": vc.to_numpy().astype("int64")})
+    return (df.sort_values(["cnt", "token"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
