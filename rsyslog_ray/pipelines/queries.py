@@ -1721,6 +1721,22 @@ def q_heavy_hitters(sf_dir):
     return heavy_hitters(ds, "text", k=20, tokenize=True)
 
 
+def q_tfidf_topk(sf_dir):
+    """Per-document top-5 keywords by tf·idf (idf = ln(N/df)) — the
+    keyword-extraction staple over the documents table.  Adaptive
+    final (stages/text.tfidf_topk): Heaps-bounded vocabularies reduce
+    to one broadcast df table (np.searchsorted lookup per batch, zero
+    shuffles); huge vocabularies switch to term-hash-partitioned
+    postings so nothing vocabulary-sized touches the driver.  Full
+    DuckDB oracle in SQL_TAIL; engine == pure-Python spec
+    (tfidf_oracle) + path A == path B pinned in pytest."""
+    from ..stages.text import tfidf_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               parallel=16)
+    return tfidf_topk(ds, k=5)
+
+
 def q_table_profile(sf_dir):
     """ANALYZE/SUMMARIZE-style column statistics over events (count,
     nulls, exact ndv, typed min/max rendered as DuckDB VARCHAR).  Two
@@ -1984,6 +2000,31 @@ SQL_TAIL: dict[str, str] = {
         )
         SELECT token, CAST(count(*) AS BIGINT) AS cnt
         FROM words GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    # q_tfidf_topk: same normalization as ngram_topk/heavy_hitters;
+    # idf = ln(N/df) with N = total documents rows; rank tie-break
+    # (score desc, tf desc, term asc) mirrored exactly.
+    "tfidf_topk": """
+        WITH words AS (
+          SELECT doc_id, unnest(list_filter(string_split(regexp_replace(
+                     lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     w -> w <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM words GROUP BY doc_id, term
+        ), df AS (
+          SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+          FROM words GROUP BY term
+        ), n AS (SELECT count(*) AS n FROM documents), scored AS (
+          SELECT t.doc_id, t.term, t.tf, d.df,
+                 row_number() OVER (PARTITION BY t.doc_id
+                     ORDER BY t.tf * ln(CAST(n.n AS DOUBLE) / d.df) DESC,
+                              t.tf DESC, t.term) AS rnk
+          FROM tf t JOIN df d USING (term), n
+        )
+        SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+        FROM scored WHERE rnk <= 5 ORDER BY doc_id, rnk
     """,
     "ngram_topk": """
         WITH words AS (
@@ -2948,4 +2989,5 @@ QUERIES = {
     "knn_pq": q_knn_pq,
     "table_profile": q_table_profile,
     "heavy_hitters": q_heavy_hitters,
+    "tfidf_topk": q_tfidf_topk,
 }

@@ -1127,3 +1127,159 @@ def c4_row(text: str) -> dict:
             and "{" not in clean)
     return {"clean": clean, "n_lines_kept": len(kept),
             "n_sentences": n_sent, "c4_keep": int(keep)}
+
+
+# ---------------------------------------------------------------------
+# TF-IDF keyword extraction — per-document top-k terms by tf·idf.
+# Training-data analog of rsyslog's dynstats keyed counting
+# (runtime/dynstats.c) lifted to two corpus-level statistics: term
+# frequency within the document and document frequency across the
+# corpus.  Normalization contract (mirrored EXACTLY by the
+# q:tfidf_topk DuckDB oracle): lower, [^a-z0-9]+ -> space, split,
+# drop empties.  idf = ln(N / df), score = tf * idf; ranking
+# tie-break (score desc, tf desc, term asc) is fully deterministic —
+# exact score ties only arise from identical (tf, df) pairs or the
+# df == N class (idf exactly 0.0 in both IEEE implementations).
+# ---------------------------------------------------------------------
+
+def doc_term_frame(df: pd.DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> pd.DataFrame:
+    """Per-batch (doc, term, tf) rows.  Exact per document — a doc
+    lives wholly in one input row, so its tf never splits across
+    batches."""
+    toks = (df[text_col].str.lower()
+            .str.replace(r"[^a-z0-9]+", " ", regex=True).str.split())
+    ex = toks.explode().dropna()
+    ex = ex[ex != ""]
+    if not len(ex):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype="object"),
+                             "tf": pd.Series([], dtype="int64")})
+    pairs = pd.DataFrame({id_col: df[id_col].reindex(ex.index).to_numpy(),
+                          "term": ex.to_numpy(dtype=object)})
+    out = (pairs.groupby([id_col, "term"], observed=True, sort=False)
+           .size().rename("tf").reset_index())
+    return out.astype({id_col: "int64", "tf": "int64"})
+
+
+def _tfidf_rank(dt: pd.DataFrame, n_docs: int, k: int,
+                id_col: str) -> pd.DataFrame:
+    """Rank one frame of (doc, term, tf, df) rows -> per-doc top-k."""
+    score = dt["tf"].to_numpy(np.float64) * np.log(
+        float(n_docs) / dt["df"].to_numpy(np.float64))
+    dt = dt.assign(__s=score)
+    dt = dt.sort_values([id_col, "__s", "tf", "term"],
+                        ascending=[True, False, False, True],
+                        kind="mergesort")
+    top = dt.groupby(id_col, sort=False).head(k).reset_index(drop=True)
+    rnk = top.groupby(id_col, sort=False).cumcount() + 1
+    return pd.DataFrame({id_col: top[id_col].to_numpy("int64"),
+                         "rnk": rnk.to_numpy("int64"),
+                         "term": top["term"].to_numpy(object),
+                         "tf": top["tf"].to_numpy("int64"),
+                         "df": top["df"].to_numpy("int64")})
+
+
+def tfidf_topk(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               k: int = 5, nparts: int = 32,
+               driver_threshold: int = 2_000_000):
+    """Per-document top-k keywords by tf·idf, as a Dataset.
+
+    Adaptive two-path final (same shape as ``ngram_topk``):
+
+    - small df-partial sets (Heaps-bounded vocabulary under
+      ``driver_threshold`` partial rows) reduce to a driver df table
+      (CLAUDE.md invariant 3) broadcast once via ``ray.put`` as a
+      sorted term array + count array — per-batch scoring is one
+      ``np.searchsorted`` lookup, embarrassingly parallel, zero
+      shuffles;
+    - above the threshold nothing vocabulary-sized touches the driver:
+      (doc, term, tf) postings hash-partition on term (a term's
+      postings colocate, so per-partition df is the global df), then
+      re-partition by doc for the per-doc top-k — two int/string-row
+      shuffles, no broadcast.
+
+    Both paths emit identical rows: (doc_id, rnk, term, tf, df).
+    """
+    import ray
+
+    from ..functions import hash64mod
+
+    n_docs = ds.count()
+
+    def df_partial(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[text_col].str.lower()
+                .str.replace(r"[^a-z0-9]+", " ", regex=True).str.split())
+        ex = toks.explode().dropna()
+        ex = ex[ex != ""]
+        if not len(ex):
+            return pd.DataFrame({"term": pd.Series([], dtype="object"),
+                                 "dfc": pd.Series([], dtype="int64")})
+        uniq = pd.DataFrame({"i": ex.index, "term": ex.to_numpy(object)}
+                            ).drop_duplicates()
+        out = (uniq.groupby("term", observed=True, sort=False)
+               .size().rename("dfc").reset_index())
+        return out.astype({"dfc": "int64"})
+
+    dfp = ds.map_batches(df_partial, batch_format="pandas").materialize()
+
+    if dfp.count() <= driver_threshold:
+        tab = (dfp.to_pandas().groupby("term")["dfc"].sum().sort_index())
+        ref = ray.put((tab.index.to_numpy(object),
+                       tab.to_numpy("int64")))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            dt = doc_term_frame(df, id_col, text_col)
+            terms, counts = ray.get(ref)
+            pos = np.searchsorted(terms, dt["term"].to_numpy(object))
+            dt["df"] = counts[pos]
+            return _tfidf_rank(dt, n_docs, k, id_col)
+
+        return ds.map_batches(score, batch_format="pandas")
+
+    post = ds.map_batches(
+        lambda df: doc_term_frame(df, id_col, text_col),
+        batch_format="pandas")
+
+    def pp(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(pp=hash64mod(df["term"], nparts))
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # (doc, term) rows are globally unique (a doc lives in one
+        # batch), so df within this term partition IS the global df
+        return g.assign(df=g.groupby("term", observed=True)["term"]
+                        .transform("size").astype("int64")).drop(columns="pp")
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        return _tfidf_rank(g, n_docs, k, id_col)
+
+    return (post.map_batches(pp, batch_format="pandas")
+            .groupby("pp").map_groups(attach_df, batch_format="pandas")
+            .groupby(id_col).map_groups(topk, batch_format="pandas"))
+
+
+def tfidf_oracle(ids: list, texts: list, k: int = 5) -> list[dict]:
+    """Pure-Python spec oracle (ground truth for pytest)."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    docs = {}
+    for i, t in zip(ids, texts):
+        w = [x for x in _re.sub(r"[^a-z0-9]+", " ", t.lower()).split()
+             if x]
+        docs[i] = Counter(w)
+    n = len(ids)
+    dfc: Counter = Counter()
+    for c in docs.values():
+        dfc.update(c.keys())
+    rows = []
+    for i in sorted(docs):
+        scored = sorted(
+            ((tf * math.log(n / dfc[t]), tf, t) for t, tf in
+             docs[i].items()),
+            key=lambda x: (-x[0], -x[1], x[2]))
+        for r, (s, tf, t) in enumerate(scored[:k], 1):
+            rows.append({"doc_id": i, "rnk": r, "term": t, "tf": tf,
+                         "df": dfc[t]})
+    return rows

@@ -340,3 +340,49 @@ def test_ngram_boundaries_do_not_cross_docs(ray_session):
     grams = set(got["gram"])
     assert "alpha beta" in grams and "beta gamma" in grams
     assert "beta beta" not in grams          # would need a cross-doc gram
+
+
+# ---------------------------------------------------------------------
+# TF-IDF keyword extraction
+
+def _tfidf_norm(res) -> pd.DataFrame:
+    df = res.to_pandas() if hasattr(res, "to_pandas") else res
+    return (df.sort_values(["doc_id", "rnk"]).reset_index(drop=True)
+            [["doc_id", "rnk", "term", "tf", "df"]])
+
+
+def test_tfidf_topk_matches_spec(ray_session, docs):
+    import ray.data
+
+    ds = ray.data.from_pandas(
+        docs[["doc_id", "text"]].head(200)).repartition(8)
+    got = _tfidf_norm(tx.tfidf_topk(ds, k=5))
+    want = pd.DataFrame(tx.tfidf_oracle(
+        docs["doc_id"].head(200).tolist(),
+        docs["text"].head(200).tolist(), k=5))
+    pd.testing.assert_frame_equal(got, _tfidf_norm(want))
+    # distributed final (postings hash-partitioned on term — nothing
+    # vocabulary-sized on the driver) must emit identical rows
+    got2 = _tfidf_norm(tx.tfidf_topk(ds, k=5, driver_threshold=1,
+                                     nparts=8))
+    pd.testing.assert_frame_equal(got2, got)
+
+
+def test_tfidf_rank_boundaries(ray_session):
+    import ray.data
+
+    # df == N class: every doc contains 'same' -> idf exactly 0.0;
+    # rank falls through to tf desc then term asc; k cuts mid-tie
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["same same rare aa bb cc",
+                                "same solo",
+                                "same"]})
+    got = _tfidf_norm(tx.tfidf_topk(ray.data.from_pandas(df), k=3))
+    want = pd.DataFrame(tx.tfidf_oracle([1, 2, 3], df["text"].tolist(),
+                                        k=3))
+    pd.testing.assert_frame_equal(got, _tfidf_norm(want))
+    d1 = got[got["doc_id"] == 1]
+    # idf==0 'same' (score 0.0) loses to every df=1 term despite tf=2;
+    # the four equal-score df=1 terms cut at k by term asc
+    assert d1["term"].tolist() == ["aa", "bb", "cc"]
+    assert got[got["doc_id"] == 3]["term"].tolist() == ["same"]
