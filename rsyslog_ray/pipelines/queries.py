@@ -1737,6 +1737,25 @@ def q_tfidf_topk(sf_dir):
     return tfidf_topk(ds, k=5)
 
 
+def q_cross_decontaminate(sf_dir):
+    """Cross-corpus decontamination at document grain: flag every
+    training doc whose distinct-word-set Jaccard vs ANY benchmark doc
+    reaches 4/5 (exact integer threshold — inter*5 >= 4*union, no
+    floats anywhere).  The benchmark side (doc_id < 50 — a fixed
+    small suite at every sf, the real-world shape) broadcasts once as
+    a CSR inverted index; the train side streams with zero shuffles.
+    Full DuckDB oracle in SQL_TAIL; engine == pure-Python spec
+    (cross_jaccard_oracle) pinned in pytest with planted near-copies."""
+    from ..stages.dedup import cross_jaccard_matches
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text"],
+                 parallel=16)
+    ev = docs.filter(expr="doc_id < 50").to_pandas()
+    train = docs.filter(expr="doc_id >= 50")
+    return cross_jaccard_matches(train, ev["doc_id"].tolist(),
+                                 ev["text"].tolist(), t_num=4, t_den=5)
+
+
 def q_table_profile(sf_dir):
     """ANALYZE/SUMMARIZE-style column statistics over events (count,
     nulls, exact ndv, typed min/max rendered as DuckDB VARCHAR).  Two
@@ -2000,6 +2019,33 @@ SQL_TAIL: dict[str, str] = {
         )
         SELECT token, CAST(count(*) AS BIGINT) AS cnt
         FROM words GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    # q_cross_decontaminate: integer-exact Jaccard threshold
+    # (inter*5 >= 4*union, inter >= 1); eval = doc_id < 50.
+    "cross_decontaminate": """
+        WITH w AS (
+          SELECT doc_id, list_distinct(list_filter(string_split(
+                     regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+                     ' '), x -> x <> '')) AS w
+          FROM documents
+        ), t AS (SELECT doc_id, unnest(w) AS term FROM w
+                 WHERE doc_id >= 50),
+           e AS (SELECT doc_id, unnest(w) AS term FROM w
+                 WHERE doc_id < 50),
+           i AS (SELECT t.doc_id tid, e.doc_id eid,
+                        CAST(count(*) AS BIGINT) i
+                 FROM t JOIN e USING (term) GROUP BY 1, 2),
+           s AS (SELECT doc_id, CAST(len(w) AS BIGINT) n FROM w),
+           m AS (SELECT tid, CAST(count(*) AS BIGINT) AS n_matches
+                 FROM i JOIN s st ON st.doc_id = i.tid
+                        JOIN s se ON se.doc_id = i.eid
+                 WHERE 5 * i >= 4 * (st.n + se.n - i) GROUP BY tid)
+        SELECT w.doc_id, s.n AS n_terms,
+               coalesce(m.n_matches, 0) AS n_matches,
+               CAST(m.tid IS NULL AS BIGINT) AS kept
+        FROM w JOIN s USING (doc_id)
+        LEFT JOIN m ON m.tid = w.doc_id
+        WHERE w.doc_id >= 50 ORDER BY w.doc_id
     """,
     # q_tfidf_topk: same normalization as ngram_topk/heavy_hitters;
     # idf = ln(N/df) with N = total documents rows; rank tie-break
@@ -2990,4 +3036,5 @@ QUERIES = {
     "table_profile": q_table_profile,
     "heavy_hitters": q_heavy_hitters,
     "tfidf_topk": q_tfidf_topk,
+    "cross_decontaminate": q_cross_decontaminate,
 }

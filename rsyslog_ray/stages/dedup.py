@@ -1083,3 +1083,133 @@ def connected_components_oracle(pairs: list[tuple]) -> dict:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     return {n: find(n) for ab in pairs for n in ab}
+
+
+# ---------------------------------------------------------------------
+# Cross-corpus Jaccard decontamination — flag every training document
+# whose word-SET Jaccard against ANY benchmark/eval document reaches a
+# threshold.  The document-level companion to the 13-gram membership
+# decontaminate (stages/text.py): n-gram membership catches verbatim
+# spans, set-Jaccard catches paraphrase-level near-copies of whole
+# benchmark items.  Normalization contract (mirrored by the
+# q:cross_decontaminate DuckDB oracle): lower, [^a-z0-9]+ -> space,
+# split, DISTINCT words.
+#
+# Thresholding is EXACT integer arithmetic — match iff
+# inter * t_den >= t_num * union (and inter >= 1) — so the oracle
+# never touches floats.  The eval side is broadcast once (ray.put of a
+# CSR inverted index term -> eval postings); the partitioning
+# assumption, stated: the BENCHMARK side fits one broadcast object
+# (true for real benchmark suites — thousands of items — while the
+# train side streams at any scale, zero shuffles).
+# ---------------------------------------------------------------------
+
+_XJ_SPLIT = r"[^a-z0-9]+"
+
+
+def _distinct_words_row(text: str) -> set:
+    import re as _re
+
+    return {w for w in _re.sub(_XJ_SPLIT, " ", text.lower()).split() if w}
+
+
+def build_eval_word_index(eval_texts) -> tuple:
+    """CSR inverted index over the eval side: (sorted unique terms,
+    postings offsets, postings eval-positions, eval set sizes)."""
+    terms_all: list = []
+    epos_all: list = []
+    sizes = np.empty(len(eval_texts), dtype=np.int64)
+    for j, t in enumerate(eval_texts):
+        ws = sorted(_distinct_words_row(t))
+        sizes[j] = len(ws)
+        terms_all.extend(ws)
+        epos_all.extend([j] * len(ws))
+    ta = np.asarray(terms_all, dtype=object)
+    ea = np.asarray(epos_all, dtype=np.int64)
+    order = np.argsort(ta, kind="stable")
+    ta, ea = ta[order], ea[order]
+    uniq, starts = np.unique(ta, return_index=True) if len(ta) else (
+        np.asarray([], dtype=object), np.asarray([], dtype=np.int64))
+    offsets = np.append(starts, len(ta)).astype(np.int64)
+    return uniq, offsets, ea, sizes
+
+
+def cross_jaccard_matches(ds, eval_ids, eval_texts, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          t_num: int = 4, t_den: int = 5):
+    """Per train doc: how many eval docs it near-duplicates (word-set
+    Jaccard >= t_num/t_den) and the keep flag.  One embarrassingly
+    parallel pass; output (doc_id, n_terms, n_matches, kept)."""
+    import ray
+
+    idx = build_eval_word_index(list(eval_texts))
+    n_eval = len(list(eval_ids))
+    ref = ray.put(idx)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        vocab, off, postings, esize = ray.get(ref)
+        toks = (df[text_col].str.lower()
+                .str.replace(_XJ_SPLIT, " ", regex=True).str.split())
+        ex = toks.explode().dropna()
+        ex = ex[ex != ""]
+        nrows = len(df)
+        if len(ex):
+            pairs = pd.DataFrame({"r": ex.index.to_numpy(),
+                                  "t": ex.to_numpy(object)}
+                                 ).drop_duplicates()
+            rows = pairs["r"].to_numpy(np.int64)
+            terms = pairs["t"].to_numpy(object)
+        else:
+            rows = np.empty(0, np.int64)
+            terms = np.empty(0, object)
+        tsize = np.bincount(rows, minlength=nrows).astype(np.int64)
+        n_matches = np.zeros(nrows, dtype=np.int64)
+        if len(terms) and len(vocab):
+            vpos = np.searchsorted(vocab, terms)
+            vpos_c = np.clip(vpos, 0, len(vocab) - 1)
+            hit = vocab[vpos_c] == terms
+            rows_h, vpos_h = rows[hit], vpos_c[hit]
+            cnt = off[vpos_h + 1] - off[vpos_h]
+            total = int(cnt.sum())
+            if total:
+                # expand each hit term's posting slice (eval is small,
+                # so the flat expansion stays tiny per batch)
+                csum = np.cumsum(cnt)
+                flat = (np.arange(total, dtype=np.int64)
+                        - np.repeat(csum - cnt, cnt)
+                        + np.repeat(off[vpos_h], cnt))
+                r_exp = np.repeat(rows_h, cnt)
+                e_exp = postings[flat]
+                key = r_exp * n_eval + e_exp
+                u, inter = np.unique(key, return_counts=True)
+                ur, ue = u // n_eval, u % n_eval
+                union = tsize[ur] + esize[ue] - inter
+                m = inter * t_den >= t_num * union
+                n_matches = np.bincount(ur[m], minlength=nrows
+                                        ).astype(np.int64)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy("int64"),
+            "n_terms": tsize,
+            "n_matches": n_matches,
+            "kept": (n_matches == 0).astype("int64")})
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
+def cross_jaccard_oracle(train, evals, t_num: int = 4,
+                         t_den: int = 5) -> list[dict]:
+    """Pure-Python spec oracle: train/evals are (id, text) pairs."""
+    esets = [(j, _distinct_words_row(t)) for j, t in evals]
+    rows = []
+    for i, t in train:
+        ws = _distinct_words_row(t)
+        m = 0
+        for _, es in esets:
+            inter = len(ws & es)
+            union = len(ws | es)
+            if inter >= 1 and inter * t_den >= t_num * union:
+                m += 1
+        rows.append({"doc_id": i, "n_terms": len(ws), "n_matches": m,
+                     "kept": int(m == 0)})
+    return rows

@@ -907,3 +907,45 @@ def test_knn_ivfpq_clustered_recall(ray_session):
     for qid, base in zip(qids, [0, 100, 500]):
         rows = out1[out1["qid"] == qid]
         assert all(base <= i < base + 100 for i in rows["id"]), rows
+
+
+# ---------------------------------------------------------------------
+# Cross-corpus Jaccard decontamination
+
+def test_cross_jaccard_matches_spec(ray_session):
+    import ray.data
+
+    from rsyslog_ray.stages.dedup import (cross_jaccard_matches,
+                                          cross_jaccard_oracle)
+
+    evals = [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "machine learning benchmarks measure model quality"),
+             (3, "")]
+    train = [
+        (100, "the quick brown fox jumps over the lazy dog"),  # exact
+        (101, "quick brown fox jumps over the lazy dog"),      # near
+        (102, "machine learning, benchmarks measure MODEL quality!"),
+        (103, "a completely unrelated sentence about parquet files"),
+        (104, ""),                                             # empty
+        (105, "fox dog"),                                      # low J
+    ] + [(200 + i, f"filler doc number {i} words vary {i * 7}")
+         for i in range(40)]
+    df = pd.DataFrame({"doc_id": [i for i, _ in train],
+                       "text": [t for _, t in train]})
+    ds = ray.data.from_pandas(df).repartition(6)
+    got = (cross_jaccard_matches(
+        ds, [i for i, _ in evals], [t for _, t in evals],
+        t_num=4, t_den=5).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True))
+    want = pd.DataFrame(cross_jaccard_oracle(
+        train, evals, t_num=4, t_den=5)).sort_values("doc_id"
+                                                     ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    by = got.set_index("doc_id")
+    assert by.loc[100, "n_matches"] == 1 and by.loc[100, "kept"] == 0
+    assert by.loc[101, "kept"] == 0          # 8/9 words shared
+    assert by.loc[103, "kept"] == 1
+    # empty train doc never matches anything (inter >= 1 required),
+    # including the empty eval doc
+    assert by.loc[104, "n_matches"] == 0 and by.loc[104, "kept"] == 1
+    assert by.loc[105, "kept"] == 1          # jaccard 2/9 below 4/5
