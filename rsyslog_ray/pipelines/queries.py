@@ -1756,6 +1756,22 @@ def q_cross_decontaminate(sf_dir):
                                  ev["text"].tolist(), t_num=4, t_den=5)
 
 
+def q_filter_cascade(sf_dir):
+    """FineWeb-style fused quality-filter cascade with per-rule
+    attrition accounting: an ORDERED rule chain (word-count bounds,
+    integer cross-multiplied mean-word-length band, stopword presence,
+    C4 brace / lorem-ipsum gates) where the FIRST failing rule
+    attributes the drop.  Output is the funnel — one row per rule with
+    (stage, rule, n_in, n_dropped, n_out).  One streaming pass, one
+    7-bin histogram row per batch, O(n_batches) driver reduce.  Every
+    rule is integer-exact; full DuckDB oracle in SQL_TAIL; engine ==
+    pure-Python spec (cascade_oracle) pinned in pytest."""
+    from ..stages.text import filter_cascade
+
+    ds = _read(sf_dir, "documents", columns=["text"], parallel=16)
+    return filter_cascade(ds)
+
+
 def q_table_profile(sf_dir):
     """ANALYZE/SUMMARIZE-style column statistics over events (count,
     nulls, exact ndv, typed min/max rendered as DuckDB VARCHAR).  Two
@@ -2019,6 +2035,48 @@ SQL_TAIL: dict[str, str] = {
         )
         SELECT token, CAST(count(*) AS BIGINT) AS cnt
         FROM words GROUP BY token ORDER BY cnt DESC, token LIMIT 20
+    """,
+    # q_filter_cascade: first-fail attribution over the ordered rule
+    # chain; every rule integer-exact (no float thresholds).
+    "filter_cascade": """
+        WITH b AS (
+          SELECT len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '')) AS nw,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS nc,
+                 (CAST(regexp_matches(text, '\\bthe\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bbe\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bto\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bof\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\band\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bthat\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bhave\\b', 'i') AS INT)
+                  + CAST(regexp_matches(text, '\\bwith\\b', 'i') AS INT))
+                     AS sh,
+                 contains(text, '{') AS braces,
+                 contains(lower(text), 'lorem ipsum') AS lorem
+          FROM documents
+        ), ff AS (
+          SELECT CASE WHEN nw < 30 THEN 1 WHEN nw > 90 THEN 2
+                      WHEN 2 * nc < 9 * nw OR nc > 5 * nw THEN 3
+                      WHEN sh < 1 THEN 4 WHEN braces THEN 5
+                      WHEN lorem THEN 6 ELSE 0 END AS f
+          FROM b
+        ), d AS (SELECT f, CAST(count(*) AS BIGINT) c FROM ff GROUP BY f),
+           tot AS (SELECT CAST(count(*) AS BIGINT) n FROM ff),
+           st AS (SELECT * FROM (VALUES (1, 'min_words'),
+                  (2, 'max_words'), (3, 'mean_wlen'), (4, 'stopwords'),
+                  (5, 'braces'), (6, 'lorem')) v(stage, rule)),
+           j AS (SELECT st.stage, st.rule, coalesce(d.c, 0) AS dropped
+                 FROM st LEFT JOIN d ON d.f = st.stage)
+        SELECT CAST(stage AS BIGINT) AS stage, rule,
+               CAST(tot.n - coalesce(sum(dropped) OVER (ORDER BY stage
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) AS BIGINT) AS n_in,
+               CAST(dropped AS BIGINT) AS n_dropped,
+               CAST(tot.n - coalesce(sum(dropped) OVER (ORDER BY stage
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   0) - dropped AS BIGINT) AS n_out
+        FROM j, tot ORDER BY stage
     """,
     # q_cross_decontaminate: integer-exact Jaccard threshold
     # (inter*5 >= 4*union, inter >= 1); eval = doc_id < 50.
@@ -3037,4 +3095,5 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "tfidf_topk": q_tfidf_topk,
     "cross_decontaminate": q_cross_decontaminate,
+    "filter_cascade": q_filter_cascade,
 }

@@ -1283,3 +1283,110 @@ def tfidf_oracle(ids: list, texts: list, k: int = 5) -> list[dict]:
             rows.append({"doc_id": i, "rnk": r, "term": t, "tf": tf,
                          "df": dfc[t]})
     return rows
+
+
+# ---------------------------------------------------------------------
+# Fused filter cascade with per-rule attrition funnel — the
+# FineWeb-style "why was each doc dropped" accounting over an ORDERED
+# rule chain (first failing rule attributes the drop).  Production
+# curation runs live and die by this funnel; it is the batch analog of
+# rsyslog's per-action discarded/processed counters
+# (runtime/statsobj.c).  Every rule is INTEGER-exact (word-count
+# bounds, cross-multiplied mean-word-length band, stopword presence
+# hits, substring gates) so the q:filter_cascade DuckDB oracle never
+# compares floats.  One streaming pass: each batch emits a single
+# 7-bin first-fail histogram row (the combiner), the driver reduces
+# O(n_batches) tiny rows (CLAUDE.md invariant 3).
+# ---------------------------------------------------------------------
+
+FILTER_CASCADE_RULES = ("min_words", "max_words", "mean_wlen",
+                        "stopwords", "braces", "lorem")
+
+
+def cascade_first_fail(texts: pd.Series, *, min_words: int = 30,
+                       max_words: int = 90) -> np.ndarray:
+    """0 = passes every rule, else the 1-based index of the FIRST
+    failing rule in FILTER_CASCADE_RULES.  mean-word-length band is
+    [4.5, 5.0] tested as 2*n_chars >= 9*n_words AND n_chars <=
+    5*n_words — exact integer arithmetic, no division."""
+    n_words = texts.str.split().str.len().fillna(0).astype("int64")
+    n_chars = (texts.str.replace(r"\s", "", regex=True).str.len()
+               .fillna(0).astype("int64")).to_numpy()
+    nw = n_words.to_numpy()
+    stop_hits = sum(
+        texts.str.contains(rf"\b{w}\b", case=False, regex=True)
+        .astype("int64") for w in GOPHER_STOPWORDS).to_numpy()
+    braces = texts.str.contains("{", regex=False).to_numpy()
+    lorem = texts.str.lower().str.contains("lorem ipsum",
+                                           regex=False).to_numpy()
+    return np.select(
+        [nw < min_words,
+         nw > max_words,
+         (2 * n_chars < 9 * nw) | (n_chars > 5 * nw),
+         stop_hits < 1,
+         braces,
+         lorem],
+        [1, 2, 3, 4, 5, 6], default=0).astype(np.int64)
+
+
+def filter_cascade(ds, *, text_col: str = "text", min_words: int = 30,
+                   max_words: int = 90) -> pd.DataFrame:
+    """Attrition funnel over the ordered rule chain: one row per rule
+    with (stage, rule, n_in, n_dropped, n_out); the last row's n_out
+    is the survivor count.  Single pass, one histogram row per batch,
+    O(n_batches × 7) driver reduce — streams at any corpus size."""
+    nr = len(FILTER_CASCADE_RULES)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ff = cascade_first_fail(df[text_col], min_words=min_words,
+                                max_words=max_words)
+        h = np.bincount(ff, minlength=nr + 1)
+        return pd.DataFrame([{f"f{i}": int(h[i]) for i in range(nr + 1)}])
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas().sum(axis=0))
+    total = int(parts.sum())
+    rows = []
+    n_in = total
+    for i, rule in enumerate(FILTER_CASCADE_RULES, start=1):
+        dropped = int(parts[f"f{i}"])
+        rows.append({"stage": i, "rule": rule, "n_in": n_in,
+                     "n_dropped": dropped, "n_out": n_in - dropped})
+        n_in -= dropped
+    return pd.DataFrame(rows).astype({"stage": "int64", "n_in": "int64",
+                                      "n_dropped": "int64",
+                                      "n_out": "int64"})
+
+
+def cascade_oracle(texts: list, *, min_words: int = 30,
+                   max_words: int = 90) -> list[dict]:
+    """Pure-Python spec oracle (ground truth for pytest)."""
+    import re as _re
+
+    drops = [0] * (len(FILTER_CASCADE_RULES) + 1)
+    for t in texts:
+        nw = len(t.split())
+        nc = len(_re.sub(r"\s", "", t))
+        sh = sum(bool(_re.search(rf"\b{w}\b", t, _re.I))
+                 for w in GOPHER_STOPWORDS)
+        if nw < min_words:
+            f = 1
+        elif nw > max_words:
+            f = 2
+        elif 2 * nc < 9 * nw or nc > 5 * nw:
+            f = 3
+        elif sh < 1:
+            f = 4
+        elif "{" in t:
+            f = 5
+        elif "lorem ipsum" in t.lower():
+            f = 6
+        else:
+            f = 0
+        drops[f] += 1
+    rows, n_in = [], len(texts)
+    for i, rule in enumerate(FILTER_CASCADE_RULES, start=1):
+        rows.append({"stage": i, "rule": rule, "n_in": n_in,
+                     "n_dropped": drops[i], "n_out": n_in - drops[i]})
+        n_in -= drops[i]
+    return rows

@@ -386,3 +386,44 @@ def test_tfidf_rank_boundaries(ray_session):
     # the four equal-score df=1 terms cut at k by term asc
     assert d1["term"].tolist() == ["aa", "bb", "cc"]
     assert got[got["doc_id"] == 3]["term"].tolist() == ["same"]
+
+
+# ---------------------------------------------------------------------
+# Filter cascade (first-fail attrition funnel)
+
+def test_filter_cascade_matches_spec(ray_session, docs):
+    import ray.data
+
+    ds = ray.data.from_pandas(docs[["text"]]).repartition(8)
+    got = tx.filter_cascade(ds)
+    want = pd.DataFrame(tx.cascade_oracle(docs["text"].tolist()))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_filter_cascade_first_fail_attribution(ray_session):
+    import ray.data
+
+    w30 = " ".join(["word"] * 40)          # 40 words, mean len 4 ok?
+    # 'word' -> mean_wlen = 4.0 < 4.5 band -> rule 3; build a passing
+    # base: words of length 5 ('tokka') -> mean 5.0, add 'the'
+    base = " ".join(["tokka"] * 39) + " the"
+    texts = [
+        "tiny doc",                         # rule 1 (min_words)
+        " ".join(["tokka"] * 200),          # rule 2 (max_words)
+        w30,                                # rule 3 (mean_wlen 4.0)
+        " ".join(["tokka"] * 40),           # rule 4 (no stopwords)
+        base + " {",                        # brace... but adds a word
+        base.replace("tokka", "tokka", 1) + " lorem ipsum",
+        base,                               # passes all
+        "a {",                              # fails 1 AND 5 -> counts in 1
+    ]
+    got = tx.filter_cascade(ray.data.from_pandas(
+        pd.DataFrame({"text": texts})))
+    want = pd.DataFrame(tx.cascade_oracle(texts))
+    pd.testing.assert_frame_equal(got, want)
+    by = got.set_index("rule")
+    assert by.loc["min_words", "n_dropped"] == 2   # incl. the 'a {' doc
+    assert by.loc["max_words", "n_dropped"] == 1
+    assert by.loc["mean_wlen", "n_dropped"] == 1
+    assert by.loc["stopwords", "n_dropped"] == 1
+    assert got.iloc[-1]["n_out"] + got["n_dropped"].sum() == len(texts)
