@@ -1869,6 +1869,56 @@ def q_knn_pq(sf_dir):
                   m=4, ksub=16)
 
 
+def q_exact_quantiles(sf_dir):
+    """EXACT global quantiles of events.value by distributed selection
+    (iterative histogram refinement, stages/sketch.exact_quantiles):
+    3-4 streaming passes each shipping O(batches × targets × bins)
+    small ints, one final collect capped per target — never a sort,
+    never the column on the driver.  Integer rank rule
+    r = (pct·n + 99)//100 mirrored by the DuckDB oracle in SQL_TAIL;
+    the returned value is an actual column element, so engine and
+    oracle agree bit-for-bit (no float-hash flake)."""
+    from ..stages.sketch import exact_quantiles
+
+    ds = _read(sf_dir, "events", columns=["value"], parallel=16)
+    return exact_quantiles(ds, "value", [25, 50, 75, 90, 99])
+
+
+def q_cms_counts(sf_dir):
+    """Count-Min point queries over the corpus word stream
+    (stages/sketch.CountMin): one streaming pass, one depth×width
+    int64 blob per batch, driver reduce O(batches) adds — the
+    mergeable-frequency answer for UNBOUNDED key spaces where
+    dynstats would refuse past maxCardinality
+    (runtime/dynstats.c:43-45).  Probes are a fixed deterministic
+    token list; rows-only driver check — pytest pins the
+    est ≥ exact / est ≤ exact + εN guarantees and the merged sketch
+    == one-shot sketch identity."""
+    from ..stages.sketch import cms_word_counts
+
+    probes = ["the", "a", "of", "data", "lorem", "zzz_absent_token"]
+    ds = _read(sf_dir, "documents", columns=["text"], parallel=16)
+    return cms_word_counts(ds, "text", probes)
+
+
+def q_knn_sq(sf_dir):
+    """Scalar-quantized (SQ8) ANN: per-dimension affine uint8 codes
+    from a bounded broadcast sample, per-batch matmul scoring
+    cos ≈ q·lo + codes@(q∘step), local top-k, exact driver reduce —
+    4× smaller than float32 with near-exact recall.  Rows-only driver
+    check; encode/score spec + recall-vs-bruteforce pinned in
+    pytest."""
+    import pyarrow.parquet as pq
+
+    from ..stages.similarity import knn_sq
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5).to_pandas()
+    queries = np.stack(head["embedding"].to_numpy())
+    qids = head["vec_id"].tolist()
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return knn_sq(ds, "embedding", "vec_id", queries, qids, k=5)
+
+
 def q_knn_ivf(sf_dir):
     """IVF ANN variant: k-means coarse quantizer (fit on a driver-side
     sample, centroids broadcast) + probed-cluster search.  Rows-only
@@ -1990,6 +2040,22 @@ def q_runs_compress(sf_dir):
 # these too, so tail entries with SQL-expressible semantics still get
 # the full rows+schema+hash comparison locally.
 SQL_TAIL: dict[str, str] = {
+    # q_exact_quantiles: same integer rank rule r = (pct*n + 99)//100,
+    # 1-indexed over the sorted non-null values; the engine's
+    # histogram-refinement selection returns the identical element.
+    "exact_quantiles": """
+        WITH s AS (
+          SELECT value AS v,
+                 row_number() OVER (ORDER BY value) AS rn
+          FROM events WHERE value IS NOT NULL
+        ),
+        n AS (SELECT count(*) AS c FROM s),
+        qs(q_pct) AS (VALUES (25), (50), (75), (90), (99))
+        SELECT CAST(qs.q_pct AS BIGINT) AS q_pct, s.v AS value
+        FROM qs, n
+        JOIN s ON s.rn = GREATEST(1, (qs.q_pct * n.c + 99) // 100)
+        ORDER BY q_pct
+    """,
     # q_table_profile: per-column count / nulls / exact ndv / min / max,
     # min_s/max_s rendered exactly as DuckDB CAST(x AS VARCHAR) (the
     # engine renders AFTER a typed reduce — stages/profile.py).
@@ -3096,4 +3162,7 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "cross_decontaminate": q_cross_decontaminate,
     "filter_cascade": q_filter_cascade,
+    "exact_quantiles": q_exact_quantiles,
+    "cms_counts": q_cms_counts,
+    "knn_sq": q_knn_sq,
 }

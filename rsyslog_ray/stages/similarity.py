@@ -654,3 +654,80 @@ def knn_ivfpq(ds, vec_col: str, id_col: str, queries: np.ndarray,
     top = partials.groupby("qid", as_index=False).head(k).copy()
     top["rank"] = top.groupby("qid").cumcount() + 1
     return top[["qid", "id", "rank"]].reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------
+# Scalar quantization (SQ8) — the third classic ANN compression next
+# to PQ and IVF-PQ above: per-dimension affine uint8 codes
+# (v_i ≈ lo_i + step_i·c_i), 4× smaller than float32 with near-exact
+# recall at web-embedding dimensionality.  Scoring stays one matmul:
+#   cos(q, v) ≈ q·lo + (q∘step)·codes
+# so a batch scores as codes_f32 @ (q∘step) + const — no gather
+# tables, no codebooks, and the train state is just two dim-length
+# vectors broadcast once.
+# ---------------------------------------------------------------------
+
+def sq_train(vecs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """-> (lo, step) per-dimension affine params from NORMALIZED
+    sample vectors; constant dimensions get step=0 (codes 0, decoded
+    exactly to lo)."""
+    v = _normalize(np.asarray(vecs, dtype=np.float64))
+    lo = v.min(axis=0)
+    rng = v.max(axis=0) - lo
+    step = rng / 255.0
+    return lo, step
+
+
+def sq_encode(vecs: np.ndarray, lo: np.ndarray, step: np.ndarray
+              ) -> np.ndarray:
+    """-> (n, dim) uint8 codes: round((v - lo)/step), clipped — values
+    outside the training extent saturate at 0/255."""
+    v = _normalize(np.asarray(vecs, dtype=np.float64))
+    safe = np.where(step > 0, step, 1.0)
+    c = np.rint((v - lo) / safe)
+    np.clip(c, 0, 255, out=c)
+    return c.astype(np.uint8)
+
+
+def sq_scores(codes: np.ndarray, lo: np.ndarray, step: np.ndarray,
+              query: np.ndarray) -> np.ndarray:
+    """Approx cosine of every code row vs one normalized query:
+    q·lo + codes @ (q∘step)."""
+    q = np.asarray(query, dtype=np.float64)
+    return float(q @ lo) + codes.astype(np.float64) @ (q * step)
+
+
+def knn_sq(ds, vec_col: str, id_col: str, queries: np.ndarray,
+           query_ids: list, k: int = 5, sample_size: int = 1024):
+    """SQ8 top-k: affine params from a bounded head sample (broadcast
+    once via ray.put), per-batch encode + matmul scoring with local
+    top-k, exact driver reduce of O(batches × queries × k) partials —
+    knn_bruteforce's shape with 1-byte dims in place of floats."""
+    import ray
+
+    sample = np.stack(ds.limit(sample_size).to_pandas()[vec_col]
+                      .to_numpy())
+    lo, step = sq_train(sample)
+    qm = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put((lo, step, qm))
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        lo_, step_, qm_ = ray.get(ref)
+        ids = df[id_col].to_numpy()
+        codes = sq_encode(np.stack(df[vec_col].to_numpy()), lo_, step_)
+        out = {"qid": [], "id": [], "sim": []}
+        kk = min(k, len(ids))
+        for j in range(len(qm_)):
+            sim = sq_scores(codes, lo_, step_, qm_[j])
+            part = _topk_ties(sim, ids, kk)
+            out["qid"].extend([query_ids[j]] * len(part))
+            out["id"].extend(ids[part])
+            out["sim"].extend(sim[part])
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(local, batch_format="pandas").to_pandas()
+    partials = partials.sort_values(["qid", "sim", "id"],
+                                    ascending=[True, False, True])
+    top = partials.groupby("qid", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("qid").cumcount() + 1
+    return top[["qid", "id", "rank"]].reset_index(drop=True)
