@@ -1919,6 +1919,75 @@ def q_knn_sq(sf_dir):
     return knn_sq(ds, "embedding", "vec_id", queries, qids, k=5)
 
 
+def q_semi_join(sf_dir):
+    """Distributed semi join (SQL EXISTS, stages/join.semi_join):
+    customers with at least one finished ('F') order.  The right side
+    collapses to per-batch distinct keys BEFORE the one shuffle, so the
+    exchange moves left rows + right distinct keys only — order payload
+    columns never travel.  DuckDB EXISTS oracle in SQL_TAIL."""
+    from ..stages.join import semi_join
+
+    left = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def f_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.loc[df["o_orderstatus"] == "F", ["o_custkey"]]
+                .rename(columns={"o_custkey": "c_custkey"}))
+
+    right = (_read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderstatus"])
+             .map_batches(f_orders, batch_format="pandas"))
+    out = semi_join(left, right, "c_custkey").to_pandas()
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_anti_join(sf_dir):
+    """Distributed anti join (SQL NOT EXISTS, stages/join.anti_join):
+    customers with no pending ('P') order — the TPC-H Q22 shape and
+    the dedup anti-join primitive as a first-class relational
+    operator.  Same distinct-keys-only exchange as q_semi_join; DuckDB
+    NOT EXISTS oracle in SQL_TAIL."""
+    from ..stages.join import anti_join
+
+    left = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def pending(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.loc[df["o_orderstatus"] == "P", ["o_custkey"]]
+                .rename(columns={"o_custkey": "c_custkey"}))
+
+    right = (_read(sf_dir, "orders",
+                   columns=["o_custkey", "o_orderstatus"])
+             .map_batches(pending, batch_format="pandas"))
+    out = anti_join(left, right, "c_custkey").to_pandas()
+    # an all-buckets-empty Dataset loses its column schema in to_pandas
+    if not len(out.columns):
+        out = pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                            "c_mktsegment": pd.Series([], dtype=object)})
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_rollup_counts(sf_dir):
+    """GROUP BY ROLLUP (stages/aggregate.rollup_agg): lineitem counts +
+    quantity cents by (returnflag, linestatus) plus both subtotal
+    levels and the grand total, rolled-up keys as SQL NULL.  One
+    distributed combiner pass; coarser levels derive from the finest
+    GROUPS on the driver (additivity), never from the rows.  Cents are
+    integer per row before any sum, so every level is order-exact
+    against the DuckDB ROLLUP oracle in SQL_TAIL."""
+    from ..stages.aggregate import rollup_agg
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["q_c"] = np.floor(df["l_quantity"].to_numpy(np.float64) * 100
+                             + 0.5).astype("int64")
+        return df[["l_returnflag", "l_linestatus", "q_c"]]
+
+    ds = (_read(sf_dir, "lineitem",
+                columns=["l_returnflag", "l_linestatus", "l_quantity"])
+          .map_batches(cents, batch_format="pandas"))
+    return rollup_agg(ds, ["l_returnflag", "l_linestatus"],
+                      sums={"q_c": "sum_qty_c"})
+
+
 def q_knn_ivf(sf_dir):
     """IVF ANN variant: k-means coarse quantizer (fit on a driver-side
     sample, centroids broadcast) + probed-cluster search.  Rows-only
@@ -2055,6 +2124,34 @@ SQL_TAIL: dict[str, str] = {
         FROM qs, n
         JOIN s ON s.rn = GREATEST(1, (qs.q_pct * n.c + 99) // 100)
         ORDER BY q_pct
+    """,
+    # q_semi_join / q_anti_join: SQL EXISTS / NOT EXISTS equality
+    # semantics (left null keys match nothing).
+    "semi_join": """
+        SELECT c_custkey, c_name FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey
+    """,
+    "anti_join": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'P')
+        ORDER BY c_custkey
+    """,
+    # q_rollup_counts: integer cents per ROW before any sum, so every
+    # rollup level is order-exact; count/sum cast to BIGINT
+    # (invariant 6: DuckDB sum() is HUGEINT).
+    "rollup_counts": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_qty_c
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
     """,
     # q_table_profile: per-column count / nulls / exact ndv / min / max,
     # min_s/max_s rendered exactly as DuckDB CAST(x AS VARCHAR) (the
@@ -3165,4 +3262,7 @@ QUERIES = {
     "exact_quantiles": q_exact_quantiles,
     "cms_counts": q_cms_counts,
     "knn_sq": q_knn_sq,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "rollup_counts": q_rollup_counts,
 }

@@ -210,3 +210,37 @@ def hopping_window_count(ds, ts_col: str, window_s: float, hop_s: float,
 
     return (partials.groupby(["window_start"] + keys)
             .aggregate(Sum(cnt, alias_name=cnt)))
+
+
+def rollup_agg(ds, keys: list[str], *, sums: dict[str, str] | None = None,
+               cnt: str = "cnt") -> pd.DataFrame:
+    """``GROUP BY ROLLUP(keys)``: the finest level plus every prefix
+    subtotal plus the grand total, rolled-up key columns set to None
+    (SQL NULL).
+
+    Scale shape: ONE distributed pass — the finest level comes from
+    :func:`two_phase_agg`'s per-batch combiner partials; every coarser
+    level is then derived from the finest GROUPS (not the rows) on the
+    driver, O(finest-group-count) work.  Additive aggregates only
+    (count/sum) — that additivity is exactly what makes the driver
+    derivation correct.  Pair integer-cents inputs (floor(x*100+0.5)
+    per row, CLAUDE.md invariant 6) with BIGINT-cast SQL oracles so the
+    roll-up sums are order-independent."""
+    sums = sums or {}
+    fine = two_phase_agg(ds, list(keys), count=cnt, sums=sums)
+    agg_cols = [cnt] + list(sums.values())
+    frames = [fine[list(keys) + agg_cols].copy()]
+    for lvl in range(len(keys) - 1, -1, -1):
+        sub = list(keys[:lvl])
+        if sub:
+            g = (fine.groupby(sub, dropna=False)[agg_cols].sum()
+                 .reset_index())
+        else:
+            g = fine[agg_cols].sum().to_frame().T
+        for kcol in keys[lvl:]:
+            g[kcol] = None
+        frames.append(g[list(keys) + agg_cols])
+    out = pd.concat(frames, ignore_index=True)
+    out[agg_cols] = out[agg_cols].astype("int64")
+    return out.sort_values(list(keys), na_position="last",
+                           kind="mergesort").reset_index(drop=True)

@@ -105,6 +105,53 @@ def hash_join(left, right, on: str, how: str = "inner",
     return both.groupby("__b").map_groups(merge_bucket, batch_format="pandas")
 
 
+def semi_join(left, right, on: str, *, anti: bool = False,
+              n_buckets: int = 32):
+    """Distributed semi join (SQL ``EXISTS``) / anti join (``NOT
+    EXISTS``) on one key column — the filter-joins the reference's
+    lookup_table covers only in broadcast form (runtime/lookup.c
+    resolves per message against a driver-loaded table; here BOTH
+    sides stream).
+
+    Scale shape: the right side is reduced to its per-batch DISTINCT
+    keys *before* the one shuffle (the combiner), so the exchange moves
+    left rows + right distinct keys — right payload columns never
+    travel.  Each hash bucket co-locates a left slice with exactly the
+    right keys that could match it; the filter is one vectorized
+    ``isin``.  A hot key costs one bucket entry, not one row per
+    occurrence.
+
+    Null semantics match SQL equality: right-side null keys are dropped
+    from the membership set, and a left null key matches nothing — so
+    ``anti=True`` KEEPS left rows with null keys, exactly like
+    ``NOT EXISTS (SELECT 1 ... WHERE r.k = l.k)``."""
+    l_schema = _schema_dict(left)
+    l_cols = list(l_schema)
+
+    def rkeys(df: pd.DataFrame) -> pd.DataFrame:
+        return df[[on]].dropna().drop_duplicates()
+
+    rk = right.map_batches(rkeys, batch_format="pandas")
+    missing = {k: v for k, v in l_schema.items() if k != on}
+    both = (_unify_tag(left, "l", on, n_buckets, {})
+            .union(_unify_tag(rk, "r", on, n_buckets, missing)))
+
+    def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        keys = g.loc[g["__side"] == "r", on].unique()
+        lg = g[g["__side"] == "l"]
+        m = lg[on].isin(keys)
+        return lg.loc[~m if anti else m, l_cols]
+
+    return both.groupby("__b").map_groups(filter_bucket,
+                                          batch_format="pandas")
+
+
+def anti_join(left, right, on: str, n_buckets: int = 32):
+    """Left rows whose key appears NOWHERE on the right (SQL ``NOT
+    EXISTS``) — see :func:`semi_join` for the scale shape."""
+    return semi_join(left, right, on, anti=True, n_buckets=n_buckets)
+
+
 def asof_join(left, right, key: str, ts: str, right_cols: list[str],
               n_buckets: int = 32, suffix: str = "_r"):
     """Backward as-of join per key: for each left row, the most recent
