@@ -1988,6 +1988,74 @@ def q_rollup_counts(sf_dir):
                       sums={"q_c": "sum_qty_c"})
 
 
+def q_window_funcs(sf_dir):
+    """SQL window functions over the event stream
+    (stages/aggregate.window_over_key): row_number(), lag(value) and a
+    running cents sum, PARTITION BY user_id ORDER BY (ts, event_id).
+    One hash shuffle co-locates each user's rows; everything inside a
+    bucket is shift/cumsum over one sort with key-change masking.
+    lag copies the raw double (bit-identical), the running sum is
+    integer cents per row before any addition — full DuckDB OVER()
+    oracle in SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["v_c"] = np.floor(df["value"].to_numpy(np.float64) * 100
+                             + 0.5).astype("int64")
+        return df
+
+    ds = (_read(sf_dir, "events",
+                columns=["event_id", "user_id", "ts", "value"])
+          .map_batches(cents, batch_format="pandas"))
+    out = window_over_key(ds, "user_id", ["ts", "event_id"], "value",
+                          run_value="v_c", run_col="run_sum_c"
+                          ).to_pandas()
+    return (out[["event_id", "user_id", "rn", "prev_value", "run_sum_c"]]
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def q_string_agg(sf_dir):
+    """SQL string_agg per group (stages/aggregate.group_concat):
+    customer names per nation, comma-joined in custkey order.  One
+    hash shuffle co-locates a key's rows; the driver collect is one
+    row per key.  DuckDB string_agg(... ORDER BY) oracle in
+    SQL_TAIL."""
+    from ..stages.aggregate import group_concat
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_name", "c_custkey"])
+    return group_concat(ds, "c_nationkey", "c_name", ["c_custkey"],
+                        sep=",", out="names")
+
+
+def q_pivot_counts(sf_dir):
+    """Pivoted counts: events per hour-of-day × event_type, one column
+    per type (the CASE-WHEN / FILTER pivot).  The distributed pass is
+    the plain (hr, type) two-phase combiner; the pivot itself runs on
+    the ≤ 24×|types| reduced rows — never on the stream.  DuckDB
+    count(*) FILTER oracle in SQL_TAIL."""
+    from ..stages.aggregate import two_phase_agg
+
+    types = ["click", "error", "purchase", "signup", "view"]
+
+    def hour(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"hr": df["ts"].dt.hour.astype("int64"),
+                             "event_type": df["event_type"]})
+
+    ds = (_read(sf_dir, "events", columns=["ts", "event_type"])
+          .map_batches(hour, batch_format="pandas"))
+    flat = two_phase_agg(ds, ["hr", "event_type"], count="cnt")
+    wide = (flat.pivot(index="hr", columns="event_type", values="cnt")
+            .fillna(0).astype("int64").reset_index())
+    wide.columns.name = None
+    for t in types:           # absent types still get a zero column
+        if t not in wide.columns:
+            wide[t] = np.int64(0)
+    return (wide[["hr"] + types].sort_values("hr")
+            .reset_index(drop=True))
+
+
 def q_knn_ivf(sf_dir):
     """IVF ANN variant: k-means coarse quantizer (fit on a driver-side
     sample, centroids broadcast) + probed-cluster search.  Rows-only
@@ -2152,6 +2220,42 @@ SQL_TAIL: dict[str, str] = {
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+    # q_window_funcs: same window — ROWS UNBOUNDED PRECEDING is the
+    # row_number/lag default frame; running sum over per-row integer
+    # cents so every prefix is order-exact.
+    "window_funcs": """
+        SELECT event_id, user_id,
+               CAST(row_number() OVER w AS BIGINT) AS rn,
+               lag(value) OVER w AS prev_value,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS run_sum_c
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    # q_string_agg: same order key, same separator.
+    "string_agg": """
+        SELECT c_nationkey,
+               string_agg(c_name, ',' ORDER BY c_custkey) AS names
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    # q_pivot_counts: CASE-WHEN/FILTER pivot of the (hr, type) counts.
+    "pivot_counts": """
+        SELECT CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT)
+                   AS click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT)
+                   AS error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+                   AS purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT)
+                   AS signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
+                   AS view
+        FROM events GROUP BY 1 ORDER BY 1
     """,
     # q_table_profile: per-column count / nulls / exact ndv / min / max,
     # min_s/max_s rendered exactly as DuckDB CAST(x AS VARCHAR) (the
@@ -3265,4 +3369,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "rollup_counts": q_rollup_counts,
+    "window_funcs": q_window_funcs,
+    "string_agg": q_string_agg,
+    "pivot_counts": q_pivot_counts,
 }

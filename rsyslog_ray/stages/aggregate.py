@@ -244,3 +244,93 @@ def rollup_agg(ds, keys: list[str], *, sums: dict[str, str] | None = None,
     out[agg_cols] = out[agg_cols].astype("int64")
     return out.sort_values(list(keys), na_position="last",
                            kind="mergesort").reset_index(drop=True)
+
+
+def window_over_key(ds, key: str, order: list[str], value: str, *,
+                    nparts: int = 32, rn: str = "rn",
+                    lag_col: str = "prev_value",
+                    run_value: str | None = None,
+                    run_col: str = "run_sum"):
+    """Per-key ordered window functions — ``row_number()`` and
+    ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
+    per-key running sum of ``run_value`` when given.
+
+    Scale shape: rows hash-bucket by ``key`` (ONE shuffle — a key's
+    rows co-locate, so window state never crosses workers), each
+    bucket sorts once by (key, *order) and computes every function
+    with shift/cumsum vectorized over the whole bucket with key-change
+    masking — no per-key loop, no global sort.  Bucket count is the
+    parallelism knob; a hot key is bounded by that key's own row count
+    (same assumption as any SQL PARTITION BY).
+
+    Exactness contract: lag COPIES the value column (bit-identical to
+    the SQL oracle), and the running sum keeps ``run_value``'s native
+    dtype — pass integer cents (invariant 6) so the per-key cumsum is
+    order-exact; a float running sum would drift vs the oracle's
+    fresh per-partition sums."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["__pp"] = _bucket_int(df[key], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        k = g[key].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[:1] = True
+        first[1:] = k[1:] != k[:-1]
+        v = g[value].to_numpy(dtype=np.float64)
+        prev = np.empty_like(v)
+        prev[0] = np.nan
+        prev[1:] = v[:-1]
+        prev[first] = np.nan
+        # row_number: cumcount reset at key change
+        idx = np.arange(len(g), dtype=np.int64)
+        starts = np.maximum.accumulate(np.where(first, idx, 0))
+        out = g.drop(columns=["__pp"]).reset_index(drop=True)
+        out[rn] = (idx - starts + 1).astype("int64")
+        out[lag_col] = prev
+        if run_value is not None:
+            rv = g[run_value].to_numpy()
+            cs = np.cumsum(rv)
+            base = np.concatenate(
+                [np.zeros(1, dtype=cs.dtype), cs])[starts]
+            out[run_col] = cs - base
+        return out
+
+    return (ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("__pp").map_groups(per_bucket,
+                                        batch_format="pandas"))
+
+
+def _bucket_int(col: pd.Series, nparts: int) -> pd.Series:
+    h = pd.util.hash_array(col.to_numpy())
+    return pd.Series(h % np.uint64(nparts), index=col.index).astype("int64")
+
+
+def group_concat(ds, key: str, val: str, order: list[str],
+                 *, sep: str = ",", out: str = "agg",
+                 nparts: int = 32) -> pd.DataFrame:
+    """SQL ``string_agg(val, sep ORDER BY order)`` per key.  Rows
+    hash-bucket by key (one shuffle), each bucket sorts once and joins
+    per key group — the result is one row per key, so the driver
+    collect is O(distinct keys).  Partitioning assumption (same as the
+    SQL it mirrors): one key's concatenated string fits a worker."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        need = [key, val] + [c for c in order if c != val]
+        df = df[need].copy(deep=False)
+        df["__pp"] = _bucket_int(df[key], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + order, kind="mergesort")
+        r = (g.groupby(key, sort=True)[val]
+             .agg(lambda s: sep.join(s.astype(str))))
+        return pd.DataFrame({key: r.index.to_numpy(), out: r.to_numpy()})
+
+    return (ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("__pp").map_groups(per_bucket,
+                                        batch_format="pandas")
+            .to_pandas().sort_values(key).reset_index(drop=True))

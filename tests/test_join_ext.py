@@ -74,3 +74,57 @@ def test_rollup_agg_vs_pandas_spec(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # level count: fine(3*2) + mid(3) + total(1)
     assert len(got) == 10
+
+
+def test_window_over_key_vs_pandas_spec(ray_session):
+    import ray
+
+    rng = np.random.default_rng(17)
+    n = 15000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, n).astype("int64"),
+        "t": rng.integers(0, 10**6, n).astype("int64"),
+        "id": np.arange(n, dtype="int64"),
+        "value": rng.normal(10, 3, n),
+    })
+    df.loc[:4000, "k"] = 3  # hot key: one partition carries 4k rows
+    df["v_c"] = np.floor(df["value"] * 100 + 0.5).astype("int64")
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    got = (window_over_key(_mk(ray, df), "k", ["t", "id"], "value",
+                           run_value="v_c", run_col="rs")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    s = df.sort_values(["k", "t", "id"], kind="mergesort")
+    g = s.groupby("k")
+    want = s.assign(rn=(g.cumcount() + 1).astype("int64"),
+                    prev_value=g["value"].shift(1),
+                    rs=g["v_c"].cumsum().astype("int64"))
+    want = want.sort_values("id").reset_index(drop=True)
+    cols = ["id", "rn", "prev_value", "rs"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # lag is a bit-copy: non-null prevs match the source doubles exactly
+    nn = got["prev_value"].notna()
+    assert (got.loc[nn, "prev_value"].to_numpy()
+            == want.loc[nn, "prev_value"].to_numpy()).all()
+
+
+def test_group_concat_vs_pandas_spec(ray_session):
+    import ray
+
+    rng = np.random.default_rng(23)
+    n = 8000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n).astype("int64"),
+        "name": [f"n{i:05d}" for i in rng.permutation(n)],
+        "o": np.arange(n, dtype="int64"),
+    })
+    from rsyslog_ray.stages.aggregate import group_concat
+
+    got = group_concat(_mk(ray, df), "k", "name", ["o"], sep="|",
+                       out="agg")
+    s = df.sort_values(["k", "o"], kind="mergesort")
+    want = (s.groupby("k")["name"].agg("|".join).rename("agg")
+            .reset_index())
+    pd.testing.assert_frame_equal(got, want)
