@@ -1936,8 +1936,8 @@ def q_semi_join(sf_dir):
     right = (_read(sf_dir, "orders",
                    columns=["o_custkey", "o_orderstatus"])
              .map_batches(f_orders, batch_format="pandas"))
-    out = semi_join(left, right, "c_custkey").to_pandas()
-    return out.sort_values("c_custkey").reset_index(drop=True)
+    # stays a Dataset: a semi join keeps most of the left table
+    return semi_join(left, right, "c_custkey")
 
 
 def q_anti_join(sf_dir):
@@ -2008,11 +2008,15 @@ def q_window_funcs(sf_dir):
     ds = (_read(sf_dir, "events",
                 columns=["event_id", "user_id", "ts", "value"])
           .map_batches(cents, batch_format="pandas"))
-    out = window_over_key(ds, "user_id", ["ts", "event_id"], "value",
-                          run_value="v_c", run_col="run_sum_c"
-                          ).to_pandas()
-    return (out[["event_id", "user_id", "rn", "prev_value", "run_sum_c"]]
-            .sort_values("event_id").reset_index(drop=True))
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "rn", "prev_value",
+                   "run_sum_c"]]
+
+    # stays a Dataset: a window result is corpus-sized — the gate
+    # collects at sf0.01, the operator itself never does
+    return (window_over_key(ds, "user_id", ["ts", "event_id"], "value",
+                            run_value="v_c", run_col="run_sum_c")
+            .map_batches(sel, batch_format="pandas"))
 
 
 def q_string_agg(sf_dir):

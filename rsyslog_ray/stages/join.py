@@ -140,7 +140,15 @@ def semi_join(left, right, on: str, *, anti: bool = False,
         keys = g.loc[g["__side"] == "r", on].unique()
         lg = g[g["__side"] == "l"]
         m = lg[on].isin(keys)
-        return lg.loc[~m if anti else m, l_cols]
+        out = lg.loc[~m if anti else m, l_cols]
+        # the NA-filled schema union promoted left int64 -> nullable
+        # Int64; surviving rows are left rows (never the NA fill), so
+        # restore the declared left dtypes
+        for c, t in l_schema.items():
+            if t.startswith(("int", "uint")) and str(out[c].dtype) != t:
+                if not out[c].isna().any():
+                    out[c] = out[c].astype(t)
+        return out
 
     return both.groupby("__b").map_groups(filter_bucket,
                                           batch_format="pandas")
