@@ -2060,6 +2060,42 @@ def q_pivot_counts(sf_dir):
             .reset_index(drop=True))
 
 
+def q_cube_counts(sf_dir):
+    """GROUP BY CUBE (stages/aggregate.cube_agg): order counts +
+    total-price cents by every subset of (orderstatus, orderpriority)
+    — one distributed combiner pass, all four levels derived from the
+    finest groups on the driver.  DuckDB CUBE oracle in SQL_TAIL."""
+    from ..stages.aggregate import cube_agg
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["p_c"] = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                             * 100 + 0.5).astype("int64")
+        return df[["o_orderstatus", "o_orderpriority", "p_c"]]
+
+    ds = (_read(sf_dir, "orders",
+                columns=["o_orderstatus", "o_orderpriority",
+                         "o_totalprice"])
+          .map_batches(cents, batch_format="pandas"))
+    return cube_agg(ds, ["o_orderstatus", "o_orderpriority"],
+                    sums={"p_c": "sum_price_c"})
+
+
+def q_funnel(sf_dir):
+    """Ordered funnel over the event stream
+    (stages/aggregate.funnel_counts): users who did view, then click
+    strictly after their first view, then purchase strictly after
+    that — the product-analytics staple.  One user-hash shuffle;
+    per-bucket vectorized step chain; |steps| ints per bucket reach
+    the driver.  DuckDB min-timestamp-chain oracle in SQL_TAIL."""
+    from ..stages.aggregate import funnel_counts
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_type"], parallel=8)
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
 def q_knn_ivf(sf_dir):
     """IVF ANN variant: k-means coarse quantizer (fit on a driver-side
     sample, centroids broadcast) + probed-cluster search.  Rows-only
@@ -2260,6 +2296,40 @@ SQL_TAIL: dict[str, str] = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                    AS view
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    # q_cube_counts: per-row integer cents before any sum (invariant 6).
+    "cube_counts": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_c
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    # q_funnel: per-step earliest-completion chain with strict-> ts
+    # ordering (step k counts users with an event of that type
+    # strictly after their earliest completion of the k-1 prefix).
+    "funnel": """
+        WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s1 USING (user_id)
+               WHERE e.event_type = 'click' AND e.ts > s1.t
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s2 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t
+               GROUP BY e.user_id)
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+                 CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+          UNION ALL
+          SELECT 2, 'click', CAST((SELECT count(*) FROM s2) AS BIGINT)
+          UNION ALL
+          SELECT 3, 'purchase',
+                 CAST((SELECT count(*) FROM s3) AS BIGINT)
+        ) ORDER BY step
     """,
     # q_table_profile: per-column count / nulls / exact ndv / min / max,
     # min_s/max_s rendered exactly as DuckDB CAST(x AS VARCHAR) (the
@@ -3376,4 +3446,6 @@ QUERIES = {
     "window_funcs": q_window_funcs,
     "string_agg": q_string_agg,
     "pivot_counts": q_pivot_counts,
+    "funnel": q_funnel,
+    "cube_counts": q_cube_counts,
 }

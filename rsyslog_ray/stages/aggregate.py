@@ -246,6 +246,36 @@ def rollup_agg(ds, keys: list[str], *, sums: dict[str, str] | None = None,
                            kind="mergesort").reset_index(drop=True)
 
 
+def cube_agg(ds, keys: list[str], *, sums: dict[str, str] | None = None,
+             cnt: str = "cnt") -> pd.DataFrame:
+    """``GROUP BY CUBE(keys)``: every subset of the key set, absent
+    keys as SQL NULL — same one-distributed-pass shape as
+    :func:`rollup_agg` (all 2^|keys| levels derive from the finest
+    GROUPS on the driver; additive aggregates only)."""
+    from itertools import combinations
+
+    sums = sums or {}
+    fine = two_phase_agg(ds, list(keys), count=cnt, sums=sums)
+    agg_cols = [cnt] + list(sums.values())
+    frames = [fine[list(keys) + agg_cols].copy()]
+    subsets = [list(c) for r in range(len(keys) - 1, -1, -1)
+               for c in combinations(keys, r)]
+    for sub in subsets:
+        if sub:
+            g = (fine.groupby(sub, dropna=False)[agg_cols].sum()
+                 .reset_index())
+        else:
+            g = fine[agg_cols].sum().to_frame().T
+        for kcol in keys:
+            if kcol not in sub:
+                g[kcol] = None
+        frames.append(g[list(keys) + agg_cols])
+    out = pd.concat(frames, ignore_index=True)
+    out[agg_cols] = out[agg_cols].astype("int64")
+    return out.sort_values(list(keys), na_position="last",
+                           kind="mergesort").reset_index(drop=True)
+
+
 def window_over_key(ds, key: str, order: list[str], value: str, *,
                     nparts: int = 32, rn: str = "rn",
                     lag_col: str = "prev_value",
@@ -334,3 +364,48 @@ def group_concat(ds, key: str, val: str, order: list[str],
             .groupby("__pp").map_groups(per_bucket,
                                         batch_format="pandas")
             .to_pandas().sort_values(key).reset_index(drop=True))
+
+
+def funnel_counts(ds, user: str, ts: str, type_col: str,
+                  steps: list[str], *, nparts: int = 32) -> pd.DataFrame:
+    """Ordered-funnel analysis: for each prefix of ``steps``, how many
+    users completed it IN ORDER (step k strictly after that user's
+    earliest completion of step k-1 — the strict-``>`` semantics a
+    per-step min-timestamp SQL chain has).
+
+    Scale shape: one hash shuffle co-locates a user's events; inside a
+    bucket each step is a vectorized filter + merge + groupby-min over
+    the step's rows only (|steps| small passes, no per-user loop); the
+    driver reduce sums |steps| ints per bucket."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[user, ts, type_col]].copy(deep=False)
+        df["__pp"] = _bucket_int(df[user], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cur = None   # user -> earliest completion time of the prefix
+        out = {"step": [], "users": []}
+        for i, s in enumerate(steps):
+            rows = g.loc[g[type_col] == s, [user, ts]]
+            if cur is not None:
+                rows = rows.merge(cur, on=user)
+                rows = rows[rows[ts] > rows["__t"]]
+                rows = rows[[user, ts]]
+            cur = (rows.groupby(user, as_index=False)[ts].min()
+                   .rename(columns={ts: "__t"}))
+            out["step"].append(i + 1)
+            out["users"].append(len(cur))
+        return pd.DataFrame({"step": pd.Series(out["step"], dtype="int64"),
+                             "users": pd.Series(out["users"],
+                                                dtype="int64")})
+
+    parts = (ds.map_batches(bucketed, batch_format="pandas")
+             .groupby("__pp").map_groups(per_bucket,
+                                         batch_format="pandas")
+             .to_pandas())
+    agg = (parts.groupby("step", as_index=False)["users"].sum()
+           .astype({"step": "int64", "users": "int64"})
+           .sort_values("step").reset_index(drop=True))
+    agg["event_type"] = [steps[i - 1] for i in agg["step"]]
+    return agg[["step", "event_type", "users"]]

@@ -106,7 +106,8 @@ def hash_join(left, right, on: str, how: str = "inner",
 
 
 def semi_join(left, right, on: str, *, anti: bool = False,
-              n_buckets: int = 32):
+              n_buckets: int = 32,
+              broadcast_threshold: int = 2_000_000):
     """Distributed semi join (SQL ``EXISTS``) / anti join (``NOT
     EXISTS``) on one key column — the filter-joins the reference's
     lookup_table covers only in broadcast form (runtime/lookup.c
@@ -124,14 +125,33 @@ def semi_join(left, right, on: str, *, anti: bool = False,
     Null semantics match SQL equality: right-side null keys are dropped
     from the membership set, and a left null key matches nothing — so
     ``anti=True`` KEEPS left rows with null keys, exactly like
-    ``NOT EXISTS (SELECT 1 ... WHERE r.k = l.k)``."""
+    ``NOT EXISTS (SELECT 1 ... WHERE r.k = l.k)``.
+
+    Adaptive final (the group_topk/distinct_rows pattern): when the
+    right DISTINCT key set is at most ``broadcast_threshold`` rows, it
+    broadcasts once via ``ray.put`` and the filter is a shuffle-free
+    ``isin`` map over the left stream — the runtime/lookup.c
+    broadcast-small / stream-big relationship.  Past the threshold the
+    filter hash-partitions both sides (one shuffle)."""
+    import ray
+
     l_schema = _schema_dict(left)
     l_cols = list(l_schema)
 
     def rkeys(df: pd.DataFrame) -> pd.DataFrame:
         return df[[on]].dropna().drop_duplicates()
 
-    rk = right.map_batches(rkeys, batch_format="pandas")
+    rk = right.map_batches(rkeys, batch_format="pandas").materialize()
+    if rk.count() <= broadcast_threshold:
+        keys = rk.to_pandas()[on].unique()
+        ref = ray.put(keys)
+
+        def bfilter(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[on].isin(ray.get(ref))
+            return df.loc[~m if anti else m, l_cols]
+
+        return left.map_batches(bfilter, batch_format="pandas")
+
     missing = {k: v for k, v in l_schema.items() if k != on}
     both = (_unify_tag(left, "l", on, n_buckets, {})
             .union(_unify_tag(rk, "r", on, n_buckets, missing)))
@@ -154,10 +174,12 @@ def semi_join(left, right, on: str, *, anti: bool = False,
                                           batch_format="pandas")
 
 
-def anti_join(left, right, on: str, n_buckets: int = 32):
+def anti_join(left, right, on: str, n_buckets: int = 32,
+              broadcast_threshold: int = 2_000_000):
     """Left rows whose key appears NOWHERE on the right (SQL ``NOT
     EXISTS``) — see :func:`semi_join` for the scale shape."""
-    return semi_join(left, right, on, anti=True, n_buckets=n_buckets)
+    return semi_join(left, right, on, anti=True, n_buckets=n_buckets,
+                     broadcast_threshold=broadcast_threshold)
 
 
 def asof_join(left, right, key: str, ts: str, right_cols: list[str],

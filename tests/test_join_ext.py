@@ -32,18 +32,25 @@ def test_semi_anti_join_sql_semantics(ray_session):
     # NOT EXISTS keeps left null keys
     want_anti = left[~lnn].sort_values("payload").reset_index(drop=True)
 
-    got_semi = (semi_join(_mk(ray, left), _mk(ray, right), "k")
-                .to_pandas().sort_values("payload").reset_index(drop=True))
-    got_anti = (anti_join(_mk(ray, left), _mk(ray, right), "k")
-                .to_pandas().sort_values("payload").reset_index(drop=True))
-    # the NA-filled schema union promotes int64 -> nullable Int64 on
-    # the wire; values are what the contract pins
-    pd.testing.assert_frame_equal(got_semi[["k", "payload"]],
-                                  want_semi[["k", "payload"]],
-                                  check_dtype=False)
-    pd.testing.assert_frame_equal(got_anti[["k", "payload"]],
-                                  want_anti[["k", "payload"]],
-                                  check_dtype=False)
+    # thr=0 forces the hash-partitioned path, the default forces the
+    # broadcast (shuffle-free) path — identical results required
+    for thr in (0, 10**9):
+        got_semi = (semi_join(_mk(ray, left), _mk(ray, right), "k",
+                              broadcast_threshold=thr)
+                    .to_pandas().sort_values("payload")
+                    .reset_index(drop=True))
+        got_anti = (anti_join(_mk(ray, left), _mk(ray, right), "k",
+                              broadcast_threshold=thr)
+                    .to_pandas().sort_values("payload")
+                    .reset_index(drop=True))
+        # the NA-filled schema union promotes int64 -> nullable Int64
+        # on the wire; values are what the contract pins
+        pd.testing.assert_frame_equal(got_semi[["k", "payload"]],
+                                      want_semi[["k", "payload"]],
+                                      check_dtype=False)
+        pd.testing.assert_frame_equal(got_anti[["k", "payload"]],
+                                      want_anti[["k", "payload"]],
+                                      check_dtype=False)
     assert want_anti["k"].isna().any()  # the null-keeping path ran
 
 
@@ -128,3 +135,69 @@ def test_group_concat_vs_pandas_spec(ray_session):
     want = (s.groupby("k")["name"].agg("|".join).rename("agg")
             .reset_index())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_funnel_counts_vs_pandas_spec(ray_session):
+    import ray
+
+    rng = np.random.default_rng(29)
+    n = 20000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 800, n).astype("int64"),
+        "t": rng.integers(0, 10**6, n).astype("int64"),
+        "e": rng.choice(["a", "b", "c", "x"], n, p=[.3, .25, .15, .3]),
+    })
+    steps = ["a", "b", "c"]
+    from rsyslog_ray.stages.aggregate import funnel_counts
+
+    got = funnel_counts(_mk(ray, df), "u", "t", "e", steps)
+
+    # spec: per-user strict-> chain over earliest completion times
+    counts = []
+    cur = None
+    for s in steps:
+        rows = df[df["e"] == s][["u", "t"]]
+        if cur is not None:
+            rows = rows.merge(cur.rename("pt"), left_on="u",
+                              right_index=True)
+            rows = rows[rows["t"] > rows["pt"]]
+        cur = rows.groupby("u")["t"].min()
+        counts.append(len(cur))
+    want = pd.DataFrame({"step": pd.Series([1, 2, 3], dtype="int64"),
+                         "event_type": steps,
+                         "users": pd.Series(counts, dtype="int64")})
+    pd.testing.assert_frame_equal(got, want)
+    assert counts[0] >= counts[1] >= counts[2] > 0
+
+
+def test_cube_agg_vs_pandas_spec(ray_session):
+    import ray
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 12000),
+        "b": rng.choice(["p", "q", "r"], 12000),
+        "v": rng.integers(0, 100, 12000).astype("int64"),
+    })
+    from rsyslog_ray.stages.aggregate import cube_agg
+
+    got = cube_agg(_mk(ray, df), ["a", "b"], sums={"v": "sv"})
+
+    def lvl(sub):
+        if sub:
+            g = (df.groupby(sub).agg(cnt=("v", "size"), sv=("v", "sum"))
+                 .reset_index())
+        else:
+            g = pd.DataFrame({"cnt": [len(df)], "sv": [int(df["v"].sum())]})
+        for k in ("a", "b"):
+            if k not in sub:
+                g[k] = None
+        return g[["a", "b", "cnt", "sv"]]
+
+    want = (pd.concat([lvl(["a", "b"]), lvl(["a"]), lvl(["b"]), lvl([])],
+                      ignore_index=True)
+            .astype({"cnt": "int64", "sv": "int64"})
+            .sort_values(["a", "b"], na_position="last", kind="mergesort")
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) == 2 * 3 + 2 + 3 + 1
