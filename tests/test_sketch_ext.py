@@ -133,3 +133,57 @@ def test_knn_sq_encode_spec_and_recall(ray_session):
         hits += len(e & a)
         tot += len(e)
     assert hits / tot >= 0.9, hits / tot
+
+
+# ---- hypothesis armor (pure kernels, no Ray) ----
+import hypothesis.strategies as st
+from hypothesis import given, settings
+
+_HSET = settings(max_examples=60, deadline=None)
+
+
+@_HSET
+@given(st.lists(st.text(alphabet="abcdef", min_size=0, max_size=6),
+                min_size=1, max_size=300),
+       st.integers(min_value=1, max_value=299))
+def test_countmin_bounds_and_merge_fuzz(keys, split):
+    ks = np.asarray(keys, dtype=object)
+    cm = CountMin(width=64, depth=3).add_array(ks)
+    exact = pd.Series(ks).value_counts()
+    probes = np.asarray(list(dict.fromkeys(keys))[:20] + ["__absent__"],
+                        dtype=object)
+    est = cm.estimate(probes)
+    # deterministic guarantees only: never undercounts, and estimates
+    # never exceed the stream size (the e/width bound is probabilistic
+    # per probe — the seeded test above pins it; fuzzing it would flake
+    # by design at rate ~e^-depth)
+    for t, e in zip(probes, est):
+        truth = int(exact.get(t, 0))
+        assert truth <= e <= len(ks)
+    # arbitrary split point: merged halves == one-shot, bit for bit
+    s = min(split, len(ks))
+    a = CountMin(width=64, depth=3).add_array(ks[:s])
+    b = CountMin(width=64, depth=3).add_array(ks[s:])
+    assert np.array_equal(a.merge(b).table, cm.table)
+
+
+@_HSET
+@given(st.integers(min_value=2, max_value=40),
+       st.integers(min_value=4, max_value=60),
+       st.integers(min_value=0, max_value=2**31 - 1))
+def test_sq_roundtrip_error_bound_fuzz(dim, n, seed):
+    from rsyslog_ray.stages.similarity import sq_encode, sq_train
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(size=(n, dim))
+    norms = np.linalg.norm(v, axis=1)
+    v = v[norms > 1e-9]
+    if len(v) < 2:
+        return
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    lo, step = sq_train(v)
+    codes = sq_encode(v, lo, step)
+    dec = lo + codes.astype(np.float64) * step
+    # every training vector is inside the hull: error <= step/2 per dim
+    err = np.abs(dec - v)
+    assert (err <= step[None, :] / 2 + 1e-12).all()
