@@ -2060,6 +2060,20 @@ def q_pivot_counts(sf_dir):
             .reset_index(drop=True))
 
 
+def q_resample_counts(sf_dir):
+    """Per-user time-series resampling
+    (stages/aggregate.resample_counts): an hourly grid per user from
+    ceil(first event) to floor(last event), each grid point carrying
+    the cumulative event count — regularizing an irregular stream.
+    All boundary math int64 microseconds (integer ceil), mirrored by
+    an epoch_us()/integer-division DuckDB oracle in SQL_TAIL — no
+    float epoch arithmetic on either side."""
+    from ..stages.aggregate import resample_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], parallel=8)
+    return resample_counts(ds, "user_id", "ts")
+
+
 def q_cube_counts(sf_dir):
     """GROUP BY CUBE (stages/aggregate.cube_agg): order counts +
     total-price cents by every subset of (orderstatus, orderpriority)
@@ -2296,6 +2310,31 @@ SQL_TAIL: dict[str, str] = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                    AS view
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    # q_resample_counts: integer-us grid boundaries (ceil via integer
+    # division) and make_timestamp(us) grid points — bit-exact vs the
+    # engine's int64 math.
+    "resample_counts": """
+        WITH b AS (
+          SELECT user_id,
+                 (epoch_us(min(ts)) + 3599999999) // 3600000000 AS lo_h,
+                 epoch_us(max(ts)) // 3600000000 AS hi_h
+          FROM events GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id,
+                 unnest(generate_series(lo_h, hi_h)) AS gh
+          FROM b WHERE lo_h <= hi_h
+        )
+        SELECT g.user_id,
+               make_timestamp(g.gh * 3600000000) AS gts,
+               CAST(count(e.ts) AS BIGINT) AS n_events
+        FROM grid g
+        JOIN events e
+          ON e.user_id = g.user_id
+         AND epoch_us(e.ts) <= g.gh * 3600000000
+        GROUP BY g.user_id, g.gh
+        ORDER BY g.user_id, gts
     """,
     # q_cube_counts: per-row integer cents before any sum (invariant 6).
     "cube_counts": """
@@ -3448,4 +3487,5 @@ QUERIES = {
     "pivot_counts": q_pivot_counts,
     "funnel": q_funnel,
     "cube_counts": q_cube_counts,
+    "resample_counts": q_resample_counts,
 }

@@ -409,3 +409,60 @@ def funnel_counts(ds, user: str, ts: str, type_col: str,
            .sort_values("step").reset_index(drop=True))
     agg["event_type"] = [steps[i - 1] for i in agg["step"]]
     return agg[["step", "event_type", "users"]]
+
+
+def resample_counts(ds, user: str, ts: str, *, step_s: int = 3600,
+                    nparts: int = 32):
+    """Per-key time-series resampling: an hourly (``step_s``) grid per
+    key from ceil(first event) to floor(last event), each grid point
+    carrying the CUMULATIVE event count at that instant — the
+    regularize-an-irregular-stream primitive (downsample + running
+    state at grid points).
+
+    Exactness: all boundary math is int64 microseconds (ceil via
+    integer division), mirrored by an epoch_us() SQL oracle — no float
+    epoch arithmetic on either side.  Scale shape: one key-hash
+    shuffle; per bucket one sort, then per-key grids via C-kernel
+    searchsorted slices (the small-kernels-per-row pattern this host
+    prefers); output rows stream back as a Dataset."""
+    step_us = int(step_s) * 1_000_000
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[user, ts]].copy(deep=False)
+        df["__pp"] = _bucket_int(df[user], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user, ts], kind="mergesort")
+        k = g[user].to_numpy()
+        d = str(g[ts].dtype)
+        unit = d.split("[")[1].rstrip("]") if "[" in d else "us"
+        scale = {"ns": 1, "us": 1000, "ms": 10**6, "s": 10**9}[unit]
+        t_us = g[ts].to_numpy().astype("int64") * scale // 1000
+        starts = np.flatnonzero(np.concatenate(
+            [[True], k[1:] != k[:-1]]))
+        ends = np.append(starts[1:], len(k))
+        out_u, out_t, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            seg = t_us[s:e]
+            lo = -(-seg[0] // step_us)          # ceil hour index
+            hi = seg[-1] // step_us             # floor hour index
+            if lo > hi:
+                continue
+            grid = np.arange(lo, hi + 1, dtype=np.int64) * step_us
+            cnt = np.searchsorted(seg, grid, side="right")
+            out_u.append(np.full(len(grid), k[s]))
+            out_t.append(grid)
+            out_c.append(cnt.astype(np.int64))
+        if not out_u:
+            return pd.DataFrame({user: pd.Series([], dtype=g[user].dtype),
+                                 "gts": pd.Series([], dtype="datetime64[us]"),
+                                 "n_events": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            user: np.concatenate(out_u),
+            "gts": np.concatenate(out_t).view("datetime64[us]"),
+            "n_events": np.concatenate(out_c)})
+
+    return (ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("__pp").map_groups(per_bucket,
+                                        batch_format="pandas"))

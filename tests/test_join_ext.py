@@ -201,3 +201,38 @@ def test_cube_agg_vs_pandas_spec(ray_session):
             .reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert len(got) == 2 * 3 + 2 + 3 + 1
+
+
+def test_resample_counts_vs_pandas_spec(ray_session):
+    import ray
+
+    rng = np.random.default_rng(37)
+    n = 12000
+    base = 1_700_000_000_000_000  # us epoch
+    df = pd.DataFrame({
+        "u": rng.integers(0, 60, n).astype("int64"),
+        "ts": pd.Series((base + rng.integers(0, 3 * 86400 * 10**6, n))
+                        .astype("datetime64[us]")),
+    })
+    # plant exact-hour-boundary events (the integer-ceil edge)
+    df.loc[:20, "ts"] = pd.Timestamp(base, unit="us").ceil("h")
+
+    from rsyslog_ray.stages.aggregate import resample_counts
+
+    got = (resample_counts(_mk(ray, df), "u", "ts")
+           .to_pandas().sort_values(["u", "gts"]).reset_index(drop=True))
+
+    H = 3_600_000_000
+    rows = []
+    for u, grp in df.groupby("u"):
+        t = np.sort(grp["ts"].to_numpy().astype("int64"))
+        lo, hi = -(-t[0] // H), t[-1] // H
+        for gh in range(lo, hi + 1):
+            rows.append((u, gh * H, int((t <= gh * H).sum())))
+    want = pd.DataFrame(rows, columns=["u", "gts", "n_events"])
+    want["gts"] = want["gts"].astype("datetime64[us]")
+    want = (want.astype({"u": "int64", "n_events": "int64"})
+            .sort_values(["u", "gts"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # boundary sanity: a grid point equal to an event ts counts it
+    assert (want["n_events"] > 0).all()
