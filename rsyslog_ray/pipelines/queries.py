@@ -2060,6 +2060,35 @@ def q_pivot_counts(sf_dir):
             .reset_index(drop=True))
 
 
+def q_event_paths(sf_dir):
+    """Top-10 3-step event-type paths per user stream
+    (stages/aggregate.event_paths): behavioral-sequence mining — one
+    user-hash shuffle, per-bucket shifted-array path build that never
+    crosses users, pre-counted before anything moves.  DuckDB
+    lead()-window oracle in SQL_TAIL (deterministic rank-k
+    tie-break)."""
+    from ..stages.aggregate import event_paths
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"],
+               parallel=8)
+    return event_paths(ds, "user_id", ["ts", "event_id"], "event_type",
+                       n=3, k=10)
+
+
+def q_approx_distinct_bykey(sf_dir):
+    """Per-key approximate distinct (stages/sketch.approx_distinct_per_key):
+    distinct users per event_type via mergeable per-key HLL register
+    blobs — the wire carries O(batches × keys × 2^p) bytes regardless
+    of value cardinality.  Rows-only driver check; the error bound and
+    merge-associativity are pinned in pytest."""
+    from ..stages.sketch import approx_distinct_per_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"],
+               parallel=8)
+    return approx_distinct_per_key(ds, "event_type", "user_id")
+
+
 def q_resample_counts(sf_dir):
     """Per-user time-series resampling
     (stages/aggregate.resample_counts): an hourly grid per user from
@@ -2310,6 +2339,22 @@ SQL_TAIL: dict[str, str] = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                    AS view
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    # q_event_paths: lead()-window trigrams per user, strict (ts,
+    # event_id) order, deterministic rank-k tie-break.
+    "event_paths": """
+        WITH w AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+                 lead(event_type, 2) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS e3
+          FROM events
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM w WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1 ORDER BY cnt DESC, path LIMIT 10
     """,
     # q_resample_counts: integer-us grid boundaries (ceil via integer
     # division) and make_timestamp(us) grid points — bit-exact vs the
@@ -3488,4 +3533,6 @@ QUERIES = {
     "funnel": q_funnel,
     "cube_counts": q_cube_counts,
     "resample_counts": q_resample_counts,
+    "event_paths": q_event_paths,
+    "approx_distinct_bykey": q_approx_distinct_bykey,
 }

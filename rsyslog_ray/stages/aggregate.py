@@ -466,3 +466,50 @@ def resample_counts(ds, user: str, ts: str, *, step_s: int = 3600,
     return (ds.map_batches(bucketed, batch_format="pandas")
             .groupby("__pp").map_groups(per_bucket,
                                         batch_format="pandas"))
+
+
+def event_paths(ds, user: str, order: list[str], type_col: str, *,
+                n: int = 3, k: int = 10, nparts: int = 32
+                ) -> pd.DataFrame:
+    """Top-k length-``n`` event-type paths ('a>b>c') over per-key
+    ordered streams — the behavioral-sequence mining staple (what do
+    users do in what order).  One key-hash shuffle; inside a bucket
+    the paths come from n-1 vectorized shifts masked at key changes
+    (never crossing users), pre-counted per bucket (the combiner) so
+    the driver reduce is O(distinct paths) — at most |types|^n rows.
+    Deterministic tie-break (cnt desc, path asc) incl. the rank-k
+    boundary."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[user, type_col] + [c for c in order]].copy(deep=False)
+        df["__pp"] = _bucket_int(df[user], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user] + order, kind="mergesort")
+        u = g[user].to_numpy()
+        et = g[type_col].to_numpy(dtype=object)
+        m = len(g) - n + 1
+        if m <= 0:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "cnt": pd.Series([], dtype="int64")})
+        ok = np.ones(m, dtype=bool)
+        parts = [et[:m]]
+        for j in range(1, n):
+            ok &= u[j:m + j] == u[:m]
+            parts.append(et[j:m + j])
+        path = parts[0].copy()
+        for p in parts[1:]:
+            path = np.char.add(np.char.add(path.astype(str), ">"),
+                               p.astype(str)).astype(object)
+        vc = pd.Series(path[ok]).value_counts()
+        return pd.DataFrame({"path": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy().astype("int64")})
+
+    parts = (ds.map_batches(bucketed, batch_format="pandas")
+             .groupby("__pp").map_groups(per_bucket,
+                                         batch_format="pandas")
+             .to_pandas())
+    agg = parts.groupby("path", as_index=False)["cnt"].sum()
+    return (agg.sort_values(["cnt", "path"], ascending=[False, True])
+            .head(k).reset_index(drop=True).astype({"cnt": "int64"}))

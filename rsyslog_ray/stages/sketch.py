@@ -640,3 +640,37 @@ def cms_word_counts(ds, col: str, probes: list[str], *,
     return pd.DataFrame({"token": pd.Series(probes, dtype=object),
                          "est": est,
                          "n_stream": np.int64(parts["n"].sum())})
+
+
+def approx_distinct_per_key(ds, key: str, col: str, *, p: int = 10
+                            ) -> pd.DataFrame:
+    """Approximate COUNT(DISTINCT col) PER KEY — the HLL two-phase:
+    each batch ships one 2^p-byte register blob per key it saw
+    (the combiner), the driver reduce is register-wise max per key.
+    For unbounded per-key value spaces where
+    :func:`exact_distinct_per_key`'s distinct-row shuffle would move
+    the values themselves: the wire carries O(batches × keys × 2^p)
+    bytes, independent of value cardinality.  Error ~1.04/sqrt(2^p)
+    (pinned in pytest); sketches merge associatively, so any batch
+    split gives the identical final registers."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        rows = {"k": [], "blob": []}
+        for k, grp in df.groupby(key, dropna=True):
+            rows["k"].append(k)
+            rows["blob"].append(HLL(p).add_array(
+                grp[col].to_numpy()).to_bytes())
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(part, batch_format="pandas").to_pandas()
+    out = {"dk": [], "est": []}
+    for k, grp in parts.groupby("k"):
+        acc = HLL(p)
+        for b in grp["blob"]:
+            acc = acc.merge(HLL.from_bytes(b, p))
+        out["dk"].append(k)
+        out["est"].append(int(np.floor(acc.estimate() + 0.5)))
+    return (pd.DataFrame({key: out["dk"],
+                          "approx_distinct": pd.Series(out["est"],
+                                                       dtype="int64")})
+            .sort_values(key).reset_index(drop=True))

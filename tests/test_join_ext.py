@@ -236,3 +236,58 @@ def test_resample_counts_vs_pandas_spec(ray_session):
     pd.testing.assert_frame_equal(got, want)
     # boundary sanity: a grid point equal to an event ts counts it
     assert (want["n_events"] > 0).all()
+
+
+def test_event_paths_vs_pandas_spec(ray_session):
+    import ray
+
+    rng = np.random.default_rng(41)
+    n = 10000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 200, n).astype("int64"),
+        "t": rng.integers(0, 10**6, n).astype("int64"),
+        "id": np.arange(n, dtype="int64"),
+        "e": rng.choice(["a", "b", "c"], n),
+    })
+    from rsyslog_ray.stages.aggregate import event_paths
+
+    got = event_paths(_mk(ray, df), "u", ["t", "id"], "e", n=3, k=8)
+
+    s = df.sort_values(["u", "t", "id"], kind="mergesort")
+    paths = {}
+    for _, grp in s.groupby("u"):
+        es = grp["e"].tolist()
+        for i in range(len(es) - 2):
+            p = ">".join(es[i:i + 3])
+            paths[p] = paths.get(p, 0) + 1
+    want = (pd.DataFrame({"path": list(paths), "cnt": list(paths.values())})
+            .sort_values(["cnt", "path"], ascending=[False, True])
+            .head(8).reset_index(drop=True).astype({"cnt": "int64"}))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_approx_distinct_per_key_error_and_merge(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.sketch import approx_distinct_per_key
+
+    rng = np.random.default_rng(43)
+    ks, vs = [], []
+    truth = {"a": 50, "b": 900, "c": 4000}
+    for k, nd in truth.items():
+        draws = rng.integers(0, nd, nd * 4)  # repeats; nd distinct max
+        ks += [k] * len(draws)
+        vs += [f"{k}:{d}" for d in draws]
+        truth[k] = len(set(draws))
+    df = pd.DataFrame({"k": ks, "v": vs})
+
+    got = approx_distinct_per_key(_mk(ray, df), "k", "v", p=10)
+    est = dict(zip(got["k"], got["approx_distinct"]))
+    for k, nd in truth.items():
+        rel = abs(est[k] - nd) / nd
+        assert rel < 0.15, (k, est[k], nd)  # ~3x the 1.04/sqrt(1024) sigma
+
+    # merge associativity: different partitionings, identical registers
+    got2 = approx_distinct_per_key(
+        ray.data.from_pandas(df).repartition(2), "k", "v", p=10)
+    pd.testing.assert_frame_equal(got, got2)
