@@ -2060,6 +2060,42 @@ def q_pivot_counts(sf_dir):
             .reset_index(drop=True))
 
 
+def q_table_diff(sf_dir):
+    """Snapshot diff (stages/join.table_diff): orders vs a
+    deterministically mutated second snapshot (urgent rows dropped →
+    'removed', pending prices doubled → 'changed', finished rows
+    re-keyed +10^9 → 'added'); identical rows never leave the
+    workers — the shuffle moves (key, two 64-bit content hashes) per
+    row, and the output is only the CHANGE SET.  DuckDB FULL OUTER
+    JOIN oracle in SQL_TAIL builds the same snapshot B."""
+    from ..stages.join import table_diff
+
+    def snap_a(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "k": df["o_orderkey"],
+            "st": df["o_orderstatus"],
+            "price_c": np.floor(df["o_totalprice"].to_numpy(np.float64)
+                                * 100 + 0.5).astype("int64"),
+            "prio": df["o_orderpriority"]})
+
+    def snap_b(df: pd.DataFrame) -> pd.DataFrame:
+        a = snap_a(df)
+        keep = a[a["prio"] != "1-URGENT"].copy()
+        keep.loc[keep["st"] == "P", "price_c"] *= 2
+        added = a[a["st"] == "F"].copy()
+        added["k"] = added["k"] + 1_000_000_000
+        return (pd.concat([keep, added], ignore_index=True)
+                [["k", "st", "price_c"]])
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    left = (_read(sf_dir, "orders", columns=cols)
+            .map_batches(snap_a, batch_format="pandas"))
+    right = (_read(sf_dir, "orders", columns=cols)
+             .map_batches(snap_b, batch_format="pandas"))
+    return table_diff(left, right, "k", ["st", "price_c"])
+
+
 def q_event_paths(sf_dir):
     """Top-10 3-step event-type paths per user stream
     (stages/aggregate.event_paths): behavioral-sequence mining — one
@@ -2339,6 +2375,33 @@ SQL_TAIL: dict[str, str] = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                    AS view
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    # q_table_diff: snapshot B built identically in SQL; the diff is a
+    # FULL OUTER JOIN with a value-equality CASE, change set only.
+    "table_diff": """
+        WITH a AS (
+          SELECT o_orderkey AS k, o_orderstatus AS st,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                     AS price_c,
+                 o_orderpriority AS prio
+          FROM orders
+        ),
+        b AS (
+          SELECT k, st,
+                 CASE WHEN st = 'P' THEN price_c * 2
+                      ELSE price_c END AS price_c
+          FROM a WHERE prio <> '1-URGENT'
+          UNION ALL
+          SELECT k + 1000000000, st, price_c FROM a WHERE st = 'F'
+        )
+        SELECT COALESCE(a.k, b.k) AS k,
+               CASE WHEN b.k IS NULL THEN 'removed'
+                    WHEN a.k IS NULL THEN 'added'
+                    ELSE 'changed' END AS status
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+        WHERE b.k IS NULL OR a.k IS NULL
+           OR a.st <> b.st OR a.price_c <> b.price_c
+        ORDER BY k
     """,
     # q_event_paths: lead()-window trigrams per user, strict (ts,
     # event_id) order, deterministic rank-k tie-break.
@@ -3535,4 +3598,5 @@ QUERIES = {
     "resample_counts": q_resample_counts,
     "event_paths": q_event_paths,
     "approx_distinct_bykey": q_approx_distinct_bykey,
+    "table_diff": q_table_diff,
 }

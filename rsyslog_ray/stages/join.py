@@ -299,3 +299,56 @@ def range_join(left, right, key: str, ts: str, right_cols: list[str],
 
     return both.groupby("__b").map_groups(merge_bucket,
                                           batch_format="pandas")
+
+
+def table_diff(left, right, key: str, cols: list[str], *,
+               n_buckets: int = 32):
+    """Snapshot diff by key: rows only in ``left`` -> 'removed', only
+    in ``right`` -> 'added', present in both with any of ``cols``
+    differing -> 'changed' (identical rows are dropped — the output is
+    the CHANGE SET, which is what stays small when two 100 TB
+    snapshots are mostly equal).
+
+    Scale shape: each side reduces per batch to (key, 128-bit content
+    hash over ``cols``) — the shuffle moves two ints + the key per
+    row, never the payload.  One hash-partition co-locates a key's
+    two sides; the compare is vectorized set logic per bucket.
+    Assumes ``key`` is unique per side (a snapshot primary key)."""
+    import pandas as pd
+
+    def digest(side):
+        def fx(df: pd.DataFrame) -> pd.DataFrame:
+            h1 = pd.util.hash_pandas_object(df[cols], index=False
+                                            ).astype("uint64")
+            h2 = pd.util.hash_pandas_object(
+                df[cols].iloc[:, ::-1], index=False,
+                hash_key="raylog-diff-2ndk").astype("uint64")
+            out = pd.DataFrame({key: df[key],
+                                "h1": h1.to_numpy().astype("int64"),
+                                "h2": h2.to_numpy().astype("int64")})
+            out["__side"] = side
+            out["__b"] = _bucket_of(out[key], n_buckets)
+            return out
+        return fx
+
+    both = (left.map_batches(digest("l"), batch_format="pandas")
+            .union(right.map_batches(digest("r"),
+                                     batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"]
+        rg = g[g["__side"] == "r"]
+        m = lg.merge(rg, on=key, how="outer", suffixes=("_l", "_r"),
+                     indicator=True)
+        status = np.where(
+            m["_merge"] == "left_only", "removed",
+            np.where(m["_merge"] == "right_only", "added",
+                     np.where((m["h1_l"] == m["h1_r"])
+                              & (m["h2_l"] == m["h2_r"]),
+                              "same", "changed")))
+        m = m.assign(status=status)
+        m = m[m["status"] != "same"]
+        return m[[key, "status"]].reset_index(drop=True)
+
+    return both.groupby("__b").map_groups(per_bucket,
+                                          batch_format="pandas")

@@ -291,3 +291,41 @@ def test_approx_distinct_per_key_error_and_merge(ray_session):
     got2 = approx_distinct_per_key(
         ray.data.from_pandas(df).repartition(2), "k", "v", p=10)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_table_diff_vs_pandas_spec(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.join import table_diff
+
+    rng = np.random.default_rng(47)
+    n = 6000
+    a = pd.DataFrame({
+        "k": np.arange(n, dtype="int64"),
+        "x": rng.integers(0, 50, n).astype("int64"),
+        "y": rng.choice(["p", "q"], n),
+    })
+    b = a.copy()
+    b = b[b["k"] % 7 != 0]                      # removed
+    b.loc[b["k"] % 5 == 0, "x"] += 1            # changed
+    extra = pd.DataFrame({"k": np.arange(n, n + 100, dtype="int64"),
+                          "x": np.zeros(100, dtype="int64"),
+                          "y": ["p"] * 100})    # added
+    b = pd.concat([b, extra], ignore_index=True)
+
+    got = (table_diff(_mk(ray, a), _mk(ray, b), "k", ["x", "y"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+
+    m = a.merge(b, on="k", how="outer", suffixes=("_a", "_b"),
+                indicator=True)
+    status = np.where(m["_merge"] == "left_only", "removed",
+                      np.where(m["_merge"] == "right_only", "added",
+                               np.where((m["x_a"] == m["x_b"])
+                                        & (m["y_a"] == m["y_b"]),
+                                        "same", "changed")))
+    want = (m.assign(status=status)[["k", "status"]]
+            .query("status != 'same'")
+            .sort_values("k").reset_index(drop=True)
+            .astype({"k": "int64"}))
+    pd.testing.assert_frame_equal(got.astype({"k": "int64"}), want)
+    assert set(want["status"]) == {"added", "removed", "changed"}
