@@ -2060,6 +2060,29 @@ def q_pivot_counts(sf_dir):
             .reset_index(drop=True))
 
 
+def q_range_store(sf_dir):
+    """Range-partitioned store round-trip (stages/rangestore): write
+    events equi-depth-partitioned by value (boundaries from the exact
+    distributed quantiles — never a sort), then serve
+    `WHERE 100 <= value < 200` reading ONLY the overlapping range
+    directories — predicate pruning at the read, the dynafile
+    partition-by-value idea generalized.  DuckDB WHERE-band oracle in
+    SQL_TAIL; the pruned file subset is pinned in
+    tests/test_rangestore.py."""
+    from ..stages.rangestore import read_range, write_range_partitioned
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"],
+               parallel=8)
+    store = _scratch("range_store", sf_dir)
+    write_range_partitioned(ds, "value", store, n_ranges=8)
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "value"]]
+
+    return read_range(store, 100.0, 200.0).map_batches(
+        sel, batch_format="pandas")
+
+
 def q_table_diff(sf_dir):
     """Snapshot diff (stages/join.table_diff): orders vs a
     deterministically mutated second snapshot (urgent rows dropped →
@@ -2375,6 +2398,13 @@ SQL_TAIL: dict[str, str] = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                    AS view
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    # q_range_store: the store must serve exactly the band, values
+    # bit-copied (right-open interval on both sides).
+    "range_store": """
+        SELECT event_id, value FROM events
+        WHERE value >= 100.0 AND value < 200.0
+        ORDER BY event_id
     """,
     # q_table_diff: snapshot B built identically in SQL; the diff is a
     # FULL OUTER JOIN with a value-equality CASE, change set only.
@@ -3599,4 +3629,5 @@ QUERIES = {
     "event_paths": q_event_paths,
     "approx_distinct_bykey": q_approx_distinct_bykey,
     "table_diff": q_table_diff,
+    "range_store": q_range_store,
 }

@@ -513,3 +513,28 @@ def event_paths(ds, user: str, order: list[str], type_col: str, *,
     agg = parts.groupby("path", as_index=False)["cnt"].sum()
     return (agg.sort_values(["cnt", "path"], ascending=[False, True])
             .head(k).reset_index(drop=True).astype({"cnt": "int64"}))
+
+
+def incremental_agg_update(prev: pd.DataFrame | None, new_ds,
+                           keys: list[str], *,
+                           count: str = "cnt",
+                           sums: dict[str, str] | None = None
+                           ) -> pd.DataFrame:
+    """Materialized-aggregate maintenance: fold a NEW data increment
+    into a previously computed count/sum aggregate without rescanning
+    the old data — the cross-run form of the flagship's per-shard
+    ``_agg`` checkpoint reduce (sinks.read_agg_partials), exposed as
+    an operator.  Additive aggregates only; the increment pass is the
+    usual two-phase combiner, the fold is O(prev groups + new
+    groups)."""
+    inc = two_phase_agg(new_ds, list(keys), count=count, sums=sums)
+    if prev is None or not len(prev):
+        return inc.sort_values(list(keys)).reset_index(drop=True)
+    agg_cols = [count] + list((sums or {}).values())
+    both = pd.concat([prev[list(keys) + agg_cols],
+                      inc[list(keys) + agg_cols]], ignore_index=True)
+    out = (both.groupby(list(keys), dropna=False, as_index=False)
+           [agg_cols].sum())
+    return (out.astype({c: "int64" for c in agg_cols
+                        if str(out[c].dtype).startswith(("int", "Int"))})
+            .sort_values(list(keys)).reset_index(drop=True))

@@ -1,0 +1,113 @@
+"""Range-partitioned parquet store — write once sorted-by-key into
+value-range directories, then PRUNE AT THE READ: a range predicate
+opens only the directories whose [lo, hi) intervals overlap it, the
+way a 100 TB store must serve `WHERE ts BETWEEN ...` without touching
+the other 99%.  The reference's rotation-by-name dynafiles
+(tools/omfile.c dynaFile) partition output by VALUE for exactly this
+retrieval reason; this generalizes it to numeric ranges with a
+manifest.
+
+Layout:
+  out_dir/range=<i>/part-*.parquet   rows with lo_i <= col < hi_i
+  out_dir/_ranges.json               {"col", "edges": [e0 ... eN]}
+                                     (COMMIT MARKER, written last)
+
+Boundaries come from :func:`..stages.sketch.exact_quantiles` — an
+equi-DEPTH split (each range holds ~1/N of the rows even under skew),
+computed in streaming passes, never a sort.  The write itself is a
+per-batch fan-out (no shuffle): every batch appends its slice of each
+range to that range's directory with the atomic tmp+rename and
+batch-stem idempotence the other sinks use.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+
+
+def write_range_partitioned(ds, col: str, out_dir: str, *,
+                            n_ranges: int = 16) -> dict:
+    """Partition ``ds`` by equi-depth ranges of ``col`` and persist.
+    Returns the manifest.  Marker-last commit: re-invoking on a
+    committed dir is a no-op; a torn dir (files, no marker) is wiped
+    and rebuilt."""
+    from .sketch import exact_quantiles
+
+    marker = os.path.join(out_dir, "_ranges.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return json.load(fh)
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    pcts = [int(round(100.0 * i / n_ranges)) for i in range(1, n_ranges)]
+    q = exact_quantiles(ds, col, sorted(set(pcts)))
+    inner = sorted(set(float(v) for v in q["value"] if not np.isnan(v)))
+    edges = [-np.inf] + inner + [np.inf]
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        import hashlib
+        v = df[col].to_numpy(dtype=np.float64)
+        # right-open ranges: edges[i] <= v < edges[i+1]
+        ridx = np.searchsorted(edges, v, side="right") - 1
+        ridx = np.clip(ridx, 0, len(edges) - 2)
+        wid = hashlib.md5(np.ascontiguousarray(v).tobytes()).hexdigest()
+        for i in np.unique(ridx[~np.isnan(v)]):
+            d = os.path.join(out_dir, f"range={int(i)}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f"part-{wid}.parquet.inprogress")
+            df[ridx == i].reset_index(drop=True).to_parquet(tmp)
+            os.replace(tmp, os.path.join(d, f"part-{wid}.parquet"))
+        return pd.DataFrame({"n": [int(len(df))]})
+
+    ds.map_batches(part, batch_format="pandas").to_pandas()
+    rec = {"col": col, "edges": [None if not np.isfinite(e) else e
+                                 for e in edges]}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(rec, fh)
+    os.replace(tmp, marker)
+    return rec
+
+
+def pruned_range_files(out_dir: str, lo: float, hi: float) -> list[str]:
+    """The parquet files a ``lo <= col < hi`` predicate must read —
+    only directories whose interval overlaps [lo, hi)."""
+    with open(os.path.join(out_dir, "_ranges.json")) as fh:
+        rec = json.load(fh)
+    edges = [(-np.inf if e is None else e) for e in rec["edges"]]
+    # interval i = [edges[i], edges[i+1]); the top edge is +inf
+    edges[-1] = np.inf if rec["edges"][-1] is None else edges[-1]
+    files: list[str] = []
+    for i in range(len(edges) - 1):
+        if edges[i] < hi and edges[i + 1] > lo:
+            files += sorted(glob.glob(
+                os.path.join(out_dir, f"range={i}", "*.parquet")))
+    return files
+
+
+def read_range(out_dir: str, lo: float, hi: float):
+    """Dataset of rows with ``lo <= col < hi`` — reads ONLY the
+    overlapping range directories, then applies the exact row
+    predicate (directory bounds are coarse)."""
+    import ray.data
+
+    with open(os.path.join(out_dir, "_ranges.json")) as fh:
+        col = json.load(fh)["col"]
+    files = pruned_range_files(out_dir, lo, hi)
+    if not files:
+        return ray.data.from_pandas(pd.DataFrame({col: []}))
+
+    def rowf(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        return df[(v >= lo) & (v < hi)]
+
+    return ray.data.read_parquet(files).map_batches(
+        rowf, batch_format="pandas")
