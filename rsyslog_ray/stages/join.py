@@ -77,8 +77,12 @@ def _unify_tag(ds, side: str, on: str, n_buckets: int, missing: dict):
     return ds.map_batches(fx, batch_format="pandas")
 
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
 def hash_join(left, right, on: str, how: str = "inner",
-              n_buckets: int = 32, suffixes=("_l", "_r")):
+              n_buckets: int = 32, suffixes=("_l", "_r"),
+              hot_keys=None, hot_salts: int = 8):
     """Partitioned hash join of two Datasets on one key column.
 
     Both sides are tagged and bucketed in a map pass, schema-unified
@@ -86,7 +90,23 @@ def hash_join(left, right, on: str, how: str = "inner",
     schema), unioned, then a single ``groupby(bucket)`` co-locates
     matching keys; each bucket group splits back into its two sides and
     merges with pandas.  Column sets must be disjoint apart from ``on``.
-    """
+
+    Skew handling (``hot_keys``): a key carrying a constant fraction
+    of the left side would land its entire row mass in ONE bucket —
+    one worker.  Passing its value(s) salts the join: each hot LEFT
+    row goes to one of ``hot_salts`` sub-buckets, and the hot RIGHT
+    rows replicate into every sub-bucket, so each (l, r) pair still
+    meets exactly once while the hot key's left mass spreads over
+    ``hot_salts`` workers (the classic replicate-small-side salt;
+    assumes the right side's per-hot-key rows are the modest side).
+    Detect candidates with ``sketch.heavy_hitters(ds, on)`` — bounded
+    memory at any key cardinality.  Inner/left joins only (replication
+    would duplicate right_only rows of an outer join)."""
+    hot = {str(k) for k in (hot_keys or ())}
+    if hot and how not in ("inner", "left"):
+        raise ValueError("hot_keys salting supports inner/left joins")
+    n_salt = max(1, int(hot_salts))
+
     l_schema = _schema_dict(left)
     r_schema = _schema_dict(right)
     l_missing = {k: v for k, v in r_schema.items() if k not in l_schema}
@@ -94,13 +114,49 @@ def hash_join(left, right, on: str, how: str = "inner",
     l_cols = [c for c in l_schema if c != on]
     r_cols = [c for c in r_schema if c != on]
 
-    both = (_unify_tag(left, "l", on, n_buckets, l_missing)
-            .union(_unify_tag(right, "r", on, n_buckets, r_missing)))
+    def tag(side: str, missing: dict):
+        def fx(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            for colname, dtype_str in missing.items():
+                df[colname] = _na_like(dtype_str, len(df))
+            if hot:
+                ish = df[on].astype(str).isin(hot).to_numpy()
+                if side == "l":
+                    s = np.where(
+                        ish, np.arange(len(df)) % n_salt, 0)
+                    df["__s"] = s.astype("int64")
+                else:
+                    df["__s"] = np.int64(0)
+                    if ish.any():
+                        reps = [df]
+                        hot_rows = df[ish]
+                        for j in range(1, n_salt):
+                            r = hot_rows.copy(deep=False)
+                            r["__s"] = np.int64(j)
+                            reps.append(r)
+                        df = pd.concat(reps, ignore_index=True)
+            else:
+                df["__s"] = np.int64(0)
+            h = pd.util.hash_array(df[on].to_numpy())
+            b = (h + df["__s"].to_numpy().astype("uint64") * _GOLD) \
+                % np.uint64(n_buckets)
+            df["__b"] = b.astype("int64")
+            df["__side"] = side
+            return df
+        return fx
+
+    both = (left.map_batches(tag("l", l_missing), batch_format="pandas")
+            .union(right.map_batches(tag("r", r_missing),
+                                     batch_format="pandas")))
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"][[on] + l_cols]
-        rg = g[g["__side"] == "r"][[on] + r_cols]
-        return lg.merge(rg, on=on, how=how, suffixes=suffixes)
+        # __s participates in the merge key: two salts of one hot key
+        # can hash into the SAME bucket, and matching on (key, salt)
+        # keeps each (l, r) pair meeting exactly once there too
+        lg = g[g["__side"] == "l"][[on, "__s"] + l_cols]
+        rg = g[g["__side"] == "r"][[on, "__s"] + r_cols]
+        return (lg.merge(rg, on=[on, "__s"], how=how, suffixes=suffixes)
+                .drop(columns=["__s"]))
 
     return both.groupby("__b").map_groups(merge_bucket, batch_format="pandas")
 

@@ -329,3 +329,52 @@ def test_table_diff_vs_pandas_spec(ray_session):
             .astype({"k": "int64"}))
     pd.testing.assert_frame_equal(got.astype({"k": "int64"}), want)
     assert set(want["status"]) == {"added", "removed", "changed"}
+
+
+def test_hash_join_salted_hot_key(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(61)
+    nl, nr = 9000, 3000
+    lk = rng.integers(0, 50, nl).astype("int64")
+    lk[:5000] = 7  # hot key: >half the left mass
+    left = pd.DataFrame({"k": lk, "lv": np.arange(nl, dtype="int64")})
+    rk = rng.integers(0, 50, nr).astype("int64")
+    right = pd.DataFrame({"k": rk, "rv": np.arange(nr, dtype="int64")})
+
+    want = (left.merge(right, on="k", how="inner")
+            .sort_values(["lv", "rv"]).reset_index(drop=True))
+
+    for how in ("inner", "left"):
+        w = (left.merge(right, on="k", how=how)
+             .sort_values(["lv", "rv"]).reset_index(drop=True))
+        got = (hash_join(_mk(ray, left), _mk(ray, right), "k", how=how,
+                         hot_keys=[7], hot_salts=4, n_buckets=16)
+               .to_pandas().sort_values(["lv", "rv"])
+               .reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got[["k", "lv", "rv"]].astype({"k": "int64"}),
+            w[["k", "lv", "rv"]].astype({"k": "int64"}),
+            check_dtype=False)
+
+    # unsalted control still matches too (same pairs, one bucket)
+    got0 = (hash_join(_mk(ray, left), _mk(ray, right), "k",
+                      n_buckets=16)
+            .to_pandas().sort_values(["lv", "rv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got0[["k", "lv", "rv"]].astype({"k": "int64"}),
+        want[["k", "lv", "rv"]], check_dtype=False)
+
+    # the salting spreads the hot key's left rows over >1 bucket
+    import pandas.util as pu
+    h = int(pu.hash_array(np.array([7], dtype="int64"))[0])
+    gold = 0x9E3779B97F4A7C15
+    buckets = {(h + s * gold) % (2**64) % 16 for s in range(4)}
+    assert len(buckets) > 1
+
+    import pytest
+    with pytest.raises(ValueError):
+        hash_join(_mk(ray, left), _mk(ray, right), "k", how="outer",
+                  hot_keys=[7])
