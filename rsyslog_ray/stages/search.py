@@ -245,7 +245,7 @@ def bm25_query_index(index_dir: str, queries: dict[str, str], k: int = 10
 
     import ray.data
 
-    st = _json.load(open(os.path.join(index_dir, "_stats.json")))
+    st = index_stats(index_dir)
     n, npart = st["n_docs"], st["npart"]
     qterms = {qid: tokenize_query(qt) for qid, qt in queries.items()}
     vocab = sorted({t for ts in qterms.values() for t in ts})
@@ -254,10 +254,18 @@ def bm25_query_index(index_dir: str, queries: dict[str, str], k: int = 10
                              "rank": []})
     avgdl = st["sum_dl"] / float(n)
     tps = sorted(set(_term_partition(vocab, npart).tolist()))
+    # base postings + COMMITTED generations only: a torn append's
+    # files must stay invisible, matching index_stats' totals
+    gids = [os.path.basename(m)[len("_gen-"):-len(".json")]
+            for m in sorted(_glob.glob(
+                os.path.join(index_dir, "_gen-*.json")))]
     files = []
     for tp in tps:
-        files += sorted(_glob.glob(
-            os.path.join(index_dir, f"tp={tp}", "*.parquet")))
+        d = os.path.join(index_dir, f"tp={tp}")
+        files += sorted(_glob.glob(os.path.join(d, "part-*.parquet")))
+        for gid in gids:
+            files += sorted(_glob.glob(
+                os.path.join(d, f"gen-{gid}-part-*.parquet")))
     if not files:
         return pd.DataFrame({"qid": [], "id": [], "score_micro": [],
                              "rank": []})
@@ -370,3 +378,90 @@ def bm25_oracle(ids, texts, queries: dict[str, str], k: int = 10
            .groupby("qid").head(k).reset_index(drop=True))
     out["rank"] = (out.groupby("qid").cumcount() + 1).astype("int64")
     return out
+
+
+def append_inverted_index(ds, id_col: str, text_col: str,
+                          index_dir: str, gen_id: str) -> dict:
+    """Append NEW documents to a committed inverted index without
+    rebuilding — the operation a rolling 100 TB crawl store actually
+    performs (build once, then increments).
+
+    Same fan-out shape as the build (per-batch postings to the
+    term-hash dirs, atomic files), but namespaced by ``gen_id``:
+
+      tp=<p>/gen-<gid>-part-<stem>.parquet      increment postings
+      _gen-<gid>.json                            increment COMMIT MARKER
+                                                 ({n_docs, sum_dl})
+
+    Idempotence: the caller names the increment (a shard id, a date);
+    if its marker exists the append is a no-op; if files exist without
+    the marker a previous attempt died mid-write and the increment's
+    debris (only) is wiped and re-written — the base index and other
+    generations are never touched.  The query side sums the base
+    ``_stats.json`` with every generation marker, so a torn append is
+    invisible until its marker lands."""
+    import glob as _glob
+    import json as _json
+
+    st_path = os.path.join(index_dir, "_stats.json")
+    if not os.path.exists(st_path):
+        raise FileNotFoundError("append requires a committed index "
+                                f"(missing {st_path})")
+    npart = _json.load(open(st_path))["npart"]
+    marker = os.path.join(index_dir, f"_gen-{gen_id}.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return _json.load(fh)
+    for f in _glob.glob(os.path.join(index_dir, "tp=*",
+                                     f"gen-{gen_id}-part-*.parquet")):
+        os.remove(f)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        wid = hashlib.md5(
+            np.ascontiguousarray(df[id_col].to_numpy(np.int64)).tobytes()
+        ).hexdigest()
+        toks = _token_lists(df[text_col])
+        lens = toks.str.len()
+        e = toks.explode().dropna()
+        f = pd.DataFrame({"__i": e.index.to_numpy(), "term": e.to_numpy()})
+        if len(f):
+            tf = (f.groupby(["__i", "term"], observed=True).size()
+                  .rename("tf").reset_index())
+            tf["id"] = tf["__i"].map(df[id_col]).astype("int64")
+            tf["dl"] = tf["__i"].map(lens).astype("int64")
+            tf["tp"] = _term_partition(tf["term"].to_numpy(), npart)
+            for tp, grp in tf.groupby("tp"):
+                d = os.path.join(index_dir, f"tp={int(tp)}")
+                os.makedirs(d, exist_ok=True)
+                stem = f"gen-{gen_id}-part-{wid}.parquet"
+                tmp = os.path.join(d, stem + ".inprogress")
+                (grp[["term", "id", "tf", "dl"]].reset_index(drop=True)
+                 .to_parquet(tmp))
+                os.replace(tmp, os.path.join(d, stem))
+        return pd.DataFrame({"n": [int((lens > 0).sum())],
+                             "dl": [int(lens.sum())]})
+
+    stats = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    rec = {"n_docs": int(stats["n"].sum()),
+           "sum_dl": int(stats["dl"].sum())}
+    import json as _j
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        _j.dump(rec, fh)
+    os.replace(tmp, marker)
+    return rec
+
+
+def index_stats(index_dir: str) -> dict:
+    """Effective corpus stats: the base build plus every COMMITTED
+    generation marker (torn appends contribute nothing)."""
+    import glob as _glob
+    import json as _json
+
+    st = _json.load(open(os.path.join(index_dir, "_stats.json")))
+    for m in sorted(_glob.glob(os.path.join(index_dir, "_gen-*.json"))):
+        g = _json.load(open(m))
+        st["n_docs"] += g["n_docs"]
+        st["sum_dl"] += g["sum_dl"]
+    return st

@@ -280,3 +280,60 @@ def test_bm25_index_common_term_bounded_driver(ray_session, tmp_path,
     pd.testing.assert_frame_equal(got.reset_index(drop=True),
                                   want.reset_index(drop=True),
                                   check_dtype=False)
+
+
+def test_append_inverted_index_generations(ray_session, tmp_path):
+    """Incremental appends: build(A) + append(B) answers exactly like
+    build(A+B); re-append of the same gen is a no-op; a torn append
+    (files, no marker) stays invisible until repaired."""
+    import glob
+    import os
+
+    import ray.data
+
+    from rsyslog_ray.stages.search import (append_inverted_index,
+                                           bm25_query_index,
+                                           build_inverted_index,
+                                           index_stats)
+
+    df = _corpus()
+    a, b = df.iloc[:180], df.iloc[180:]
+    queries = {"q1": "fast hash", "q2": "dup merge scan", "q3": "the"}
+
+    full_dir = str(tmp_path / "full")
+    build_inverted_index(ray.data.from_pandas(df).repartition(4),
+                         "doc_id", "text", full_dir, npart=8)
+    want = bm25_query_index(full_dir, queries, k=10)
+
+    inc_dir = str(tmp_path / "inc")
+    build_inverted_index(ray.data.from_pandas(a).repartition(3),
+                         "doc_id", "text", inc_dir, npart=8)
+    base_only = bm25_query_index(inc_dir, queries, k=10)
+
+    rec = append_inverted_index(
+        ray.data.from_pandas(b).repartition(3), "doc_id", "text",
+        inc_dir, gen_id="b1")
+    got = bm25_query_index(inc_dir, queries, k=10)
+    pd.testing.assert_frame_equal(got, want)
+    st = index_stats(inc_dir)
+    assert st["n_docs"] == 298  # two zero-token docs (13, 14) in A
+
+    # idempotence: same gen re-appends as a no-op (marker returned)
+    n_files = len(glob.glob(f"{inc_dir}/tp=*/gen-b1-*.parquet"))
+    rec2 = append_inverted_index(
+        ray.data.from_pandas(b.head(5)), "doc_id", "text", inc_dir,
+        gen_id="b1")
+    assert rec2 == rec
+    assert len(glob.glob(f"{inc_dir}/tp=*/gen-b1-*.parquet")) == n_files
+    pd.testing.assert_frame_equal(bm25_query_index(inc_dir, queries),
+                                  want)
+
+    # torn append: marker removed -> the generation is invisible
+    os.remove(os.path.join(inc_dir, "_gen-b1.json"))
+    pd.testing.assert_frame_equal(bm25_query_index(inc_dir, queries),
+                                  base_only)
+    # repair: re-append wipes the debris and recommits
+    append_inverted_index(ray.data.from_pandas(b).repartition(2),
+                          "doc_id", "text", inc_dir, gen_id="b1")
+    pd.testing.assert_frame_equal(bm25_query_index(inc_dir, queries),
+                                  want)
