@@ -96,3 +96,48 @@ def test_incremental_agg_update_equals_full_recompute(ray_session):
         .sort_values(["k"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, full, check_dtype=False)
     assert "d" in set(got["k"])  # a key the old aggregate never saw
+
+
+def test_range_store_generation_appends(ray_session, tmp_path):
+    import ray
+    import ray.data
+
+    from rsyslog_ray.stages.rangestore import (append_range_partitioned,
+                                               read_range,
+                                               write_range_partitioned)
+
+    rng = np.random.default_rng(67)
+    a = pd.DataFrame({"v": rng.uniform(0, 100, 8000),
+                      "id": np.arange(8000, dtype="int64")})
+    # increment includes values OUTSIDE the base hull (clip into edges)
+    b = pd.DataFrame({"v": np.concatenate(
+        [rng.uniform(0, 100, 3000), [-50.0, 500.0]]),
+        "id": np.arange(8000, 11002, dtype="int64")})
+
+    out = str(tmp_path / "store")
+    write_range_partitioned(ray.data.from_pandas(a).repartition(4),
+                            "v", out, n_ranges=6)
+    rec = append_range_partitioned(
+        ray.data.from_pandas(b).repartition(3), out, gen_id="g1")
+    assert rec["n_rows"] == len(b)
+
+    got = read_range(out, -np.inf, np.inf).to_pandas()
+    assert set(got["id"]) == set(range(11002))
+    band = read_range(out, 20.0, 30.0).to_pandas()
+    full = pd.concat([a, b], ignore_index=True)
+    want = full[(full["v"] >= 20.0) & (full["v"] < 30.0)]
+    assert set(band["id"]) == set(want["id"])
+
+    # idempotent re-append
+    n = len(read_range(out, -np.inf, np.inf).to_pandas())
+    append_range_partitioned(ray.data.from_pandas(b.head(7)), out,
+                             gen_id="g1")
+    assert len(read_range(out, -np.inf, np.inf).to_pandas()) == n
+
+    # torn append invisible until repaired
+    os.remove(os.path.join(out, "_gen-g1.json"))
+    assert (set(read_range(out, -np.inf, np.inf).to_pandas()["id"])
+            == set(a["id"]))
+    append_range_partitioned(ray.data.from_pandas(b).repartition(2),
+                             out, gen_id="g1")
+    assert len(read_range(out, -np.inf, np.inf).to_pandas()) == n
