@@ -2083,6 +2083,26 @@ def q_range_store(sf_dir):
         sel, batch_format="pandas")
 
 
+def q_window_rank(sf_dir):
+    """lead() and ntile(4) over the same per-user window as
+    q_window_funcs (stages/aggregate.window_over_key) — lead
+    bit-copies the next value, ntile reproduces SQL's
+    larger-buckets-first split exactly.  DuckDB OVER() oracle in
+    SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               parallel=8)
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "next_value", "tile"]]
+
+    return (window_over_key(ds, "user_id", ["ts", "event_id"], "value",
+                            lead_col="next_value", ntile_n=4)
+            .map_batches(sel, batch_format="pandas"))
+
+
 def q_table_diff(sf_dir):
     """Snapshot diff (stages/join.table_diff): orders vs a
     deterministically mutated second snapshot (urgent rows dropped →
@@ -2404,6 +2424,16 @@ SQL_TAIL: dict[str, str] = {
     "range_store": """
         SELECT event_id, value FROM events
         WHERE value >= 100.0 AND value < 200.0
+        ORDER BY event_id
+    """,
+    # q_window_rank: lead is a bit-copy; ntile follows the standard
+    # larger-buckets-first split.
+    "window_rank": """
+        SELECT event_id, user_id,
+               lead(value) OVER w AS next_value,
+               CAST(ntile(4) OVER w AS BIGINT) AS tile
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
     """,
     # q_table_diff: snapshot B built identically in SQL; the diff is a
@@ -3630,4 +3660,5 @@ QUERIES = {
     "approx_distinct_bykey": q_approx_distinct_bykey,
     "table_diff": q_table_diff,
     "range_store": q_range_store,
+    "window_rank": q_window_rank,
 }

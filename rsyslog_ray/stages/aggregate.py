@@ -280,10 +280,15 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     nparts: int = 32, rn: str = "rn",
                     lag_col: str = "prev_value",
                     run_value: str | None = None,
-                    run_col: str = "run_sum"):
+                    run_col: str = "run_sum",
+                    lead_col: str | None = None,
+                    ntile_n: int | None = None,
+                    ntile_col: str = "tile"):
     """Per-key ordered window functions — ``row_number()`` and
     ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
-    per-key running sum of ``run_value`` when given.
+    per-key running sum of ``run_value``, ``lead(value)``
+    (``lead_col``) and ``ntile(ntile_n)`` (SQL's
+    larger-buckets-first split) when requested.
 
     Scale shape: rows hash-bucket by ``key`` (ONE shuffle — a key's
     rows co-locate, so window state never crosses workers), each
@@ -327,6 +332,28 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
             base = np.concatenate(
                 [np.zeros(1, dtype=cs.dtype), cs])[starts]
             out[run_col] = cs - base
+        if lead_col is not None:
+            nxt = np.empty_like(v)
+            nxt[-1:] = np.nan
+            nxt[:-1] = v[1:]
+            # a row whose successor starts a new key has no lead
+            nxt[:-1][first[1:]] = np.nan
+            out[lead_col] = nxt
+        if ntile_n is not None:
+            # per-row group size: repeat each group's length
+            sidx = np.flatnonzero(first)
+            sizes = np.diff(np.append(sidx, len(g)))
+            c = np.repeat(sizes, sizes)
+            kpos = idx - starts              # 0-based rank in group
+            n = int(ntile_n)
+            base_sz = c // n
+            rem = c % n
+            cutoff = rem * (base_sz + 1)
+            safe = np.maximum(base_sz, 1)
+            tile = np.where(kpos < cutoff,
+                            kpos // np.maximum(base_sz + 1, 1),
+                            rem + (kpos - cutoff) // safe) + 1
+            out[ntile_col] = tile.astype("int64")
         return out
 
     return (ds.map_batches(bucketed, batch_format="pandas")

@@ -378,3 +378,47 @@ def test_hash_join_salted_hot_key(ray_session):
     with pytest.raises(ValueError):
         hash_join(_mk(ray, left), _mk(ray, right), "k", how="outer",
                   hot_keys=[7])
+
+
+def test_window_lead_ntile_vs_pandas_spec(ray_session):
+    import ray
+
+    rng = np.random.default_rng(71)
+    n = 9000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n).astype("int64"),
+        "t": rng.integers(0, 10**6, n).astype("int64"),
+        "id": np.arange(n, dtype="int64"),
+        "value": rng.normal(size=n),
+    })
+    # tiny groups exercise the c < n ntile edge (one row per tile)
+    df.loc[df["k"] == 3, "k"] = 4
+    df = pd.concat([df, pd.DataFrame({
+        "k": [3, 3], "t": [1, 2], "id": [n, n + 1],
+        "value": [0.5, 0.7]})], ignore_index=True)
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    got = (window_over_key(_mk(ray, df), "k", ["t", "id"], "value",
+                           lead_col="nv", ntile_n=4, ntile_col="tile")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    s = df.sort_values(["k", "t", "id"], kind="mergesort")
+    g = s.groupby("k")
+    def ntile4(c):
+        base, rem = divmod(c, 4)
+        out = []
+        for b in range(4):
+            out += [b + 1] * (base + (1 if b < rem else 0))
+        return out
+    want = s.assign(nv=g["value"].shift(-1),
+                    tile=np.concatenate(
+                        [ntile4(len(grp)) for _, grp in g]))
+    want = want.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["id", "nv", "tile"]],
+        want[["id", "nv", "tile"]].astype({"tile": "int64"}))
+    # lead is a bit-copy where defined
+    nn = got["nv"].notna()
+    assert (got.loc[nn, "nv"].to_numpy()
+            == want.loc[nn, "nv"].to_numpy()).all()
