@@ -2103,6 +2103,24 @@ def q_window_rank(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_sequence_match(sf_dir):
+    """MATCH_RECOGNIZE-lite (stages/aggregate.sequence_match): users
+    whose ordered event stream contains a CONSECUTIVE
+    view→click→purchase (regex 'vcp' over single-char type codes —
+    adjacency, which the gap-tolerant funnel can't express).  One
+    user-hash shuffle, one compiled-regex pass per user sequence;
+    DuckDB string_agg + regexp_matches oracle in SQL_TAIL."""
+    from ..stages.aggregate import sequence_match
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"],
+               parallel=8)
+    alpha = {"view": "v", "click": "c", "purchase": "p",
+             "error": "e", "signup": "s"}
+    return sequence_match(ds, "user_id", ["ts", "event_id"],
+                          "event_type", "vcp", alphabet=alpha)
+
+
 def q_table_diff(sf_dir):
     """Snapshot diff (stages/join.table_diff): orders vs a
     deterministically mutated second snapshot (urgent rows dropped →
@@ -2425,6 +2443,23 @@ SQL_TAIL: dict[str, str] = {
         SELECT event_id, value FROM events
         WHERE value >= 100.0 AND value < 200.0
         ORDER BY event_id
+    """,
+    # q_sequence_match: same single-char encoding, same regex, same
+    # (ts, event_id) order.
+    "sequence_match": """
+        WITH s AS (
+          SELECT user_id,
+                 string_agg(CASE event_type
+                              WHEN 'view' THEN 'v'
+                              WHEN 'click' THEN 'c'
+                              WHEN 'purchase' THEN 'p'
+                              WHEN 'error' THEN 'e'
+                              WHEN 'signup' THEN 's' END,
+                            '' ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id
+        )
+        SELECT user_id FROM s WHERE regexp_matches(seq, 'vcp')
+        ORDER BY user_id
     """,
     # q_window_rank: lead is a bit-copy; ntile follows the standard
     # larger-buckets-first split.
@@ -3661,4 +3696,5 @@ QUERIES = {
     "table_diff": q_table_diff,
     "range_store": q_range_store,
     "window_rank": q_window_rank,
+    "sequence_match": q_sequence_match,
 }

@@ -565,3 +565,38 @@ def incremental_agg_update(prev: pd.DataFrame | None, new_ds,
     return (out.astype({c: "int64" for c in agg_cols
                         if str(out[c].dtype).startswith(("int", "Int"))})
             .sort_values(list(keys)).reset_index(drop=True))
+
+
+def sequence_match(ds, key: str, order: list[str], type_col: str,
+                   pattern: str, *, alphabet: dict[str, str],
+                   nparts: int = 32) -> pd.DataFrame:
+    """MATCH_RECOGNIZE-lite: keys whose ORDERED event-type sequence
+    matches a regex over single-char type codes (``alphabet`` maps
+    type value -> code char).  One key-hash shuffle; per bucket one
+    sort + per-key string build + ONE compiled-regex pass over the
+    key's whole sequence; the driver collect is the matching keys
+    only.  Same encode trick a SQL oracle can reproduce with
+    string_agg + regexp_matches, so the semantics stay checkable."""
+    import re
+
+    rx = re.compile(pattern)
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, type_col] + list(order)].copy(deep=False)
+        df["__pp"] = _bucket_int(df[key], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key] + list(order), kind="mergesort")
+        codes = g[type_col].map(alphabet).fillna("_")
+        s = codes.groupby(g[key].to_numpy()).agg("".join)
+        hit = s[s.map(lambda x: rx.search(x) is not None)]
+        return pd.DataFrame({key: hit.index.to_numpy()})
+
+    out = (ds.map_batches(bucketed, batch_format="pandas")
+           .groupby("__pp").map_groups(per_bucket,
+                                       batch_format="pandas")
+           .to_pandas())
+    if not len(out.columns):
+        out = pd.DataFrame({key: pd.Series([], dtype="int64")})
+    return out.sort_values(key).reset_index(drop=True)

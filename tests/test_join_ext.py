@@ -422,3 +422,32 @@ def test_window_lead_ntile_vs_pandas_spec(ray_session):
     nn = got["nv"].notna()
     assert (got.loc[nn, "nv"].to_numpy()
             == want.loc[nn, "nv"].to_numpy()).all()
+
+
+def test_sequence_match_vs_pandas_spec(ray_session):
+    import re
+
+    import ray
+
+    from rsyslog_ray.stages.aggregate import sequence_match
+
+    rng = np.random.default_rng(73)
+    n = 8000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 300, n).astype("int64"),
+        "t": rng.integers(0, 10**6, n).astype("int64"),
+        "id": np.arange(n, dtype="int64"),
+        "e": rng.choice(["a", "b", "c"], n),
+    })
+    alpha = {"a": "a", "b": "b", "c": "c"}
+    pat = "ab+c"
+
+    got = sequence_match(_mk(ray, df), "u", ["t", "id"], "e", pat,
+                         alphabet=alpha)
+
+    s = df.sort_values(["u", "t", "id"], kind="mergesort")
+    rx = re.compile(pat)
+    want = sorted(u for u, grp in s.groupby("u")
+                  if rx.search("".join(grp["e"])))
+    assert got["u"].tolist() == want
+    assert len(want) > 0
