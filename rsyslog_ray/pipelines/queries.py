@@ -2103,6 +2103,19 @@ def q_window_rank(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_retention(sf_dir):
+    """Cohort retention triangle (stages/aggregate.retention_counts):
+    users cohorted by first-event date, distinct users active at each
+    day offset.  One user-hash shuffle makes the per-bucket distinct
+    counts globally exact (a user lives in exactly one bucket) —
+    identities never reach the driver.  DuckDB min-date +
+    count(DISTINCT) oracle in SQL_TAIL."""
+    from ..stages.aggregate import retention_counts
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"], parallel=8)
+    return retention_counts(ds, "user_id", "ts")
+
+
 def q_sequence_match(sf_dir):
     """MATCH_RECOGNIZE-lite (stages/aggregate.sequence_match): users
     whose ordered event stream contains a CONSECUTIVE
@@ -2443,6 +2456,20 @@ SQL_TAIL: dict[str, str] = {
         SELECT event_id, value FROM events
         WHERE value >= 100.0 AND value < 200.0
         ORDER BY event_id
+    """,
+    # q_retention: cohort rendered as a %Y-%m-%d string on both sides;
+    # offsets are whole days between event date and first-event date.
+    "retention": """
+        WITH f AS (
+          SELECT user_id, CAST(min(ts) AS DATE) AS d0
+          FROM events GROUP BY user_id
+        )
+        SELECT strftime(f.d0, '%Y-%m-%d') AS cohort,
+               CAST(datediff('day', f.d0, CAST(e.ts AS DATE))
+                    AS BIGINT) AS day_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN f USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
     """,
     # q_sequence_match: same single-char encoding, same regex, same
     # (ts, event_id) order.
@@ -3697,4 +3724,5 @@ QUERIES = {
     "range_store": q_range_store,
     "window_rank": q_window_rank,
     "sequence_match": q_sequence_match,
+    "retention": q_retention,
 }

@@ -600,3 +600,46 @@ def sequence_match(ds, key: str, order: list[str], type_col: str,
     if not len(out.columns):
         out = pd.DataFrame({key: pd.Series([], dtype="int64")})
     return out.sort_values(key).reset_index(drop=True)
+
+
+def retention_counts(ds, user: str, ts: str, *, nparts: int = 32
+                     ) -> pd.DataFrame:
+    """Cohort retention: users cohorted by the DATE of their first
+    event; for every (cohort, day_offset) the number of DISTINCT
+    users active that many days later — the product-analytics
+    retention triangle.
+
+    Scale shape: ONE user-hash shuffle.  A user's rows co-locate, so
+    the per-bucket (cohort, offset) distinct-user counts are globally
+    exact (each user contributes to exactly one bucket) and the
+    driver reduce sums O(cohorts × offsets) ints per bucket — user
+    identities never reach the driver."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[user, ts]].copy(deep=False)
+        df["__pp"] = _bucket_int(df[user], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        day = pd.to_datetime(g[ts]).dt.normalize()
+        d0 = day.groupby(g[user].to_numpy()).transform("min")
+        cohort = d0.dt.strftime("%Y-%m-%d")
+        off = (day - d0).dt.days.astype("int64")
+        sub = pd.DataFrame({"cohort": cohort.to_numpy(),
+                            "day_offset": off.to_numpy(),
+                            "u": g[user].to_numpy()})
+        out = (sub.drop_duplicates()
+               .groupby(["cohort", "day_offset"], as_index=False)
+               .size().rename(columns={"size": "n_users"}))
+        return out
+
+    parts = (ds.map_batches(bucketed, batch_format="pandas")
+             .groupby("__pp").map_groups(per_bucket,
+                                         batch_format="pandas")
+             .to_pandas())
+    out = (parts.groupby(["cohort", "day_offset"], as_index=False)
+           ["n_users"].sum()
+           .astype({"day_offset": "int64", "n_users": "int64"})
+           .sort_values(["cohort", "day_offset"])
+           .reset_index(drop=True))
+    return out

@@ -451,3 +451,37 @@ def test_sequence_match_vs_pandas_spec(ray_session):
                   if rx.search("".join(grp["e"])))
     assert got["u"].tolist() == want
     assert len(want) > 0
+
+
+def test_retention_counts_vs_pandas_spec(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.aggregate import retention_counts
+
+    rng = np.random.default_rng(79)
+    n = 10000
+    base = pd.Timestamp("2024-03-01")
+    df = pd.DataFrame({
+        "u": rng.integers(0, 400, n).astype("int64"),
+        "ts": base + pd.to_timedelta(
+            rng.integers(0, 14 * 86400, n), unit="s"),
+    })
+    got = retention_counts(_mk(ray, df), "u", "ts")
+
+    day = df["ts"].dt.normalize()
+    d0 = day.groupby(df["u"]).transform("min")
+    spec = pd.DataFrame({"cohort": d0.dt.strftime("%Y-%m-%d"),
+                         "day_offset": (day - d0).dt.days.astype("int64"),
+                         "u": df["u"]}).drop_duplicates()
+    want = (spec.groupby(["cohort", "day_offset"], as_index=False)["u"]
+            .nunique().rename(columns={"u": "n_users"})
+            .astype({"day_offset": "int64", "n_users": "int64"})
+            .sort_values(["cohort", "day_offset"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    # day 0 of each cohort counts every cohort member exactly once
+    day0 = got[got["day_offset"] == 0].set_index("cohort")["n_users"]
+    first = d0.dt.strftime("%Y-%m-%d").groupby(df["u"]).first()
+    pd.testing.assert_series_equal(
+        day0.sort_index(), first.value_counts().sort_index()
+        .rename("n_users").astype("int64"), check_names=False)
