@@ -2103,6 +2103,27 @@ def q_window_rank(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_window_dist(sf_dir):
+    """percent_rank() and cume_dist() over the per-user window
+    (stages/aggregate.window_over_key): with a tie-free order both
+    reduce to single IEEE divisions of the same integers the SQL side
+    divides — bit-identical, no rounding games.  DuckDB OVER() oracle
+    in SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               parallel=8)
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "pct_rank", "cume_dist"]]
+
+    return (window_over_key(ds, "user_id", ["ts", "event_id"], "value",
+                            pct_rank_col="pct_rank",
+                            cume_dist_col="cume_dist")
+            .map_batches(sel, batch_format="pandas"))
+
+
 def q_retention(sf_dir):
     """Cohort retention triangle (stages/aggregate.retention_counts):
     users cohorted by first-event date, distinct users active at each
@@ -2455,6 +2476,16 @@ SQL_TAIL: dict[str, str] = {
     "range_store": """
         SELECT event_id, value FROM events
         WHERE value >= 100.0 AND value < 200.0
+        ORDER BY event_id
+    """,
+    # q_window_dist: tie-free order (ts, event_id) makes rank == rn,
+    # so both ratios are the same integer divisions on both sides.
+    "window_dist": """
+        SELECT event_id, user_id,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume_dist
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
     """,
     # q_retention: cohort rendered as a %Y-%m-%d string on both sides;
@@ -3725,4 +3756,5 @@ QUERIES = {
     "window_rank": q_window_rank,
     "sequence_match": q_sequence_match,
     "retention": q_retention,
+    "window_dist": q_window_dist,
 }

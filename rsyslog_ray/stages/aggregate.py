@@ -283,7 +283,9 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     run_col: str = "run_sum",
                     lead_col: str | None = None,
                     ntile_n: int | None = None,
-                    ntile_col: str = "tile"):
+                    ntile_col: str = "tile",
+                    pct_rank_col: str | None = None,
+                    cume_dist_col: str | None = None):
     """Per-key ordered window functions — ``row_number()`` and
     ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
     per-key running sum of ``run_value``, ``lead(value)``
@@ -354,6 +356,20 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                             kpos // np.maximum(base_sz + 1, 1),
                             rem + (kpos - cutoff) // safe) + 1
             out[ntile_col] = tile.astype("int64")
+        if pct_rank_col is not None or cume_dist_col is not None:
+            # REQUIRES a tie-free ``order`` (include a unique id):
+            # then rank == row_number and cume_dist == rn/c, and both
+            # ratios are single IEEE divisions of the same ints the
+            # SQL side divides — bit-identical
+            sidx = np.flatnonzero(first)
+            sizes = np.diff(np.append(sidx, len(g)))
+            c = np.repeat(sizes, sizes).astype(np.float64)
+            rn_f = (idx - starts + 1).astype(np.float64)
+            if pct_rank_col is not None:
+                out[pct_rank_col] = np.where(
+                    c > 1, (rn_f - 1.0) / (c - 1.0), 0.0)
+            if cume_dist_col is not None:
+                out[cume_dist_col] = rn_f / c
         return out
 
     return (ds.map_batches(bucketed, batch_format="pandas")

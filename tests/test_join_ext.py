@@ -485,3 +485,36 @@ def test_retention_counts_vs_pandas_spec(ray_session):
     pd.testing.assert_series_equal(
         day0.sort_index(), first.value_counts().sort_index()
         .rename("n_users").astype("int64"), check_names=False)
+
+
+def test_window_pct_rank_cume_dist(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    rng = np.random.default_rng(83)
+    n = 6000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 20, n).astype("int64"),
+        "t": rng.integers(0, 10**6, n).astype("int64"),
+        "id": np.arange(n, dtype="int64"),
+        "value": rng.normal(size=n),
+    })
+    # single-row group: percent_rank must be 0, cume_dist 1
+    df = pd.concat([df, pd.DataFrame({"k": [99], "t": [5], "id": [n],
+                                      "value": [1.0]})],
+                   ignore_index=True)
+    got = (window_over_key(_mk(ray, df), "k", ["t", "id"], "value",
+                           pct_rank_col="pr", cume_dist_col="cd")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    s = df.sort_values(["k", "t", "id"], kind="mergesort")
+    g = s.groupby("k")
+    rn = g.cumcount() + 1
+    c = g["id"].transform("size")
+    want = s.assign(pr=np.where(c > 1, (rn - 1) / (c - 1), 0.0),
+                    cd=rn / c).sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "pr", "cd"]],
+                                  want[["id", "pr", "cd"]])
+    one = got[got["id"] == n]
+    assert float(one["pr"]) == 0.0 and float(one["cd"]) == 1.0
