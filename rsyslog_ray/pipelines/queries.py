@@ -2124,6 +2124,30 @@ def q_window_dist(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_corr_bykey(sf_dir):
+    """Pearson correlation per event_type between value cents and
+    second-of-day (stages/aggregate.corr_by_key): six int64 moment
+    partials per key per batch (order-exact integer sums), then ONE
+    float64 expression over the exact sums — the identical expression
+    tree in the DuckDB oracle makes the float output bit-identical
+    (the bm25 shared-expression trick applied to statistics)."""
+    from ..stages.aggregate import corr_by_key
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "xc": np.floor(df["value"].to_numpy(np.float64) * 100
+                           + 0.5).astype("int64"),
+            "yc": (df["ts"].to_numpy().astype("int64") // 1_000_000
+                   % 86_400),
+        })
+
+    ds = (_read(sf_dir, "events",
+                columns=["event_type", "value", "ts"], parallel=8)
+          .map_batches(prep, batch_format="pandas"))
+    return corr_by_key(ds, "event_type", "xc", "yc")
+
+
 def q_retention(sf_dir):
     """Cohort retention triangle (stages/aggregate.retention_counts):
     users cohorted by first-event date, distinct users active at each
@@ -2487,6 +2511,32 @@ SQL_TAIL: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
+    """,
+    # q_corr_bykey: integer moment sums, then the SAME float64
+    # expression tree as the engine (keep in sync with
+    # aggregate.corr_by_key) — bit-identical output.
+    "corr_bykey": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc,
+                 epoch_us(ts) // 1000000 % 86400 AS yc
+          FROM events
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(xc) AS DOUBLE) AS sx,
+                 CAST(sum(yc) AS DOUBLE) AS sy,
+                 CAST(sum(xc * xc) AS DOUBLE) AS sxx,
+                 CAST(sum(xc * yc) AS DOUBLE) AS sxy,
+                 CAST(sum(yc * yc) AS DOUBLE) AS syy
+          FROM b GROUP BY event_type
+        )
+        SELECT event_type,
+               (n * sxy - sx * sy)
+               / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   AS corr
+        FROM m ORDER BY event_type
     """,
     # q_retention: cohort rendered as a %Y-%m-%d string on both sides;
     # offsets are whole days between event date and first-event date.
@@ -3757,4 +3807,5 @@ QUERIES = {
     "sequence_match": q_sequence_match,
     "retention": q_retention,
     "window_dist": q_window_dist,
+    "corr_bykey": q_corr_bykey,
 }

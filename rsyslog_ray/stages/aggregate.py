@@ -659,3 +659,38 @@ def retention_counts(ds, user: str, ts: str, *, nparts: int = 32
            .sort_values(["cohort", "day_offset"])
            .reset_index(drop=True))
     return out
+
+
+def corr_by_key(ds, key: str, x: str, y: str, *, out: str = "corr"
+                ) -> pd.DataFrame:
+    """Pearson correlation of INTEGER columns ``x``, ``y`` per key —
+    the two-phase moment pattern: each batch ships six int64 moment
+    partials (n, Σx, Σy, Σx², Σxy, Σy²) per key, integer addition
+    makes the sums order-exact under any batch split, and the final
+    correlation is ONE float64 expression over the exact sums —
+    mirror the same expression in SQL and the match is bit-identical
+    (the bm25 shared-expression-tree trick).  Integer inputs are the
+    caller's job (cents, seconds); Σx² must fit int64 — fine to
+    ~10^9 rows/key at cent scale, documented bound."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xa = df[x].to_numpy(np.int64)
+        ya = df[y].to_numpy(np.int64)
+        t = pd.DataFrame({key: df[key], "n": 1, "sx": xa, "sy": ya,
+                          "sxx": xa * xa, "sxy": xa * ya,
+                          "syy": ya * ya})
+        return t.groupby(key, as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby(key, as_index=False).sum()
+    n = m["n"].to_numpy(np.float64)
+    sx = m["sx"].to_numpy(np.float64)
+    sy = m["sy"].to_numpy(np.float64)
+    sxx = m["sxx"].to_numpy(np.float64)
+    sxy = m["sxy"].to_numpy(np.float64)
+    syy = m["syy"].to_numpy(np.float64)
+    # the shared expression tree — keep in sync with the SQL oracle
+    m[out] = ((n * sxy - sx * sy)
+              / (np.sqrt(n * sxx - sx * sx)
+                 * np.sqrt(n * syy - sy * sy)))
+    return (m[[key, out]].sort_values(key).reset_index(drop=True))

@@ -518,3 +518,31 @@ def test_window_pct_rank_cume_dist(ray_session):
                                   want[["id", "pr", "cd"]])
     one = got[got["id"] == n]
     assert float(one["pr"]) == 0.0 and float(one["cd"]) == 1.0
+
+
+def test_corr_by_key_exact_and_partition_invariant(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.aggregate import corr_by_key
+
+    rng = np.random.default_rng(89)
+    n = 12000
+    x = rng.integers(0, 5000, n).astype("int64")
+    # construct y correlated with x plus noise, all integer
+    y = (x // 2 + rng.integers(0, 2500, n)).astype("int64")
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], n),
+                       "x": x, "y": y})
+
+    got = corr_by_key(_mk(ray, df), "k", "x", "y")
+    # statistical sanity vs numpy's own corrcoef
+    for k, grp in df.groupby("k"):
+        ref = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        v = float(got.loc[got["k"] == k, "corr"].iloc[0])
+        assert abs(v - ref) < 1e-9
+        assert 0.5 < v < 0.95  # genuinely correlated fixture
+
+    # partition invariance: integer moment sums make the float final
+    # bit-identical under any batch split
+    got2 = corr_by_key(ray.data.from_pandas(df).repartition(13),
+                       "k", "x", "y")
+    assert (got["corr"].to_numpy() == got2["corr"].to_numpy()).all()
