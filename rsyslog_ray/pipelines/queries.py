@@ -2124,6 +2124,39 @@ def q_window_dist(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_window_bounds(sf_dir):
+    """first_value()/last_value() over the whole per-user partition
+    (stages/aggregate.window_over_key) — bit-copies of the endpoint
+    values broadcast per row.  DuckDB OVER(... ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING) oracle in SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               parallel=8)
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "first_v", "last_v"]]
+
+    return (window_over_key(ds, "user_id", ["ts", "event_id"], "value",
+                            first_col="first_v", last_col="last_v")
+            .map_batches(sel, batch_format="pandas"))
+
+
+def q_argmax_bykey(sf_dir):
+    """max_by per key (stages/aggregate.argmax_by_key): each user's
+    highest-value event (deterministic tie-break: max value, then min
+    event_id).  Two-phase associative argmax — one champion per key
+    per batch, rows never shuffle.  DuckDB row_number()-window oracle
+    in SQL_TAIL (arg_max's tie behavior is unspecified, the window
+    form is exact)."""
+    from ..stages.aggregate import argmax_by_key
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "value", "event_id"], parallel=8)
+    return argmax_by_key(ds, "user_id", "value", "event_id")
+
+
 def q_corr_bykey(sf_dir):
     """Pearson correlation per event_type between value cents and
     second-of-day (stages/aggregate.corr_by_key): six int64 moment
@@ -2511,6 +2544,28 @@ SQL_TAIL: dict[str, str] = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
+    """,
+    # q_window_bounds: whole-partition frame so last_value sees the
+    # real end, both bit-copies.
+    "window_bounds": """
+        SELECT event_id, user_id,
+               first_value(value) OVER w AS first_v,
+               last_value(value) OVER w AS last_v
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        ORDER BY event_id
+    """,
+    # q_argmax_bykey: the deterministic max_by — extreme value, then
+    # smallest payload; value is a bit-copy.
+    "argmax_bykey": """
+        SELECT user_id, value, event_id FROM (
+          SELECT user_id, value, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY value DESC, event_id) AS rn
+          FROM events
+        ) WHERE rn = 1 ORDER BY user_id
     """,
     # q_corr_bykey: integer moment sums, then the SAME float64
     # expression tree as the engine (keep in sync with
@@ -3808,4 +3863,6 @@ QUERIES = {
     "retention": q_retention,
     "window_dist": q_window_dist,
     "corr_bykey": q_corr_bykey,
+    "argmax_bykey": q_argmax_bykey,
+    "window_bounds": q_window_bounds,
 }

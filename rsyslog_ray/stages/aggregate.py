@@ -285,7 +285,9 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     ntile_n: int | None = None,
                     ntile_col: str = "tile",
                     pct_rank_col: str | None = None,
-                    cume_dist_col: str | None = None):
+                    cume_dist_col: str | None = None,
+                    first_col: str | None = None,
+                    last_col: str | None = None):
     """Per-key ordered window functions — ``row_number()`` and
     ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
     per-key running sum of ``run_value``, ``lead(value)``
@@ -370,6 +372,17 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     c > 1, (rn_f - 1.0) / (c - 1.0), 0.0)
             if cume_dist_col is not None:
                 out[cume_dist_col] = rn_f / c
+        if first_col is not None or last_col is not None:
+            # first/last over the WHOLE partition (the UNBOUNDED
+            # FOLLOWING frame) — bit-copies of the group's endpoint
+            # values broadcast per row
+            sidx = np.flatnonzero(first)
+            sizes = np.diff(np.append(sidx, len(g)))
+            if first_col is not None:
+                out[first_col] = np.repeat(v[sidx], sizes)
+            if last_col is not None:
+                eidx = np.append(sidx[1:], len(g)) - 1
+                out[last_col] = np.repeat(v[eidx], sizes)
         return out
 
     return (ds.map_batches(bucketed, batch_format="pandas")
@@ -694,3 +707,31 @@ def corr_by_key(ds, key: str, x: str, y: str, *, out: str = "corr"
               / (np.sqrt(n * sxx - sx * sx)
                  * np.sqrt(n * syy - sy * sy)))
     return (m[[key, out]].sort_values(key).reset_index(drop=True))
+
+
+def argmax_by_key(ds, key: str, val: str, payload: str, *,
+                  largest: bool = True, out: str | None = None
+                  ) -> pd.DataFrame:
+    """SQL ``max_by(payload, val)`` / ``min_by`` per key with a
+    DETERMINISTIC tie-break (extreme ``val``, then smallest
+    ``payload`` — arg_max's unspecified-tie hole closed, so an SQL
+    oracle can reproduce it with a row_number window).  Two-phase
+    associative argmax: each batch keeps one (val, payload) champion
+    per key, the driver reduces O(batches × keys) champions — rows
+    never shuffle."""
+    out = out or payload
+
+    def champ(df: pd.DataFrame) -> pd.DataFrame:
+        s = df.sort_values([val, payload],
+                           ascending=[not largest, True],
+                           kind="mergesort")
+        return s.groupby(key, as_index=False).first()[[key, val, payload]]
+
+    parts = ds.map_batches(champ, batch_format="pandas").to_pandas()
+    final = (parts.sort_values([val, payload],
+                               ascending=[not largest, True],
+                               kind="mergesort")
+             .groupby(key, as_index=False).first())
+    final = final.rename(columns={payload: out})
+    return (final[[key, val, out]].sort_values(key)
+            .reset_index(drop=True))

@@ -546,3 +546,59 @@ def test_corr_by_key_exact_and_partition_invariant(ray_session):
     got2 = corr_by_key(ray.data.from_pandas(df).repartition(13),
                        "k", "x", "y")
     assert (got["corr"].to_numpy() == got2["corr"].to_numpy()).all()
+
+
+def test_argmax_by_key_ties_and_minby(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.aggregate import argmax_by_key
+
+    rng = np.random.default_rng(97)
+    n = 9000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 50, n).astype("int64"),
+        "v": rng.integers(0, 40, n).astype("int64"),  # heavy ties
+        "p": rng.permutation(n).astype("int64"),
+    })
+    got = argmax_by_key(_mk(ray, df), "k", "v", "p")
+
+    s = df.sort_values(["v", "p"], ascending=[False, True],
+                       kind="mergesort")
+    want = (s.groupby("k", as_index=False).first()[["k", "v", "p"]]
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # min_by: smallest v, then smallest p
+    got_min = argmax_by_key(_mk(ray, df), "k", "v", "p", largest=False)
+    s2 = df.sort_values(["v", "p"], kind="mergesort")
+    want_min = (s2.groupby("k", as_index=False).first()[["k", "v", "p"]]
+                .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_min, want_min)
+
+
+def test_window_first_last_value(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    rng = np.random.default_rng(101)
+    n = 7000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 18, n).astype("int64"),
+        "t": rng.integers(0, 10**6, n).astype("int64"),
+        "id": np.arange(n, dtype="int64"),
+        "value": rng.normal(size=n),
+    })
+    got = (window_over_key(_mk(ray, df), "k", ["t", "id"], "value",
+                           first_col="fv", last_col="lv")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    s = df.sort_values(["k", "t", "id"], kind="mergesort")
+    g = s.groupby("k")["value"]
+    want = s.assign(fv=g.transform("first"), lv=g.transform("last"))
+    want = want.sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "fv", "lv"]],
+                                  want[["id", "fv", "lv"]])
+    # bit-copies
+    assert (got["fv"].to_numpy() == want["fv"].to_numpy()).all()
+    assert (got["lv"].to_numpy() == want["lv"].to_numpy()).all()
