@@ -2143,6 +2143,26 @@ def q_window_bounds(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_stats_bykey(sf_dir):
+    """n / mean / sample stddev of value cents per event_type
+    (stages/aggregate.stats_by_key): int64 moment partials, one shared
+    float64 expression — bit-identical vs the SQL oracle built from
+    the same sums (never DuckDB's own stddev accumulator, whose
+    ordering differs)."""
+    from ..stages.aggregate import stats_by_key
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "xc": np.floor(df["value"].to_numpy(np.float64) * 100
+                           + 0.5).astype("int64")})
+
+    ds = (_read(sf_dir, "events", columns=["event_type", "value"],
+                parallel=8)
+          .map_batches(cents, batch_format="pandas"))
+    return stats_by_key(ds, "event_type", "xc")
+
+
 def q_argmax_bykey(sf_dir):
     """max_by per key (stages/aggregate.argmax_by_key): each user's
     highest-value event (deterministic tie-break: max value, then min
@@ -2556,6 +2576,27 @@ SQL_TAIL: dict[str, str] = {
                      ROWS BETWEEN UNBOUNDED PRECEDING
                               AND UNBOUNDED FOLLOWING)
         ORDER BY event_id
+    """,
+    # q_stats_bykey: statistics from exact integer sums, the same
+    # float64 expression tree as the engine (keep in sync with
+    # aggregate.stats_by_key).
+    "stats_bykey": """
+        WITH b AS (
+          SELECT event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS xc
+          FROM events
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_i,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(xc) AS DOUBLE) AS sx,
+                 CAST(sum(xc * xc) AS DOUBLE) AS sxx
+          FROM b GROUP BY event_type
+        )
+        SELECT event_type, n_i AS n, sx / n AS mean,
+               sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS stddev
+        FROM m ORDER BY event_type
     """,
     # q_argmax_bykey: the deterministic max_by — extreme value, then
     # smallest payload; value is a bit-copy.
@@ -3865,4 +3906,5 @@ QUERIES = {
     "corr_bykey": q_corr_bykey,
     "argmax_bykey": q_argmax_bykey,
     "window_bounds": q_window_bounds,
+    "stats_bykey": q_stats_bykey,
 }

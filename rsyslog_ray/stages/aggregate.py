@@ -735,3 +735,29 @@ def argmax_by_key(ds, key: str, val: str, payload: str, *,
     final = final.rename(columns={payload: out})
     return (final[[key, val, out]].sort_values(key)
             .reset_index(drop=True))
+
+
+def stats_by_key(ds, key: str, x: str) -> pd.DataFrame:
+    """Descriptive statistics per key over an INTEGER column — n,
+    mean, sample stddev — from the same int64 moment partials as
+    :func:`corr_by_key` (order-exact sums, then one shared float64
+    expression mirrored by the SQL oracle, bit-identical)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xa = df[x].to_numpy(np.int64)
+        t = pd.DataFrame({key: df[key], "n": 1, "sx": xa,
+                          "sxx": xa * xa})
+        return t.groupby(key, as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby(key, as_index=False).sum()
+    n = m["n"].to_numpy(np.float64)
+    sx = m["sx"].to_numpy(np.float64)
+    sxx = m["sxx"].to_numpy(np.float64)
+    # the shared expression tree — keep in sync with the SQL oracle
+    out = pd.DataFrame({key: m[key],
+                        "n": m["n"].astype("int64"),
+                        "mean": sx / n,
+                        "stddev": np.sqrt((n * sxx - sx * sx)
+                                          / (n * (n - 1.0)))})
+    return out.sort_values(key).reset_index(drop=True)

@@ -602,3 +602,23 @@ def test_window_first_last_value(ray_session):
     # bit-copies
     assert (got["fv"].to_numpy() == want["fv"].to_numpy()).all()
     assert (got["lv"].to_numpy() == want["lv"].to_numpy()).all()
+
+
+def test_stats_by_key_exact_and_partition_invariant(ray_session):
+    import ray
+
+    from rsyslog_ray.stages.aggregate import stats_by_key
+
+    rng = np.random.default_rng(103)
+    df = pd.DataFrame({"k": rng.choice(["a", "b"], 10000),
+                       "x": rng.integers(0, 10000, 10000).astype("int64")})
+    got = stats_by_key(_mk(ray, df), "k", "x")
+    for k, grp in df.groupby("k"):
+        row = got[got["k"] == k].iloc[0]
+        assert int(row["n"]) == len(grp)
+        assert abs(row["mean"] - grp["x"].mean()) < 1e-9
+        assert abs(row["stddev"] - grp["x"].std(ddof=1)) < 1e-9
+    got2 = stats_by_key(ray.data.from_pandas(df).repartition(11),
+                        "k", "x")
+    assert (got["mean"].to_numpy() == got2["mean"].to_numpy()).all()
+    assert (got["stddev"].to_numpy() == got2["stddev"].to_numpy()).all()
