@@ -2143,6 +2143,20 @@ def q_window_bounds(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_analytics_report(sf_dir):
+    """Composed analytics pipeline (pipelines/analytics.run_analytics):
+    funnel + retention + paths + per-type stats + hourly pivot in one
+    stage-resumable run over the event stream — each stage's operator
+    is individually oracle-backed elsewhere; this entry exercises the
+    composition + resume.  Rows-only driver check; stage-level resume
+    pinned in tests/test_analytics.py."""
+    from ..pipelines.analytics import read_report, run_analytics
+
+    out = _scratch("analytics", sf_dir)
+    run_analytics(f"{sf_dir}/events.parquet", out)
+    return read_report(out)
+
+
 def q_stats_bykey(sf_dir):
     """n / mean / sample stddev of value cents per event_type
     (stages/aggregate.stats_by_key): int64 moment partials, one shared
@@ -3907,4 +3921,5 @@ QUERIES = {
     "argmax_bykey": q_argmax_bykey,
     "window_bounds": q_window_bounds,
     "stats_bykey": q_stats_bykey,
+    "analytics_report": q_analytics_report,
 }
