@@ -40,10 +40,14 @@ STAGES = ("funnel", "retention", "paths", "stats", "hourly")
 
 def run_analytics(events_path: str, out_dir: str, *,
                   steps: tuple = ("view", "click", "purchase"),
-                  path_k: int = 10) -> dict:
+                  path_k: int = 10, fused: bool = False) -> dict:
     """Run all five artifact stages; returns (and writes) the stats
     record {stage: rows}.  Ray must already be initialised by the
-    caller."""
+    caller.  ``fused=True`` materializes the pruned event read ONCE in
+    the object store and shares it across the five stages (default: a
+    streaming re-read per stage — the 100 TB posture, nothing
+    event-stream-sized pinned); artifacts and resume are identical in
+    both modes."""
     import numpy as np
     import ray.data
 
@@ -58,6 +62,10 @@ def run_analytics(events_path: str, out_dir: str, *,
             events_path,
             columns=["event_id", "user_id", "ts", "event_type",
                      "value"])
+
+    if fused:
+        _shared = _read().materialize()
+        _read = lambda: _shared  # noqa: E731
 
     def _write_df(df: pd.DataFrame, tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)

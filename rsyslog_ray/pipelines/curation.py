@@ -54,10 +54,20 @@ def run_curation(docs_path: str, out_dir: str, *,
                  min_tokens: int = 3, max_tokens: int = 100_000,
                  max_stop_ratio: float = 0.9,
                  langs: tuple | None = None,
-                 neardup_threshold: float = 0.8) -> dict:
+                 neardup_threshold: float = 0.8,
+                 fused: bool = False, _return_ds: bool = False):
     """Run the curation pipeline; returns the per-stage stats dict
     (also written to ``out_dir/_curation_stats.json``).  Ray must
-    already be initialised by the caller."""
+    already be initialised by the caller.
+
+    ``fused=True`` (opt-in, e.g. bench/toy scale via ``GRAFT_FUSED=1``)
+    replaces every parquet resume point with a ``materialize()`` in the
+    object store: identical stats and survivor set, no disk round-trip
+    between stages — and NO stage-level resume (a killed fused run
+    restarts from scratch).  The default path is the 100 TB contract;
+    fused exists because at bench scale the wall time of the composed
+    pipelines is dominated by stage-boundary write+read graphs, not
+    data work (VERDICT r3 perf audit)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
@@ -112,11 +122,8 @@ def run_curation(docs_path: str, out_dir: str, *,
 
     cnt_dir = exact_path + ".cnt"
 
-    def build_exact(tmp: str) -> None:
+    def exact_graph():
         import hashlib
-
-        shutil.rmtree(cnt_dir, ignore_errors=True)
-        os.makedirs(cnt_dir, exist_ok=True)
 
         def add_hash(df: pd.DataFrame) -> pd.DataFrame:
             a, b = content_key128_frame(df["text"])
@@ -131,40 +138,64 @@ def run_curation(docs_path: str, out_dir: str, *,
             os.replace(t, p)
             return df.assign(__th=a, __th2=b)
 
-        (gated.map_batches(add_hash, batch_format="pandas")
-         .groupby(["__th", "__th2"]).map_groups(keep_min,
-                                                batch_format="pandas")
-         .write_parquet(tmp))
+        return (gated.map_batches(add_hash, batch_format="pandas")
+                .groupby(["__th", "__th2"]).map_groups(
+                    keep_min, batch_format="pandas"))
+
+    def sum_counts() -> int:
         total = 0
         for f in os.listdir(cnt_dir):
             if f.endswith(".json"):
                 with open(os.path.join(cnt_dir, f)) as fh:
                     total += int(json.load(fh)["n"])
+        return total
+
+    def build_exact(tmp: str) -> None:
+        shutil.rmtree(cnt_dir, ignore_errors=True)
+        os.makedirs(cnt_dir, exist_ok=True)
+        exact_graph().write_parquet(tmp)
         # meta BEFORE the stage dir becomes visible: a crash between
         # the dir rename and a later meta write would otherwise
         # wedge resume forever (stage skipped, meta missing)
         with open(meta_path + ".tmp", "w") as fh:
-            json.dump({"after_quality_gate": total}, fh)
+            json.dump({"after_quality_gate": sum_counts()}, fh)
         os.replace(meta_path + ".tmp", meta_path)
         shutil.rmtree(cnt_dir, ignore_errors=True)
 
-    if not os.path.exists(meta_path):
-        # legacy/torn state: stage dir without its meta — rebuild both
-        shutil.rmtree(exact_path, ignore_errors=True)
-    _run_stage(exact_path, build_exact)
-    exact = ray.data.read_parquet(exact_path)
-    with open(meta_path) as fh:
-        stats["after_quality_gate"] = json.load(fh)["after_quality_gate"]
+    if fused:
+        shutil.rmtree(cnt_dir, ignore_errors=True)
+        os.makedirs(cnt_dir, exist_ok=True)
+        # force Arrow blocks (map_groups emits pandas) so the schema
+        # introspection below and the pyarrow stages downstream see the
+        # same block type the parquet re-read would produce
+        exact = (exact_graph()
+                 .map_batches(lambda t: t, batch_format="pyarrow")
+                 .materialize())
+        stats["after_quality_gate"] = sum_counts()
+        shutil.rmtree(cnt_dir, ignore_errors=True)
+    else:
+        if not os.path.exists(meta_path):
+            # legacy/torn state: stage dir without its meta — rebuild both
+            shutil.rmtree(exact_path, ignore_errors=True)
+        _run_stage(exact_path, build_exact)
+        exact = ray.data.read_parquet(exact_path)
+        with open(meta_path) as fh:
+            stats["after_quality_gate"] = json.load(fh)["after_quality_gate"]
     stats["after_exact_dedup"] = exact.count()
 
     # ---- stage 3: near-dup pair mining — LSH candidates + distributed
     # Jaccard verify (stays a Dataset end to end); pairs to PARQUET so
     # the anti-join and the stats don't re-run the mining.
     pairs_path = os.path.join(out_dir, "neardup_pairs")
-    _run_stage(pairs_path, lambda tmp: minhash_lsh_pairs(
-        exact, "doc_id", "text", threshold=neardup_threshold,
-        as_dataset=True).write_parquet(tmp))
-    pairs = ray.data.read_parquet(pairs_path)
+    if fused:
+        pairs = minhash_lsh_pairs(
+            exact, "doc_id", "text", threshold=neardup_threshold,
+            as_dataset=True).materialize()
+    else:
+        _run_stage(pairs_path, lambda tmp: minhash_lsh_pairs(
+            exact, "doc_id", "text", threshold=neardup_threshold,
+            as_dataset=True).write_parquet(tmp))
+        pairs = ray.data.read_parquet(pairs_path)
     stats["neardup_pairs"] = pairs.count()
 
     # ---- stage 3b: duplicate CLUSTERS — connected components over the
@@ -172,9 +203,12 @@ def run_curation(docs_path: str, out_dir: str, *,
     # star shapes (a~m, b~m with a,b < m keeps BOTH a and b); one
     # survivor per component is the correct contract.  Ints only.
     comps_path = os.path.join(out_dir, "neardup_components")
-    _run_stage(comps_path, lambda tmp: connected_components(pairs)
-               .write_parquet(tmp))
-    comps = ray.data.read_parquet(comps_path)
+    if fused:
+        comps = connected_components(pairs).materialize()
+    else:
+        _run_stage(comps_path, lambda tmp: connected_components(pairs)
+                   .write_parquet(tmp))
+        comps = ray.data.read_parquet(comps_path)
 
     # ---- stage 4: survivor anti-join — drop every clustered id that
     # is not its component's minimum.  Distributed: union(keepers,
@@ -200,18 +234,25 @@ def run_curation(docs_path: str, out_dir: str, *,
             return t.slice(0, 0).drop_columns(["__drop"])
         return t.drop_columns(["__drop"])
 
-    _run_stage(os.path.join(out_dir, "curated"), lambda tmp: (
-        exact.map_batches(mark_keep, batch_format="pyarrow")
-        .union(comps.map_batches(mark_drop, batch_format="pyarrow"))
-        .groupby("doc_id")
-        .map_groups(survivors, batch_format="pyarrow")
-        .write_parquet(tmp)))
+    def curated_graph():
+        return (exact.map_batches(mark_keep, batch_format="pyarrow")
+                .union(comps.map_batches(mark_drop, batch_format="pyarrow"))
+                .groupby("doc_id")
+                .map_groups(survivors, batch_format="pyarrow"))
 
-    out_files = sorted(os.listdir(os.path.join(out_dir, "curated")))
-    import pyarrow.parquet as pq
-    stats["docs_out"] = sum(
-        pq.ParquetFile(os.path.join(out_dir, "curated", f)).metadata.num_rows
-        for f in out_files if f.endswith(".parquet"))
+    if fused:
+        curated = curated_graph().materialize()
+        stats["docs_out"] = curated.count()
+    else:
+        _run_stage(os.path.join(out_dir, "curated"),
+                   lambda tmp: curated_graph().write_parquet(tmp))
+        curated = None
+        out_files = sorted(os.listdir(os.path.join(out_dir, "curated")))
+        import pyarrow.parquet as pq
+        stats["docs_out"] = sum(
+            pq.ParquetFile(
+                os.path.join(out_dir, "curated", f)).metadata.num_rows
+            for f in out_files if f.endswith(".parquet"))
     # every dropped id is a non-min member of exactly one component, so
     # the removed-row count falls out of the keeper/survivor counts (no
     # driver set, no extra distinct pass)
@@ -220,4 +261,8 @@ def run_curation(docs_path: str, out_dir: str, *,
     with open(tmp, "w") as fh:
         json.dump(stats, fh, indent=1)
     os.replace(tmp, os.path.join(out_dir, "_curation_stats.json"))
+    if _return_ds:
+        if curated is None:
+            curated = ray.data.read_parquet(os.path.join(out_dir, "curated"))
+        return stats, curated
     return stats

@@ -48,9 +48,16 @@ def run_pretrain(docs_path: str, out_dir: str, *,
                  benchmark_texts=(), weights: dict | None = None,
                  default_weight: float = 1.0, seed: int = 0,
                  seq_len: int = 128, ngram: int = 13,
-                 curation_kwargs: dict | None = None) -> dict:
+                 curation_kwargs: dict | None = None,
+                 fused: bool = False) -> dict:
     """Run the full recipe; returns (and writes) the funnel stats.
-    Ray must already be initialised by the caller."""
+    Ray must already be initialised by the caller.
+
+    ``fused=True`` swaps every parquet resume point for an object-store
+    ``materialize()`` (see :func:`run_curation`): same funnel semantics
+    (packed-row counts stay block-boundary-dependent either way, the
+    invariant is total non-pad tokens), no disk round-trips, no
+    stage-level resume.  Toy-scale / bench opt-in only."""
     import pyarrow as pa
     import ray
     import ray.data
@@ -62,19 +69,23 @@ def run_pretrain(docs_path: str, out_dir: str, *,
     stats: dict = {}
 
     # ---- stage 1: curation (its own stage-level resume points inside)
-    cur = run_curation(docs_path, os.path.join(out_dir, "curation"),
-                       **(curation_kwargs or {}))
+    cur, curated_ds = run_curation(
+        docs_path, os.path.join(out_dir, "curation"), fused=fused,
+        _return_ds=True, **(curation_kwargs or {}))
     stats.update({f"curation.{k}": v for k, v in cur.items()})
-    curated_path = os.path.join(out_dir, "curation", "curated")
 
     # ---- stage 2: benchmark decontamination — the tested operator
     # (stages/text.decontaminate: broadcast n-gram set, one pass,
     # rows with any hit drop; GPT-3 appendix-C shape)
     decon_path = os.path.join(out_dir, "decon")
-    _run_stage(decon_path, lambda tmp: (
-        decontaminate(ray.data.read_parquet(curated_path),
-                      benchmark_texts, n=ngram).write_parquet(tmp)))
-    decon_ds = ray.data.read_parquet(decon_path)
+    if fused:
+        decon_ds = decontaminate(curated_ds, benchmark_texts,
+                                 n=ngram).materialize()
+    else:
+        _run_stage(decon_path, lambda tmp: (
+            decontaminate(curated_ds, benchmark_texts,
+                          n=ngram).write_parquet(tmp)))
+        decon_ds = ray.data.read_parquet(decon_path)
     stats["after_decontamination"] = decon_ds.count()
 
     # ---- stage 3: PII redaction + source mixing, fused into ONE pass
@@ -87,11 +98,16 @@ def run_pretrain(docs_path: str, out_dir: str, *,
         return out
 
     mixed_path = os.path.join(out_dir, "mixed")
-    _run_stage(mixed_path, lambda tmp: (
-        mix_sample(decon_ds.map_batches(scrub, batch_format="pandas"),
-                   weights or {}, default=default_weight)
-        .write_parquet(tmp)))
-    mixed = ray.data.read_parquet(mixed_path)
+    if fused:
+        mixed = mix_sample(
+            decon_ds.map_batches(scrub, batch_format="pandas"),
+            weights or {}, default=default_weight).materialize()
+    else:
+        _run_stage(mixed_path, lambda tmp: (
+            mix_sample(decon_ds.map_batches(scrub, batch_format="pandas"),
+                       weights or {}, default=default_weight)
+            .write_parquet(tmp)))
+        mixed = ray.data.read_parquet(mixed_path)
     stats["after_mixing"] = mixed.count()
 
     # ---- stage 4: deterministic epoch shuffle (the recipe's one
@@ -100,16 +116,25 @@ def run_pretrain(docs_path: str, out_dir: str, *,
     from ..stages.text import epoch_shuffle
 
     shuf_path = os.path.join(out_dir, "shuffled")
-    _run_stage(shuf_path, lambda tmp: (
-        epoch_shuffle(mixed, seed=seed).write_parquet(tmp)))
+    if fused:
+        shuffled = epoch_shuffle(mixed, seed=seed).materialize()
+    else:
+        _run_stage(shuf_path, lambda tmp: (
+            epoch_shuffle(mixed, seed=seed).write_parquet(tmp)))
+        shuffled = ray.data.read_parquet(shuf_path)
 
     # ---- stage 5: pack to fixed-length LM rows IN SHUFFLE ORDER
     # (pack_batch orders each block by its id_col — pass the shuffle
     # key so packing follows the epoch order, not doc id)
     packed_path = os.path.join(out_dir, "packed")
-    _run_stage(packed_path, lambda tmp: (
-        pack_sequences(ray.data.read_parquet(shuf_path), seq_len,
-                       id_col="skey").write_parquet(tmp)))
+    if fused:
+        packed = pack_sequences(shuffled, seq_len,
+                                id_col="skey").materialize()
+    else:
+        _run_stage(packed_path, lambda tmp: (
+            pack_sequences(shuffled, seq_len,
+                           id_col="skey").write_parquet(tmp)))
+        packed = ray.data.read_parquet(packed_path, columns=["n_pad"])
 
     # funnel stats over the packed output: a column-pruned DISTRIBUTED
     # combiner pass (per-batch (rows, pads) partials; driver reduce is
@@ -119,7 +144,7 @@ def run_pretrain(docs_path: str, out_dir: str, *,
         return pd.DataFrame({"rows": [len(df)],
                              "pads": [int(df["n_pad"].sum())]})
 
-    agg = (ray.data.read_parquet(packed_path, columns=["n_pad"])
+    agg = (packed.select_columns(["n_pad"])
            .map_batches(_pack_partial, batch_format="pandas").to_pandas())
     rows = int(agg["rows"].sum())
     pads = int(agg["pads"].sum())

@@ -1623,7 +1623,8 @@ def q_pretrain_corpus(sf_dir):
     out = _scratch("pretrain", sf_dir)
     stats = run_pretrain(f"{sf_dir}/documents.parquet", out,
                          benchmark_texts=bench, weights=MIX_WEIGHTS,
-                         default_weight=MIX_DEFAULT, seed=11, seq_len=64)
+                         default_weight=MIX_DEFAULT, seed=11, seq_len=64,
+                         fused=os.environ.get("GRAFT_FUSED") == "1")
     return pd.DataFrame({"stage": list(stats),
                          "value": [float(v) for v in stats.values()]})
 
@@ -1637,7 +1638,8 @@ def q_curation(sf_dir):
     from .curation import run_curation
 
     out = _scratch("curation", sf_dir)
-    stats = run_curation(f"{sf_dir}/documents.parquet", out)
+    stats = run_curation(f"{sf_dir}/documents.parquet", out,
+                         fused=os.environ.get("GRAFT_FUSED") == "1")
     return pd.DataFrame({"stage": list(stats),
                          "value": [int(v) for v in stats.values()]})
 
@@ -2153,7 +2155,8 @@ def q_analytics_report(sf_dir):
     from ..pipelines.analytics import read_report, run_analytics
 
     out = _scratch("analytics", sf_dir)
-    run_analytics(f"{sf_dir}/events.parquet", out)
+    run_analytics(f"{sf_dir}/events.parquet", out,
+                  fused=os.environ.get("GRAFT_FUSED") == "1")
     return read_report(out)
 
 

@@ -107,3 +107,33 @@ def test_curation_stage_resume(ray_session, tmp_path):
     got = pd.read_parquet(os.path.join(out, "curated"))
     assert len(got) == stats1["docs_out"]
     assert got["doc_id"].is_unique
+
+
+def test_curation_fused_matches_default(ray_session, tmp_path):
+    """fused=True (materialize() stage boundaries, no resume points)
+    produces the identical funnel stats and survivor id set as the
+    default parquet-staged run."""
+    from rsyslog_ray.pipelines.curation import run_curation
+
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet") \
+        .to_pandas()[["doc_id", "text", "lang", "source"]].head(120)
+    dup = base.head(6).copy()
+    dup["doc_id"] = dup["doc_id"] + 100_000
+    near = base.iloc[10:16].copy()
+    near["doc_id"] = near["doc_id"] + 200_000
+    near["text"] = near["text"] + " zzzz"
+    corpus = pd.concat([base, dup, near], ignore_index=True)
+    src = str(tmp_path / "docs.parquet")
+    corpus.to_parquet(src, index=False)
+
+    stats_d = run_curation(src, str(tmp_path / "d"), min_tokens=3)
+    stats_f, curated = run_curation(src, str(tmp_path / "f"),
+                                    min_tokens=3, fused=True,
+                                    _return_ds=True)
+    assert stats_f == stats_d
+    got_d = pd.read_parquet(os.path.join(str(tmp_path / "d"), "curated"))
+    got_f = curated.to_pandas()
+    assert sorted(got_f["doc_id"]) == sorted(got_d["doc_id"])
+    # fused leaves NO stage dirs behind (no fake resume points)
+    assert not os.path.isdir(os.path.join(str(tmp_path / "f"), "exact"))
+    assert not os.path.isdir(os.path.join(str(tmp_path / "f"), "curated"))

@@ -135,3 +135,30 @@ def test_pretrain_stage_resume(ray_session, tmp_path):
         == {k: v for k, v in stats.items() if k not in packing_keys}
     assert (stats2["packed_tokens"] - stats2["pad_tokens"]
             == stats["packed_tokens"] - stats["pad_tokens"])
+
+
+def test_pretrain_fused_matches_default(ray_session, tmp_path):
+    """fused=True reproduces the default run's funnel exactly on every
+    block-boundary-independent stat; packed rows agree on the total
+    non-pad token invariant."""
+    from rsyslog_ray.pipelines.pretrain import run_pretrain
+
+    src, corpus, bench = _fixture(tmp_path)
+    kw = dict(benchmark_texts=bench, weights=_weights(),
+              default_weight=1.0, seed=3, seq_len=64,
+              curation_kwargs={"min_tokens": 3})
+    stats_d = run_pretrain(src, str(tmp_path / "d"), **kw)
+    stats_f = run_pretrain(src, str(tmp_path / "f"), fused=True, **kw)
+
+    boundary_dep = {"packed_rows", "packed_tokens", "pad_tokens",
+                    "packing_efficiency_pct"}
+    for k in stats_d:
+        if k not in boundary_dep:
+            assert stats_f[k] == stats_d[k], k
+    nonpad_d = stats_d["packed_tokens"] - stats_d["pad_tokens"]
+    nonpad_f = stats_f["packed_tokens"] - stats_f["pad_tokens"]
+    assert nonpad_f == nonpad_d
+    # fused leaves no stage dirs (curation subdir may exist but empty
+    # of stage artifacts)
+    assert not os.path.isdir(os.path.join(str(tmp_path / "f"), "packed"))
+    assert not os.path.isdir(os.path.join(str(tmp_path / "f"), "decon"))
