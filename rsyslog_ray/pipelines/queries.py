@@ -2145,6 +2145,65 @@ def q_window_bounds(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_window_frame(sf_dir):
+    """SQL frame aggregate: per-user moving sum + count over
+    ``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW``
+    (stages/aggregate.window_over_key roll_n) — the frame sum is the
+    cumsum-difference of integer cents clipped at the partition start,
+    so every window total is order-exact.  DuckDB frame oracle in
+    SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["v_c"] = np.floor(df["value"].to_numpy(np.float64) * 100
+                             + 0.5).astype("int64")
+        return df
+
+    ds = (_read(sf_dir, "events",
+                columns=["event_id", "user_id", "ts", "value"],
+                parallel=8)
+          .map_batches(cents, batch_format="pandas"))
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "w3_sum", "w3_n"]]
+
+    return (window_over_key(ds, "user_id", ["ts", "event_id"], "value",
+                            roll_n=3, roll_value="v_c",
+                            roll_sum_col="w3_sum", roll_cnt_col="w3_n")
+            .map_batches(sel, batch_format="pandas"))
+
+
+def q_window_ties(sf_dir):
+    """Tie-aware rank()/dense_rank() per user over a 10-dollar value
+    bucket (stages/aggregate.window_over_key rank_value): peers are
+    consecutive equal bucket values after the one per-key sort, rank
+    is the first peer's row number, dense_rank the distinct-value
+    count — both pure int.  DuckDB rank()/dense_rank() oracle in
+    SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        vc = np.floor(df["value"].to_numpy(np.float64) * 100
+                      + 0.5).astype("int64")
+        df["v_b"] = vc // 1000
+        return df
+
+    ds = (_read(sf_dir, "events",
+                columns=["event_id", "user_id", "value"],
+                parallel=8)
+          .map_batches(bucket, batch_format="pandas"))
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "v_b", "rnk", "drnk"]]
+
+    return (window_over_key(ds, "user_id", ["v_b", "event_id"], "v_b",
+                            rank_value="v_b", rank_col="rnk",
+                            dense_rank_col="drnk")
+            .map_batches(sel, batch_format="pandas"))
+
+
 def q_analytics_report(sf_dir):
     """Composed analytics pipeline (pipelines/analytics.run_analytics):
     funnel + retention + paths + per-type stats + hourly pivot in one
@@ -2690,6 +2749,26 @@ SQL_TAIL: dict[str, str] = {
                CAST(ntile(4) OVER w AS BIGINT) AS tile
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id
+    """,
+    "window_frame": """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    OVER w AS BIGINT) AS w3_sum,
+               CAST(count(*) OVER w AS BIGINT) AS w3_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "window_ties": """
+        SELECT event_id, user_id,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS v_b,
+               CAST(rank() OVER w AS BIGINT) AS rnk,
+               CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY
+                     CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000)
         ORDER BY event_id
     """,
     # q_table_diff: snapshot B built identically in SQL; the diff is a
@@ -3925,4 +4004,6 @@ QUERIES = {
     "window_bounds": q_window_bounds,
     "stats_bykey": q_stats_bykey,
     "analytics_report": q_analytics_report,
+    "window_frame": q_window_frame,
+    "window_ties": q_window_ties,
 }

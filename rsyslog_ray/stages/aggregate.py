@@ -287,12 +287,31 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     pct_rank_col: str | None = None,
                     cume_dist_col: str | None = None,
                     first_col: str | None = None,
-                    last_col: str | None = None):
+                    last_col: str | None = None,
+                    rank_value: str | None = None,
+                    rank_col: str | None = None,
+                    dense_rank_col: str | None = None,
+                    roll_n: int | None = None,
+                    roll_value: str | None = None,
+                    roll_sum_col: str = "roll_sum",
+                    roll_cnt_col: str | None = None):
     """Per-key ordered window functions — ``row_number()`` and
     ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
     per-key running sum of ``run_value``, ``lead(value)``
     (``lead_col``) and ``ntile(ntile_n)`` (SQL's
     larger-buckets-first split) when requested.
+
+    Tie-aware ``rank()`` / ``dense_rank()``: pass ``rank_value`` (the
+    ORDER BY expression column; it MUST be the first entry of
+    ``order`` so the sort groups peers) with ``rank_col`` /
+    ``dense_rank_col`` — peers are consecutive equal ``rank_value``
+    rows within a key, rank is the first peer's row number.
+
+    Frame aggregates: ``roll_n``/``roll_value`` adds the SQL
+    ``ROWS BETWEEN roll_n-1 PRECEDING AND CURRENT ROW`` running
+    window — ``roll_sum_col`` keeps ``roll_value``'s native dtype
+    (pass integer cents for order-exactness) and ``roll_cnt_col``
+    is the frame's row count (clipped at the partition start).
 
     Scale shape: rows hash-bucket by ``key`` (ONE shuffle — a key's
     rows co-locate, so window state never crosses workers), each
@@ -372,6 +391,28 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     c > 1, (rn_f - 1.0) / (c - 1.0), 0.0)
             if cume_dist_col is not None:
                 out[cume_dist_col] = rn_f / c
+        if rank_value is not None and (rank_col is not None
+                                       or dense_rank_col is not None):
+            rv_arr = g[rank_value].to_numpy()
+            new_val = first.copy()
+            new_val[1:] |= rv_arr[1:] != rv_arr[:-1]
+            if rank_col is not None:
+                # index of the current tie-run's first row, per row
+                last_new = np.maximum.accumulate(
+                    np.where(new_val, idx, 0))
+                out[rank_col] = (last_new - starts + 1).astype("int64")
+            if dense_rank_col is not None:
+                d = np.cumsum(new_val)
+                out[dense_rank_col] = (d - d[starts] + 1).astype("int64")
+        if roll_n is not None and roll_value is not None:
+            rv2 = g[roll_value].to_numpy()
+            cs2 = np.cumsum(rv2)
+            cs0 = np.concatenate(
+                [np.zeros(1, dtype=cs2.dtype), cs2])
+            lo = np.maximum(starts, idx - int(roll_n) + 1)
+            out[roll_sum_col] = cs2 - cs0[lo]
+            if roll_cnt_col is not None:
+                out[roll_cnt_col] = (idx - lo + 1).astype("int64")
         if first_col is not None or last_col is not None:
             # first/last over the WHOLE partition (the UNBOUNDED
             # FOLLOWING frame) — bit-copies of the group's endpoint

@@ -622,3 +622,44 @@ def test_stats_by_key_exact_and_partition_invariant(ray_session):
                         "k", "x")
     assert (got["mean"].to_numpy() == got2["mean"].to_numpy()).all()
     assert (got["stddev"].to_numpy() == got2["stddev"].to_numpy()).all()
+
+
+def test_window_rank_dense_and_frame_vs_pandas_spec(ray_session):
+    """rank()/dense_rank() over a ties-heavy value, plus the
+    ROWS BETWEEN n-1 PRECEDING frame sum/count — vs pandas rank()
+    and rolling() specs, with a hot key in one partition."""
+    import ray
+
+    rng = np.random.default_rng(23)
+    n = 12000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n).astype("int64"),
+        "id": np.arange(n, dtype="int64"),
+        "vb": rng.integers(0, 12, n).astype("int64"),  # heavy ties
+        "vc": rng.integers(-500, 500, n).astype("int64"),
+    })
+    df.loc[:3000, "k"] = 7
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    got = (window_over_key(_mk(ray, df), "k", ["vb", "id"], "vb",
+                           rank_value="vb", rank_col="rnk",
+                           dense_rank_col="drnk",
+                           roll_n=4, roll_value="vc",
+                           roll_sum_col="w4", roll_cnt_col="w4n")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+
+    s = df.sort_values(["k", "vb", "id"], kind="mergesort")
+    g = s.groupby("k")
+    want = s.assign(
+        rnk=g["vb"].rank(method="min").astype("int64"),
+        drnk=g["vb"].rank(method="dense").astype("int64"),
+        w4=g["vc"].rolling(4, min_periods=1).sum()
+            .reset_index(level=0, drop=True).astype("int64"),
+        w4n=g["vc"].rolling(4, min_periods=1).count()
+            .reset_index(level=0, drop=True).astype("int64"),
+    ).sort_values("id").reset_index(drop=True)
+    cols = ["id", "rnk", "drnk", "w4", "w4n"]
+    pd.testing.assert_frame_equal(got[cols], want[cols])
+    # frame sums stay int64 (order-exact by construction)
+    assert got["w4"].dtype == np.int64
