@@ -2408,6 +2408,72 @@ def q_cube_counts(sf_dir):
                     sums={"p_c": "sum_price_c"})
 
 
+def q_grouping_sets(sf_dir):
+    """GROUP BY GROUPING SETS ((status), (priority), ()) —
+    stages/aggregate.grouping_sets_agg, the generic form rollup/cube
+    specialize: exactly the requested subsets from ONE distributed
+    combiner pass, coarser sets derived from the finest groups on the
+    driver.  DuckDB GROUPING SETS oracle in SQL_TAIL."""
+    from ..stages.aggregate import grouping_sets_agg
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["p_c"] = np.floor(df["o_totalprice"].to_numpy(np.float64)
+                             * 100 + 0.5).astype("int64")
+        return df[["o_orderstatus", "o_orderpriority", "p_c"]]
+
+    ds = (_read(sf_dir, "orders",
+                columns=["o_orderstatus", "o_orderpriority",
+                         "o_totalprice"])
+          .map_batches(cents, batch_format="pandas"))
+    return grouping_sets_agg(
+        ds, ["o_orderstatus", "o_orderpriority"],
+        [("o_orderstatus",), ("o_orderpriority",), ()],
+        sums={"p_c": "sum_price_c"})
+
+
+def q_unpivot(sf_dir):
+    """UNPIVOT lineitem's three money/quantity measures into
+    (measure, val_c) long rows (stages/aggregate.unpivot) — row-local
+    melt in one map_batches, no shuffle, 3× the input rows streamed
+    block by block.  DuckDB UNION-ALL oracle in SQL_TAIL."""
+    from ..stages.aggregate import unpivot
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"],
+                            "l_linenumber": df["l_linenumber"]})
+        for src, dst in (("l_quantity", "qty_c"),
+                         ("l_extendedprice", "price_c"),
+                         ("l_discount", "disc_c")):
+            out[dst] = np.floor(df[src].to_numpy(np.float64) * 100
+                                + 0.5).astype("int64")
+        return out
+
+    ds = (_read(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_linenumber", "l_quantity",
+                         "l_extendedprice", "l_discount"])
+          .map_batches(cents, batch_format="pandas"))
+    return unpivot(ds, ["l_orderkey", "l_linenumber"],
+                   ["qty_c", "price_c", "disc_c"],
+                   var_name="measure", value_name="val_c")
+
+
+def q_mode_bykey(sf_dir):
+    """Per-user modal event type (stages/aggregate.group_topk, k=1):
+    deterministic SQL tie rule (count desc, type asc) — combiner
+    partials shuffle (user, type, n) triples only.  DuckDB
+    row_number-over-count oracle in SQL_TAIL."""
+    from ..stages.aggregate import group_topk
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    top = group_topk(ds, "user_id", "event_type", 1, cnt="n")
+    if not isinstance(top, pd.DataFrame):
+        top = top.to_pandas()
+    return (top[["user_id", "event_type", "n"]]
+            .rename(columns={"event_type": "mode_type"})
+            .sort_values("user_id").reset_index(drop=True))
+
+
 def q_funnel(sf_dir):
     """Ordered funnel over the event stream
     (stages/aggregate.funnel_counts): users who did view, then click
@@ -2848,6 +2914,39 @@ SQL_TAIL: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_c
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    "unpivot": """
+        SELECT l_orderkey, l_linenumber, 'qty_c' AS measure,
+               CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS val_c
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'price_c',
+               CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'disc_c',
+               CAST(floor(l_discount * 100 + 0.5) AS BIGINT)
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, measure
+    """,
+    "mode_bykey": """
+        SELECT user_id, mode_type, n FROM (
+          SELECT user_id, event_type AS mode_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY count(*) DESC, event_type)
+                   AS rn
+          FROM events GROUP BY user_id, event_type)
+        WHERE rn = 1 ORDER BY user_id
     """,
     # q_funnel: per-step earliest-completion chain with strict-> ts
     # ordering (step k counts users with an event of that type
@@ -4006,4 +4105,7 @@ QUERIES = {
     "analytics_report": q_analytics_report,
     "window_frame": q_window_frame,
     "window_ties": q_window_ties,
+    "grouping_sets": q_grouping_sets,
+    "unpivot": q_unpivot,
+    "mode_bykey": q_mode_bykey,
 }

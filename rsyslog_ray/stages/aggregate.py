@@ -276,6 +276,54 @@ def cube_agg(ds, keys: list[str], *, sums: dict[str, str] | None = None,
                            kind="mergesort").reset_index(drop=True)
 
 
+def grouping_sets_agg(ds, keys: list[str], sets: list[tuple], *,
+                      sums: dict[str, str] | None = None,
+                      cnt: str = "cnt") -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS(sets)`` — the generalization
+    :func:`rollup_agg` and :func:`cube_agg` are special cases of:
+    exactly the requested key subsets, absent keys as SQL NULL.
+
+    Same one-distributed-pass shape: the finest level (all keys) comes
+    from :func:`two_phase_agg`'s combiner partials, every requested
+    set derives from the finest GROUPS on the driver —
+    O(finest-group-count) driver work, additive aggregates only
+    (count/sum over integer cents)."""
+    sums = sums or {}
+    fine = two_phase_agg(ds, list(keys), count=cnt, sums=sums)
+    agg_cols = [cnt] + list(sums.values())
+    frames = []
+    for sub in sets:
+        sub = [k for k in keys if k in sub]     # canonical key order
+        if len(sub) == len(keys):
+            g = fine[list(keys) + agg_cols].copy()
+        elif sub:
+            g = (fine.groupby(sub, dropna=False)[agg_cols].sum()
+                 .reset_index())
+        else:
+            g = fine[agg_cols].sum().to_frame().T
+        for kcol in keys:
+            if kcol not in sub:
+                g[kcol] = None
+        frames.append(g[list(keys) + agg_cols])
+    out = pd.concat(frames, ignore_index=True)
+    out[agg_cols] = out[agg_cols].astype("int64")
+    return out.sort_values(list(keys), na_position="last",
+                           kind="mergesort").reset_index(drop=True)
+
+
+def unpivot(ds, id_cols: list[str], value_cols: list[str], *,
+            var_name: str = "measure", value_name: str = "val"):
+    """``UNPIVOT`` / melt: one output row per (input row, value
+    column), the column name in ``var_name`` — purely row-local, so it
+    is a single ``map_batches`` (no shuffle; output is
+    len(value_cols) × input rows, streamed block by block)."""
+    def melt(df: pd.DataFrame) -> pd.DataFrame:
+        return df.melt(id_vars=id_cols, value_vars=value_cols,
+                       var_name=var_name, value_name=value_name)
+
+    return ds.map_batches(melt, batch_format="pandas")
+
+
 def window_over_key(ds, key: str, order: list[str], value: str, *,
                     nparts: int = 32, rn: str = "rn",
                     lag_col: str = "prev_value",

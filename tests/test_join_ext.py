@@ -663,3 +663,47 @@ def test_window_rank_dense_and_frame_vs_pandas_spec(ray_session):
     pd.testing.assert_frame_equal(got[cols], want[cols])
     # frame sums stay int64 (order-exact by construction)
     assert got["w4"].dtype == np.int64
+
+
+def test_grouping_sets_and_unpivot_vs_pandas_spec(ray_session):
+    import ray
+
+    rng = np.random.default_rng(31)
+    n = 8000
+    df = pd.DataFrame({
+        "a": rng.choice(list("xyz"), n),
+        "b": rng.integers(0, 4, n).astype("int64"),
+        "v": rng.integers(-100, 100, n).astype("int64"),
+    })
+
+    from rsyslog_ray.stages.aggregate import grouping_sets_agg, unpivot
+
+    got = grouping_sets_agg(_mk(ray, df), ["a", "b"],
+                            [("a",), ("b",), ("a", "b"), ()],
+                            sums={"v": "sv"})
+    frames = []
+    for sub in (["a"], ["b"], ["a", "b"], []):
+        if sub:
+            g = (df.groupby(sub)
+                 .agg(cnt=("v", "size"), sv=("v", "sum")).reset_index())
+        else:
+            g = pd.DataFrame({"cnt": [len(df)], "sv": [df["v"].sum()]})
+        for k in ("a", "b"):
+            if k not in sub:
+                g[k] = None
+        frames.append(g[["a", "b", "cnt", "sv"]])
+    want = (pd.concat(frames, ignore_index=True)
+            .astype({"cnt": "int64", "sv": "int64"})
+            .sort_values(["a", "b"], na_position="last", kind="mergesort")
+            .reset_index(drop=True))
+    svals = lambda f: sorted(tuple(str(x) for x in row)
+                             for row in f.fillna("~").to_numpy().tolist())
+    assert svals(got) == svals(want)
+
+    # unpivot: 2 value cols -> 2n rows, values preserved per id
+    up = (unpivot(_mk(ray, df.assign(id=np.arange(n))),
+                  ["id"], ["b", "v"]).to_pandas()
+          .sort_values(["id", "measure"]).reset_index(drop=True))
+    assert len(up) == 2 * n
+    wb = up[up["measure"] == "b"].sort_values("id")["val"].to_numpy()
+    assert (wb == df["b"].to_numpy()).all()
