@@ -2408,6 +2408,49 @@ def q_cube_counts(sf_dir):
                     sums={"p_c": "sum_price_c"})
 
 
+def q_asof_forward(sf_dir):
+    """Forward as-of join with tolerance (stages/join.asof_join
+    direction='forward'): for each purchase, the user's NEXT error
+    event within 24 h — pd.merge_asof inside co-located key buckets,
+    one hash shuffle.  DuckDB bounded-min subquery oracle in
+    SQL_TAIL."""
+    from ..stages.join import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "event_type"])
+    purchases = ev.map_batches(
+        lambda df: df[df["event_type"] == "purchase"]
+        [["event_id", "user_id", "ts"]], batch_format="pandas")
+    ev2 = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    errors = ev2.map_batches(
+        lambda df: df[df["event_type"] == "error"]
+        .assign(next_error=lambda x: x["ts"])
+        [["user_id", "ts", "next_error"]], batch_format="pandas")
+    out = asof_join(purchases, errors, key="user_id", ts="ts",
+                    right_cols=["next_error"], direction="forward",
+                    tolerance=pd.Timedelta(days=1))
+    return out.select_columns(["event_id", "user_id", "next_error"])
+
+
+def q_window_nth(sf_dir):
+    """nth_value(value, 3) over the whole per-user partition
+    (stages/aggregate.window_over_key nth_n): the third event's value
+    bit-copied to every row of the partition, NULL for users with
+    fewer than three events.  DuckDB nth_value oracle in SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts", "value"],
+               parallel=8)
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "third_v"]]
+
+    return (window_over_key(ds, "user_id", ["ts", "event_id"], "value",
+                            nth_n=3, nth_col="third_v")
+            .map_batches(sel, batch_format="pandas"))
+
+
 def q_grouping_sets(sf_dir):
     """GROUP BY GROUPING SETS ((status), (priority), ()) —
     stages/aggregate.grouping_sets_agg, the generic form rollup/cube
@@ -2914,6 +2957,23 @@ SQL_TAIL: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    "asof_forward": """
+        SELECT p.event_id, p.user_id,
+               (SELECT min(s.ts) FROM events s
+                WHERE s.user_id = p.user_id AND s.event_type = 'error'
+                  AND s.ts >= p.ts
+                  AND s.ts <= p.ts + INTERVAL 1 DAY) AS next_error
+        FROM events p WHERE p.event_type = 'purchase'
+        ORDER BY p.event_id
+    """,
+    "window_nth": """
+        SELECT event_id, user_id,
+               nth_value(value, 3) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING) AS third_v
+        FROM events ORDER BY event_id
     """,
     "grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
@@ -4108,4 +4168,6 @@ QUERIES = {
     "grouping_sets": q_grouping_sets,
     "unpivot": q_unpivot,
     "mode_bykey": q_mode_bykey,
+    "asof_forward": q_asof_forward,
+    "window_nth": q_window_nth,
 }

@@ -342,7 +342,9 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     roll_n: int | None = None,
                     roll_value: str | None = None,
                     roll_sum_col: str = "roll_sum",
-                    roll_cnt_col: str | None = None):
+                    roll_cnt_col: str | None = None,
+                    nth_n: int | None = None,
+                    nth_col: str = "nth_v"):
     """Per-key ordered window functions — ``row_number()`` and
     ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
     per-key running sum of ``run_value``, ``lead(value)``
@@ -472,6 +474,15 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
             if last_col is not None:
                 eidx = np.append(sidx[1:], len(g)) - 1
                 out[last_col] = np.repeat(v[eidx], sizes)
+        if nth_n is not None:
+            # nth_value(value, n) over the whole partition: the n-th
+            # row's value bit-copied to every row, NULL when the
+            # partition has fewer than n rows
+            sidx = np.flatnonzero(first)
+            sizes = np.diff(np.append(sidx, len(g)))
+            pos = np.minimum(sidx + int(nth_n) - 1, len(g) - 1)
+            val = np.where(sizes >= int(nth_n), v[pos], np.nan)
+            out[nth_col] = np.repeat(val, sizes)
         return out
 
     return (ds.map_batches(bucketed, batch_format="pandas")

@@ -239,11 +239,15 @@ def anti_join(left, right, on: str, n_buckets: int = 32,
 
 
 def asof_join(left, right, key: str, ts: str, right_cols: list[str],
-              n_buckets: int = 32, suffix: str = "_r"):
-    """Backward as-of join per key: for each left row, the most recent
-    right row with right.ts <= left.ts and the same key (pd.merge_asof
-    inside co-located key buckets — the distributed form of the
-    reference's sparseArray greatest-bound-below lookup)."""
+              n_buckets: int = 32, suffix: str = "_r",
+              direction: str = "backward", tolerance=None):
+    """As-of join per key: for each left row, the nearest right row
+    with the same key in the given ``direction`` — ``backward``
+    (right.ts <= left.ts, the reference's sparseArray
+    greatest-bound-below lookup), ``forward`` (right.ts >= left.ts)
+    or ``nearest`` — optionally within ``tolerance`` (a pd.Timedelta
+    for datetime keys).  pd.merge_asof inside co-located key buckets:
+    one hash shuffle, each bucket sorts its own rows once."""
     l_schema = _schema_dict(left)
     r_schema = _schema_dict(right)
     l_missing = {k: v for k, v in r_schema.items() if k not in l_schema}
@@ -259,8 +263,8 @@ def asof_join(left, right, key: str, ts: str, right_cols: list[str],
               .sort_values(ts))
         if lg.empty:
             return lg
-        return pd.merge_asof(lg, rg, on=ts, by=key, direction="backward",
-                             suffixes=("", suffix))
+        return pd.merge_asof(lg, rg, on=ts, by=key, direction=direction,
+                             tolerance=tolerance, suffixes=("", suffix))
 
     return both.groupby("__b").map_groups(merge_bucket, batch_format="pandas")
 

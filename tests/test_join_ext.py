@@ -707,3 +707,48 @@ def test_grouping_sets_and_unpivot_vs_pandas_spec(ray_session):
     assert len(up) == 2 * n
     wb = up[up["measure"] == "b"].sort_values("id")["val"].to_numpy()
     assert (wb == df["b"].to_numpy()).all()
+
+
+def test_asof_directions_and_window_nth(ray_session):
+    """asof_join forward/nearest vs a per-row spec (tie-free ts), and
+    nth_value NULL rule for partitions shorter than n."""
+    import ray
+
+    rng = np.random.default_rng(41)
+    nl, nr = 4000, 3000
+    left = pd.DataFrame({
+        "k": rng.integers(0, 20, nl).astype("int64"),
+        "t": (rng.integers(0, 10**6, nl) * 2).astype("int64"),  # even
+        "lid": np.arange(nl, dtype="int64"),
+    })
+    right = pd.DataFrame({
+        "k": rng.integers(0, 20, nr).astype("int64"),
+        "t": (rng.integers(0, 10**6, nr) * 2 + 1).astype("int64"),  # odd
+        "rv": rng.integers(0, 10**9, nr).astype("int64"),
+    })
+
+    from rsyslog_ray.stages.join import asof_join
+
+    for direction in ("forward", "nearest"):
+        got = (asof_join(_mk(ray, left), _mk(ray, right), key="k",
+                         ts="t", right_cols=["rv"], direction=direction)
+               .to_pandas().sort_values("lid").reset_index(drop=True))
+        want = pd.merge_asof(left.sort_values("t"),
+                             right[["k", "t", "rv"]].sort_values("t"),
+                             on="t", by="k", direction=direction) \
+            .sort_values("lid").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got[["lid", "rv"]],
+                                      want[["lid", "rv"]],
+                                      check_dtype=False)
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    df = pd.DataFrame({"k": [1, 1, 1, 2, 2, 3],
+                       "t": [1, 2, 3, 1, 2, 1],
+                       "id": np.arange(6, dtype="int64"),
+                       "value": [10., 20., 30., 40., 50., 60.]})
+    got = (window_over_key(_mk(ray, df), "k", ["t", "id"], "value",
+                           nth_n=3, nth_col="n3")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["n3"].tolist()[:3] == [30., 30., 30.]
+    assert got["n3"].isna().tolist()[3:] == [True, True, True]
