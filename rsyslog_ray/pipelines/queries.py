@@ -2549,6 +2549,37 @@ def q_knn_ivf(sf_dir):
                    n_centroids=16, n_probe=4)
 
 
+def q_ann_store(sf_dir):
+    """Persisted IVF vector index (stages/vecstore.py — the third
+    store on the shared generation protocol): build on the embeddings
+    table, append an increment of perturbed copies, query the
+    originals against base + committed generations with a pruned
+    probed-list read.  Rows-only driver check; exactness, torn-append
+    invisibility and build+append == one-shot pinned in
+    tests/test_vecstore.py."""
+    import ray.data
+
+    from ..stages.vecstore import (append_ivf_index, build_ivf_index,
+                                   ivf_query_index)
+
+    out = _scratch("annstore", sf_dir)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    build_ivf_index(ds, "embedding", "vec_id", out, n_centroids=16)
+
+    head = (ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                  columns=["vec_id", "embedding"])
+            .limit(8).to_pandas())
+    vecs = np.stack(head["embedding"].to_numpy()).astype(np.float64)
+    inc = pd.DataFrame({
+        "vec_id": (head["vec_id"].to_numpy("int64") + 5_000_000),
+        "embedding": list((vecs + 0.01).astype(np.float32))})
+    append_ivf_index(ray.data.from_pandas(inc), out, "inc1")
+
+    res = ivf_query_index(out, vecs, head["vec_id"].tolist(), k=3,
+                          n_probe=4)
+    return res.astype({"qid": "int64", "id": "int64", "rank": "int64"})
+
+
 def q_media_features(sf_dir):
     """Multimodal plumbing: opaque-binary decode stage (stubbed with
     deterministic byte features) over the synthesized pages table at
@@ -4170,4 +4201,5 @@ QUERIES = {
     "mode_bykey": q_mode_bykey,
     "asof_forward": q_asof_forward,
     "window_nth": q_window_nth,
+    "ann_store": q_ann_store,
 }

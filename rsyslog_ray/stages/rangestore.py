@@ -125,25 +125,21 @@ def append_range_partitioned(ds, out_dir: str, gen_id: str) -> dict:
     """Append new rows to a COMMITTED range store without recomputing
     boundaries (the rolling-ingest operation; values outside the
     original hull clip into the open-ended edge ranges).  Same
-    generation protocol as the inverted index's appends: increment
-    files are ``range=<i>/gen-<gid>-part-*.parquet`` and the commit
-    marker ``_gen-<gid>.json`` is written last — re-appending a
-    committed generation is a no-op, a torn attempt's debris is wiped
-    and rewritten, the base store is never touched."""
+    generation protocol (state/genstore.py) as the inverted index's
+    appends: increment files are
+    ``range=<i>/gen-<gid>-part-*.parquet`` and the commit marker
+    ``_gen-<gid>.json`` is written last — re-appending a committed
+    generation is a no-op, a torn attempt's debris is wiped and
+    rewritten, the base store is never touched."""
     import hashlib
 
-    marker_path = os.path.join(out_dir, f"_gen-{gen_id}.json")
-    if os.path.exists(marker_path):
-        with open(marker_path) as fh:
-            return json.load(fh)
+    from ..state import genstore
+
     with open(os.path.join(out_dir, "_ranges.json")) as fh:
         rec = json.load(fh)
     col = rec["col"]
     edges = [(-np.inf if e is None else e) for e in rec["edges"]]
     edges[-1] = np.inf if rec["edges"][-1] is None else edges[-1]
-    for f in glob.glob(os.path.join(out_dir, "range=*",
-                                    f"gen-{gen_id}-part-*.parquet")):
-        os.remove(f)
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
         v = df[col].to_numpy(dtype=np.float64)
@@ -151,18 +147,12 @@ def append_range_partitioned(ds, out_dir: str, gen_id: str) -> dict:
         ridx = np.clip(ridx, 0, len(edges) - 2)
         wid = hashlib.md5(np.ascontiguousarray(v).tobytes()).hexdigest()
         for i in np.unique(ridx[~np.isnan(v)]):
-            d = os.path.join(out_dir, f"range={int(i)}")
-            os.makedirs(d, exist_ok=True)
-            stem = f"gen-{gen_id}-part-{wid}.parquet"
-            tmp = os.path.join(d, stem + ".inprogress")
-            df[ridx == i].reset_index(drop=True).to_parquet(tmp)
-            os.replace(tmp, os.path.join(d, stem))
+            genstore.atomic_part(
+                os.path.join(out_dir, f"range={int(i)}"),
+                f"gen-{gen_id}-part-{wid}.parquet",
+                df[ridx == i].reset_index(drop=True))
         return pd.DataFrame({"n": [int(len(df))]})
 
-    got = ds.map_batches(part, batch_format="pandas").to_pandas()
-    out = {"n_rows": int(got["n"].sum())}
-    tmp = marker_path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(out, fh)
-    os.replace(tmp, marker_path)
-    return out
+    return genstore.generation_append(
+        ds, out_dir, gen_id, part,
+        lambda got: {"n_rows": int(got["n"].sum())}, "range=*")

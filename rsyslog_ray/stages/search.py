@@ -256,9 +256,9 @@ def bm25_query_index(index_dir: str, queries: dict[str, str], k: int = 10
     tps = sorted(set(_term_partition(vocab, npart).tolist()))
     # base postings + COMMITTED generations only: a torn append's
     # files must stay invisible, matching index_stats' totals
-    gids = [os.path.basename(m)[len("_gen-"):-len(".json")]
-            for m in sorted(_glob.glob(
-                os.path.join(index_dir, "_gen-*.json")))]
+    # (shared protocol: state/genstore.py)
+    from ..state import genstore
+    gids = genstore.committed_gen_ids(index_dir)
     files = []
     for tp in tps:
         d = os.path.join(index_dir, f"tp={tp}")
@@ -393,28 +393,19 @@ def append_inverted_index(ds, id_col: str, text_col: str,
       _gen-<gid>.json                            increment COMMIT MARKER
                                                  ({n_docs, sum_dl})
 
-    Idempotence: the caller names the increment (a shard id, a date);
-    if its marker exists the append is a no-op; if files exist without
-    the marker a previous attempt died mid-write and the increment's
-    debris (only) is wiped and re-written — the base index and other
-    generations are never touched.  The query side sums the base
-    ``_stats.json`` with every generation marker, so a torn append is
-    invisible until its marker lands."""
-    import glob as _glob
+    Idempotence, atomicity and the marker-last commit are the shared
+    generation protocol (state/genstore.py); the query side sums the
+    base ``_stats.json`` with every generation marker, so a torn
+    append is invisible until its marker lands."""
     import json as _json
+
+    from ..state import genstore
 
     st_path = os.path.join(index_dir, "_stats.json")
     if not os.path.exists(st_path):
         raise FileNotFoundError("append requires a committed index "
                                 f"(missing {st_path})")
     npart = _json.load(open(st_path))["npart"]
-    marker = os.path.join(index_dir, f"_gen-{gen_id}.json")
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            return _json.load(fh)
-    for f in _glob.glob(os.path.join(index_dir, "tp=*",
-                                     f"gen-{gen_id}-part-*.parquet")):
-        os.remove(f)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df.reset_index(drop=True)
@@ -432,25 +423,19 @@ def append_inverted_index(ds, id_col: str, text_col: str,
             tf["dl"] = tf["__i"].map(lens).astype("int64")
             tf["tp"] = _term_partition(tf["term"].to_numpy(), npart)
             for tp, grp in tf.groupby("tp"):
-                d = os.path.join(index_dir, f"tp={int(tp)}")
-                os.makedirs(d, exist_ok=True)
-                stem = f"gen-{gen_id}-part-{wid}.parquet"
-                tmp = os.path.join(d, stem + ".inprogress")
-                (grp[["term", "id", "tf", "dl"]].reset_index(drop=True)
-                 .to_parquet(tmp))
-                os.replace(tmp, os.path.join(d, stem))
+                genstore.atomic_part(
+                    os.path.join(index_dir, f"tp={int(tp)}"),
+                    f"gen-{gen_id}-part-{wid}.parquet",
+                    grp[["term", "id", "tf", "dl"]].reset_index(drop=True))
         return pd.DataFrame({"n": [int((lens > 0).sum())],
                              "dl": [int(lens.sum())]})
 
-    stats = ds.map_batches(partial, batch_format="pandas").to_pandas()
-    rec = {"n_docs": int(stats["n"].sum()),
-           "sum_dl": int(stats["dl"].sum())}
-    import json as _j
-    tmp = marker + ".tmp"
-    with open(tmp, "w") as fh:
-        _j.dump(rec, fh)
-    os.replace(tmp, marker)
-    return rec
+    def reduce_partials(stats: pd.DataFrame) -> dict:
+        return {"n_docs": int(stats["n"].sum()),
+                "sum_dl": int(stats["dl"].sum())}
+
+    return genstore.generation_append(ds, index_dir, gen_id, partial,
+                                      reduce_partials, "tp=*")
 
 
 def index_stats(index_dir: str) -> dict:
