@@ -2277,6 +2277,29 @@ def q_corr_bykey(sf_dir):
     return corr_by_key(ds, "event_type", "xc", "yc")
 
 
+def q_linreg_bykey(sf_dir):
+    """OLS slope/intercept of value cents on second-of-day per
+    event_type (stages/aggregate.linreg_by_key — regr_slope/
+    regr_intercept): five int64 moment partials per key, one shared
+    float64 expression tree per output — bit-identical to the DuckDB
+    oracle in SQL_TAIL (the corr_bykey pattern)."""
+    from ..stages.aggregate import linreg_by_key
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "xc": (df["ts"].to_numpy().astype("int64") // 1_000_000
+                   % 86_400),
+            "yc": np.floor(df["value"].to_numpy(np.float64) * 100
+                           + 0.5).astype("int64"),
+        })
+
+    ds = (_read(sf_dir, "events",
+                columns=["event_type", "value", "ts"], parallel=8)
+          .map_batches(prep, batch_format="pandas"))
+    return linreg_by_key(ds, "event_type", "xc", "yc")
+
+
 def q_retention(sf_dir):
     """Cohort retention triangle (stages/aggregate.retention_counts):
     users cohorted by first-event date, distinct users active at each
@@ -2988,6 +3011,27 @@ SQL_TAIL: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    "linreg_bykey": """
+        WITH b AS (
+          SELECT event_type,
+                 epoch_us(ts) // 1000000 % 86400 AS xc,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS yc
+          FROM events
+        ),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS DOUBLE) AS n,
+                 CAST(sum(xc) AS DOUBLE) AS sx,
+                 CAST(sum(yc) AS DOUBLE) AS sy,
+                 CAST(sum(xc * xc) AS DOUBLE) AS sxx,
+                 CAST(sum(xc * yc) AS DOUBLE) AS sxy
+          FROM b GROUP BY event_type
+        )
+        SELECT event_type,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy * sxx - sx * sxy) / (n * sxx - sx * sx) AS icept
+        FROM m ORDER BY event_type
     """,
     "asof_forward": """
         SELECT p.event_id, p.user_id,
@@ -4202,4 +4246,5 @@ QUERIES = {
     "asof_forward": q_asof_forward,
     "window_nth": q_window_nth,
     "ann_store": q_ann_store,
+    "linreg_bykey": q_linreg_bykey,
 }

@@ -809,6 +809,38 @@ def corr_by_key(ds, key: str, x: str, y: str, *, out: str = "corr"
     return (m[[key, out]].sort_values(key).reset_index(drop=True))
 
 
+def linreg_by_key(ds, key: str, x: str, y: str, *,
+                  slope: str = "slope", intercept: str = "icept"
+                  ) -> pd.DataFrame:
+    """OLS simple regression of INTEGER ``y`` on ``x`` per key — SQL's
+    ``regr_slope``/``regr_intercept``, same contract as
+    :func:`corr_by_key`: five int64 moment partials per key per batch
+    (order-exact integer sums), then the closed-form slope and
+    intercept as ONE float64 expression over the exact sums each —
+    mirror the identical expression trees in SQL for a bit-identical
+    match."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        xa = df[x].to_numpy(np.int64)
+        ya = df[y].to_numpy(np.int64)
+        t = pd.DataFrame({key: df[key], "n": 1, "sx": xa, "sy": ya,
+                          "sxx": xa * xa, "sxy": xa * ya})
+        return t.groupby(key, as_index=False).sum()
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    m = parts.groupby(key, as_index=False).sum()
+    n = m["n"].to_numpy(np.float64)
+    sx = m["sx"].to_numpy(np.float64)
+    sy = m["sy"].to_numpy(np.float64)
+    sxx = m["sxx"].to_numpy(np.float64)
+    sxy = m["sxy"].to_numpy(np.float64)
+    # shared expression trees — keep in sync with the SQL oracle
+    m[slope] = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    m[intercept] = (sy * sxx - sx * sxy) / (n * sxx - sx * sx)
+    return (m[[key, slope, intercept]].sort_values(key)
+            .reset_index(drop=True))
+
+
 def argmax_by_key(ds, key: str, val: str, payload: str, *,
                   largest: bool = True, out: str | None = None
                   ) -> pd.DataFrame:

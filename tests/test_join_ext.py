@@ -752,3 +752,34 @@ def test_asof_directions_and_window_nth(ray_session):
            .to_pandas().sort_values("id").reset_index(drop=True))
     assert got["n3"].tolist()[:3] == [30., 30., 30.]
     assert got["n3"].isna().tolist()[3:] == [True, True, True]
+
+
+def test_linreg_by_key_exact_and_partition_invariant(ray_session):
+    """regr_slope/regr_intercept from integer moment partials: equals
+    the closed-form numpy spec bit-for-bit and is invariant to the
+    batch split (integer partial sums commute)."""
+    import ray
+
+    rng = np.random.default_rng(47)
+    n = 20000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 8, n).astype("int64"),
+        "x": rng.integers(0, 86_400, n).astype("int64"),
+        "y": rng.integers(0, 50_000, n).astype("int64"),
+    })
+    from rsyslog_ray.stages.aggregate import linreg_by_key
+
+    got3 = linreg_by_key(ray.data.from_pandas(df).repartition(3),
+                         "k", "x", "y")
+    got17 = linreg_by_key(ray.data.from_pandas(df).repartition(17),
+                          "k", "x", "y")
+    pd.testing.assert_frame_equal(got3, got17)   # bit-identical
+
+    for _, r in got3.iterrows():
+        sub = df[df["k"] == r["k"]]
+        nn = float(len(sub))
+        sx, sy = float(sub["x"].sum()), float(sub["y"].sum())
+        sxx = float((sub["x"] * sub["x"]).sum())
+        sxy = float((sub["x"] * sub["y"]).sum())
+        assert r["slope"] == (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
+        assert r["icept"] == (sy * sxx - sx * sxy) / (nn * sxx - sx * sx)
