@@ -2277,6 +2277,42 @@ def q_corr_bykey(sf_dir):
     return corr_by_key(ds, "event_type", "xc", "yc")
 
 
+def q_pagerank(sf_dir):
+    """Integer PageRank (stages/graph.pagerank_int) over the
+    symmetrized customer<->supplier bipartite graph from
+    orders |x| lineitem: 3 power iterations in pure int64 micro-units
+    (rank//outdeg contributions, 85//100 damping) so the unrolled
+    DuckDB oracle in SQL_TAIL matches hash-exactly.  Edges stay a
+    Dataset; each iteration broadcasts the O(nodes) rank table and
+    ships per-batch partial sums."""
+    from ..stages.graph import pagerank_int
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = (_read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+          .map_batches(lambda df: df.rename(
+              columns={"l_orderkey": "o_orderkey"}),
+              batch_format="pandas"))
+    joined = hash_join(orders, li, "o_orderkey")
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["o_custkey", "l_suppkey"]].drop_duplicates()
+        return pd.DataFrame({
+            "c": "c" + t["o_custkey"].astype("int64").astype(str),
+            "s": "s" + t["l_suppkey"].astype("int64").astype(str)})
+
+    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.head(1)
+        return pd.DataFrame({
+            "src": np.concatenate([g["c"].to_numpy(), g["s"].to_numpy()]),
+            "dst": np.concatenate([g["s"].to_numpy(), g["c"].to_numpy()])})
+
+    edges = (joined.map_batches(local_pairs, batch_format="pandas")
+             .groupby(["c", "s"]).map_groups(both_dirs,
+                                             batch_format="pandas"))
+    return pagerank_int(edges, "src", "dst", iters=3)
+
+
 def q_linreg_bykey(sf_dir):
     """OLS slope/intercept of value cents on second-of-day per
     event_type (stages/aggregate.linreg_by_key — regr_slope/
@@ -3011,6 +3047,37 @@ SQL_TAIL: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    "pagerank": """
+        WITH pair AS (
+          SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+                          's' || CAST(l_suppkey AS VARCHAR) AS s
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM pair
+                  UNION ALL SELECT s, c FROM pair),
+        deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d
+                FROM edges GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r
+               FROM deg),
+        s1 AS (SELECT e.dst AS node, sum(r0.r // dg.d) AS sm
+               FROM edges e JOIN r0 ON r0.node = e.src
+               JOIN deg dg ON dg.src = e.src GROUP BY e.dst),
+        r1 AS (SELECT dg.src AS node,
+                      150000 + (85 * COALESCE(s1.sm, 0)) // 100 AS r
+               FROM deg dg LEFT JOIN s1 ON s1.node = dg.src),
+        s2 AS (SELECT e.dst AS node, sum(r1.r // dg.d) AS sm
+               FROM edges e JOIN r1 ON r1.node = e.src
+               JOIN deg dg ON dg.src = e.src GROUP BY e.dst),
+        r2 AS (SELECT dg.src AS node,
+                      150000 + (85 * COALESCE(s2.sm, 0)) // 100 AS r
+               FROM deg dg LEFT JOIN s2 ON s2.node = dg.src),
+        s3 AS (SELECT e.dst AS node, sum(r2.r // dg.d) AS sm
+               FROM edges e JOIN r2 ON r2.node = e.src
+               JOIN deg dg ON dg.src = e.src GROUP BY e.dst),
+        r3 AS (SELECT dg.src AS node,
+                      150000 + (85 * COALESCE(s3.sm, 0)) // 100 AS r
+               FROM deg dg LEFT JOIN s3 ON s3.node = dg.src)
+        SELECT node, CAST(r AS BIGINT) AS rank_u FROM r3 ORDER BY node
     """,
     "linreg_bykey": """
         WITH b AS (
@@ -4247,4 +4314,5 @@ QUERIES = {
     "window_nth": q_window_nth,
     "ann_store": q_ann_store,
     "linreg_bykey": q_linreg_bykey,
+    "pagerank": q_pagerank,
 }

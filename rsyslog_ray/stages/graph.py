@@ -1,0 +1,83 @@
+"""Iterative graph algorithms — the power-iteration counterpart to
+stages/dedup.connected_components.
+
+``pagerank_int`` runs PageRank in PURE int64 arithmetic so a SQL
+oracle can unroll the same iterations and match hash-exactly:
+
+    r_0(v)    = init                      (every node with an edge)
+    contrib(u)= r_t(u) // outdeg(u)       (integer division)
+    r_{t+1}(v)= base + (damp_num * SUM_incoming contrib) // damp_den
+
+With the conventional damping 0.85 expressed as 85//100 and ranks in
+micro-units, every operation is an exact integer op — no float
+accumulation order to diverge between engine and oracle (CLAUDE.md
+invariant 6 applied to an iterative algorithm).
+
+Scale shape: the EDGES stay a Dataset and are the only corpus-sized
+thing; each iteration broadcasts the O(nodes) rank/degree table
+(``ray.put`` once per iteration) and ships per-batch partial
+contribution sums — the same broadcast-small / combiner-partial
+pattern as semi_join's broadcast final.  The documented assumption is
+a rank table that fits the driver (millions of nodes); past that,
+swap the broadcast for the hash-partitioned join shape
+(join.hash_join) without touching the arithmetic.
+
+Reference relationship: rsyslog has no graph ops; this is engine
+extension surface (SURVEY.md §8 'beyond-reference'), included because
+link-graph ranking is a standard web-corpus curation signal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def pagerank_int(edges_ds, src: str, dst: str, *, iters: int = 3,
+                 init: int = 1_000_000, base: int = 150_000,
+                 damp_num: int = 85, damp_den: int = 100,
+                 rank_col: str = "rank_u") -> pd.DataFrame:
+    """PageRank over a directed edge Dataset in integer micro-units.
+    Returns (node, rank_u) for every node that has at least one
+    outgoing edge (symmetrize the graph upstream if sinks matter).
+    Nodes with no incoming edges hold ``base`` after one step."""
+    import ray
+
+    from .aggregate import two_phase_agg
+
+    deg = two_phase_agg(edges_ds.select_columns([src]), [src],
+                        count="d")
+    nodes = deg[src].to_numpy()
+    d = deg["d"].to_numpy(np.int64)
+    order = np.argsort(nodes, kind="mergesort")
+    nodes, d = nodes[order], d[order]
+    ranks = np.full(len(nodes), np.int64(init))
+
+    for _ in range(iters):
+        contrib = ranks // d
+        ref = ray.put((nodes, contrib))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            nds, ctr = ray.get(ref)
+            pos = np.searchsorted(nds, df[src].to_numpy())
+            t = pd.DataFrame({"node": df[dst].to_numpy(),
+                              "s": ctr[pos]})
+            return t.groupby("node", as_index=False)["s"].sum()
+
+        parts = (edges_ds.map_batches(partial, batch_format="pandas")
+                 .to_pandas())
+        sums = parts.groupby("node")["s"].sum()
+        s = np.zeros(len(nodes), dtype=np.int64)
+        snodes = sums.index.to_numpy()
+        pos = np.searchsorted(nodes, snodes)
+        # a dst with no outgoing edge is outside the rank table (the
+        # documented contract) — mask it out instead of clobbering
+        pos_c = np.minimum(pos, len(nodes) - 1)
+        ok = nodes[pos_c] == snodes
+        # nodes without incoming edges keep s=0 -> rank = base
+        s[pos_c[ok]] = sums.to_numpy(np.int64)[ok]
+        ranks = np.int64(base) + (np.int64(damp_num) * s) // np.int64(
+            damp_den)
+
+    return pd.DataFrame({"node": nodes,
+                         rank_col: ranks}).reset_index(drop=True)

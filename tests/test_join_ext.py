@@ -783,3 +783,42 @@ def test_linreg_by_key_exact_and_partition_invariant(ray_session):
         sxy = float((sub["x"] * sub["y"]).sum())
         assert r["slope"] == (nn * sxy - sx * sy) / (nn * sxx - sx * sx)
         assert r["icept"] == (sy * sxx - sx * sxy) / (nn * sxx - sx * sx)
+
+
+def test_pagerank_int_vs_dense_spec(ray_session):
+    """Integer PageRank == a dense numpy power-iteration spec; a dst
+    node with no outgoing edges is outside the rank table (masked, not
+    clobbered), and a node with no incoming edges ranks at base."""
+    import ray
+
+    rng = np.random.default_rng(53)
+    n_nodes, n_edges = 60, 600
+    src = rng.integers(0, n_nodes, n_edges)
+    dst = rng.integers(0, n_nodes + 3, n_edges)     # some dangling dst
+    edges = pd.DataFrame({"src": [f"n{v}" for v in src],
+                          "dst": [f"n{v}" for v in dst]})
+    # guarantee one node with outgoing but no incoming edges
+    edges = pd.concat([edges, pd.DataFrame(
+        {"src": ["lonely"], "dst": ["n0"]})], ignore_index=True)
+
+    from rsyslog_ray.stages.graph import pagerank_int
+
+    got = pagerank_int(_mk(ray, edges), "src", "dst", iters=3)
+
+    deg = edges.groupby("src").size()
+    nodes = sorted(deg.index)
+    r = {v: 1_000_000 for v in nodes}
+    for _ in range(3):
+        contrib = {v: r[v] // int(deg[v]) for v in nodes}
+        s = {v: 0 for v in nodes}
+        for a, b in zip(edges["src"], edges["dst"]):
+            if b in s:
+                s[b] += contrib[a]
+        r = {v: 150_000 + (85 * s[v]) // 100 for v in nodes}
+    want = pd.DataFrame({"node": nodes,
+                         "rank_u": [r[v] for v in nodes]})
+    got = got.sort_values("node").reset_index(drop=True)
+    want = want.sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"rank_u": "int64"}), want.astype({"rank_u": "int64"}))
+    assert r["lonely"] == 150_000          # no incoming -> base
