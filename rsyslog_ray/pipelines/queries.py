@@ -2277,6 +2277,17 @@ def q_corr_bykey(sf_dir):
     return corr_by_key(ds, "event_type", "xc", "yc")
 
 
+def q_overlap_matrix(sf_dir):
+    """Audience overlap (stages/aggregate.overlap_matrix): exact
+    distinct-user counts for every unordered event-type pair — one
+    user-hash shuffle, per-bucket set reduction, O(types²) ints to the
+    driver.  DuckDB self-join COUNT(DISTINCT) oracle in SQL_TAIL."""
+    from ..stages.aggregate import overlap_matrix
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return overlap_matrix(ds, "user_id", "event_type")
+
+
 def q_pagerank(sf_dir):
     """Integer PageRank (stages/graph.pagerank_int) over the
     symmetrized customer<->supplier bipartite graph from
@@ -3047,6 +3058,15 @@ SQL_TAIL: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    "overlap_matrix": """
+        WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+        SELECT a.event_type AS label_a, b.event_type AS label_b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+        ORDER BY label_a, label_b
     """,
     "pagerank": """
         WITH pair AS (
@@ -4315,4 +4335,5 @@ QUERIES = {
     "ann_store": q_ann_store,
     "linreg_bykey": q_linreg_bykey,
     "pagerank": q_pagerank,
+    "overlap_matrix": q_overlap_matrix,
 }

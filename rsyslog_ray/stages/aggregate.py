@@ -774,6 +774,53 @@ def retention_counts(ds, user: str, ts: str, *, nparts: int = 32
     return out
 
 
+def overlap_matrix(ds, entity: str, label: str, *, nparts: int = 32
+                   ) -> pd.DataFrame:
+    """Audience overlap: for every unordered label pair (a < b), the
+    EXACT number of distinct entities carrying both labels — the
+    co-occurrence / segment-overlap matrix.
+
+    Scale shape: the retention_counts bucket-exact pattern — one
+    entity-hash shuffle co-locates each entity's rows, the per-bucket
+    pass reduces an entity to its distinct label set and emits its
+    C(k,2) pairs ONCE, the driver sums O(labels²) ints per bucket.
+    Entity identities never reach the driver; cost is bounded by
+    labels-per-entity, not corpus size."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[entity, label]].copy(deep=False)
+        df["__pp"] = _bucket_int(df[entity], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sub = g[[entity, label]].drop_duplicates()
+        sub = sub.sort_values([entity, label], kind="mergesort")
+        rows_a, rows_b = [], []
+        for _, labs in sub.groupby(entity, sort=False)[label]:
+            v = labs.to_numpy()
+            if len(v) > 1:
+                ia, ib = np.triu_indices(len(v), k=1)
+                rows_a.append(v[ia])
+                rows_b.append(v[ib])
+        if not rows_a:
+            return pd.DataFrame({"label_a": pd.Series([], dtype=object),
+                                 "label_b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        t = pd.DataFrame({"label_a": np.concatenate(rows_a),
+                          "label_b": np.concatenate(rows_b)})
+        return (t.groupby(["label_a", "label_b"], as_index=False)
+                .size().rename(columns={"size": "n"}))
+
+    parts = (ds.map_batches(bucketed, batch_format="pandas")
+             .groupby("__pp").map_groups(per_bucket,
+                                         batch_format="pandas")
+             .to_pandas())
+    return (parts.groupby(["label_a", "label_b"], as_index=False)
+            ["n"].sum().astype({"n": "int64"})
+            .sort_values(["label_a", "label_b"])
+            .reset_index(drop=True))
+
+
 def corr_by_key(ds, key: str, x: str, y: str, *, out: str = "corr"
                 ) -> pd.DataFrame:
     """Pearson correlation of INTEGER columns ``x``, ``y`` per key —

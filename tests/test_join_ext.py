@@ -822,3 +822,30 @@ def test_pagerank_int_vs_dense_spec(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"rank_u": "int64"}), want.astype({"rank_u": "int64"}))
     assert r["lonely"] == 150_000          # no incoming -> base
+
+
+def test_overlap_matrix_vs_pandas_spec(ray_session):
+    """Exact pairwise distinct-entity overlap == a pandas set spec,
+    partition-invariant (each entity's pairs emit in exactly one
+    bucket)."""
+    import ray
+
+    rng = np.random.default_rng(59)
+    n = 15000
+    df = pd.DataFrame({
+        "u": rng.integers(0, 500, n).astype("int64"),
+        "lab": rng.choice(list("abcdef"), n),
+    })
+    from rsyslog_ray.stages.aggregate import overlap_matrix
+
+    got = overlap_matrix(ray.data.from_pandas(df).repartition(7),
+                         "u", "lab")
+    d = df.drop_duplicates()
+    m = d.merge(d, on="u")
+    m = m[m["lab_x"] < m["lab_y"]]
+    want = (m.groupby(["lab_x", "lab_y"], as_index=False)["u"]
+            .nunique().rename(columns={"lab_x": "label_a",
+                                       "lab_y": "label_b", "u": "n"})
+            .astype({"n": "int64"})
+            .sort_values(["label_a", "label_b"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
