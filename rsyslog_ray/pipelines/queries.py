@@ -2277,6 +2277,37 @@ def q_corr_bykey(sf_dir):
     return corr_by_key(ds, "event_type", "xc", "yc")
 
 
+def q_window_range(sf_dir):
+    """Time-frame window: per-user trailing-1-hour cents sum + count,
+    ``RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW``
+    (stages/aggregate.window_over_key range_us) — searchsorted frame
+    bounds with SQL's peer-inclusive rule, integer cumsum difference.
+    DuckDB RANGE-frame oracle in SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["ts_us"] = df["ts"].to_numpy().astype("int64")
+        df["v_c"] = np.floor(df["value"].to_numpy(np.float64) * 100
+                             + 0.5).astype("int64")
+        return df
+
+    ds = (_read(sf_dir, "events",
+                columns=["event_id", "user_id", "ts", "value"],
+                parallel=8)
+          .map_batches(prep, batch_format="pandas"))
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "h1_sum", "h1_n"]]
+
+    return (window_over_key(ds, "user_id", ["ts_us", "event_id"],
+                            "value", range_us=3_600_000_000,
+                            range_ts="ts_us", range_value="v_c",
+                            range_sum_col="h1_sum",
+                            range_cnt_col="h1_n")
+            .map_batches(sel, batch_format="pandas"))
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3058,6 +3089,17 @@ SQL_TAIL: dict[str, str] = {
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+    "window_range": """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    OVER w AS BIGINT) AS h1_sum,
+               CAST(count(*) OVER w AS BIGINT) AS h1_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id
     """,
     "overlap_matrix": """
         WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
@@ -4336,4 +4378,5 @@ QUERIES = {
     "linreg_bykey": q_linreg_bykey,
     "pagerank": q_pagerank,
     "overlap_matrix": q_overlap_matrix,
+    "window_range": q_window_range,
 }

@@ -344,7 +344,12 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     roll_sum_col: str = "roll_sum",
                     roll_cnt_col: str | None = None,
                     nth_n: int | None = None,
-                    nth_col: str = "nth_v"):
+                    nth_col: str = "nth_v",
+                    range_us: int | None = None,
+                    range_ts: str | None = None,
+                    range_value: str | None = None,
+                    range_sum_col: str = "range_sum",
+                    range_cnt_col: str | None = None):
     """Per-key ordered window functions — ``row_number()`` and
     ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
     per-key running sum of ``run_value``, ``lead(value)``
@@ -362,6 +367,14 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
     window — ``roll_sum_col`` keeps ``roll_value``'s native dtype
     (pass integer cents for order-exactness) and ``roll_cnt_col``
     is the frame's row count (clipped at the partition start).
+
+    Time frames: ``range_us``/``range_ts`` (an int64 microsecond
+    column; it MUST be the first entry of ``order``)/``range_value``
+    adds ``RANGE BETWEEN <interval> PRECEDING AND CURRENT ROW`` —
+    per group the frame is ``[t - range_us, t]`` INCLUSIVE OF PEERS
+    (rows sharing the current timestamp, even later-positioned ones,
+    exactly SQL's RANGE peer rule), computed as a cumsum difference
+    between two searchsorted bounds.
 
     Scale shape: rows hash-bucket by ``key`` (ONE shuffle — a key's
     rows co-locate, so window state never crosses workers), each
@@ -474,6 +487,28 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
             if last_col is not None:
                 eidx = np.append(sidx[1:], len(g)) - 1
                 out[last_col] = np.repeat(v[eidx], sizes)
+        if range_us is not None and range_ts is not None \
+                and range_value is not None:
+            tsv = g[range_ts].to_numpy(np.int64)
+            rv3 = g[range_value].to_numpy()
+            cs3 = np.cumsum(rv3)
+            cs0r = np.concatenate(
+                [np.zeros(1, dtype=cs3.dtype), cs3])
+            sidx = np.flatnonzero(first)
+            bounds = np.append(sidx, len(g))
+            rs = np.empty(len(g), dtype=cs3.dtype)
+            rc = np.empty(len(g), dtype=np.int64)
+            for gi in range(len(sidx)):
+                a, b = bounds[gi], bounds[gi + 1]
+                tg = tsv[a:b]
+                lo = np.searchsorted(tg, tg - int(range_us),
+                                     side="left") + a
+                hi = np.searchsorted(tg, tg, side="right") + a
+                rs[a:b] = cs0r[hi] - cs0r[lo]
+                rc[a:b] = hi - lo
+            out[range_sum_col] = rs
+            if range_cnt_col is not None:
+                out[range_cnt_col] = rc
         if nth_n is not None:
             # nth_value(value, n) over the whole partition: the n-th
             # row's value bit-copied to every row, NULL when the

@@ -849,3 +849,37 @@ def test_overlap_matrix_vs_pandas_spec(ray_session):
             .astype({"n": "int64"})
             .sort_values(["label_a", "label_b"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_window_range_frame_peers_and_bounds(ray_session):
+    """Time RANGE frame vs a per-row spec with PLANTED duplicate
+    timestamps: SQL's peer rule includes later-positioned rows sharing
+    the current ts, and the trailing bound is inclusive."""
+    import ray
+
+    df = pd.DataFrame({
+        "k": [1] * 7 + [2] * 2,
+        "t": [0, 100, 100, 100, 150, 251, 400, 0, 50],
+        "id": np.arange(9, dtype="int64"),
+        "v": [1, 2, 4, 8, 16, 32, 64, 100, 200],
+    })
+    df["t"] = df["t"].astype("int64")
+    df["v"] = df["v"].astype("int64")
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    got = (window_over_key(
+        ray.data.from_pandas(df).repartition(3), "k", ["t", "id"],
+        "v", range_us=150, range_ts="t", range_value="v",
+        range_sum_col="s", range_cnt_col="c")
+        .to_pandas().sort_values("id").reset_index(drop=True))
+
+    def spec(row):
+        sub = df[(df["k"] == row["k"]) & (df["t"] >= row["t"] - 150)
+                 & (df["t"] <= row["t"])]          # peers included
+        return int(sub["v"].sum()), int(len(sub))
+    want = df.apply(lambda r: spec(r), axis=1)
+    assert got["s"].tolist() == [w[0] for w in want]
+    assert got["c"].tolist() == [w[1] for w in want]
+    # the three t=100 peers all see each other regardless of id order
+    assert got.loc[[1, 2, 3], "s"].tolist() == [15, 15, 15]
