@@ -2308,6 +2308,96 @@ def q_window_range(sf_dir):
             .map_batches(sel, batch_format="pandas"))
 
 
+def q_window_minmax(sf_dir):
+    """Frame extrema: per-user rolling min/max of integer cents over
+    ``ROWS BETWEEN 4 PRECEDING AND CURRENT ROW``
+    (stages/aggregate.window_over_key mm_n) — pandas' C monotonic-deque
+    rolling kernel keyed per bucket group, int64 round-trip exact.
+    DuckDB min/max OVER frame oracle in SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["v_c"] = np.floor(df["value"].to_numpy(np.float64) * 100
+                             + 0.5).astype("int64")
+        return df
+
+    ds = (_read(sf_dir, "events",
+                columns=["event_id", "user_id", "ts", "value"],
+                parallel=8)
+          .map_batches(cents, batch_format="pandas"))
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "user_id", "w5_min", "w5_max"]]
+
+    return (window_over_key(ds, "user_id", ["ts", "event_id"], "value",
+                            mm_n=5, mm_value="v_c",
+                            mm_min_col="w5_min", mm_max_col="w5_max")
+            .map_batches(sel, batch_format="pandas"))
+
+
+def q_quantile_bykey(sf_dir):
+    """EXACT per-key discrete quantiles (stages/aggregate
+    .quantile_by_key): p25/p50/p90 of integer cents per event type
+    with DuckDB's quantile_disc rank rule ``ceil(p·n)-1`` in integer
+    arithmetic — one (key,val) shuffle, per-bucket sort + index
+    selection, O(keys×pcts) to the driver.  quantile_disc oracle in
+    SQL_TAIL."""
+    from ..stages.aggregate import quantile_by_key
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "v_c": np.floor(df["value"].to_numpy(np.float64) * 100
+                            + 0.5).astype("int64")})
+
+    ds = (_read(sf_dir, "events", columns=["event_type", "value"],
+                parallel=8)
+          .map_batches(cents, batch_format="pandas"))
+    return quantile_by_key(ds, "event_type", "v_c", [25, 50, 90])
+
+
+def q_intersect_keys(sf_dir):
+    """SQL ``INTERSECT`` on distinct user ids (stages/aggregate
+    .set_op_keys): high-value purchasers ∩ high-value error-reporters
+    — each side reduces to per-batch-unique keys with a presence bit
+    before the one tiny-row shuffle; buckets OR the bits and keep 3.
+    DuckDB INTERSECT oracle in SQL_TAIL."""
+    from ..stages.aggregate import set_op_keys
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+    a = ds.map_batches(
+        lambda df: df[(df["event_type"] == "purchase")
+                      & (df["value"] >= 95)][["user_id"]],
+        batch_format="pandas")
+    b = ds.map_batches(
+        lambda df: df[(df["event_type"] == "error")
+                      & (df["value"] >= 95)][["user_id"]],
+        batch_format="pandas")
+    return set_op_keys(a, b, "user_id", "intersect")
+
+
+def q_except_keys(sf_dir):
+    """SQL ``EXCEPT`` on distinct user ids (stages/aggregate
+    .set_op_keys): high-value purchasers minus high-value
+    error-reporters — same one-shuffle presence-bit shape, buckets
+    keep bits==1.  DuckDB EXCEPT oracle in SQL_TAIL."""
+    from ..stages.aggregate import set_op_keys
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "value"])
+    a = ds.map_batches(
+        lambda df: df[(df["event_type"] == "purchase")
+                      & (df["value"] >= 95)][["user_id"]],
+        batch_format="pandas")
+    b = ds.map_batches(
+        lambda df: df[(df["event_type"] == "error")
+                      & (df["value"] >= 95)][["user_id"]],
+        batch_format="pandas")
+    return set_op_keys(a, b, "user_id", "except")
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3100,6 +3190,44 @@ SQL_TAIL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "window_minmax": """
+        SELECT event_id, user_id,
+               min(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   OVER w AS w5_min,
+               max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                   OVER w AS w5_max
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "quantile_bykey": """
+        SELECT event_type,
+               quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                             0.25) AS p25,
+               quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                             0.50) AS p50,
+               quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT),
+                             0.90) AS p90
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "intersect_keys": """
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value >= 95
+        INTERSECT
+        SELECT user_id FROM events
+        WHERE event_type = 'error' AND value >= 95
+        ORDER BY user_id
+    """,
+    "except_keys": """
+        SELECT user_id FROM events
+        WHERE event_type = 'purchase' AND value >= 95
+        EXCEPT
+        SELECT user_id FROM events
+        WHERE event_type = 'error' AND value >= 95
+        ORDER BY user_id
     """,
     "overlap_matrix": """
         WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
@@ -4379,4 +4507,8 @@ QUERIES = {
     "pagerank": q_pagerank,
     "overlap_matrix": q_overlap_matrix,
     "window_range": q_window_range,
+    "window_minmax": q_window_minmax,
+    "quantile_bykey": q_quantile_bykey,
+    "intersect_keys": q_intersect_keys,
+    "except_keys": q_except_keys,
 }

@@ -349,7 +349,11 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     range_ts: str | None = None,
                     range_value: str | None = None,
                     range_sum_col: str = "range_sum",
-                    range_cnt_col: str | None = None):
+                    range_cnt_col: str | None = None,
+                    mm_n: int | None = None,
+                    mm_value: str | None = None,
+                    mm_min_col: str | None = None,
+                    mm_max_col: str | None = None):
     """Per-key ordered window functions — ``row_number()`` and
     ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
     per-key running sum of ``run_value``, ``lead(value)``
@@ -367,6 +371,14 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
     window — ``roll_sum_col`` keeps ``roll_value``'s native dtype
     (pass integer cents for order-exactness) and ``roll_cnt_col``
     is the frame's row count (clipped at the partition start).
+
+    Frame extrema: ``mm_n``/``mm_value`` adds min/max over the same
+    ``ROWS BETWEEN mm_n-1 PRECEDING AND CURRENT ROW`` frame
+    (``mm_min_col``/``mm_max_col``, either optional) via pandas'
+    C-level monotonic-deque rolling kernel keyed by the per-bucket
+    group id — O(rows), no per-key Python loop; integer inputs round-
+    trip exactly (float64 intermediate is lossless under 2^53, cast
+    back to the input dtype).
 
     Time frames: ``range_us``/``range_ts`` (an int64 microsecond
     column; it MUST be the first entry of ``order``)/``range_value``
@@ -509,6 +521,21 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
             out[range_sum_col] = rs
             if range_cnt_col is not None:
                 out[range_cnt_col] = rc
+        if mm_n is not None and mm_value is not None \
+                and (mm_min_col is not None or mm_max_col is not None):
+            gid = np.cumsum(first)              # contiguous per-key id
+            s = pd.Series(g[mm_value].to_numpy())
+            grp = s.groupby(gid, sort=False)
+            roll = grp.rolling(int(mm_n), min_periods=1)
+            dt = g[mm_value].dtype
+            if mm_min_col is not None:
+                mn = roll.min().to_numpy()
+                out[mm_min_col] = mn.astype(dt) \
+                    if np.issubdtype(dt, np.integer) else mn
+            if mm_max_col is not None:
+                mx = roll.max().to_numpy()
+                out[mm_max_col] = mx.astype(dt) \
+                    if np.issubdtype(dt, np.integer) else mx
         if nth_n is not None:
             # nth_value(value, n) over the whole partition: the n-th
             # row's value bit-copied to every row, NULL when the
@@ -975,3 +1002,91 @@ def stats_by_key(ds, key: str, x: str) -> pd.DataFrame:
                         "stddev": np.sqrt((n * sxx - sx * sx)
                                           / (n * (n - 1.0)))})
     return out.sort_values(key).reset_index(drop=True)
+
+
+def quantile_by_key(ds, key: str, val: str, pcts: list[int], *,
+                    nparts: int = 32) -> pd.DataFrame:
+    """EXACT per-key discrete quantiles — SQL
+    ``quantile_disc(val, p/100) GROUP BY key`` with DuckDB's rank rule
+    ``idx = ceil(p*n/100) - 1`` computed in integer arithmetic
+    (``(p*n + 99)//100 - 1``), so the returned value is an actual
+    column element and engine/oracle agree bit-for-bit.
+
+    Scale shape: rows reduce to (key, val) and hash-bucket by key
+    (ONE shuffle — a key's values co-locate); each bucket sorts once
+    by (key, val) and selects every percentile by index arithmetic
+    over the group-start offsets — no per-key loop.  Driver collect
+    is O(distinct keys × len(pcts)).  Mirrors the holistic-aggregate
+    posture of the reference's percentile buckets
+    (contrib/impstats perctile_stats) at exact rather than
+    bucket-approximate grain."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[key, val]].copy(deep=False)
+        df["__pp"] = _bucket_int(df[key], nparts)
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, val], kind="mergesort")
+        k = g[key].to_numpy()
+        v = g[val].to_numpy()
+        first = np.empty(len(g), dtype=bool)
+        first[:1] = True
+        first[1:] = k[1:] != k[:-1]
+        sidx = np.flatnonzero(first)
+        sizes = np.diff(np.append(sidx, len(g)))
+        cols = {key: k[sidx]}
+        for p in pcts:
+            ridx = sidx + (p * sizes + 99) // 100 - 1
+            cols[f"p{p}"] = v[ridx]
+        return pd.DataFrame(cols)
+
+    return (ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("__pp").map_groups(per_bucket,
+                                        batch_format="pandas")
+            .to_pandas().sort_values(key).reset_index(drop=True))
+
+
+def set_op_keys(ds_a, ds_b, key: str, op: str, *,
+                nparts: int = 32) -> pd.DataFrame:
+    """Distinct-set operations on a key column — SQL ``INTERSECT`` /
+    ``EXCEPT`` (``op`` = "intersect" | "except", A op B) without ever
+    shuffling more than one deduped (key, side-bit) row per batch per
+    key: each side's batches reduce to per-batch-unique keys tagged
+    with a presence bit (A=1, B=2), the union hash-buckets by key
+    (ONE shuffle of tiny rows), and each bucket ORs the bits per key —
+    INTERSECT keeps bits==3, EXCEPT keeps bits==1.  Driver collect is
+    O(result keys)."""
+    import ray
+
+    if op not in ("intersect", "except"):
+        raise ValueError(op)
+
+    def tag(bit):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            u = pd.DataFrame({key: df[key].unique()})
+            u["__bit"] = np.int64(bit)
+            u["__pp"] = _bucket_int(u[key], nparts)
+            return u
+        return f
+
+    tagged = (ds_a.map_batches(tag(1), batch_format="pandas")
+              .union(ds_b.map_batches(tag(2), batch_format="pandas")))
+
+    want = 3 if op == "intersect" else 1
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        bits = g.groupby(key, sort=False)["__bit"].agg(
+            lambda s: int(np.bitwise_or.reduce(s.to_numpy())))
+        keep = bits[bits == want].index.to_numpy()
+        return pd.DataFrame({key: keep})
+
+    res = (tagged.groupby("__pp").map_groups(per_bucket,
+                                             batch_format="pandas")
+           .to_pandas())
+    if key not in res.columns:
+        # every bucket was empty: Ray renders 0-row pandas blocks
+        # schema-less, so re-assert the key column (int64 — the id
+        # dtype of every table here) for a stable empty result
+        res = pd.DataFrame({key: np.array([], dtype=np.int64)})
+    return res.sort_values(key).reset_index(drop=True)

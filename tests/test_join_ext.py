@@ -883,3 +883,81 @@ def test_window_range_frame_peers_and_bounds(ray_session):
     assert got["c"].tolist() == [w[1] for w in want]
     # the three t=100 peers all see each other regardless of id order
     assert got.loc[[1, 2, 3], "s"].tolist() == [15, 15, 15]
+
+
+def test_window_minmax_clipping_and_dtype(ray_session):
+    """Rolling min/max frame vs a per-row spec: clipped at partition
+    starts, int64 round-trip (no float contamination), and the deque
+    kernel keyed per group never leaks across keys."""
+    import ray
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": np.repeat(np.arange(6, dtype="int64"), [1, 2, 3, 7, 11, 4]),
+        "id": np.arange(28, dtype="int64"),
+        "v": rng.integers(-1000, 1000, 28).astype("int64"),
+    })
+
+    got = (window_over_key(
+        ray.data.from_pandas(df).repartition(4), "k", ["id"], "v",
+        mm_n=3, mm_value="v", mm_min_col="mn", mm_max_col="mx")
+        .to_pandas().sort_values("id").reset_index(drop=True))
+
+    assert got["mn"].dtype == np.int64 and got["mx"].dtype == np.int64
+    for _, row in df.iterrows():
+        sub = df[(df["k"] == row["k"]) & (df["id"] <= row["id"])
+                 & (df["id"] > row["id"] - 3)]["v"]
+        r = got[got["id"] == row["id"]].iloc[0]
+        assert r["mn"] == sub.min() and r["mx"] == sub.max()
+
+
+def test_quantile_by_key_rank_rule(ray_session):
+    """quantile_by_key vs DuckDB's quantile_disc rule
+    idx = ceil(p*n)-1 on PLANTED group sizes 1, 2, 3 and 10 —
+    the returned value is always an actual column element."""
+    import ray
+
+    from rsyslog_ray.stages.aggregate import quantile_by_key
+
+    df = pd.DataFrame({
+        "k": np.repeat([10, 20, 30, 40], [1, 2, 3, 10]).astype("int64"),
+        "v": np.concatenate([[5], [1, 2], [1, 2, 3],
+                             np.arange(1, 11)]).astype("int64"),
+    })
+    got = quantile_by_key(
+        ray.data.from_pandas(df.sample(frac=1, random_state=3))
+        .repartition(3), "k", "v", [25, 50, 90])
+    want = pd.DataFrame({
+        "k": [10, 20, 30, 40],
+        "p25": [5, 1, 1, 3],    # ceil(.25n)-1
+        "p50": [5, 1, 2, 5],
+        "p90": [5, 2, 3, 9],
+    }).astype("int64")
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_set_op_keys_bits_and_empty(ray_session):
+    """set_op_keys: presence-bit OR per bucket (intersect==3,
+    except==1) on a planted overlap, plus the all-empty EXCEPT path
+    (Ray's schema-less 0-row blocks must still yield a typed empty
+    frame)."""
+    import ray
+
+    from rsyslog_ray.stages.aggregate import set_op_keys
+
+    a = pd.DataFrame({"id": np.array([1, 2, 3, 4, 5, 5], "int64")})
+    b = pd.DataFrame({"id": np.array([4, 5, 6], "int64")})
+    da = ray.data.from_pandas(a).repartition(2)
+    db = ray.data.from_pandas(b).repartition(2)
+
+    inter = set_op_keys(da, db, "id", "intersect")
+    assert inter["id"].tolist() == [4, 5]
+    exc = set_op_keys(da, db, "id", "except")
+    assert exc["id"].tolist() == [1, 2, 3]
+
+    sub = ray.data.from_pandas(pd.DataFrame(
+        {"id": np.array([4, 5], "int64")}))
+    empty = set_op_keys(sub, da, "id", "except")
+    assert len(empty) == 0 and empty["id"].dtype == np.int64
