@@ -2398,6 +2398,54 @@ def q_except_keys(sf_dir):
     return set_op_keys(a, b, "user_id", "except")
 
 
+def q_outer_join(sf_dir):
+    """FULL OUTER JOIN (stages/join.hash_join how="outer"): rich
+    customers (acctbal > 5000, as cents) against per-customer order
+    counts — unmatched rows of EITHER side survive exactly once
+    because each key lives in one hash bucket; NULL payloads fill with
+    a -1 sentinel so both sides stay hash-exact int64 (invariant 6).
+    DuckDB FULL OUTER JOIN oracle in SQL_TAIL."""
+    from ..stages.aggregate import two_phase_agg
+    from ..stages.join import hash_join
+    import ray
+
+    cust = (_read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+            .map_batches(lambda df: pd.DataFrame({
+                "custkey": df["c_custkey"].astype("int64"),
+                "acct_c": np.floor(
+                    df["c_acctbal"].to_numpy(np.float64) * 100
+                    + 0.5).astype("int64")})
+                [lambda d: d["acct_c"] > 500_000],
+                batch_format="pandas"))
+    ords = two_phase_agg(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        ["o_custkey"], count="n_ord")
+    ords = ray.data.from_pandas(
+        ords.rename(columns={"o_custkey": "custkey"})
+        .astype({"custkey": "int64", "n_ord": "int64"})).repartition(4)
+
+    def seal(df: pd.DataFrame) -> pd.DataFrame:
+        for c in ("acct_c", "n_ord"):
+            df[c] = df[c].fillna(-1).astype("int64")
+        return df[["custkey", "acct_c", "n_ord"]]
+
+    return (hash_join(cust, ords, on="custkey", how="outer")
+            .map_batches(seal, batch_format="pandas"))
+
+
+def q_ndv_bykey(sf_dir):
+    """EXACT ``count(DISTINCT user_id) GROUP BY event_type``
+    (stages/aggregate.ndv_by_key): per-batch-unique (key, val) pairs
+    hash-bucket by both columns, buckets dedupe + partial-count, the
+    driver sums O(keys × nparts) ints — the exact complement of the
+    HLL approx_distinct_bykey.  DuckDB COUNT(DISTINCT) oracle in
+    SQL_TAIL."""
+    from ..stages.aggregate import ndv_by_key
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    return ndv_by_key(ds, "event_type", "user_id")
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3190,6 +3238,26 @@ SQL_TAIL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "outer_join": """
+        WITH c AS (SELECT c_custkey AS custkey,
+                          CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                              AS acct_c
+                   FROM customer
+                   WHERE floor(c_acctbal * 100 + 0.5) > 500000),
+             o AS (SELECT o_custkey AS custkey,
+                          CAST(count(*) AS BIGINT) AS n_ord
+                   FROM orders GROUP BY 1)
+        SELECT COALESCE(c.custkey, o.custkey) AS custkey,
+               CAST(COALESCE(c.acct_c, -1) AS BIGINT) AS acct_c,
+               CAST(COALESCE(o.n_ord, -1) AS BIGINT) AS n_ord
+        FROM c FULL OUTER JOIN o ON c.custkey = o.custkey
+        ORDER BY custkey
+    """,
+    "ndv_bykey": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS ndv
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "window_minmax": """
         SELECT event_id, user_id,
@@ -4511,4 +4579,6 @@ QUERIES = {
     "quantile_bykey": q_quantile_bykey,
     "intersect_keys": q_intersect_keys,
     "except_keys": q_except_keys,
+    "outer_join": q_outer_join,
+    "ndv_bykey": q_ndv_bykey,
 }

@@ -1090,3 +1090,43 @@ def set_op_keys(ds_a, ds_b, key: str, op: str, *,
         # dtype of every table here) for a stable empty result
         res = pd.DataFrame({key: np.array([], dtype=np.int64)})
     return res.sort_values(key).reset_index(drop=True)
+
+
+def ndv_by_key(ds, key: str, val: str, *, out: str = "ndv",
+               nparts: int = 32) -> pd.DataFrame:
+    """EXACT ``count(DISTINCT val) GROUP BY key`` at scale: batches
+    reduce to per-batch-unique (key, val) pairs, pairs hash-bucket by
+    BOTH columns (one tiny-row shuffle; each distinct pair lands in
+    exactly one bucket), buckets dedupe and emit per-key partial
+    counts, and the driver sums O(keys × nparts) ints — the raw values
+    never reach the driver.  The exact complement of the HLL
+    ``approx_distinct_bykey`` (stages/sketch.py); mirrors
+    runtime/dynstats.c's keyed counting at distinct rather than row
+    grain."""
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[[key, val]].drop_duplicates()
+        u = u.copy(deep=False)
+        # golden-ratio mix, not XOR: equal key/val hash values would
+        # XOR to 0 and pile every such pair into bucket 0
+        hk = pd.util.hash_array(u[key].to_numpy())
+        hv = pd.util.hash_array(u[val].to_numpy())
+        u["__pp"] = ((hk * np.uint64(0x9E3779B97F4A7C15) + hv)
+                     % np.uint64(nparts)).astype("int64")
+        return u
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[key, val]].drop_duplicates()
+        c = d.groupby(key, sort=False).size().rename(out).reset_index()
+        return c
+
+    parts = (ds.map_batches(pairs, batch_format="pandas")
+             .groupby("__pp").map_groups(per_bucket,
+                                         batch_format="pandas")
+             .to_pandas())
+    if key not in parts.columns:
+        return pd.DataFrame({key: np.array([], dtype=np.int64),
+                             out: np.array([], dtype=np.int64)})
+    final = parts.groupby(key, as_index=False)[out].sum()
+    final[out] = final[out].astype("int64")
+    return final.sort_values(key).reset_index(drop=True)

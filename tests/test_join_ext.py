@@ -961,3 +961,41 @@ def test_set_op_keys_bits_and_empty(ray_session):
         {"id": np.array([4, 5], "int64")}))
     empty = set_op_keys(sub, da, "id", "except")
     assert len(empty) == 0 and empty["id"].dtype == np.int64
+
+
+def test_hash_join_full_outer_planted(ray_session):
+    """FULL OUTER hash_join: left-only, right-only and matched keys
+    each survive exactly once (a key lives in one bucket), payload
+    NaNs are the only fills."""
+    import ray
+
+    from rsyslog_ray.stages.join import hash_join
+
+    l = pd.DataFrame({"k": np.array([1, 2, 3], "int64"),
+                      "lv": np.array([10, 20, 30], "int64")})
+    r = pd.DataFrame({"k": np.array([2, 3, 4, 4], "int64"),
+                      "rv": np.array([200, 300, 400, 401], "int64")})
+    got = (hash_join(ray.data.from_pandas(l).repartition(2),
+                     ray.data.from_pandas(r).repartition(2),
+                     on="k", how="outer")
+           .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True))
+    assert got["k"].tolist() == [1, 2, 3, 4, 4]
+    assert got["lv"].fillna(-1).tolist() == [10, 20, 30, -1, -1]
+    assert got["rv"].fillna(-1).tolist() == [-1, 200, 300, 400, 401]
+
+
+def test_ndv_by_key_cross_batch_dedup(ray_session):
+    """ndv_by_key counts a (key, val) pair ONCE however many batches
+    and blocks repeat it — the pair-hash shuffle colocates duplicates."""
+    import ray
+
+    from rsyslog_ray.stages.aggregate import ndv_by_key
+
+    df = pd.DataFrame({
+        "k": ["a"] * 6 + ["b"] * 3,
+        "v": np.array([1, 1, 2, 2, 3, 1, 7, 7, 7], "int64"),
+    })
+    got = ndv_by_key(ray.data.from_pandas(df).repartition(5), "k", "v")
+    assert got["k"].tolist() == ["a", "b"]
+    assert got["ndv"].tolist() == [3, 1]
+    assert got["ndv"].dtype == np.int64
