@@ -2446,6 +2446,38 @@ def q_ndv_bykey(sf_dir):
     return ndv_by_key(ds, "event_type", "user_id")
 
 
+def q_upsert_merge(sf_dir):
+    """CDC MERGE (stages/join.apply_changelog): customer balances as
+    the snapshot, orders as a keyed changelog (op=d when status F,
+    else upsert of the order total; o_orderkey = the sequence) —
+    last-writer-wins per key after ONE key-hash shuffle, deletes drop
+    the key, new-key upserts insert.  DuckDB FULL OUTER + row_number
+    oracle in SQL_TAIL."""
+    from ..stages.join import apply_changelog
+
+    base = (_read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+            .map_batches(lambda df: pd.DataFrame({
+                "k": df["c_custkey"].astype("int64"),
+                "v": np.floor(df["c_acctbal"].to_numpy(np.float64) * 100
+                              + 0.5).astype("int64")}),
+                batch_format="pandas"))
+    changes = (_read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_custkey",
+                              "o_orderstatus", "o_totalprice"])
+               .map_batches(lambda df: pd.DataFrame({
+                   "k": df["o_custkey"].astype("int64"),
+                   "seq": df["o_orderkey"].astype("int64"),
+                   "op": np.where(df["o_orderstatus"] == "F", "d", "u"),
+                   "v": np.floor(
+                       df["o_totalprice"].to_numpy(np.float64) * 100
+                       + 0.5).astype("int64")}),
+                   batch_format="pandas"))
+    import ray  # noqa: F401  (parallel shape documented at the stage)
+    res = (apply_changelog(base, changes, "k", "seq", "v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    return res
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3238,6 +3270,27 @@ SQL_TAIL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "upsert_merge": """
+        WITH last AS (
+            SELECT o_custkey AS k,
+                   CASE WHEN o_orderstatus = 'F' THEN 'd'
+                        ELSE 'u' END AS op,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+            FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderkey DESC) = 1),
+        base AS (
+            SELECT c_custkey AS k,
+                   CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+            FROM customer)
+        SELECT k, v FROM (
+            SELECT COALESCE(b.k, l.k) AS k,
+                   COALESCE(l.op, 'keep') AS op,
+                   CASE WHEN l.op = 'u' THEN l.v ELSE b.v END AS v
+            FROM base b FULL OUTER JOIN last l ON b.k = l.k)
+        WHERE op <> 'd'
+        ORDER BY k
     """,
     "outer_join": """
         WITH c AS (SELECT c_custkey AS custkey,
@@ -4581,4 +4634,5 @@ QUERIES = {
     "except_keys": q_except_keys,
     "outer_join": q_outer_join,
     "ndv_bykey": q_ndv_bykey,
+    "upsert_merge": q_upsert_merge,
 }

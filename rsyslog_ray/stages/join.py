@@ -28,6 +28,58 @@ def _bucket_of(col: pd.Series, n_buckets: int) -> pd.Series:
     return pd.Series(h % np.uint64(n_buckets), index=col.index).astype("int64")
 
 
+# ---- Bloom join pruning -------------------------------------------------
+# A fixed-size Bloom filter of the right side's join keys, broadcast
+# once (ray.put), prunes definitely-unmatched LEFT rows before they
+# enter the join shuffle — the classic runtime filter.  False
+# positives only cost shuffled rows, never correctness; false
+# negatives cannot happen (every right key sets its bits).
+
+_JB_SEEDS = (np.uint64(0x9E3779B97F4A7C15),
+             np.uint64(0xBF58476D1CE4E5B9),
+             np.uint64(0x94D049BB133111EB))
+
+
+def _jb_mix(u: np.ndarray) -> np.ndarray:
+    u = (u ^ (u >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    u = (u ^ (u >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return u ^ (u >> np.uint64(31))
+
+
+def key_bloom(ds, col: str, m_bits: int = 1 << 23) -> np.ndarray:
+    """Packed-bitmap Bloom filter of a Dataset's key column: per-batch
+    fixed-size partials OR-reduced on the driver (O(m_bits) driver
+    memory — 1 MiB at the default — regardless of key count)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(m_bits, dtype=bool)
+        h = pd.util.hash_array(df[col].to_numpy())
+        for s in _JB_SEEDS:
+            bits[(_jb_mix(h ^ s) % np.uint64(m_bits)).astype(np.int64)] \
+                = True
+        return pd.DataFrame(
+            {"bloom": [np.packbits(bits, bitorder="little").tobytes()]})
+
+    bloom = np.zeros(m_bits // 8, dtype=np.uint8)
+    parts = ds.map_batches(partial, batch_format="pandas")
+    for b in parts.iter_batches(batch_format="pandas", batch_size=None):
+        for buf in b["bloom"]:
+            bloom |= np.frombuffer(buf, dtype=np.uint8)
+    return bloom
+
+
+def bloom_mask(col: pd.Series, bloom: np.ndarray,
+               m_bits: int) -> np.ndarray:
+    """Per-row might-match mask against :func:`key_bloom`'s bitmap —
+    True for every key actually present (no false negatives)."""
+    h = pd.util.hash_array(col.to_numpy())
+    keep = np.ones(len(col), dtype=bool)
+    for s in _JB_SEEDS:
+        pos = (_jb_mix(h ^ s) % np.uint64(m_bits)).astype(np.int64)
+        keep &= ((bloom[pos >> 3] >> (pos & 7)) & 1).astype(bool)
+    return keep
+
+
 def broadcast_join(ds, small_df: pd.DataFrame, on: str, how: str = "left"):
     """Join a Dataset against a small broadcast DataFrame."""
     import ray
@@ -82,7 +134,8 @@ _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 def hash_join(left, right, on: str, how: str = "inner",
               n_buckets: int = 32, suffixes=("_l", "_r"),
-              hot_keys=None, hot_salts: int = 8):
+              hot_keys=None, hot_salts: int = 8,
+              bloom_bits: int | None = None):
     """Partitioned hash join of two Datasets on one key column.
 
     Both sides are tagged and bucketed in a map pass, schema-unified
@@ -106,6 +159,24 @@ def hash_join(left, right, on: str, how: str = "inner",
     if hot and how not in ("inner", "left"):
         raise ValueError("hot_keys salting supports inner/left joins")
     n_salt = max(1, int(hot_salts))
+
+    if bloom_bits:
+        # runtime filter: Bloom of right keys (one extra pass over the
+        # smaller side) prunes definitely-unmatched left rows BEFORE
+        # the shuffle — inner joins only (other kinds keep unmatched
+        # left rows).  False positives pass through to the exact merge.
+        if how != "inner":
+            raise ValueError("bloom_bits prefilter requires how='inner'")
+        import ray
+
+        bf_ref = ray.put(key_bloom(right, on, bloom_bits))
+        _mb = int(bloom_bits)
+
+        def prefilter(df: pd.DataFrame) -> pd.DataFrame:
+            bf = ray.get(bf_ref)
+            return df[bloom_mask(df[on], bf, _mb)]
+
+        left = left.map_batches(prefilter, batch_format="pandas")
 
     l_schema = _schema_dict(left)
     r_schema = _schema_dict(right)
@@ -412,3 +483,52 @@ def table_diff(left, right, key: str, cols: list[str], *,
 
     return both.groupby("__b").map_groups(per_bucket,
                                           batch_format="pandas")
+
+
+def apply_changelog(base, changes, key: str, seq: str, val: str, *,
+                    op_col: str = "op", nparts: int = 32):
+    """CDC MERGE: apply a keyed changelog to a snapshot with
+    last-writer-wins ordering — the batch analog of a database upsert
+    stream (the reference's nearest shape is omkafka-fed state rebuild;
+    here it is a first-class storage op beside :func:`table_diff`).
+
+    ``changes`` rows carry (key, seq, op, val): op "u" upserts val,
+    op "d" deletes the key; the row with the LARGEST seq per key wins.
+    Base rows rank below every change (seq -1).  Keys absent from the
+    changelog keep their base value; "u" on a new key inserts it.
+
+    Scale shape: both sides reduce to (key, seq, op, val) and
+    hash-bucket by key (ONE shuffle — a key's history co-locates);
+    each bucket sorts once by (key, seq) and keeps the last row per
+    key with a boolean mask — no per-key loop.  The result stays a
+    Dataset."""
+
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({key: df[key], "__seq": np.int64(-1),
+                          op_col: "u", val: df[val]})
+        t["__pp"] = _bucket_of(t[key], nparts)
+        return t
+
+    def tag_change(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({key: df[key],
+                          "__seq": df[seq].astype("int64"),
+                          op_col: df[op_col], val: df[val]})
+        t["__pp"] = _bucket_of(t[key], nparts)
+        return t
+
+    both = (base.map_batches(tag_base, batch_format="pandas")
+            .union(changes.map_batches(tag_change,
+                                       batch_format="pandas")))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "__seq"], kind="mergesort")
+        k = g[key].to_numpy()
+        last = np.empty(len(g), dtype=bool)
+        last[-1:] = True
+        last[:-1] = k[1:] != k[:-1]
+        w = g[last]
+        w = w[w[op_col] == "u"]
+        return w[[key, val]]
+
+    return both.groupby("__pp").map_groups(per_bucket,
+                                           batch_format="pandas")

@@ -999,3 +999,66 @@ def test_ndv_by_key_cross_batch_dedup(ray_session):
     assert got["k"].tolist() == ["a", "b"]
     assert got["ndv"].tolist() == [3, 1]
     assert got["ndv"].dtype == np.int64
+
+
+def test_apply_changelog_semantics(ray_session):
+    """CDC merge per-row spec: keep (no change), update (last 'u'),
+    delete (last 'd'), insert (new-key 'u'), delete-then-reinsert
+    ordering by seq, and delete of a never-present key is a no-op."""
+    import ray
+
+    from rsyslog_ray.stages.join import apply_changelog
+
+    base = pd.DataFrame({"k": np.array([1, 2, 3, 4], "int64"),
+                         "v": np.array([10, 20, 30, 40], "int64")})
+    ch = pd.DataFrame({
+        "k":   np.array([2,   3,   5,   4,   4,  9], "int64"),
+        "seq": np.array([100, 101, 102, 103, 104, 105], "int64"),
+        "op":  ["u",  "d",  "u",  "d",  "u", "d"],
+        "v":   np.array([21, 0, 50, 0, 41, 0], "int64"),
+    })
+    got = (apply_changelog(
+        ray.data.from_pandas(base).repartition(2),
+        ray.data.from_pandas(ch).repartition(3), "k", "seq", "v")
+        .to_pandas().sort_values("k").reset_index(drop=True))
+    want = pd.DataFrame({"k": np.array([1, 2, 4, 5], "int64"),
+                         "v": np.array([10, 21, 41, 50], "int64")})
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_join_bloom_prefilter(ray_session):
+    """Bloom runtime filter: inner-join results identical with and
+    without the prefilter, the mask has NO false negatives, and on a
+    mostly-unmatched left side it prunes nearly everything before the
+    shuffle."""
+    import ray
+
+    from rsyslog_ray.stages.join import (bloom_mask, hash_join,
+                                         key_bloom)
+
+    rng = np.random.default_rng(11)
+    l = pd.DataFrame({"k": rng.integers(0, 100_000, 5000).astype("int64"),
+                      "lv": np.arange(5000, dtype="int64")})
+    r = pd.DataFrame({"k": np.arange(0, 200, dtype="int64"),
+                      "rv": np.arange(200, dtype="int64") * 7})
+    dl = ray.data.from_pandas(l).repartition(4)
+    dr = ray.data.from_pandas(r).repartition(2)
+
+    plain = (hash_join(dl, dr, on="k").to_pandas()
+             .sort_values(["k", "lv"]).reset_index(drop=True))
+    pruned = (hash_join(dl, dr, on="k", bloom_bits=1 << 20).to_pandas()
+              .sort_values(["k", "lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        pruned[sorted(pruned.columns)], plain[sorted(plain.columns)])
+
+    bf = key_bloom(dr, "k", 1 << 20)
+    mask = bloom_mask(l["k"], bf, 1 << 20)
+    really = l["k"].isin(set(r["k"])).to_numpy()
+    assert (mask | ~really).all()           # no false negatives
+    # at 2^20 bits / 200 keys the FP rate is tiny: nearly every
+    # non-matching left row is pruned before the shuffle
+    assert mask.sum() <= really.sum() + 50
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_join(dl, dr, on="k", how="outer", bloom_bits=1 << 20)
