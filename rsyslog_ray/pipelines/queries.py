@@ -2525,6 +2525,46 @@ def q_pagerank(sf_dir):
     return pagerank_int(edges, "src", "dst", iters=3)
 
 
+def q_bfs_hops(sf_dir):
+    """Multi-source BFS distance (stages/graph.bfs_hops) over the
+    symmetrized customer<->supplier purchase graph: hops from the
+    nation-0 customer cohort, capped at 3 — frontier broadcast per
+    round, per-batch unique-destination partials, int distances.
+    DuckDB recursive-CTE oracle in SQL_TAIL."""
+    from ..stages.graph import bfs_hops
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = (_read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+          .map_batches(lambda df: df.rename(
+              columns={"l_orderkey": "o_orderkey"}),
+              batch_format="pandas"))
+    joined = hash_join(orders, li, "o_orderkey")
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["o_custkey", "l_suppkey"]].drop_duplicates()
+        return pd.DataFrame({
+            "c": "c" + t["o_custkey"].astype("int64").astype(str),
+            "s": "s" + t["l_suppkey"].astype("int64").astype(str)})
+
+    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.head(1)
+        return pd.DataFrame({
+            "src": np.concatenate([g["c"].to_numpy(), g["s"].to_numpy()]),
+            "dst": np.concatenate([g["s"].to_numpy(), g["c"].to_numpy()])})
+
+    edges = (joined.map_batches(local_pairs, batch_format="pandas")
+             .groupby(["c", "s"]).map_groups(both_dirs,
+                                             batch_format="pandas"))
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    sources = sorted("c" + cust.loc[cust["c_nationkey"] == 0,
+                                    "c_custkey"]
+                     .astype("int64").astype(str))
+    return bfs_hops(edges, "src", "dst", sources, max_depth=3)
+
+
 def q_linreg_bykey(sf_dir):
     """OLS slope/intercept of value cents on second-of-day per
     event_type (stages/aggregate.linreg_by_key — regr_slope/
@@ -3270,6 +3310,25 @@ SQL_TAIL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "bfs_hops": """
+        WITH RECURSIVE e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                            's' || CAST(l_suppkey AS VARCHAR) AS b
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT a AS src, b AS dst FROM e
+                  UNION ALL SELECT b, a FROM e),
+        src AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR)
+                    AS node
+                FROM customer WHERE c_nationkey = 0),
+        walk(node, d) AS (
+            SELECT node, 0 FROM src
+            UNION
+            SELECT g.dst, w.d + 1
+            FROM walk w JOIN edges g ON g.src = w.node
+            WHERE w.d < 3)
+        SELECT node, CAST(min(d) AS BIGINT) AS d
+        FROM walk GROUP BY node ORDER BY node
     """,
     "upsert_merge": """
         WITH last AS (
@@ -4635,4 +4694,5 @@ QUERIES = {
     "outer_join": q_outer_join,
     "ndv_bykey": q_ndv_bykey,
     "upsert_merge": q_upsert_merge,
+    "bfs_hops": q_bfs_hops,
 }

@@ -81,3 +81,48 @@ def pagerank_int(edges_ds, src: str, dst: str, *, iters: int = 3,
 
     return pd.DataFrame({"node": nodes,
                          rank_col: ranks}).reset_index(drop=True)
+
+
+def bfs_hops(edges_ds, src: str, dst: str, sources: list, *,
+             max_depth: int = 3, node_col: str = "node",
+             dist_col: str = "d") -> pd.DataFrame:
+    """Multi-source BFS hop distance over a directed edge Dataset —
+    min #edges from any source, capped at ``max_depth`` (unreached
+    nodes are absent).  Pure ints, so a recursive-CTE SQL oracle
+    matches exactly.
+
+    Scale shape: the edges stay a Dataset; each round broadcasts the
+    CURRENT FRONTIER set (``ray.put`` once — at most O(nodes), usually
+    far smaller), a map_batches pass emits each batch's unique
+    frontier-adjacent destinations, and the driver folds the new nodes
+    into the O(nodes) distance table.  Same broadcast-small posture
+    (and the same driver-table assumption and hash-join escape hatch)
+    as :func:`pagerank_int` above."""
+    import ray
+
+    dist: dict = {s: 0 for s in sources}
+    frontier = set(sources)
+    for depth in range(1, max_depth + 1):
+        if not frontier:
+            break
+        f_ref = ray.put(frontier)
+
+        def nxt(df: pd.DataFrame, _f=f_ref) -> pd.DataFrame:
+            fr = ray.get(_f)
+            hit = df[df[src].isin(fr)]
+            return pd.DataFrame({"n": hit[dst].unique()})
+
+        cand = set()
+        for b in (edges_ds.map_batches(nxt, batch_format="pandas")
+                  .iter_batches(batch_format="pandas",
+                                batch_size=None)):
+            if "n" in b.columns:
+                cand.update(b["n"].tolist())
+        frontier = {n for n in cand if n not in dist}
+        for n in frontier:
+            dist[n] = depth
+
+    out = pd.DataFrame({node_col: list(dist),
+                        dist_col: np.fromiter(dist.values(), "int64",
+                                              len(dist))})
+    return out.sort_values(node_col).reset_index(drop=True)

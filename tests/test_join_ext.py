@@ -1062,3 +1062,24 @@ def test_hash_join_bloom_prefilter(ray_session):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_join(dl, dr, on="k", how="outer", bloom_bits=1 << 20)
+
+
+def test_bfs_hops_planted_graph(ray_session):
+    """BFS spec on a planted graph: min-hop tie (two paths to one
+    node), depth cap excludes the far tail, disconnected node absent,
+    edge-less source still distance 0."""
+    import ray
+
+    from rsyslog_ray.stages.graph import bfs_hops
+
+    e = pd.DataFrame({
+        "src": ["a", "a", "b", "c", "d", "e", "x"],
+        "dst": ["b", "c", "d", "d", "e", "f", "y"],
+    })
+    got = bfs_hops(ray.data.from_pandas(e).repartition(3),
+                   "src", "dst", ["a", "lonely"], max_depth=3)
+    want = pd.DataFrame({
+        "node": ["a", "b", "c", "d", "e", "lonely"],
+        "d": np.array([0, 1, 1, 2, 3, 0], "int64"),
+    })
+    pd.testing.assert_frame_equal(got, want)   # f at d=4 capped out
