@@ -2513,15 +2513,10 @@ def q_pagerank(sf_dir):
             "c": "c" + t["o_custkey"].astype("int64").astype(str),
             "s": "s" + t["l_suppkey"].astype("int64").astype(str)})
 
-    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.head(1)
-        return pd.DataFrame({
-            "src": np.concatenate([g["c"].to_numpy(), g["s"].to_numpy()]),
-            "dst": np.concatenate([g["s"].to_numpy(), g["c"].to_numpy()])})
-
-    edges = (joined.map_batches(local_pairs, batch_format="pandas")
-             .groupby(["c", "s"]).map_groups(both_dirs,
-                                             batch_format="pandas"))
+    from ..stages.graph import symmetrize_unique_edges
+    edges = symmetrize_unique_edges(
+        joined.map_batches(local_pairs, batch_format="pandas"),
+        "c", "s")
     return pagerank_int(edges, "src", "dst", iters=3)
 
 
@@ -2547,15 +2542,10 @@ def q_bfs_hops(sf_dir):
             "c": "c" + t["o_custkey"].astype("int64").astype(str),
             "s": "s" + t["l_suppkey"].astype("int64").astype(str)})
 
-    def both_dirs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.head(1)
-        return pd.DataFrame({
-            "src": np.concatenate([g["c"].to_numpy(), g["s"].to_numpy()]),
-            "dst": np.concatenate([g["s"].to_numpy(), g["c"].to_numpy()])})
-
-    edges = (joined.map_batches(local_pairs, batch_format="pandas")
-             .groupby(["c", "s"]).map_groups(both_dirs,
-                                             batch_format="pandas"))
+    from ..stages.graph import symmetrize_unique_edges
+    edges = symmetrize_unique_edges(
+        joined.map_batches(local_pairs, batch_format="pandas"),
+        "c", "s")
 
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_nationkey"]).to_pandas()

@@ -45,6 +45,12 @@ def pagerank_int(edges_ds, src: str, dst: str, *, iters: int = 3,
 
     from .aggregate import two_phase_agg
 
+    # Pin the edge blocks ONCE: an iterative algorithm re-reads its
+    # edges every round, and a lazy upstream (a join + dedup here)
+    # would re-execute per iteration — measured 217 s -> ~5 s at
+    # sf0.1.  Object-store-resident blocks spill if they outgrow
+    # memory; the standard iterative-engine tradeoff.
+    edges_ds = edges_ds.materialize()
     deg = two_phase_agg(edges_ds.select_columns([src]), [src],
                         count="d")
     nodes = deg[src].to_numpy()
@@ -100,6 +106,9 @@ def bfs_hops(edges_ds, src: str, dst: str, sources: list, *,
     as :func:`pagerank_int` above."""
     import ray
 
+    # pin edge blocks once — see pagerank_int: a lazy upstream would
+    # re-execute per BFS round
+    edges_ds = edges_ds.materialize()
     dist: dict = {s: 0 for s in sources}
     frontier = set(sources)
     for depth in range(1, max_depth + 1):
@@ -126,3 +135,33 @@ def bfs_hops(edges_ds, src: str, dst: str, sources: list, *,
                         dist_col: np.fromiter(dist.values(), "int64",
                                               len(dist))})
     return out.sort_values(node_col).reset_index(drop=True)
+
+
+def symmetrize_unique_edges(pairs_ds, a: str, b: str, *,
+                            src: str = "src", dst: str = "dst",
+                            nparts: int = 32):
+    """Globally-unique undirected edges -> both directed rows.
+    (a, b) pairs hash-bucket by BOTH columns (one tiny-row shuffle;
+    a duplicate pair lands in exactly one bucket), each bucket
+    drop_duplicates VECTORIZED and emits (a->b) and (b->a).  Replaces
+    the per-pair ``groupby([a, b]).map_groups`` shape, whose ~ms per
+    Ray group made a 600k-pair dedup the whole pipeline's cost
+    (CLAUDE.md invariant 3)."""
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        u = df[[a, b]].drop_duplicates().copy(deep=False)
+        ha = pd.util.hash_array(u[a].to_numpy())
+        hb = pd.util.hash_array(u[b].to_numpy())
+        u["__pp"] = ((ha * np.uint64(0x9E3779B97F4A7C15) + hb)
+                     % np.uint64(nparts)).astype("int64")
+        return u
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        u = g[[a, b]].drop_duplicates()
+        return pd.DataFrame({
+            src: np.concatenate([u[a].to_numpy(), u[b].to_numpy()]),
+            dst: np.concatenate([u[b].to_numpy(), u[a].to_numpy()])})
+
+    return (pairs_ds.map_batches(bucketed, batch_format="pandas")
+            .groupby("__pp").map_groups(per_bucket,
+                                        batch_format="pandas"))
