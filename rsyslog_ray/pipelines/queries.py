@@ -2478,6 +2478,61 @@ def q_upsert_merge(sf_dir):
     return res
 
 
+def q_warc_roundtrip(sf_dir):
+    """WARC container round-trip (sources/warc.py): every document
+    wrapped as a WARC/1.0 response record (one .warc.gz per input
+    block, member-per-record layout, written to scratch), read back
+    with read_warc, and reduced to per-source record counts + payload
+    octet totals — proving the archive framing is byte-lossless.
+    DuckDB octet-length oracle in SQL_TAIL."""
+    import os
+
+    from ..sources.warc import build_warc, read_warc
+    from ..stages.aggregate import two_phase_agg
+
+    out = _scratch("warc_rt", sf_dir)
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        recs = [{"headers": {
+                     "WARC-Type": "response",
+                     "WARC-Record-ID": f"<urn:doc:{i}>",
+                     "WARC-Date": "2025-01-01T00:00:00Z",
+                     "WARC-Target-URI": f"http://corpus/{s}/{i}",
+                     "Content-Type":
+                         "application/http; msgtype=response"},
+                 "block": (b"HTTP/1.1 200 OK\r\n"
+                           b"Content-Type: text/plain\r\n\r\n"
+                           + t.encode("utf-8"))}
+                for i, t, s in zip(df["doc_id"], df["text"],
+                                   df["source"])]
+        lo = int(df["doc_id"].min())
+        path = os.path.join(out, f"part-{lo}.warc.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(build_warc(recs, gzip_members=True))
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path], "n": [len(df)]})
+
+    (_read(sf_dir, "documents", columns=["doc_id", "text", "source"])
+     .map_batches(write_block, batch_format="pandas").materialize())
+
+    ds = read_warc(out + "/")
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        assert (df["http_status"] == 200).all()
+        assert not df["truncated"].any()
+        return pd.DataFrame({
+            "source": df["target_uri"].str.split("/").str[-2],
+            "octets": df["payload"].map(len).astype("int64")})
+
+    res = two_phase_agg(ds.map_batches(slim, batch_format="pandas"),
+                        ["source"], count="n_docs",
+                        sums={"octets": "octets"})
+    res["octets"] = res["octets"].astype("int64")
+    res["n_docs"] = res["n_docs"].astype("int64")
+    return res.sort_values("source").reset_index(drop=True)
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3300,6 +3355,13 @@ SQL_TAIL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "warc_roundtrip": """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT)
+                   AS octets
+        FROM documents GROUP BY source ORDER BY source
     """,
     "bfs_hops": """
         WITH RECURSIVE e AS (
@@ -4685,4 +4747,5 @@ QUERIES = {
     "ndv_bykey": q_ndv_bykey,
     "upsert_merge": q_upsert_merge,
     "bfs_hops": q_bfs_hops,
+    "warc_roundtrip": q_warc_roundtrip,
 }
