@@ -1372,6 +1372,24 @@ def q_text_langid(sf_dir):
                          ["pred_lang"])
 
 
+def q_text_langid_full(sf_dir):
+    """Full language-ID (stages/text.lang_id_full_frame): Unicode-
+    script char-class pass (9 script languages, han/kana ja-zh
+    disambiguation) then 9-language Latin stopword profiles — counts
+    per predicted lang.  Rows-only driver check (script ranges are
+    not reasonably SQL-expressible); the 18-language planted fixture
+    in t:test_dedup_text is the oracle."""
+    from ..stages.text import lang_id_full_frame
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"pred_lang": lang_id_full_frame(df["text"])})
+
+    return two_phase_agg(ds.map_batches(fx, batch_format="pandas"),
+                         ["pred_lang"])
+
+
 def q_text_fingerprint(sf_dir):
     """Winnowing fingerprints (rolling-hash min-per-window) per doc.
     Rows-only driver check; determinism pinned in pytest."""
@@ -4748,4 +4766,5 @@ QUERIES = {
     "upsert_merge": q_upsert_merge,
     "bfs_hops": q_bfs_hops,
     "warc_roundtrip": q_warc_roundtrip,
+    "text_langid_full": q_text_langid_full,
 }

@@ -1390,3 +1390,111 @@ def cascade_oracle(texts: list, *, min_words: int = 30,
                      "n_dropped": drops[i], "n_out": n_in - drops[i]})
         n_in -= drops[i]
     return rows
+
+
+# ---------------------------------------------------------------------
+# full language-ID: Unicode-script detection + extended Latin profiles
+
+# char-class counts run as C-level regex passes over the whole column
+# (one per script), not per-row Python
+_SCRIPT_RES = {
+    "han": r"[一-鿿]",
+    "kana": r"[぀-ヿ]",
+    "hangul": r"[가-힯ᄀ-ᇿ]",
+    "cyrillic": r"[Ѐ-ӿ]",
+    "arabic": r"[؀-ۿ]",
+    "devanagari": r"[ऀ-ॿ]",
+    "greek": r"[Ͱ-Ͽ]",
+    "hebrew": r"[֐-׿]",
+    "thai": r"[฀-๿]",
+}
+_SCRIPT_LANG = {"han": "zh", "kana": "ja", "hangul": "ko",
+                "cyrillic": "ru", "arabic": "ar", "devanagari": "hi",
+                "greek": "el", "hebrew": "he", "thai": "th"}
+_LATIN_RE = r"[A-Za-zÀ-ɏ]"
+
+# common-stopword profiles (public knowledge); overlapping words are
+# fine — scoring is distinct-type overlap argmax with the tie broken
+# by this dict's order
+LANG_PROFILES_FULL = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "it",
+           "with", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+           "eine", "auf"},
+    "fr": {"le", "les", "et", "est", "une", "dans", "que", "pour",
+           "des", "du"},
+    "es": {"el", "los", "las", "es", "una", "y", "para", "con",
+           "por", "como"},
+    "it": {"il", "che", "di", "non", "per", "del", "gli", "sono",
+           "anche", "più"},
+    "pt": {"o", "os", "as", "um", "uma", "não", "com", "são",
+           "mais", "dos"},
+    "nl": {"de", "het", "een", "van", "en", "niet", "met", "voor",
+           "zijn", "op"},
+    "sv": {"och", "att", "det", "som", "en", "är", "på", "för",
+           "av", "till"},
+    "pl": {"nie", "się", "jest", "na", "do", "to", "że", "z", "w",
+           "po"},
+}
+
+
+def lang_id_full_frame(texts: pd.Series, *,
+                       script_frac: float = 0.3) -> pd.Series:
+    """Two-stage language ID, the production-shaped upgrade of
+    :func:`lang_id_frame`'s 4-language demo (which stays as-is — its
+    SQL oracle mirrors those profiles exactly):
+
+    1. SCRIPT: count letters per Unicode script with one C regex pass
+       per script over the whole column.  A non-Latin script holding
+       >= ``script_frac`` of a row's letters decides directly —
+       han -> zh (ja if any kana), kana -> ja, hangul -> ko,
+       cyrillic -> ru, arabic -> ar, devanagari -> hi, greek -> el,
+       hebrew -> he, thai -> th.  Coarse by design (all-Cyrillic ->
+       ru, not uk/bg) and documented as such.
+    2. LATIN: distinct-stopword-type overlap argmax over the
+       9-language profiles above, 'und' when nothing matches —
+       the same vectorized explode/isin shape as lang_id_frame.
+    """
+    idx = texts.index
+    t = texts.fillna("")
+    script_names = list(_SCRIPT_RES)
+    sc = np.stack([t.str.count(rx).to_numpy(np.int64)
+                   for rx in _SCRIPT_RES.values()], axis=1)
+    latin = t.str.count(_LATIN_RE).to_numpy(np.int64)
+    total = sc.sum(axis=1) + latin
+
+    pred = np.full(len(t), "und", dtype=object)
+    best_s = sc.argmax(axis=1)
+    best_c = sc.max(axis=1) if len(t) else np.zeros(0, np.int64)
+    with np.errstate(invalid="ignore"):
+        scripty = (total > 0) & (best_c >= np.maximum(
+            3, script_frac * total))
+    for j, name in enumerate(script_names):
+        m = scripty & (best_s == j)
+        if m.any():
+            pred[m] = _SCRIPT_LANG[name]
+    # han rows containing any kana are Japanese
+    kana_j = script_names.index("kana")
+    han_j = script_names.index("han")
+    ja = scripty & (best_s == han_j) & (sc[:, kana_j] > 0)
+    pred[ja] = "ja"
+
+    rest = ~scripty
+    if rest.any():
+        sub = t[rest]
+        toks = sub.str.lower().str.split().explode()
+        pairs = (toks.reset_index().drop_duplicates()
+                 .set_index("index").iloc[:, 0])
+        langs = list(LANG_PROFILES_FULL)
+        scores = np.zeros((int(rest.sum()), len(langs)), dtype=np.int64)
+        pos = pd.Series(np.arange(int(rest.sum())), index=sub.index)
+        rows = pos.reindex(pairs.index).to_numpy()
+        for j, lang in enumerate(langs):
+            hit = pairs.isin(LANG_PROFILES_FULL[lang]).to_numpy()
+            if hit.any():
+                np.add.at(scores[:, j], rows[hit], 1)
+        lbest = scores.argmax(axis=1)
+        lpred = np.array(langs, dtype=object)[lbest]
+        lpred[scores.max(axis=1) == 0] = "und"
+        pred[rest] = lpred
+    return pd.Series(pred, index=idx)

@@ -949,3 +949,40 @@ def test_cross_jaccard_matches_spec(ray_session):
     # including the empty eval doc
     assert by.loc[104, "n_matches"] == 0 and by.loc[104, "kept"] == 1
     assert by.loc[105, "kept"] == 1          # jaccard 2/9 below 4/5
+
+
+def test_lang_id_full_scripts_and_latin():
+    """lang_id_full_frame: all 9 script languages decide by char
+    class (han+kana -> ja disambiguation), all 9 Latin languages by
+    stopword profile, gibberish/empty -> und, and a latin-dominant
+    mixed row falls through to the profile stage."""
+    import rsyslog_ray.stages.text as tx
+
+    s = pd.Series([
+        "the cat and the dog is in that house with it",
+        "der Hund ist nicht die Katze und ein Vogel auf dem Dach",
+        "le chat est dans la maison et les oiseaux pour du pain",
+        "el perro es una mascota y los gatos para con por como",
+        "il cane che non è per il gatto del gli sono anche più",
+        "o cachorro é um animal não são os gatos com uma mais dos",
+        "de hond is niet een kat het van met voor zijn op",
+        "och det är som en katt på för av till att",
+        "to nie jest kot się na do że z w po",
+        "Это собака а не кошка в доме",
+        "هذا كلب وليس قطة في المنزل",
+        "這是一隻狗不是一隻貓",
+        "これは犬です猫ではありません",
+        "이것은 개입니다 고양이가 아닙니다",
+        "यह एक कुत्ता है बिल्ली नहीं",
+        "αυτό είναι ένας σκύλος όχι γάτα",
+        "זה כלב ולא חתול בבית",
+        "นี่คือสุนัขไม่ใช่แมว",
+        "zzz qqq www", ""])
+    want = ["en", "de", "fr", "es", "it", "pt", "nl", "sv", "pl",
+            "ru", "ar", "zh", "ja", "ko", "hi", "el", "he", "th",
+            "und", "und"]
+    assert tx.lang_id_full_frame(s).tolist() == want
+
+    mixed = pd.Series([
+        "the committee statement with it included the term 道 once"])
+    assert tx.lang_id_full_frame(mixed).tolist() == ["en"]
