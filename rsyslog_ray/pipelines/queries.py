@@ -1390,6 +1390,30 @@ def q_text_langid_full(sf_dir):
                          ["pred_lang"])
 
 
+def q_charset_sniff(sf_dir):
+    """Charset sniff/decode (stages/text.sniff_decode_frame): each
+    document's text encoded by doc_id%4 into utf-8 / utf-16(BOM-LE) /
+    cp1252 / utf-8-sig payload bytes, sniffed back, counted per
+    detected charset.  The corpus is ASCII, so class-2 cp1252 bytes
+    legitimately sniff as utf-8 — the oracle pins that documented
+    ambiguity rule.  Every decode must round-trip the text exactly
+    (asserted in-stage).  DuckDB CASE oracle in SQL_TAIL."""
+    from ..stages.text import sniff_decode_frame
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        codecs = {0: "utf-8", 1: "utf-16", 2: "cp1252", 3: "utf-8-sig"}
+        raw = [t.encode(codecs[int(i) % 4])
+               for i, t in zip(df["doc_id"], df["text"])]
+        out = sniff_decode_frame(pd.Series(raw, index=df.index))
+        assert (out["text"] == df["text"]).all()
+        return pd.DataFrame({"charset": out["charset"]})
+
+    return two_phase_agg(ds.map_batches(fx, batch_format="pandas"),
+                         ["charset"])
+
+
 def q_text_fingerprint(sf_dir):
     """Winnowing fingerprints (rolling-hash min-per-window) per doc.
     Rows-only driver check; determinism pinned in pytest."""
@@ -3374,6 +3398,14 @@ SQL_TAIL: dict[str, str] = {
                      AND CURRENT ROW)
         ORDER BY event_id
     """,
+    "charset_sniff": """
+        SELECT CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                               WHEN 1 THEN 'utf-16-le'
+                               WHEN 2 THEN 'utf-8'
+                               ELSE 'utf-8-sig' END AS charset,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
     "warc_roundtrip": """
         SELECT source,
                CAST(count(*) AS BIGINT) AS n_docs,
@@ -4767,4 +4799,5 @@ QUERIES = {
     "bfs_hops": q_bfs_hops,
     "warc_roundtrip": q_warc_roundtrip,
     "text_langid_full": q_text_langid_full,
+    "charset_sniff": q_charset_sniff,
 }

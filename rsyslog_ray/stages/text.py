@@ -1498,3 +1498,60 @@ def lang_id_full_frame(texts: pd.Series, *,
         lpred[scores.max(axis=1) == 0] = "und"
         pred[rest] = lpred
     return pd.Series(pred, index=idx)
+
+
+# ---------------------------------------------------------------------
+# charset sniff + decode — raw crawl payload bytes -> text
+
+_META_CHARSET_RE = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", re.I)
+_KNOWN_CHARSETS = {"utf-8": "utf-8", "utf8": "utf-8",
+                   "iso-8859-1": "latin-1", "latin-1": "latin-1",
+                   "windows-1252": "cp1252", "cp1252": "cp1252",
+                   "ascii": "ascii", "us-ascii": "ascii",
+                   "utf-16": "utf-16", "shift_jis": "shift_jis",
+                   "euc-jp": "euc_jp", "gb2312": "gb18030",
+                   "gbk": "gb18030", "gb18030": "gb18030",
+                   "big5": "big5", "euc-kr": "euc_kr",
+                   "koi8-r": "koi8_r", "iso-8859-2": "iso8859_2"}
+
+
+def sniff_decode_row(raw: bytes) -> tuple[str, str]:
+    """(text, charset) for one payload, by precedence:
+
+    1. BOM — utf-8-sig / utf-16-le / utf-16-be (authoritative).
+    2. strict UTF-8 decode of the whole payload.
+    3. HTML ``<meta charset=...>`` in the first 1024 bytes, when the
+       name maps to a codec we ship (decode with replacement — the
+       page SAID so; mojibake is the page's bug, not ours).
+    4. cp1252 fallback (the de-facto web default; superset of
+       latin-1, never fails).
+
+    ASCII-only payloads are inherently ambiguous and sniff as utf-8 —
+    the documented, standard resolution.  One small C decode call per
+    row (bytes.decode), no Python char loops."""
+    if raw[:3] == b"\xef\xbb\xbf":
+        return raw[3:].decode("utf-8", "replace"), "utf-8-sig"
+    if raw[:2] == b"\xff\xfe":
+        return raw[2:].decode("utf-16-le", "replace"), "utf-16-le"
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be", "replace"), "utf-16-be"
+    try:
+        return raw.decode("utf-8"), "utf-8"
+    except UnicodeDecodeError:
+        pass
+    m = _META_CHARSET_RE.search(raw[:1024])
+    if m:
+        name = m.group(1).decode("ascii", "replace").lower()
+        codec = _KNOWN_CHARSETS.get(name)
+        if codec and codec not in ("utf-8", "ascii"):
+            return raw.decode(codec, "replace"), codec
+    return raw.decode("cp1252", "replace"), "cp1252"
+
+
+def sniff_decode_frame(payloads: pd.Series) -> pd.DataFrame:
+    """Vectorized wrapper: (text, charset) columns from a binary
+    payload column (the WARC ``payload`` convention)."""
+    pairs = payloads.map(lambda b: sniff_decode_row(bytes(b)))
+    return pd.DataFrame({"text": pairs.str[0], "charset": pairs.str[1]},
+                        index=payloads.index)

@@ -986,3 +986,29 @@ def test_lang_id_full_scripts_and_latin():
     mixed = pd.Series([
         "the committee statement with it included the term 道 once"])
     assert tx.lang_id_full_frame(mixed).tolist() == ["en"]
+
+
+def test_sniff_decode_precedence():
+    """Charset sniff: BOMs beat everything, strict UTF-8 next, meta
+    charset honored for non-UTF-8 codecs, cp1252 fallback; ASCII
+    ambiguity resolves to utf-8; round-trips are lossless for clean
+    input."""
+    import rsyslog_ray.stages.text as tx
+
+    t = "héllo wörld — ascii mixed"      # em-dash: cp1252 yes, latin-1 no
+    t1 = "héllo wörld"                   # latin-1-safe
+    cases = [
+        (b"\xef\xbb\xbf" + t.encode("utf-8"), "utf-8-sig", t),
+        (t.encode("utf-16"), "utf-16-le", t),       # BOM-LE form
+        ("﻿".encode("utf-16-be") + t.encode("utf-16-be"),
+         "utf-16-be", t),
+        (t.encode("utf-8"), "utf-8", t),
+        (b"plain ascii only", "utf-8", "plain ascii only"),
+        (b"<html><meta charset='iso-8859-1'><body>"
+         + t1.encode("latin-1"),
+         "latin-1", "<html><meta charset='iso-8859-1'><body>" + t1),
+        (t.encode("cp1252"), "cp1252", t),          # no meta, bad utf-8
+    ]
+    got = tx.sniff_decode_frame(pd.Series([c[0] for c in cases]))
+    assert got["charset"].tolist() == [c[1] for c in cases]
+    assert got["text"].tolist() == [c[2] for c in cases]
