@@ -1,0 +1,165 @@
+"""Crawl-ingestion pipeline — raw web archives to gated text.
+
+The front half a 100 TB webtext corpus build runs before curation
+(pipelines/curation.py picks up where this stops):
+
+  .warc / .warc.gz archives           (sources/warc.py read_warc)
+    -> response-record filter         (HTTP 200, non-truncated)
+    -> charset sniff + decode         (stages/text.sniff_decode_row)
+    -> tag-strip + sanitize           (stages/parse.extract_text_frame
+                                       — the flagship's shared spec)
+    -> language ID + quality features (stages/text.lang_id_full_frame,
+                                       quality_frame)
+    -> records/ PARQUET               (stage resume point)
+    -> quality + language gate        -> gated/ PARQUET
+    -> _crawl_stats.json              (funnel + charset/lang counts)
+
+100-TB discipline: each stage is a parquet resume point (the
+curation `_run_stage` contract — atomic rename, torn runs rebuild
+only the in-progress stage); per-archive parallelism comes from the
+read (one block per .warc file); nothing corpus-sized touches the
+driver (stats are two_phase_agg combiner partials).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+
+from .curation import _run_stage
+
+
+def documents_to_warc(docs_path: str, warc_dir: str, *,
+                      block_rows: int = 200) -> str:
+    """Deterministic fixture corpus: every document HTML-wrapped and
+    charset-mixed by doc_id%4 (utf-8 / utf-16 BOM-LE / cp1252 /
+    utf-8-sig) into member-per-record .warc.gz files — the
+    north-rule's synthesize-at-small-scale input, exercising the
+    decode matrix end-to-end.  Idempotent (skips when the marker
+    exists)."""
+    import ray
+
+    from ..sources.warc import build_warc
+
+    marker = os.path.join(warc_dir, "_complete")
+    if os.path.exists(marker):
+        return warc_dir
+    os.makedirs(warc_dir, exist_ok=True)
+    codecs = {0: "utf-8", 1: "utf-16", 2: "cp1252", 3: "utf-8-sig"}
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        recs = []
+        for i, t, lang in zip(df["doc_id"], df["text"], df["lang"]):
+            html = (f"<html><head><title>doc {i}</title></head>"
+                    f"<body><p>{t}</p></body></html>")
+            body = html.encode(codecs[int(i) % 4])
+            recs.append({
+                "headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:doc:{i}>",
+                    "WARC-Date": "2025-01-01T00:00:00Z",
+                    "WARC-Target-URI": f"http://corpus/{lang}/{i}",
+                    "Content-Type": "application/http; msgtype=response"},
+                "block": (b"HTTP/1.1 200 OK\r\n"
+                          b"Content-Type: text/html\r\n\r\n" + body)})
+        lo = int(df["doc_id"].min())
+        path = os.path.join(warc_dir, f"crawl-{lo:08d}.warc.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(build_warc(recs, gzip_members=True))
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path]})
+
+    (ray.data.read_parquet(docs_path,
+                           columns=["doc_id", "text", "lang"])
+     .map_batches(write_block, batch_format="pandas",
+                  batch_size=block_rows).materialize())
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return warc_dir
+
+
+def run_crawl_ingest(warc_dir: str, out_dir: str, *,
+                     min_tokens: int = 3,
+                     max_stop_ratio: float = 0.9,
+                     langs: tuple | None = None) -> dict:
+    """Run the ingestion; returns the funnel stats dict (also written
+    to ``out_dir/_crawl_stats.json``).  Ray must already be
+    initialised (library code never owns the session)."""
+    import ray
+
+    from ..sources.warc import read_warc
+    from ..stages.parse import extract_text_frame
+    from ..stages.text import (lang_id_full_frame, quality_frame,
+                               sniff_decode_row)
+
+    os.makedirs(out_dir, exist_ok=True)
+    records_path = os.path.join(out_dir, "records")
+    gated_path = os.path.join(out_dir, "gated")
+
+    def build_records(tmp: str) -> None:
+        ds = read_warc(warc_dir + "/")
+
+        def decode(df: pd.DataFrame) -> pd.DataFrame:
+            ok = ((df["warc_type"] == "response")
+                  & (df["http_status"] == 200) & ~df["truncated"])
+            df = df[ok]
+            pairs = df["payload"].map(
+                lambda b: sniff_decode_row(bytes(b)))
+            html = pairs.str[0]
+            text = extract_text_frame(
+                html.map(lambda s: s.encode("utf-8")))
+            out = pd.DataFrame({
+                "uri": df["target_uri"].to_numpy(),
+                "charset": pairs.str[1].to_numpy(),
+                "text": np.asarray(text, dtype=object)})
+            q = quality_frame(out, "text")
+            out["n_tokens"] = q["n_tokens"]
+            out["n_stop"] = q["n_stop"]
+            out["pred_lang"] = lang_id_full_frame(out["text"])
+            return out
+
+        ds.map_batches(decode, batch_format="pandas").write_parquet(tmp)
+
+    _run_stage(records_path, build_records)
+
+    def build_gated(tmp: str) -> None:
+        rec = ray.data.read_parquet(records_path)
+
+        def gate(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df["n_tokens"] >= min_tokens
+            with np.errstate(invalid="ignore"):
+                ratio = df["n_stop"] / df["n_tokens"].clip(lower=1)
+            keep &= ratio <= max_stop_ratio
+            if langs is not None:
+                keep &= df["pred_lang"].isin(langs)
+            return df[keep]
+
+        rec.map_batches(gate, batch_format="pandas").write_parquet(tmp)
+
+    _run_stage(gated_path, build_gated)
+
+    from ..stages.aggregate import two_phase_agg
+
+    rec = ray.data.read_parquet(records_path,
+                                columns=["charset", "pred_lang"])
+    by_charset = two_phase_agg(rec, ["charset"])
+    n_records = int(by_charset["cnt"].sum())
+    gat = ray.data.read_parquet(gated_path, columns=["pred_lang"])
+    by_lang = two_phase_agg(gat, ["pred_lang"])
+    stats = {
+        "n_records": n_records,
+        "n_gated": int(by_lang["cnt"].sum()),
+        "by_charset": dict(zip(by_charset["charset"],
+                               by_charset["cnt"].astype(int))),
+        "gated_by_lang": dict(zip(by_lang["pred_lang"],
+                                  by_lang["cnt"].astype(int))),
+    }
+    tmp = os.path.join(out_dir, "_crawl_stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(stats, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "_crawl_stats.json"))
+    return stats

@@ -2575,6 +2575,34 @@ def q_warc_roundtrip(sf_dir):
     return res.sort_values("source").reset_index(drop=True)
 
 
+def q_crawl_ingest(sf_dir):
+    """Composed crawl-ingestion pipeline (pipelines/crawl.py): the
+    documents table deterministically archived as charset-mixed
+    .warc.gz (north-rule fixture corpus), then WARC read -> charset
+    sniff -> tag-strip/sanitize -> 18-language ID -> quality gate,
+    with a parquet resume point per stage.  Returns the funnel as
+    (kind, key, cnt) rows.  Rows-only driver check; the per-stage
+    spec oracles live in t:test_crawl (and charset counts equal the
+    oracle-backed q:charset_sniff by construction)."""
+    import os
+
+    from ..pipelines.crawl import documents_to_warc, run_crawl_ingest
+
+    root = _scratch("crawl_ingest", sf_dir)
+    documents_to_warc(os.path.join(sf_dir, "documents.parquet"),
+                      os.path.join(root, "warc"))
+    stats = run_crawl_ingest(os.path.join(root, "warc"),
+                             os.path.join(root, "out"))
+    rows = [("total", "records", stats["n_records"]),
+            ("total", "gated", stats["n_gated"])]
+    rows += [("charset", k, v) for k, v
+             in sorted(stats["by_charset"].items())]
+    rows += [("lang", k, v) for k, v
+             in sorted(stats["gated_by_lang"].items())]
+    return pd.DataFrame(rows, columns=["kind", "key", "cnt"]).astype(
+        {"cnt": "int64"})
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -4800,4 +4828,5 @@ QUERIES = {
     "warc_roundtrip": q_warc_roundtrip,
     "text_langid_full": q_text_langid_full,
     "charset_sniff": q_charset_sniff,
+    "crawl_ingest": q_crawl_ingest,
 }
