@@ -33,13 +33,18 @@ from .curation import _run_stage
 
 
 def documents_to_warc(docs_path: str, warc_dir: str, *,
-                      block_rows: int = 200) -> str:
+                      block_rows: int = 200,
+                      links: bool = False, n_docs: int = 0) -> str:
     """Deterministic fixture corpus: every document HTML-wrapped and
     charset-mixed by doc_id%4 (utf-8 / utf-16 BOM-LE / cp1252 /
     utf-8-sig) into member-per-record .warc.gz files — the
     north-rule's synthesize-at-small-scale input, exercising the
     decode matrix end-to-end.  Idempotent (skips when the marker
-    exists)."""
+    exists).  ``links=True`` plants two empty-anchor outlinks per doc
+    by the DETERMINISTIC rule i -> (i*7+1) % n_docs and (i+1) %
+    n_docs (relative hrefs; anchor text empty so extraction output is
+    unchanged) — the link-graph oracle in q:link_graph reproduces the
+    same rule in SQL."""
     import ray
 
     from ..sources.warc import build_warc
@@ -53,8 +58,13 @@ def documents_to_warc(docs_path: str, warc_dir: str, *,
     def write_block(df: pd.DataFrame) -> pd.DataFrame:
         recs = []
         for i, t, lang in zip(df["doc_id"], df["text"], df["lang"]):
+            anchors = ""
+            if links and n_docs:
+                a, b = (int(i) * 7 + 1) % n_docs, (int(i) + 1) % n_docs
+                anchors = (f'<a href="/doc/{a}"></a>'
+                           f'<a href="/doc/{b}"></a>')
             html = (f"<html><head><title>doc {i}</title></head>"
-                    f"<body><p>{t}</p></body></html>")
+                    f"<body><p>{t}</p>{anchors}</body></html>")
             body = html.encode(codecs[int(i) % 4])
             recs.append({
                 "headers": {

@@ -2603,6 +2603,44 @@ def q_crawl_ingest(sf_dir):
         {"cnt": "int64"})
 
 
+def q_link_graph(sf_dir):
+    """Web link graph from raw archives (stages/parse
+    .extract_links_frame): documents warcified WITH planted
+    deterministic outlinks (i -> (7i+1)%n, (i+1)%n), WARC read ->
+    charset decode -> href extraction + urljoin resolution -> target
+    doc-id in-degree via combiner partials.  The DuckDB oracle in
+    SQL_TAIL reproduces the link rule arithmetically — the whole
+    archive->decode->extract chain must be lossless for the counts to
+    match."""
+    import os
+
+    from ..pipelines.crawl import documents_to_warc
+    from ..sources.warc import read_warc
+    from ..stages.parse import extract_links_frame
+    from ..stages.text import sniff_decode_row
+
+    n = int(pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"]).shape[0])
+    root = _scratch("link_graph", sf_dir)
+    documents_to_warc(os.path.join(sf_dir, "documents.parquet"),
+                      os.path.join(root, "warc"), links=True, n_docs=n)
+
+    def links(df: pd.DataFrame) -> pd.DataFrame:
+        html = df["payload"].map(
+            lambda b: sniff_decode_row(bytes(b))[0])
+        lk = extract_links_frame(html, df["target_uri"])
+        return pd.DataFrame({"doc_id": lk["resolved"]
+                             .str.rsplit("/", n=1).str[-1]
+                             .astype("int64")})
+
+    ds = read_warc(os.path.join(root, "warc") + "/")
+    res = two_phase_agg(ds.map_batches(links, batch_format="pandas"),
+                        ["doc_id"], count="indeg")
+    res["indeg"] = res["indeg"].astype("int64")
+    res["doc_id"] = res["doc_id"].astype("int64")
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3425,6 +3463,15 @@ SQL_TAIL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "link_graph": """
+        WITH n AS (SELECT count(*) AS c FROM documents),
+        t AS (SELECT (doc_id * 7 + 1) % (SELECT c FROM n) AS tgt
+              FROM documents
+              UNION ALL
+              SELECT (doc_id + 1) % (SELECT c FROM n) FROM documents)
+        SELECT tgt AS doc_id, CAST(count(*) AS BIGINT) AS indeg
+        FROM t GROUP BY tgt ORDER BY tgt
     """,
     "charset_sniff": """
         SELECT CASE doc_id % 4 WHEN 0 THEN 'utf-8'
@@ -4829,4 +4876,5 @@ QUERIES = {
     "text_langid_full": q_text_langid_full,
     "charset_sniff": q_charset_sniff,
     "crawl_ingest": q_crawl_ingest,
+    "link_graph": q_link_graph,
 }

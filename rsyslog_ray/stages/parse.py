@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -79,3 +80,24 @@ def parse_pages(ds, batch_size: int = 8192):
     """Attach the parse stage (stateless elastic tasks)."""
     return ds.map_batches(ParseStage(), batch_format="pyarrow",
                           batch_size=batch_size)
+
+
+HREF_RE = re.compile(r"""href\s*=\s*["']([^"'>]+)["']""", re.I)
+
+
+def extract_links_frame(html: pd.Series,
+                        base_uri: pd.Series) -> pd.DataFrame:
+    """(src_uri, href, resolved) link rows from an HTML text column:
+    one C regex pass per batch (``str.findall``) finds every
+    ``href="..."``, explode pairs each with its row's base URI, and
+    relative references resolve with ``urljoin`` — the link-graph
+    front half of a crawl (sources/warc.py -> here -> graph.py)."""
+    from urllib.parse import urljoin
+
+    hrefs = html.str.findall(HREF_RE)
+    ex = hrefs.explode().dropna()
+    base = base_uri.reindex(ex.index)
+    resolved = [urljoin(b, h) for b, h in zip(base, ex)]
+    return pd.DataFrame({"src_uri": base.to_numpy(),
+                         "href": ex.to_numpy(),
+                         "resolved": np.array(resolved, dtype=object)})

@@ -77,3 +77,26 @@ def test_crawl_ingest_stage_resume(ray_session, planted_docs,
     assert before == after                            # not rebuilt
     assert s1 == s2
     assert json.load(open(os.path.join(out, "_crawl_stats.json"))) == s2
+
+
+def test_extract_links_resolution():
+    """extract_links_frame: relative/absolute/parent-path hrefs
+    resolve per RFC 3986 urljoin, single+double quotes, multiple
+    links per row, rows without links vanish."""
+    import pandas as pd
+
+    from rsyslog_ray.stages.parse import extract_links_frame
+
+    h = pd.Series([
+        '<a href="/a/b"></a><a href=\'c.html\'></a>',
+        '<a href="../up"></a><a href="http://other/x"></a>',
+        "no links here",
+    ])
+    b = pd.Series(["http://h/d/e.html", "http://h/d/f/g.html",
+                   "http://h/"])
+    lk = extract_links_frame(h, b)
+    assert lk["resolved"].tolist() == [
+        "http://h/a/b", "http://h/d/c.html",
+        "http://h/d/up", "http://other/x"]
+    assert (lk["src_uri"].tolist()
+            == ["http://h/d/e.html"] * 2 + ["http://h/d/f/g.html"] * 2)
