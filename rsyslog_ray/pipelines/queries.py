@@ -2641,6 +2641,45 @@ def q_link_graph(sf_dir):
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_robots_filter(sf_dir):
+    """Crawl-politeness filter (state/robots.py RobotsPolicy — RFC
+    9309 longest-match with Allow tie-break): deterministic URL paths
+    from doc_id%5 classes evaluated against a fixed policy
+    (Disallow /private/ + Allow /private/pub/ + Disallow /*.gz$ for
+    goodbot), counted per verdict.  The broadcast-policy +
+    vectorized-match stage shape of every crawl frontier.  The DuckDB
+    oracle re-expresses THIS policy's longest-match outcome
+    relationally (LIKE algebra) in SQL_TAIL; the RFC semantics
+    themselves are pinned in t:test_robots."""
+    from ..state.robots import RobotsPolicy
+
+    txt = ("User-agent: goodbot\n"
+           "Disallow: /private/\n"
+           "Allow: /private/pub/\n"
+           "Disallow: /*.gz$\n"
+           "User-agent: *\nDisallow: /tmp/\n")
+    pol = RobotsPolicy(txt, "goodbot")
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64")
+        cls = i % 5
+        sid = i.astype(str)
+        path = pd.Series(
+            np.select(
+                [cls == 0, cls == 1, cls == 2, cls == 3],
+                ["/public/doc" + sid, "/private/doc" + sid,
+                 "/private/pub/doc" + sid, "/data/doc" + sid + ".gz"],
+                default="/tmp/doc" + sid),
+            index=df.index)
+        return pd.DataFrame({"allowed": pol.allowed(path)})
+
+    res = two_phase_agg(ds.map_batches(fx, batch_format="pandas"),
+                        ["allowed"])
+    return res.sort_values("allowed").reset_index(drop=True)
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3463,6 +3502,21 @@ SQL_TAIL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "robots_filter": """
+        WITH p AS (SELECT
+            CASE doc_id % 5
+                WHEN 0 THEN '/public/doc' || doc_id
+                WHEN 1 THEN '/private/doc' || doc_id
+                WHEN 2 THEN '/private/pub/doc' || doc_id
+                WHEN 3 THEN '/data/doc' || doc_id || '.gz'
+                ELSE '/tmp/doc' || doc_id END AS path
+            FROM documents)
+        SELECT NOT ((path LIKE '/private/%'
+                     AND path NOT LIKE '/private/pub/%')
+                    OR path LIKE '%.gz') AS allowed,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM p GROUP BY 1 ORDER BY 1
     """,
     "link_graph": """
         WITH n AS (SELECT count(*) AS c FROM documents),
@@ -4877,4 +4931,5 @@ QUERIES = {
     "charset_sniff": q_charset_sniff,
     "crawl_ingest": q_crawl_ingest,
     "link_graph": q_link_graph,
+    "robots_filter": q_robots_filter,
 }
