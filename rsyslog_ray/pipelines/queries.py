@@ -2680,6 +2680,51 @@ def q_robots_filter(sf_dir):
     return res.sort_values("allowed").reset_index(drop=True)
 
 
+def q_sitemap_freq(sf_dir):
+    """Sitemap discovery round-trip (sources/sitemap.py): documents
+    rendered as gzipped urlset files (changefreq by doc_id%3 — the
+    deterministic fixture rule), parsed back through read_sitemaps,
+    counted per changefreq.  DuckDB CASE oracle in SQL_TAIL — the
+    XML framing and gzip member path must be lossless for the counts
+    to match."""
+    import gzip as _gzip
+    import os
+
+    from ..sources.sitemap import read_sitemaps
+
+    out = _scratch("sitemap_freq", sf_dir)
+    freqs = {0: "daily", 1: "weekly", 2: "monthly"}
+
+    def write_block(df: pd.DataFrame) -> pd.DataFrame:
+        ent = "".join(
+            f"<url><loc>http://corpus/doc/{i}</loc>"
+            f"<lastmod>2025-01-{1 + int(i) % 28:02d}</lastmod>"
+            f"<changefreq>{freqs[int(i) % 3]}</changefreq></url>"
+            for i in df["doc_id"])
+        xml = ('<?xml version="1.0"?><urlset>' + ent
+               + "</urlset>").encode()
+        lo = int(df["doc_id"].min())
+        path = os.path.join(out, f"sm-{lo:08d}.xml.gz")
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(_gzip.compress(xml))
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path]})
+
+    (_read(sf_dir, "documents", columns=["doc_id"])
+     .map_batches(write_block, batch_format="pandas").materialize())
+
+    ds = read_sitemaps(out + "/")
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        assert (df["kind"] == "url").all()
+        return df[["changefreq"]]
+
+    res = two_phase_agg(ds.map_batches(slim, batch_format="pandas"),
+                        ["changefreq"])
+    return res.sort_values("changefreq").reset_index(drop=True)
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3502,6 +3547,13 @@ SQL_TAIL: dict[str, str] = {
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
         ORDER BY event_id
+    """,
+    "sitemap_freq": """
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'daily'
+                               WHEN 1 THEN 'weekly'
+                               ELSE 'monthly' END AS changefreq,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY 1 ORDER BY 1
     """,
     "robots_filter": """
         WITH p AS (SELECT
@@ -4932,4 +4984,5 @@ QUERIES = {
     "crawl_ingest": q_crawl_ingest,
     "link_graph": q_link_graph,
     "robots_filter": q_robots_filter,
+    "sitemap_freq": q_sitemap_freq,
 }
