@@ -2725,6 +2725,40 @@ def q_sitemap_freq(sf_dir):
     return res.sort_values("changefreq").reset_index(drop=True)
 
 
+def q_window_offsets(sf_dir):
+    """Offset windows + ratio_to_report: lag(cents,3), lead(cents,2)
+    and value/sum-over-partition per user (stages/aggregate
+    .window_over_key lag_n/lead_n/ratio_value) — shifts are index
+    arithmetic inside the one sorted bucket, the ratio is a single
+    float64 division of the same integers the SQL divides
+    (bit-identical).  DuckDB lag/lead offset + SUM OVER oracle in
+    SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    def cents(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["v_c"] = np.floor(df["value"].to_numpy(np.float64) * 100
+                             + 0.5).astype("int64")
+        return df
+
+    ds = (_read(sf_dir, "events",
+                columns=["event_id", "user_id", "ts", "value"],
+                parallel=8)
+          .map_batches(cents, batch_format="pandas"))
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[["event_id", "user_id", "l3", "f2", "share"]].copy()
+        out["l3"] = out["l3"].fillna(-1).astype("int64")
+        out["f2"] = out["f2"].fillna(-1).astype("int64")
+        return out
+
+    return (window_over_key(ds, "user_id", ["ts", "event_id"], "v_c",
+                            lag_n=3, lag_n_col="l3",
+                            lead_n=2, lead_n_col="f2",
+                            ratio_value="v_c", ratio_col="share")
+            .map_batches(sel, batch_format="pandas"))
+
+
 def q_overlap_matrix(sf_dir):
     """Audience overlap (stages/aggregate.overlap_matrix): exact
     distinct-user counts for every unordered event-type pair — one
@@ -3546,6 +3580,19 @@ SQL_TAIL: dict[str, str] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
                      AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    "window_offsets": """
+        WITH c AS (SELECT event_id, user_id, ts,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT)
+                              AS v_c
+                   FROM events)
+        SELECT event_id, user_id,
+               lag(v_c, 3, -1) OVER w AS l3,
+               lead(v_c, 2, -1) OVER w AS f2,
+               v_c / sum(v_c) OVER (PARTITION BY user_id) AS share
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ORDER BY event_id
     """,
     "sitemap_freq": """
@@ -4985,4 +5032,5 @@ QUERIES = {
     "link_graph": q_link_graph,
     "robots_filter": q_robots_filter,
     "sitemap_freq": q_sitemap_freq,
+    "window_offsets": q_window_offsets,
 }

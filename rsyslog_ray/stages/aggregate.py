@@ -353,7 +353,13 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
                     mm_n: int | None = None,
                     mm_value: str | None = None,
                     mm_min_col: str | None = None,
-                    mm_max_col: str | None = None):
+                    mm_max_col: str | None = None,
+                    lag_n: int | None = None,
+                    lag_n_col: str = "lag_n",
+                    lead_n: int | None = None,
+                    lead_n_col: str = "lead_n",
+                    ratio_value: str | None = None,
+                    ratio_col: str = "ratio"):
     """Per-key ordered window functions — ``row_number()`` and
     ``lag(value)`` over ``PARTITION BY key ORDER BY order``, plus a
     per-key running sum of ``run_value``, ``lead(value)``
@@ -521,6 +527,35 @@ def window_over_key(ds, key: str, order: list[str], value: str, *,
             out[range_sum_col] = rs
             if range_cnt_col is not None:
                 out[range_cnt_col] = rc
+        if lag_n is not None or lead_n is not None:
+            # lag(value, n) / lead(value, n): a shift within the key
+            # (rows within n of the partition edge -> NULL), pure
+            # index arithmetic over the one sorted bucket
+            sidx = np.flatnonzero(first)
+            gpos = np.cumsum(first) - 1
+            pstart = sidx[gpos]
+            pend = (np.append(sidx[1:], len(g)) - 1)[gpos]
+            for off, col, back in ((lag_n, lag_n_col, True),
+                                   (lead_n, lead_n_col, False)):
+                if off is None:
+                    continue
+                srcpos = idx - int(off) if back else idx + int(off)
+                ok2 = (srcpos >= pstart) & (srcpos <= pend)
+                shifted = np.full(len(g), np.nan)
+                shifted[ok2] = v[srcpos[ok2]]
+                out[col] = shifted
+        if ratio_value is not None:
+            # ratio_to_report: value / sum(value) over the partition —
+            # ONE float64 division of the same ints the SQL divides
+            rvr = g[ratio_value].to_numpy()
+            csr = np.cumsum(rvr)
+            sidx = np.flatnonzero(first)
+            sizes = np.diff(np.append(sidx, len(g)))
+            base = np.concatenate(
+                [np.zeros(1, dtype=csr.dtype), csr])[sidx]
+            tot = csr[np.append(sidx[1:], len(g)) - 1] - base
+            out[ratio_col] = (rvr.astype(np.float64)
+                              / np.repeat(tot, sizes).astype(np.float64))
         if mm_n is not None and mm_value is not None \
                 and (mm_min_col is not None or mm_max_col is not None):
             gid = np.cumsum(first)              # contiguous per-key id

@@ -1083,3 +1083,26 @@ def test_bfs_hops_planted_graph(ray_session):
         "d": np.array([0, 1, 1, 2, 3, 0], "int64"),
     })
     pd.testing.assert_frame_equal(got, want)   # f at d=4 capped out
+
+
+def test_window_offsets_and_ratio(ray_session):
+    """lag_n/lead_n NULL within n of the partition edge; ratio
+    shares sum to 1 per key; shifts never cross keys."""
+    import ray
+
+    from rsyslog_ray.stages.aggregate import window_over_key
+
+    df = pd.DataFrame({
+        "k": np.array([1, 1, 1, 1, 2, 2], "int64"),
+        "id": np.arange(6, dtype="int64"),
+        "v": np.array([10, 20, 30, 40, 5, 15], "int64"),
+    })
+    got = (window_over_key(
+        ray.data.from_pandas(df).repartition(3), "k", ["id"], "v",
+        lag_n=2, lag_n_col="l2", lead_n=1, lead_n_col="f1",
+        ratio_value="v", ratio_col="r")
+        .to_pandas().sort_values("id").reset_index(drop=True))
+    assert got["l2"].fillna(-1).tolist() == [-1, -1, 10, 20, -1, -1]
+    assert got["f1"].fillna(-1).tolist() == [20, 30, 40, -1, 15, -1]
+    assert got.groupby("k")["r"].sum().tolist() == [1.0, 1.0]
+    assert got.loc[0, "r"] == 10 / 100
