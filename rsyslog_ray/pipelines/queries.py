@@ -2127,6 +2127,38 @@ def q_range_store(sf_dir):
         sel, batch_format="pandas")
 
 
+def q_compact_store(sf_dir):
+    """Store compaction (stages/rangestore.compact_range_store): the
+    events store split in two (event_id parity) — base write + one
+    generation append — then compacted to ONE file per bucket with
+    the crash-repaired dir swap, and served with the same pruned band
+    read.  Row-identical to the uncompacted union by construction;
+    the DuckDB WHERE-band oracle over ALL events in SQL_TAIL holds
+    only if the append and the compaction both lost nothing.  Torn
+    swaps/appends pinned in t:test_rangestore."""
+    from ..stages.rangestore import (append_range_partitioned,
+                                     compact_range_store, read_range,
+                                     write_range_partitioned)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"],
+               parallel=8)
+    base = ds.map_batches(
+        lambda df: df[df["event_id"] % 2 == 0], batch_format="pandas")
+    inc = ds.map_batches(
+        lambda df: df[df["event_id"] % 2 == 1], batch_format="pandas")
+    store = _scratch("compact_store", sf_dir)
+    write_range_partitioned(base, "value", store, n_ranges=8)
+    append_range_partitioned(inc, store, gen_id="odd")
+    stats = compact_range_store(store)
+    assert stats["files_after"] <= stats["buckets"]
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["event_id", "value"]]
+
+    return read_range(store, 100.0, 200.0).map_batches(
+        sel, batch_format="pandas")
+
+
 def q_window_rank(sf_dir):
     """lead() and ntile(4) over the same per-user window as
     q_window_funcs (stages/aggregate.window_over_key) — lead
@@ -3345,6 +3377,13 @@ SQL_TAIL: dict[str, str] = {
                CAST(count(*) FILTER (event_type = 'view') AS BIGINT)
                    AS view
         FROM events GROUP BY 1 ORDER BY 1
+    """,
+    # q_compact_store: parity-split write+append then compaction must
+    # serve the identical band as the plain events table.
+    "compact_store": """
+        SELECT event_id, value FROM events
+        WHERE value >= 100.0 AND value < 200.0
+        ORDER BY event_id
     """,
     # q_range_store: the store must serve exactly the band, values
     # bit-copied (right-open interval on both sides).
@@ -5033,4 +5072,5 @@ QUERIES = {
     "robots_filter": q_robots_filter,
     "sitemap_freq": q_sitemap_freq,
     "window_offsets": q_window_offsets,
+    "compact_store": q_compact_store,
 }

@@ -156,3 +156,82 @@ def append_range_partitioned(ds, out_dir: str, gen_id: str) -> dict:
     return genstore.generation_append(
         ds, out_dir, gen_id, part,
         lambda got: {"n_rows": int(got["n"].sum())}, "range=*")
+
+
+def _bucket_repair(out_dir: str) -> None:
+    """Finish or roll back a torn compaction swap: for every
+    ``range=<i>.old`` left behind, prefer the completed ``.compact``
+    dir (finish the swap), else restore the original."""
+    for old in glob.glob(os.path.join(out_dir, "range=*.old")):
+        live = old[:-len(".old")]
+        comp = live + ".compact"
+        if not os.path.isdir(live):
+            if os.path.isdir(comp) and os.path.exists(
+                    os.path.join(comp, "_complete")):
+                os.rename(comp, live)
+            else:
+                os.rename(old, live)
+        shutil.rmtree(old, ignore_errors=True)
+    for comp in glob.glob(os.path.join(out_dir, "range=*.compact")):
+        shutil.rmtree(comp, ignore_errors=True)
+
+
+def compact_range_store(out_dir: str) -> dict:
+    """Small-file compaction — the 100 TB maintenance op a store
+    accumulating generation appends eventually needs: every range
+    bucket's base + COMMITTED generation part files rewrite into one
+    file, per-bucket atomically (build ``range=<i>.compact`` with a
+    ``_complete`` sentinel, swap via two renames, wipe the old dir).
+    A crash anywhere is repaired on the next invocation by
+    :func:`_bucket_repair` — a completed ``.compact`` finishes the
+    swap, an incomplete one rolls back; readers between swaps see
+    either the old or the new bucket, both with identical rows.
+    Uncommitted (torn-append) gen debris is DROPPED, matching what
+    readers could see.  Generation markers are retired afterwards
+    (their rows now live in the base), so later appends may reuse
+    fresh ids.  Runs per-bucket via Ray tasks — compaction
+    parallelism = bucket count.  Returns {"buckets": n,
+    "files_before": a, "files_after": b}."""
+    import ray
+
+    _bucket_repair(out_dir)
+    gids = [os.path.basename(m)[len("_gen-"):-len(".json")]
+            for m in sorted(glob.glob(
+                os.path.join(out_dir, "_gen-*.json")))]
+    buckets = sorted(
+        d for d in glob.glob(os.path.join(out_dir, "range=*"))
+        if os.path.isdir(d)
+        and "." not in os.path.basename(d))   # not .old/.compact
+    before = sum(len(glob.glob(os.path.join(d, "*.parquet")))
+                 for d in buckets)
+
+    @ray.remote
+    def one(d: str) -> int:
+        files = sorted(glob.glob(os.path.join(d, "part-*.parquet")))
+        for gid in gids:
+            files += sorted(glob.glob(
+                os.path.join(d, f"gen-{gid}-part-*.parquet")))
+        if len(files) <= 1:
+            return 0
+        merged = pd.concat([pd.read_parquet(f) for f in files],
+                           ignore_index=True)
+        comp = d + ".compact"
+        shutil.rmtree(comp, ignore_errors=True)
+        os.makedirs(comp)
+        tmp = os.path.join(comp, "part-00000.parquet.inprogress")
+        merged.to_parquet(tmp)
+        os.replace(tmp, os.path.join(comp, "part-00000.parquet"))
+        with open(os.path.join(comp, "_complete"), "w") as fh:
+            fh.write("ok")
+        os.rename(d, d + ".old")
+        os.rename(comp, d)
+        shutil.rmtree(d + ".old", ignore_errors=True)
+        return 1
+
+    ray.get([one.remote(d) for d in buckets])
+    for gid in gids:
+        os.remove(os.path.join(out_dir, f"_gen-{gid}.json"))
+    after = sum(len(glob.glob(os.path.join(d, "*.parquet")))
+                for d in buckets)
+    return {"buckets": len(buckets), "files_before": before,
+            "files_after": after}

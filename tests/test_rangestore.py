@@ -141,3 +141,77 @@ def test_range_store_generation_appends(ray_session, tmp_path):
     append_range_partitioned(ray.data.from_pandas(b).repartition(2),
                              out, gen_id="g1")
     assert len(read_range(out, -np.inf, np.inf).to_pandas()) == n
+
+
+def test_range_store_compaction(ray_session, tmp_path):
+    """compact_range_store: identical rows, one file per bucket,
+    pruning intact, uncommitted debris dropped, torn-swap crash
+    repaired in BOTH directions, appends keep working after."""
+    import shutil
+
+    import ray
+    import ray.data
+
+    from rsyslog_ray.stages.rangestore import (_bucket_repair,
+                                               append_range_partitioned,
+                                               compact_range_store,
+                                               read_range,
+                                               write_range_partitioned)
+
+    rng = np.random.default_rng(91)
+    a = pd.DataFrame({"v": rng.uniform(0, 100, 6000),
+                      "id": np.arange(6000, dtype="int64")})
+    b = pd.DataFrame({"v": rng.uniform(0, 100, 2000),
+                      "id": np.arange(6000, 8000, dtype="int64")})
+    c = pd.DataFrame({"v": rng.uniform(0, 100, 1000),
+                      "id": np.arange(8000, 9000, dtype="int64")})
+
+    out = str(tmp_path / "store")
+    write_range_partitioned(ray.data.from_pandas(a).repartition(4),
+                            "v", out, n_ranges=5)
+    append_range_partitioned(ray.data.from_pandas(b).repartition(3),
+                             out, gen_id="g1")
+    # torn append: files but no marker -> compaction must DROP it
+    append_range_partitioned(ray.data.from_pandas(c).repartition(2),
+                             out, gen_id="g2")
+    os.remove(os.path.join(out, "_gen-g2.json"))
+
+    before = set(read_range(out, -np.inf, np.inf).to_pandas()["id"])
+    assert before == set(range(8000))
+
+    stats = compact_range_store(out)
+    assert stats["files_after"] == stats["buckets"] == 5
+    assert stats["files_before"] > stats["files_after"]
+    assert not glob.glob(os.path.join(out, "_gen-*.json"))
+    after = set(read_range(out, -np.inf, np.inf).to_pandas()["id"])
+    assert after == before
+    band = read_range(out, 40.0, 60.0).to_pandas()
+    full = pd.concat([a, b], ignore_index=True)
+    assert set(band["id"]) == set(
+        full[(full["v"] >= 40.0) & (full["v"] < 60.0)]["id"])
+
+    # torn swap, completed .compact: live bucket missing -> repair
+    # finishes the swap
+    d0 = sorted(glob.glob(os.path.join(out, "range=*")))[0]
+    shutil.copytree(d0, d0 + ".compact")
+    open(os.path.join(d0 + ".compact", "_complete"), "w").write("ok")
+    os.rename(d0, d0 + ".old")
+    _bucket_repair(out)
+    assert os.path.isdir(d0) and not os.path.isdir(d0 + ".old")
+    assert set(read_range(out, -np.inf, np.inf).to_pandas()["id"]) \
+        == before
+
+    # torn swap, INCOMPLETE .compact -> repair restores the original
+    shutil.copytree(d0, d0 + ".compact")           # no _complete
+    os.rename(d0, d0 + ".old")
+    _bucket_repair(out)
+    assert os.path.isdir(d0) and not glob.glob(
+        os.path.join(out, "range=*.compact"))
+    assert set(read_range(out, -np.inf, np.inf).to_pandas()["id"]) \
+        == before
+
+    # appends still work on the compacted store
+    append_range_partitioned(ray.data.from_pandas(c).repartition(2),
+                             out, gen_id="g3")
+    assert set(read_range(out, -np.inf, np.inf).to_pandas()["id"]) \
+        == set(range(9000))
