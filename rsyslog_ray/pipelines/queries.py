@@ -2159,6 +2159,53 @@ def q_compact_store(sf_dir):
         sel, batch_format="pandas")
 
 
+def q_composite_join(sf_dir):
+    """Composite-key hash join (stages/join.hash_join on=[k1,k2]):
+    two differently-filtered lineitem projections joined on
+    (orderkey, linenumber) — the chained key hash buckets the pair,
+    the per-bucket merge keys on both columns — then returnflag
+    rollup of integer cents.  DuckDB USING(k1,k2) oracle in
+    SQL_TAIL."""
+    from ..stages.join import hash_join
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber", "l_quantity",
+                        "l_extendedprice", "l_discount",
+                        "l_returnflag"])
+
+    def left(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_quantity"] > 25]
+        return pd.DataFrame({
+            "k1": df["l_orderkey"].astype("int64"),
+            "k2": df["l_linenumber"].astype("int64"),
+            "qty_c": np.floor(df["l_quantity"].to_numpy(np.float64)
+                              * 100 + 0.5).astype("int64"),
+            "rf": df["l_returnflag"]})
+
+    def right(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_discount"] > 0.05]
+        return pd.DataFrame({
+            "k1": df["l_orderkey"].astype("int64"),
+            "k2": df["l_linenumber"].astype("int64"),
+            "price_c": np.floor(
+                df["l_extendedprice"].to_numpy(np.float64) * 100
+                + 0.5).astype("int64")})
+
+    j = hash_join(li.map_batches(left, batch_format="pandas"),
+                  li.map_batches(right, batch_format="pandas"),
+                  on=["k1", "k2"])
+    res = two_phase_agg(
+        j.map_batches(lambda df: df.astype(
+            {"qty_c": "int64", "price_c": "int64"}),
+            batch_format="pandas"),
+        ["rf"], count="n",
+        sums={"qty_c": "qty_c", "price_c": "price_c"})
+    res = res.rename(columns={"rf": "l_returnflag"})
+    for c in ("n", "qty_c", "price_c"):
+        res[c] = res[c].astype("int64")
+    return res.sort_values("l_returnflag").reset_index(drop=True)
+
+
 def q_window_rank(sf_dir):
     """lead() and ntile(4) over the same per-user window as
     q_window_funcs (stages/aggregate.window_over_key) — lead
@@ -3621,6 +3668,22 @@ SQL_TAIL: dict[str, str] = {
                      AND CURRENT ROW)
         ORDER BY event_id
     """,
+    "composite_join": """
+        WITH l1 AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+                           CAST(floor(l_quantity * 100 + 0.5)
+                                AS BIGINT) AS qty_c,
+                           l_returnflag
+                    FROM lineitem WHERE l_quantity > 25),
+             l2 AS (SELECT l_orderkey AS k1, l_linenumber AS k2,
+                           CAST(floor(l_extendedprice * 100 + 0.5)
+                                AS BIGINT) AS price_c
+                    FROM lineitem WHERE l_discount > 0.05)
+        SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(qty_c) AS BIGINT) AS qty_c,
+               CAST(sum(price_c) AS BIGINT) AS price_c
+        FROM l1 JOIN l2 USING (k1, k2)
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
     "window_offsets": """
         WITH c AS (SELECT event_id, user_id, ts,
                           CAST(floor(value * 100 + 0.5) AS BIGINT)
@@ -5073,4 +5136,5 @@ QUERIES = {
     "sitemap_freq": q_sitemap_freq,
     "window_offsets": q_window_offsets,
     "compact_store": q_compact_store,
+    "composite_join": q_composite_join,
 }

@@ -46,14 +46,16 @@ def _jb_mix(u: np.ndarray) -> np.ndarray:
     return u ^ (u >> np.uint64(31))
 
 
-def key_bloom(ds, col: str, m_bits: int = 1 << 23) -> np.ndarray:
-    """Packed-bitmap Bloom filter of a Dataset's key column: per-batch
-    fixed-size partials OR-reduced on the driver (O(m_bits) driver
-    memory — 1 MiB at the default — regardless of key count)."""
+def key_bloom(ds, col, m_bits: int = 1 << 23) -> np.ndarray:
+    """Packed-bitmap Bloom filter of a Dataset's key column (or
+    composite key — pass a list): per-batch fixed-size partials
+    OR-reduced on the driver (O(m_bits) driver memory — 1 MiB at the
+    default — regardless of key count)."""
+    cols = [col] if isinstance(col, str) else list(col)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         bits = np.zeros(m_bits, dtype=bool)
-        h = pd.util.hash_array(df[col].to_numpy())
+        h = _multi_hash(df, cols)
         for s in _JB_SEEDS:
             bits[(_jb_mix(h ^ s) % np.uint64(m_bits)).astype(np.int64)] \
                 = True
@@ -68,11 +70,14 @@ def key_bloom(ds, col: str, m_bits: int = 1 << 23) -> np.ndarray:
     return bloom
 
 
-def bloom_mask(col: pd.Series, bloom: np.ndarray,
+def bloom_mask(col, bloom: np.ndarray,
                m_bits: int) -> np.ndarray:
     """Per-row might-match mask against :func:`key_bloom`'s bitmap —
-    True for every key actually present (no false negatives)."""
-    h = pd.util.hash_array(col.to_numpy())
+    True for every key actually present (no false negatives).
+    ``col`` is a Series or a key-column DataFrame (composite)."""
+    h = (_multi_hash(col, list(col.columns))
+         if isinstance(col, pd.DataFrame)
+         else pd.util.hash_array(col.to_numpy()))
     keep = np.ones(len(col), dtype=bool)
     for s in _JB_SEEDS:
         pos = (_jb_mix(h ^ s) % np.uint64(m_bits)).astype(np.int64)
@@ -132,11 +137,24 @@ def _unify_tag(ds, side: str, on: str, n_buckets: int, missing: dict):
 _GOLD = np.uint64(0x9E3779B97F4A7C15)
 
 
-def hash_join(left, right, on: str, how: str = "inner",
+def _multi_hash(df: pd.DataFrame, cols: list[str]) -> np.ndarray:
+    """Order-sensitive combined uint64 hash of one or more key
+    columns (golden-ratio chain — same mix as ndv_by_key)."""
+    h = pd.util.hash_array(df[cols[0]].to_numpy())
+    for c in cols[1:]:
+        h = h * np.uint64(0x9E3779B97F4A7C15) \
+            + pd.util.hash_array(df[c].to_numpy())
+    return h
+
+
+def hash_join(left, right, on, how: str = "inner",
               n_buckets: int = 32, suffixes=("_l", "_r"),
               hot_keys=None, hot_salts: int = 8,
               bloom_bits: int | None = None):
-    """Partitioned hash join of two Datasets on one key column.
+    """Partitioned hash join of two Datasets on one key column or a
+    COMPOSITE key (``on`` a list) — composite keys bucket by the
+    chained hash of every key column, and the per-bucket merge keys
+    on all of them.
 
     Both sides are tagged and bucketed in a map pass, schema-unified
     (the other side's columns added as typed NAs so ``union`` sees one
@@ -155,9 +173,12 @@ def hash_join(left, right, on: str, how: str = "inner",
     Detect candidates with ``sketch.heavy_hitters(ds, on)`` — bounded
     memory at any key cardinality.  Inner/left joins only (replication
     would duplicate right_only rows of an outer join)."""
+    ons = [on] if isinstance(on, str) else list(on)
     hot = {str(k) for k in (hot_keys or ())}
     if hot and how not in ("inner", "left"):
         raise ValueError("hot_keys salting supports inner/left joins")
+    if hot and len(ons) > 1:
+        raise ValueError("hot_keys salting supports single-key joins")
     n_salt = max(1, int(hot_salts))
 
     if bloom_bits:
@@ -169,12 +190,12 @@ def hash_join(left, right, on: str, how: str = "inner",
             raise ValueError("bloom_bits prefilter requires how='inner'")
         import ray
 
-        bf_ref = ray.put(key_bloom(right, on, bloom_bits))
+        bf_ref = ray.put(key_bloom(right, ons, bloom_bits))
         _mb = int(bloom_bits)
 
         def prefilter(df: pd.DataFrame) -> pd.DataFrame:
             bf = ray.get(bf_ref)
-            return df[bloom_mask(df[on], bf, _mb)]
+            return df[bloom_mask(df[ons], bf, _mb)]
 
         left = left.map_batches(prefilter, batch_format="pandas")
 
@@ -182,8 +203,8 @@ def hash_join(left, right, on: str, how: str = "inner",
     r_schema = _schema_dict(right)
     l_missing = {k: v for k, v in r_schema.items() if k not in l_schema}
     r_missing = {k: v for k, v in l_schema.items() if k not in r_schema}
-    l_cols = [c for c in l_schema if c != on]
-    r_cols = [c for c in r_schema if c != on]
+    l_cols = [c for c in l_schema if c not in ons]
+    r_cols = [c for c in r_schema if c not in ons]
 
     def tag(side: str, missing: dict):
         def fx(df: pd.DataFrame) -> pd.DataFrame:
@@ -191,7 +212,7 @@ def hash_join(left, right, on: str, how: str = "inner",
             for colname, dtype_str in missing.items():
                 df[colname] = _na_like(dtype_str, len(df))
             if hot:
-                ish = df[on].astype(str).isin(hot).to_numpy()
+                ish = df[ons[0]].astype(str).isin(hot).to_numpy()
                 if side == "l":
                     s = np.where(
                         ish, np.arange(len(df)) % n_salt, 0)
@@ -208,7 +229,7 @@ def hash_join(left, right, on: str, how: str = "inner",
                         df = pd.concat(reps, ignore_index=True)
             else:
                 df["__s"] = np.int64(0)
-            h = pd.util.hash_array(df[on].to_numpy())
+            h = _multi_hash(df, ons)
             b = (h + df["__s"].to_numpy().astype("uint64") * _GOLD) \
                 % np.uint64(n_buckets)
             df["__b"] = b.astype("int64")
@@ -224,9 +245,10 @@ def hash_join(left, right, on: str, how: str = "inner",
         # __s participates in the merge key: two salts of one hot key
         # can hash into the SAME bucket, and matching on (key, salt)
         # keeps each (l, r) pair meeting exactly once there too
-        lg = g[g["__side"] == "l"][[on, "__s"] + l_cols]
-        rg = g[g["__side"] == "r"][[on, "__s"] + r_cols]
-        return (lg.merge(rg, on=[on, "__s"], how=how, suffixes=suffixes)
+        lg = g[g["__side"] == "l"][ons + ["__s"] + l_cols]
+        rg = g[g["__side"] == "r"][ons + ["__s"] + r_cols]
+        return (lg.merge(rg, on=ons + ["__s"], how=how,
+                         suffixes=suffixes)
                 .drop(columns=["__s"]))
 
     return both.groupby("__b").map_groups(merge_bucket, batch_format="pandas")

@@ -1106,3 +1106,35 @@ def test_window_offsets_and_ratio(ray_session):
     assert got["f1"].fillna(-1).tolist() == [20, 30, 40, -1, 15, -1]
     assert got.groupby("k")["r"].sum().tolist() == [1.0, 1.0]
     assert got.loc[0, "r"] == 10 / 100
+
+
+def test_hash_join_composite_key(ray_session):
+    """Composite-key hash_join == pandas merge on both columns; the
+    single-column path is unchanged; bloom prefilter composes with
+    composite keys."""
+    import ray
+
+    from rsyslog_ray.stages.join import hash_join
+
+    rng = np.random.default_rng(5)
+    l = pd.DataFrame({"a": rng.integers(0, 20, 400).astype("int64"),
+                      "b": rng.integers(0, 5, 400).astype("int64"),
+                      "lv": np.arange(400, dtype="int64")})
+    r = pd.DataFrame({"a": rng.integers(0, 20, 100).astype("int64"),
+                      "b": rng.integers(0, 5, 100).astype("int64"),
+                      "rv": np.arange(100, dtype="int64") * 3})
+    r = r.drop_duplicates(["a", "b"]).reset_index(drop=True)
+    dl = ray.data.from_pandas(l).repartition(3)
+    dr = ray.data.from_pandas(r).repartition(2)
+
+    def norm(df):
+        df = df.sort_values(["a", "b", "lv"]).reset_index(drop=True)
+        return df.astype({c: "int64" for c in df.columns})
+
+    want = norm(l.merge(r, on=["a", "b"], how="inner"))
+    got = norm(hash_join(dl, dr, on=["a", "b"]).to_pandas())
+    pd.testing.assert_frame_equal(got[want.columns], want)
+
+    got2 = norm(hash_join(dl, dr, on=["a", "b"],
+                          bloom_bits=1 << 18).to_pandas())
+    pd.testing.assert_frame_equal(got2[want.columns], want)
