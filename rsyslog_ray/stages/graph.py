@@ -137,6 +137,122 @@ def bfs_hops(edges_ds, src: str, dst: str, sources: list, *,
     return out.sort_values(node_col).reset_index(drop=True)
 
 
+def resolve_chains(mapping_ds, src: str, dst: str, *,
+                   rounds: int = 4, n_buckets: int = 32):
+    """Redirect-chain resolution by POINTER JUMPING: given a mapping
+    Dataset (u -> v) — e.g. HTTP 3xx redirect records from a crawl —
+    return (u -> final) where ``final`` follows the chain until a node
+    with no outgoing mapping.  Each round composes the mapping with
+    ITSELF (m <- m . m), so ``rounds`` rounds resolve chains up to
+    length 2**rounds; a cycle never terminates and simply lands on an
+    arbitrary member after the doubling (documented, standard).
+
+    Scale shape: the mapping stays a Dataset end-to-end; each round is
+    one :func:`~rsyslog_ray.stages.join.hash_join` of two-int rows (a
+    left join of the mapping against itself keyed on the CURRENT
+    target), materialized so the next round doesn't re-execute the
+    lazy upstream (the pagerank_int lesson above).  Nothing
+    node-count-sized ever touches the driver — this is the
+    chain-resolution counterpart of dedup.connected_components'
+    contraction rounds.
+    """
+    from .join import hash_join
+
+    cur = mapping_ds
+    if src != "u" or dst != "t":
+        cur = cur.map_batches(
+            lambda df, _s=src, _d=dst: df[[_s, _d]].rename(
+                columns={_s: "u", _d: "t"}),
+            batch_format="pandas")
+    for _ in range(max(0, int(rounds))):
+        cur = cur.materialize()
+        right = cur.map_batches(
+            lambda df: df.rename(columns={"u": "t", "t": "nxt"}),
+            batch_format="pandas")
+        joined = hash_join(cur, right, "t", how="left",
+                           n_buckets=n_buckets)
+
+        def advance(df: pd.DataFrame) -> pd.DataFrame:
+            nxt = df["nxt"]
+            t = df["t"].where(nxt.isna(), nxt)
+            return pd.DataFrame({"u": df["u"].to_numpy(),
+                                 "t": t.to_numpy()})
+
+        cur = joined.map_batches(advance, batch_format="pandas")
+    if src != "u" or dst != "t":
+        cur = cur.map_batches(
+            lambda df, _s=src, _d=dst: df.rename(
+                columns={"u": _s, "t": _d}),
+            batch_format="pandas")
+    return cur
+
+
+def hits_int(edges_ds, src: str, dst: str, *,
+             scale: int = 1_000_000,
+             node_col: str = "node",
+             auth_col: str = "auth_u",
+             hub_col: str = "hub_u") -> pd.DataFrame:
+    """HITS hubs/authorities over a directed edge Dataset in pure
+    int64 arithmetic (Kleinberg 1999), unrolled so a SQL oracle
+    matches hash-exactly:
+
+        a1(v) = indegree(v)                  (= sum of h0 == 1)
+        h1(u) = SUM over (u,v) of a1(v)
+        a2(v) = SUM over (u,v) of h1(u)
+
+    then both vectors scale to ``scale`` micro-units by integer
+    division with their max — no float normalization to diverge
+    between engine and oracle.  Returns (node, auth_u, hub_u) for
+    every node appearing as src or dst.
+
+    Scale shape is :func:`pagerank_int`'s: edges stay a Dataset
+    (materialized once — three passes), each half-iteration broadcasts
+    the O(nodes) score table (``ray.put``) and ships per-batch partial
+    sums; same driver-table assumption and hash-join escape hatch.
+    """
+    import ray
+
+    from .aggregate import two_phase_agg
+
+    edges_ds = edges_ds.materialize()
+    deg = two_phase_agg(edges_ds.select_columns([dst]), [dst],
+                        count="a")
+    srcs = two_phase_agg(edges_ds.select_columns([src]), [src],
+                         count="_o")
+    nodes = np.union1d(deg[dst].to_numpy(), srcs[src].to_numpy())
+    a = np.zeros(len(nodes), dtype=np.int64)
+    pos = np.searchsorted(nodes, deg[dst].to_numpy())
+    a[pos] = deg["a"].to_numpy(np.int64)
+
+    def push(score: np.ndarray, key_in: str, key_out: str) -> np.ndarray:
+        """One half-iteration: out(k_out) = SUM over edges of
+        score[k_in] — broadcast score, per-batch combiner partials."""
+        ref = ray.put((nodes, score))
+
+        def partial(df: pd.DataFrame) -> pd.DataFrame:
+            nds, sc = ray.get(ref)
+            p = np.searchsorted(nds, df[key_in].to_numpy())
+            t = pd.DataFrame({"node": df[key_out].to_numpy(),
+                              "s": sc[p]})
+            return t.groupby("node", as_index=False)["s"].sum()
+
+        parts = (edges_ds.map_batches(partial, batch_format="pandas")
+                 .to_pandas())
+        sums = parts.groupby("node")["s"].sum()
+        out = np.zeros(len(nodes), dtype=np.int64)
+        p = np.searchsorted(nodes, sums.index.to_numpy())
+        out[p] = sums.to_numpy(np.int64)
+        return out
+
+    h = push(a, dst, src)          # h1(u) = sum a1(dst)
+    a2 = push(h, src, dst)         # a2(v) = sum h1(src)
+    s = np.int64(scale)
+    auth = (a2 * s) // max(np.int64(1), a2.max())
+    hub = (h * s) // max(np.int64(1), h.max())
+    return pd.DataFrame({node_col: nodes, auth_col: auth,
+                         hub_col: hub})
+
+
 def symmetrize_unique_edges(pairs_ds, a: str, b: str, *,
                             src: str = "src", dst: str = "dst",
                             nparts: int = 32):

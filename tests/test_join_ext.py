@@ -1138,3 +1138,78 @@ def test_hash_join_composite_key(ray_session):
     got2 = norm(hash_join(dl, dr, on=["a", "b"],
                           bloom_bits=1 << 18).to_pandas())
     pd.testing.assert_frame_equal(got2[want.columns], want)
+
+
+def test_resolve_chains_pointer_jumping(ray_session):
+    """Redirect-chain resolution == a per-row chase spec: mixed chain
+    lengths (1..6 hops), branching onto shared suffixes, and a 2-cycle
+    that must terminate (landing on a cycle member) — chains up to
+    2**rounds resolve."""
+    import ray
+
+    edges = pd.DataFrame({
+        "u": [1, 2, 3, 4, 5, 6,        # 6->5->4->3->2->1->0 chain
+              10, 11,                  # short chains onto 12
+              20, 21],                 # 2-cycle
+        "t": [0, 1, 2, 3, 4, 5,
+              12, 12,
+              21, 20]})
+
+    from rsyslog_ray.stages.graph import resolve_chains
+
+    got = (resolve_chains(_mk(ray, edges), "u", "t", rounds=3)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+
+    def chase(u, hops):
+        m = dict(zip(edges["u"], edges["t"]))
+        t = m[u]
+        for _ in range(hops - 1):
+            t = m.get(t, t)
+        return t
+
+    # 2**3 = 8 jumps: every acyclic chain (longest is 6) fully resolves
+    for _, r in got[~got["u"].isin([20, 21])].iterrows():
+        assert r["t"] == chase(r["u"], 8)
+    # the cycle rows still emit one row each, landing inside the cycle
+    cyc = got[got["u"].isin([20, 21])]
+    assert len(cyc) == 2 and set(cyc["t"]).issubset({20, 21})
+    # partition-invariance
+    got1 = (resolve_chains(ray.data.from_pandas(edges), "u", "t",
+                           rounds=3)
+            .to_pandas().sort_values("u").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, got1)
+
+
+def test_hits_int_vs_dense_spec(ray_session):
+    """Integer HITS == a dense numpy spec (a1 = indegree, h1 = A @ a1,
+    a2 = A.T @ h1, micro-unit scaling by max-division), including
+    multigraph duplicate edges and pure-source / pure-sink nodes."""
+    import ray
+
+    rng = np.random.default_rng(7)
+    n = 40
+    src = rng.integers(0, n, 300)
+    dst = rng.integers(0, n, 300)
+    edges = pd.DataFrame({"src": src, "dst": dst})
+    edges = pd.concat([edges, edges.head(5)], ignore_index=True)  # dups
+
+    from rsyslog_ray.stages.graph import hits_int
+
+    got = (hits_int(_mk(ray, edges), "src", "dst")
+           .sort_values("node").reset_index(drop=True))
+
+    nodes = np.union1d(edges["src"].unique(), edges["dst"].unique())
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for a, b in zip(edges["src"], edges["dst"]):
+        A[idx[a], idx[b]] += 1
+    a1 = A.sum(axis=0)
+    h1 = A @ a1
+    a2 = A.T @ h1
+    want = pd.DataFrame({
+        "node": nodes,
+        "auth_u": (a2 * 1_000_000) // max(1, a2.max()),
+        "hub_u": (h1 * 1_000_000) // max(1, h1.max())})
+    pd.testing.assert_frame_equal(
+        got.astype({"auth_u": "int64", "hub_u": "int64"}),
+        want.astype({"auth_u": "int64", "hub_u": "int64"}))
