@@ -34,7 +34,8 @@ from .curation import _run_stage
 
 def documents_to_warc(docs_path: str, warc_dir: str, *,
                       block_rows: int = 200,
-                      links: bool = False, n_docs: int = 0) -> str:
+                      links: bool = False, n_docs: int = 0,
+                      anchors: bool = False) -> str:
     """Deterministic fixture corpus: every document HTML-wrapped and
     charset-mixed by doc_id%4 (utf-8 / utf-16 BOM-LE / cp1252 /
     utf-8-sig) into member-per-record .warc.gz files — the
@@ -44,7 +45,10 @@ def documents_to_warc(docs_path: str, warc_dir: str, *,
     by the DETERMINISTIC rule i -> (i*7+1) % n_docs and (i+1) %
     n_docs (relative hrefs; anchor text empty so extraction output is
     unchanged) — the link-graph oracle in q:link_graph reproduces the
-    same rule in SQL."""
+    same rule in SQL.  ``anchors=True`` additionally labels the two
+    planted links 'w{i}' / 'x{i}' so per-target anchor-text
+    aggregation (q:anchor_text) has a SQL-reproducible ground truth
+    (changes extracted text — use a dedicated scratch dir)."""
     import ray
 
     from ..sources.warc import build_warc
@@ -58,13 +62,15 @@ def documents_to_warc(docs_path: str, warc_dir: str, *,
     def write_block(df: pd.DataFrame) -> pd.DataFrame:
         recs = []
         for i, t, lang in zip(df["doc_id"], df["text"], df["lang"]):
-            anchors = ""
+            anchor_html = ""
             if links and n_docs:
                 a, b = (int(i) * 7 + 1) % n_docs, (int(i) + 1) % n_docs
-                anchors = (f'<a href="/doc/{a}"></a>'
-                           f'<a href="/doc/{b}"></a>')
+                ta = f"w{int(i)}" if anchors else ""
+                tb = f"x{int(i)}" if anchors else ""
+                anchor_html = (f'<a href="/doc/{a}">{ta}</a>'
+                               f'<a href="/doc/{b}">{tb}</a>')
             html = (f"<html><head><title>doc {i}</title></head>"
-                    f"<body><p>{t}</p>{anchors}</body></html>")
+                    f"<body><p>{t}</p>{anchor_html}</body></html>")
             body = html.encode(codecs[int(i) % 4])
             recs.append({
                 "headers": {

@@ -101,3 +101,93 @@ def extract_links_frame(html: pd.Series,
     return pd.DataFrame({"src_uri": base.to_numpy(),
                          "href": ex.to_numpy(),
                          "resolved": np.array(resolved, dtype=object)})
+
+
+ANCHOR_RE = re.compile(
+    r"""<a\s[^>]*?href\s*=\s*["']([^"'>]+)["'][^>]*>([^<]*)</a>""",
+    re.I)
+
+
+def extract_anchors_frame(html: pd.Series,
+                          base_uri: pd.Series) -> pd.DataFrame:
+    """(src_uri, resolved, anchor) rows: like
+    :func:`extract_links_frame` but keeps each link's ANCHOR TEXT —
+    the per-target anchor aggregate is a classic web relevance /
+    spam signal (anchors describe the TARGET page, not the source).
+    One ``str.findall`` C pass per batch; tag-nested anchor bodies
+    are out of scope (``[^<]*``)."""
+    from urllib.parse import urljoin
+
+    pairs = html.str.findall(ANCHOR_RE)
+    ex = pairs.explode().dropna()
+    base = base_uri.reindex(ex.index)
+    href = ex.str[0]
+    resolved = [urljoin(b, h) for b, h in zip(base, href)]
+    return pd.DataFrame({"src_uri": base.to_numpy(),
+                         "resolved": np.array(resolved, dtype=object),
+                         "anchor": ex.str[1].to_numpy()})
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (boilerplate removal)
+# ---------------------------------------------------------------------------
+# A jusText/readability-style block classifier, reduced to a
+# DETERMINISTIC shared spec so the vectorized engine, the per-row
+# oracle and a SQL oracle over planted fixtures agree byte-for-byte:
+#
+#   1. split the HTML on BLOCK-LEVEL tag boundaries,
+#   2. per block: strip remaining tags -> collapse whitespace runs to
+#      single spaces -> strip ends,
+#   3. a block is CONTENT iff it has >= min_words words AND its link
+#      density (anchor-text chars / block chars, both pre-collapse
+#      anchor len vs post-collapse text len, compared in exact integer
+#      arithmetic 100*lc <= pct*len) is at most max_link_pct,
+#   4. the page's main content = content blocks joined with "\n".
+
+_BLOCK_TAGS = (r"(?:p|div|td|th|li|ul|ol|table|tr|h[1-6]|section"
+               r"|article|header|footer|nav|aside|blockquote|pre"
+               r"|br|hr)")
+BLOCK_SPLIT_RE = re.compile(rf"</?{_BLOCK_TAGS}\b[^>]*>", re.I)
+A_TEXT_RE = re.compile(r"<a\b[^>]*>([^<]*)</a>", re.I)
+_TAG_S_RE = re.compile(r"<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+MC_MIN_WORDS = 5
+MC_MAX_LINK_PCT = 33
+
+
+def main_content_row(html: str, *, min_words: int = MC_MIN_WORDS,
+                     max_link_pct: int = MC_MAX_LINK_PCT) -> str:
+    """Per-row reference implementation (oracle) of the spec above."""
+    kept = []
+    for b in BLOCK_SPLIT_RE.split(html):
+        lc = sum(len(t) for t in A_TEXT_RE.findall(b))
+        txt = _WS_RE.sub(" ", _TAG_S_RE.sub(" ", b)).strip()
+        if (len(txt.split()) >= min_words
+                and 100 * lc <= max_link_pct * len(txt)):
+            kept.append(txt)
+    return "\n".join(kept)
+
+
+def main_content_frame(html: pd.Series, *,
+                       min_words: int = MC_MIN_WORDS,
+                       max_link_pct: int = MC_MAX_LINK_PCT) -> pd.Series:
+    """Vectorized engine path: split -> explode -> per-block C string
+    kernels (findall/join/replace/count) -> groupby(level) re-join.
+    Byte-identical to :func:`main_content_row` (pinned in
+    tests/test_crawl.py)."""
+    ex = html.str.split(BLOCK_SPLIT_RE).explode()
+    lc = (ex.str.findall(A_TEXT_RE).str.join("").str.len()
+          .fillna(0).astype("int64"))
+    txt = (ex.str.replace(_TAG_S_RE, " ", regex=True)
+           .str.replace(_WS_RE, " ", regex=True).str.strip()
+           .fillna(""))
+    # collapsed to single spaces -> words = spaces + 1 when non-empty
+    words = txt.str.count(" ") + (txt.str.len() > 0).astype("int64")
+    keep = (words >= min_words) & (100 * lc <= max_link_pct
+                                   * txt.str.len())
+    joined = txt[keep].groupby(level=0).agg("\n".join)
+    out = pd.Series(np.full(len(html), "", dtype=object),
+                    index=html.index)
+    out[joined.index] = joined
+    return out

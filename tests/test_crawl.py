@@ -100,3 +100,62 @@ def test_extract_links_resolution():
         "http://h/d/up", "http://other/x"]
     assert (lk["src_uri"].tolist()
             == ["http://h/d/e.html"] * 2 + ["http://h/d/f/g.html"] * 2)
+
+
+def test_extract_anchors_resolution():
+    """Anchor extraction keeps the link TEXT alongside the resolved
+    href; anchor-less hrefs (no </a> body match) are skipped, nested
+    tags inside the body are out of spec ([^<]*)."""
+    from rsyslog_ray.stages.parse import extract_anchors_frame
+
+    html = pd.Series([
+        '<a href="/about">About Us</a> <a href="x.html"></a>',
+        '<p>no links at all</p>',
+        "<a class='z' href='https://other.example/p'>Other</a>"
+        '<a href="/skip"><b>nested</b></a>',
+    ])
+    base = pd.Series(["http://ex.com/a/b", "http://ex.com/",
+                      "http://ex.com/q"])
+    got = extract_anchors_frame(html, base)
+    assert got["resolved"].tolist() == [
+        "http://ex.com/about", "http://ex.com/a/x.html",
+        "https://other.example/p"]
+    assert got["anchor"].tolist() == ["About Us", "", "Other"]
+    assert got["src_uri"].tolist() == [
+        "http://ex.com/a/b", "http://ex.com/a/b", "http://ex.com/q"]
+
+
+def test_main_content_engine_equals_row_oracle():
+    """Vectorized main_content_frame == per-row main_content_row on
+    nasty HTML: link-dense navs, short footers, nested inline tags,
+    whitespace runs, block tags with attributes, empty pages, pages
+    that are ALL boilerplate."""
+    from rsyslog_ray.stages.parse import (main_content_frame,
+                                          main_content_row)
+
+    pages = pd.Series([
+        # nav dropped by link density, body kept, footer too short
+        '<div class="nav"><a href="/">home page link here now</a></div>'
+        '<p>this is the real article body with many words</p>'
+        '<footer>(c) corp</footer>',
+        # inline tags inside a content block collapse to spaces
+        '<p>alpha <b>beta</b>\n  gamma\t<i>delta</i> epsilon zeta</p>',
+        # all boilerplate -> empty
+        '<li><a href="/a">a</a></li><li><a href="/b">b</a></li>',
+        # no block tags at all: one block, kept iff long enough
+        'just a bare run of text with enough words to keep',
+        '',
+        # two content blocks join with newline
+        '<h1>heading words are often kept when long enough</h1>'
+        '<p>second paragraph also has plenty of words in it</p>',
+        # link density exactly AT the threshold stays (<=)
+        '<p>aa bb cc dd <a href="/x">ee</a></p>',
+    ])
+    got = main_content_frame(pages)
+    want = pages.map(main_content_row)
+    assert got.tolist() == want.tolist()
+    # spot-check semantics, not just parity
+    assert got[0] == "this is the real article body with many words"
+    assert got[1] == "alpha beta gamma delta epsilon zeta"
+    assert got[2] == "" and got[4] == ""
+    assert "\n" in got[5]
