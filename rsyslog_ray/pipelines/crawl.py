@@ -35,7 +35,8 @@ from .curation import _run_stage
 def documents_to_warc(docs_path: str, warc_dir: str, *,
                       block_rows: int = 200,
                       links: bool = False, n_docs: int = 0,
-                      anchors: bool = False) -> str:
+                      anchors: bool = False,
+                      meta: bool = False) -> str:
     """Deterministic fixture corpus: every document HTML-wrapped and
     charset-mixed by doc_id%4 (utf-8 / utf-16 BOM-LE / cp1252 /
     utf-8-sig) into member-per-record .warc.gz files — the
@@ -48,7 +49,10 @@ def documents_to_warc(docs_path: str, warc_dir: str, *,
     same rule in SQL.  ``anchors=True`` additionally labels the two
     planted links 'w{i}' / 'x{i}' so per-target anchor-text
     aggregation (q:anchor_text) has a SQL-reproducible ground truth
-    (changes extracted text — use a dedicated scratch dir)."""
+    (changes extracted text — use a dedicated scratch dir).
+    ``meta=True`` plants a deterministic ``<meta name="description">``
+    head tag (q:page_meta; head tags strip to nothing so extracted
+    text is unchanged)."""
     import ray
 
     from ..sources.warc import build_warc
@@ -69,7 +73,12 @@ def documents_to_warc(docs_path: str, warc_dir: str, *,
                 tb = f"x{int(i)}" if anchors else ""
                 anchor_html = (f'<a href="/doc/{a}">{ta}</a>'
                                f'<a href="/doc/{b}">{tb}</a>')
-            html = (f"<html><head><title>doc {i}</title></head>"
+            meta_html = ""
+            if meta:
+                meta_html = (f'<meta name="description" content='
+                             f'"summary of document {i} in {lang}">')
+            html = (f"<html><head><title>doc {i}</title>{meta_html}"
+                    f"</head>"
                     f"<body><p>{t}</p>{anchor_html}</body></html>")
             body = html.encode(codecs[int(i) % 4])
             recs.append({
@@ -179,3 +188,68 @@ def run_crawl_ingest(warc_dir: str, out_dir: str, *,
         json.dump(stats, fh, indent=1, sort_keys=True)
     os.replace(tmp, os.path.join(out_dir, "_crawl_stats.json"))
     return stats
+
+
+def run_web_pretrain(warc_dir: str, out_dir: str, *,
+                     benchmark_texts=(), weights: dict | None = None,
+                     default_weight: float = 1.0, seed: int = 0,
+                     seq_len: int = 128,
+                     ingest_kwargs: dict | None = None,
+                     curation_kwargs: dict | None = None,
+                     fused: bool = False) -> dict:
+    """The FULL web-corpus recipe, raw archives to packed LM rows:
+
+      .warc.gz  -> run_crawl_ingest   (decode, extract, gate)
+                -> docs/ adapter      (gated rows -> documents schema:
+                                       doc_id from the URI tail, lang =
+                                       predicted, source = 'crawl')
+                -> run_pretrain       (curation dedup -> decontaminate
+                                       -> redact+mix -> shuffle -> pack)
+
+    i.e. pipelines/crawl.py's front half feeding pipelines/pretrain.py's
+    back half, with every stage boundary a parquet resume point (the
+    shared `_run_stage` atomic-rename contract — a SIGKILL anywhere
+    resumes from the last completed stage).  Returns the merged funnel
+    (crawl_* scalars + the pretrain stats), also written to
+    ``out_dir/_web_stats.json``.  Ray must already be initialised."""
+    import ray
+
+    from .pretrain import run_pretrain
+
+    os.makedirs(out_dir, exist_ok=True)
+    crawl_out = os.path.join(out_dir, "ingest")
+    cstats = run_crawl_ingest(warc_dir, crawl_out,
+                              **(ingest_kwargs or {}))
+
+    docs_path = os.path.join(out_dir, "docs")
+
+    def build_docs(tmp: str) -> None:
+        g = ray.data.read_parquet(os.path.join(crawl_out, "gated"))
+
+        def adapt(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "doc_id": (df["uri"].str.rsplit("/", n=1).str[-1]
+                           .astype("int64")),
+                "text": df["text"].to_numpy(),
+                "lang": df["pred_lang"].to_numpy(),
+                "source": np.repeat("crawl", len(df))})
+
+        g.map_batches(adapt, batch_format="pandas").write_parquet(tmp)
+
+    _run_stage(docs_path, build_docs)
+
+    pstats = run_pretrain(docs_path, os.path.join(out_dir, "pretrain"),
+                          benchmark_texts=benchmark_texts,
+                          weights=weights,
+                          default_weight=default_weight, seed=seed,
+                          seq_len=seq_len,
+                          curation_kwargs=curation_kwargs,
+                          fused=fused)
+    merged = {f"crawl_{k}": v for k, v in cstats.items()
+              if isinstance(v, (int, float))}
+    merged.update(pstats)
+    tmp = os.path.join(out_dir, "_web_stats.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(merged, fh, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(out_dir, "_web_stats.json"))
+    return merged

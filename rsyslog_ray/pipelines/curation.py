@@ -50,6 +50,27 @@ def _run_stage(final_dir: str, build_fn) -> bool:
     return True
 
 
+def _write_parquet_typed(ds, tmp: str, empty_cols: dict) -> None:
+    """``ds.write_parquet(tmp)`` that stays readable when the dataset
+    is EMPTY: Ray's parquet sink skips empty blocks entirely (no files,
+    not even the directory), so a downstream ``read_parquet`` of the
+    committed stage dir would fail.  When nothing was written, commit
+    one zero-row file with the stage's declared schema
+    (``empty_cols``: name -> pyarrow type) instead."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    if not glob.glob(os.path.join(tmp, "*.parquet")):
+        pq.write_table(
+            pa.table({n: pa.array([], type=t)
+                      for n, t in empty_cols.items()}),
+            os.path.join(tmp, "empty.parquet"))
+
+
 def run_curation(docs_path: str, out_dir: str, *,
                  min_tokens: int = 3, max_tokens: int = 100_000,
                  max_stop_ratio: float = 0.9,
@@ -192,9 +213,11 @@ def run_curation(docs_path: str, out_dir: str, *,
             exact, "doc_id", "text", threshold=neardup_threshold,
             as_dataset=True).materialize()
     else:
-        _run_stage(pairs_path, lambda tmp: minhash_lsh_pairs(
-            exact, "doc_id", "text", threshold=neardup_threshold,
-            as_dataset=True).write_parquet(tmp))
+        _run_stage(pairs_path, lambda tmp: _write_parquet_typed(
+            minhash_lsh_pairs(
+                exact, "doc_id", "text", threshold=neardup_threshold,
+                as_dataset=True),
+            tmp, {"id_a": pa.int64(), "id_b": pa.int64()}))
         pairs = ray.data.read_parquet(pairs_path)
     stats["neardup_pairs"] = pairs.count()
 
@@ -206,8 +229,9 @@ def run_curation(docs_path: str, out_dir: str, *,
     if fused:
         comps = connected_components(pairs).materialize()
     else:
-        _run_stage(comps_path, lambda tmp: connected_components(pairs)
-                   .write_parquet(tmp))
+        _run_stage(comps_path, lambda tmp: _write_parquet_typed(
+            connected_components(pairs), tmp,
+            {"node": pa.int64(), "cluster": pa.int64()}))
         comps = ray.data.read_parquet(comps_path)
 
     # ---- stage 4: survivor anti-join — drop every clustered id that

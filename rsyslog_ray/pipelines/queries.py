@@ -3450,6 +3450,21 @@ SQL_TAIL: dict[str, str] = {
                END AS main_text
         FROM documents ORDER BY doc_id
     """,
+    # q_page_meta: the planted title / meta-description strings
+    # rebuilt arithmetically.
+    "page_meta": """
+        SELECT doc_id,
+               'doc ' || CAST(doc_id AS VARCHAR) AS title,
+               'summary of document ' || CAST(doc_id AS VARCHAR)
+                   || ' in ' || lang AS meta_desc
+        FROM documents ORDER BY doc_id
+    """,
+    # q_bottomk_sample: same md5-of-id-string hash order, same
+    # doc_id tiebreak.
+    "bottomk_sample": """
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+        FROM documents ORDER BY h, doc_id LIMIT 20
+    """,
     # q_exact_quantiles: same integer rank rule r = (pct*n + 99)//100,
     # 1-indexed over the sorted non-null values; the engine's
     # histogram-refinement selection returns the identical element.
@@ -5292,6 +5307,78 @@ def q_main_content(sf_dir):
     return res.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_page_meta(sf_dir):
+    """Head-metadata extraction (stages/parse.extract_meta_frame):
+    documents warcified with a planted deterministic
+    <meta name="description"> tag, WARC read -> charset decode ->
+    title + description extraction — the trafilatura-style page-parse
+    half that the tag-strip text path throws away.  The DuckDB oracle
+    rebuilds both strings arithmetically; the archive->decode->extract
+    chain must be lossless for the strings to hash-match."""
+    import os
+
+    from ..pipelines.crawl import documents_to_warc
+    from ..sources.warc import read_warc
+    from ..stages.parse import extract_meta_frame
+    from ..stages.text import sniff_decode_row
+
+    root = _scratch("page_meta", sf_dir)
+    documents_to_warc(os.path.join(sf_dir, "documents.parquet"),
+                      os.path.join(root, "warc"), meta=True)
+
+    def fx(df: pd.DataFrame) -> pd.DataFrame:
+        html = df["payload"].map(
+            lambda b: sniff_decode_row(bytes(b))[0])
+        m = extract_meta_frame(html)
+        m.insert(0, "doc_id", df["target_uri"]
+                 .str.rsplit("/", n=1).str[-1].astype("int64")
+                 .to_numpy())
+        return m
+
+    ds = read_warc(os.path.join(root, "warc") + "/")
+    res = ds.map_batches(fx, batch_format="pandas").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_web_pretrain(sf_dir):
+    """FULL raw-archive-to-LM-rows recipe (pipelines/crawl
+    .run_web_pretrain): documents warcified (charset-mixed member
+    .warc.gz), then crawl ingest (decode -> extract -> gate) -> gated
+    rows adapted to the documents schema -> the complete pretrain back
+    half (curation dedup -> decontaminate -> redact+mix -> epoch
+    shuffle -> pack), every stage boundary a parquet resume point.
+    Returns the merged funnel.  Rows-only driver check; the composed
+    resume + funnel semantics are pinned in tests/test_crawl.py."""
+    import os
+
+    from ..pipelines.crawl import documents_to_warc, run_web_pretrain
+
+    root = _scratch("web_pretrain", sf_dir)
+    documents_to_warc(os.path.join(sf_dir, "documents.parquet"),
+                      os.path.join(root, "warc"))
+    stats = run_web_pretrain(
+        os.path.join(root, "warc"), os.path.join(root, "out"),
+        weights=MIX_WEIGHTS, default_weight=MIX_DEFAULT, seed=11,
+        seq_len=64, fused=os.environ.get("GRAFT_FUSED") == "1")
+    return pd.DataFrame({"stage": list(stats),
+                         "value": [float(v) for v in stats.values()]})
+
+
+def q_bottomk_sample(sf_dir):
+    """Deterministic distributed uniform sample (stages/sketch
+    .bottomk_sample): the 20 documents with the smallest
+    md5(str(doc_id)) — a mergeable bottom-k sketch whose result is
+    independent of partitioning, order and retries, unlike any seeded
+    RNG sample.  DuckDB ORDER BY md5() LIMIT oracle in SQL_TAIL
+    reproduces it exactly."""
+    from ..stages.sketch import bottomk_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"], parallel=8)
+    res = bottomk_sample(ds, "doc_id", k=20)
+    res["doc_id"] = res["doc_id"].astype("int64")
+    return res
+
+
 # Ordering contract: the driver's correctness gate checks the FIRST 50
 # entries — every oracle-backed query (a key present in SQL) sits in
 # positions 1-50; the rows-only entries (genuinely non-SQL-expressible:
@@ -5462,4 +5549,7 @@ QUERIES = {
     "mix_budget": q_mix_budget,
     "anchor_text": q_anchor_text,
     "main_content": q_main_content,
+    "page_meta": q_page_meta,
+    "bottomk_sample": q_bottomk_sample,
+    "web_pretrain": q_web_pretrain,
 }

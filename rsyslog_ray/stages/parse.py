@@ -128,6 +128,22 @@ def extract_anchors_frame(html: pd.Series,
                          "anchor": ex.str[1].to_numpy()})
 
 
+TITLE_RE = re.compile(r"<title[^>]*>([^<]*)</title>", re.I)
+META_DESC_RE = re.compile(
+    r"""<meta\s[^>]*?name\s*=\s*["']description["'][^>]*?"""
+    r"""content\s*=\s*["']([^"']*)["']""", re.I)
+
+
+def extract_meta_frame(html: pd.Series) -> pd.DataFrame:
+    """(title, meta_desc) per page — the head-metadata half of page
+    parsing (trafilatura-style): first ``<title>`` body and the
+    ``<meta name="description">`` content attribute, both one
+    ``str.extract`` C pass; missing fields are empty strings."""
+    title = html.str.extract(TITLE_RE, expand=False).fillna("")
+    desc = html.str.extract(META_DESC_RE, expand=False).fillna("")
+    return pd.DataFrame({"title": title, "meta_desc": desc})
+
+
 # ---------------------------------------------------------------------------
 # Main-content extraction (boilerplate removal)
 # ---------------------------------------------------------------------------

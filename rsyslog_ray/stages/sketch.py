@@ -674,3 +674,31 @@ def approx_distinct_per_key(ds, key: str, col: str, *, p: int = 10
                           "approx_distinct": pd.Series(out["est"],
                                                        dtype="int64")})
             .sort_values(key).reset_index(drop=True))
+
+
+def bottomk_sample(ds, id_col: str, k: int = 20) -> pd.DataFrame:
+    """Deterministic uniform sample of ``k`` rows: keep the k items
+    whose md5(str(id)) digests sort smallest — the mergeable BOTTOM-K
+    sketch (a hash is a uniform draw in [0,1), so the k smallest
+    hashes are a uniform-without-replacement sample; merging two
+    summaries = union + re-truncate).  Unlike a seeded RNG sample the
+    result is independent of partitioning, arrival order and retries,
+    and a SQL oracle (ORDER BY md5(id) LIMIT k) reproduces it exactly.
+
+    Scale shape: each batch ships at most k (id, hash) rows; the
+    driver reduce is O(batches * k).  md5 is per-row C (hashlib) on
+    the id string only — the sampled columns never move."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[id_col].astype(str)
+        h = np.fromiter(
+            (hashlib.md5(v.encode()).hexdigest() for v in s),
+            dtype=object, count=len(s))
+        t = pd.DataFrame({id_col: df[id_col].to_numpy(), "h": h})
+        return t.sort_values(["h", id_col]).head(k)
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    return (parts.sort_values(["h", id_col]).head(k)
+            .reset_index(drop=True))

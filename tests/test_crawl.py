@@ -159,3 +159,60 @@ def test_main_content_engine_equals_row_oracle():
     assert got[1] == "alpha beta gamma delta epsilon zeta"
     assert got[2] == "" and got[4] == ""
     assert "\n" in got[5]
+
+
+def test_extract_meta_frame_variants():
+    """Title/meta-description extraction: single/double quotes,
+    attribute order, missing fields -> empty strings, first title
+    wins."""
+    from rsyslog_ray.stages.parse import extract_meta_frame
+
+    html = pd.Series([
+        '<head><title>A Page</title>'
+        '<meta name="description" content="hello world"></head>',
+        "<meta name='description' content='single quotes'>",
+        '<meta content="wrong-order" name="description">'
+        '<title lang="en">Attr Title</title>',
+        '<p>nothing here</p>',
+        '<title>first</title><title>second</title>',
+    ])
+    got = extract_meta_frame(html)
+    assert got["title"].tolist() == [
+        "A Page", "", "Attr Title", "", "first"]
+    # attribute-order variant (content before name) is out of spec
+    assert got["meta_desc"].tolist() == [
+        "hello world", "single quotes", "", "", ""]
+
+
+def test_web_pretrain_end_to_end(ray_session, planted_docs, tmp_path):
+    """Raw archives -> packed LM rows (run_web_pretrain): the crawl
+    gate funnel feeds the pretrain back half; a second invocation is a
+    pure resume no-op with an identical funnel (every stage boundary
+    committed)."""
+    from rsyslog_ray.pipelines.crawl import (documents_to_warc,
+                                             run_web_pretrain)
+
+    warc = str(tmp_path / "warc")
+    out = str(tmp_path / "out")
+    documents_to_warc(planted_docs, warc)
+    stats = run_web_pretrain(
+        warc, out, seq_len=16, seed=3, default_weight=1.0,
+        ingest_kwargs={"min_tokens": 5, "max_stop_ratio": 0.5})
+
+    assert stats["crawl_n_records"] == 6
+    assert stats["crawl_n_gated"] == 4          # docs 2, 3 gated out
+    assert stats["curation.docs_in"] == 4       # adapter is lossless
+    assert stats["packed_tokens"] > 0
+    # adapter schema: doc_id recovered from the URI tail, source set
+    docs = pd.read_parquet(os.path.join(out, "docs"))
+    assert sorted(docs["doc_id"]) == [0, 1, 4, 5]
+    assert set(docs["source"]) == {"crawl"}
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source"}
+
+    # re-run: every stage resumes from its committed artifact — the
+    # funnel (incl. block-boundary-dependent packed_rows: the packed/
+    # stage itself is committed, not repacked) is identical
+    stats2 = run_web_pretrain(
+        warc, out, seq_len=16, seed=3, default_weight=1.0,
+        ingest_kwargs={"min_tokens": 5, "max_stop_ratio": 0.5})
+    assert stats2 == stats

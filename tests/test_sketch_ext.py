@@ -187,3 +187,25 @@ def test_sq_roundtrip_error_bound_fuzz(dim, n, seed):
     # every training vector is inside the hull: error <= step/2 per dim
     err = np.abs(dec - v)
     assert (err <= step[None, :] / 2 + 1e-12).all()
+
+
+def test_bottomk_sample_partition_invariant(ray_session):
+    """Bottom-k md5 sample == the single-process sort spec, identical
+    across partitionings (mergeable-summary property), ids preserved
+    exactly."""
+    import hashlib
+
+    import ray
+
+    ids = pd.DataFrame({"doc_id": np.arange(137, dtype="int64")})
+    want = sorted(
+        ((hashlib.md5(str(i).encode()).hexdigest(), i)
+         for i in ids["doc_id"]))[:10]
+
+    from rsyslog_ray.stages.sketch import bottomk_sample
+
+    for nparts in (1, 7):
+        got = bottomk_sample(
+            ray.data.from_pandas(ids).repartition(nparts),
+            "doc_id", k=10)
+        assert list(zip(got["h"], got["doc_id"])) == want
