@@ -3465,6 +3465,15 @@ SQL_TAIL: dict[str, str] = {
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h, doc_id LIMIT 20
     """,
+    # q_fetch_schedule: slot = (per-host rank - 1) * host delay.
+    "fetch_schedule": """
+        SELECT CAST(user_id % 20 AS BIGINT) AS host, event_id,
+               CAST((row_number() OVER
+                       (PARTITION BY user_id % 20 ORDER BY event_id)
+                     - 1) * (1 + (user_id % 20) % 3) AS BIGINT)
+                   AS slot_s
+        FROM events ORDER BY event_id
+    """,
     # q_exact_quantiles: same integer rank rule r = (pct*n + 99)//100,
     # 1-indexed over the sorted non-null values; the engine's
     # histogram-refinement selection returns the identical element.
@@ -5237,7 +5246,9 @@ def q_anchor_text(sf_dir):
     classic "anchors describe the target" web relevance signal.  The
     DuckDB oracle reproduces the rule arithmetically; the whole
     archive->decode->extract chain must be lossless for the
-    concatenations to hash-match."""
+    concatenations to hash-match.  The gate collects pandas at sf0.01;
+    at corpus scale the operator streams (group_concat
+    as_dataset=True -> write_parquet), pinned in t:test_crawl."""
     import os
 
     from ..pipelines.crawl import documents_to_warc
@@ -5338,6 +5349,57 @@ def q_page_meta(sf_dir):
     ds = read_warc(os.path.join(root, "warc") + "/")
     res = ds.map_batches(fx, batch_format="pandas").to_pandas()
     return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_cdc_chunks(sf_dir):
+    """Content-defined chunking (stages/cdc.cdc_chunks — FastCDC-style
+    gear hash, vectorized closed form == the sequential recurrence):
+    shift-resistant chunk boundaries over each document's utf-8 bytes,
+    one (doc_id, chunk_idx, offset, length) row per chunk — the
+    re-crawl / byte-stream dedup primitive.  Rows-only driver check
+    (the rolling hash isn't SQL); the engine==oracle parity and
+    min/max/coverage invariants are pinned in t:test_text_ops."""
+    from ..stages.cdc import cdc_chunks
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               parallel=8)
+    res = cdc_chunks(ds, mask_bits=5, min_size=8,
+                     max_size=128).to_pandas()
+    return (res.sort_values(["doc_id", "chunk_idx"])
+            .reset_index(drop=True))
+
+
+def q_fetch_schedule(sf_dir):
+    """Per-host politeness fetch schedule: every candidate URL gets a
+    time slot = (its rank within the host) x (the host's crawl delay)
+    — the frontier -> fetch-queue step after q:url_frontier, one hash
+    shuffle (stages/aggregate.window_over_key).  Hosts from
+    user_id%20, delay = 1 + host%3 seconds.  DuckDB row_number
+    arithmetic oracle in SQL_TAIL."""
+    from ..stages.aggregate import window_over_key
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"],
+               parallel=8)
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "host": df["user_id"].astype("int64") % 20})
+
+    ranked = window_over_key(
+        ds.map_batches(keyed, batch_format="pandas"),
+        "host", ["event_id"], "event_id")
+
+    def slot(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["host"].astype("int64")
+        return pd.DataFrame({
+            "host": h,
+            "event_id": df["event_id"].astype("int64"),
+            "slot_s": ((df["rn"].astype("int64") - 1)
+                       * (1 + h % 3))})
+
+    res = ranked.map_batches(slot, batch_format="pandas").to_pandas()
+    return res.sort_values("event_id").reset_index(drop=True)
 
 
 def q_web_pretrain(sf_dir):
@@ -5552,4 +5614,6 @@ QUERIES = {
     "page_meta": q_page_meta,
     "bottomk_sample": q_bottomk_sample,
     "web_pretrain": q_web_pretrain,
+    "fetch_schedule": q_fetch_schedule,
+    "cdc_chunks": q_cdc_chunks,
 }

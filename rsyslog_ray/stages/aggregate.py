@@ -594,12 +594,17 @@ def _bucket_int(col: pd.Series, nparts: int) -> pd.Series:
 
 def group_concat(ds, key: str, val: str, order: list[str],
                  *, sep: str = ",", out: str = "agg",
-                 nparts: int = 32) -> pd.DataFrame:
+                 nparts: int = 32, as_dataset: bool = False):
     """SQL ``string_agg(val, sep ORDER BY order)`` per key.  Rows
     hash-bucket by key (one shuffle), each bucket sorts once and joins
-    per key group — the result is one row per key, so the driver
-    collect is O(distinct keys).  Partitioning assumption (same as the
-    SQL it mirrors): one key's concatenated string fits a worker."""
+    per key group.  Partitioning assumption (same as the SQL it
+    mirrors): one key's concatenated string fits a worker.
+
+    The default pandas return collects one row per key on the driver —
+    fine for small key spaces (nations, hosts).  For CORPUS-sized keys
+    (per-document anchor aggregation at 10^12 docs) pass
+    ``as_dataset=True`` and consume with write_parquet / a downstream
+    stage; the concatenation itself is identical."""
 
     def bucketed(df: pd.DataFrame) -> pd.DataFrame:
         need = [key, val] + [c for c in order if c != val]
@@ -613,10 +618,12 @@ def group_concat(ds, key: str, val: str, order: list[str],
              .agg(lambda s: sep.join(s.astype(str))))
         return pd.DataFrame({key: r.index.to_numpy(), out: r.to_numpy()})
 
-    return (ds.map_batches(bucketed, batch_format="pandas")
-            .groupby("__pp").map_groups(per_bucket,
-                                        batch_format="pandas")
-            .to_pandas().sort_values(key).reset_index(drop=True))
+    res = (ds.map_batches(bucketed, batch_format="pandas")
+           .groupby("__pp").map_groups(per_bucket,
+                                       batch_format="pandas"))
+    if as_dataset:
+        return res
+    return res.to_pandas().sort_values(key).reset_index(drop=True)
 
 
 def funnel_counts(ds, user: str, ts: str, type_col: str,

@@ -216,3 +216,22 @@ def test_web_pretrain_end_to_end(ray_session, planted_docs, tmp_path):
         warc, out, seq_len=16, seed=3, default_weight=1.0,
         ingest_kwargs={"min_tokens": 5, "max_stop_ratio": 0.5})
     assert stats2 == stats
+
+
+def test_group_concat_as_dataset_matches_pandas(ray_session):
+    """group_concat(as_dataset=True) streams the identical per-key
+    concatenations (the corpus-sized-key path for per-document anchor
+    aggregation)."""
+    import ray
+
+    from rsyslog_ray.stages.aggregate import group_concat
+
+    df = pd.DataFrame({"k": [1, 2, 1, 2, 1], "v": list("abcde"),
+                       "o": [3, 1, 1, 2, 2]})
+    ds = ray.data.from_pandas(df).repartition(3)
+    want = group_concat(ds, "k", "v", ["o"], sep=" ", out="agg")
+    got = (group_concat(ds, "k", "v", ["o"], sep=" ", out="agg",
+                        as_dataset=True)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert want["agg"].tolist() == ["c e a", "b d"]

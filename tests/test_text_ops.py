@@ -427,3 +427,55 @@ def test_filter_cascade_first_fail_attribution(ray_session):
     assert by.loc["mean_wlen", "n_dropped"] == 1
     assert by.loc["stopwords", "n_dropped"] == 1
     assert got.iloc[-1]["n_out"] + got["n_dropped"].sum() == len(texts)
+
+
+def test_cdc_engine_equals_sequential_oracle(ray_session):
+    """Content-defined chunking: the vectorized closed-form gear hash
+    == the published sequential recurrence (hypothesis-style fuzz over
+    random byte buffers incl. empty / tiny / all-same), every byte
+    covered exactly once, interior chunks respect [min, max], and a
+    one-byte insert realigns all far-downstream boundaries (the
+    shift-resistance CDC exists for — fixed-size blocks realign
+    none)."""
+    import numpy as np
+
+    from rsyslog_ray.stages.cdc import (cdc_boundaries,
+                                        cdc_boundaries_oracle)
+
+    rng = np.random.default_rng(11)
+    bufs = [b"", b"x", b"ab" * 3, bytes(300), b"\xff" * 700]
+    bufs += [bytes(rng.integers(0, 256, int(rng.integers(0, 1500)),
+                                dtype=np.uint8)) for _ in range(60)]
+    for data in bufs:
+        got = cdc_boundaries(data)
+        assert got == cdc_boundaries_oracle(data)
+        assert sum(ln for _, ln in got) == len(data)
+        assert all(16 <= ln <= 256 for _, ln in got[:-1])
+        if got:
+            assert got[-1][1] <= 256
+
+    base = bytes(rng.integers(0, 256, 4000, dtype=np.uint8))
+    edited = base[:50] + b"Z" + base[50:]
+    far_base = {o for o, _ in cdc_boundaries(base) if o > 400}
+    far_edit = {o - 1 for o, _ in cdc_boundaries(edited) if o > 401}
+    assert far_base and far_base <= far_edit
+
+    # Dataset wrapper: same rows regardless of partitioning
+    import ray
+
+    from rsyslog_ray.stages.cdc import cdc_chunks
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["alpha beta gamma delta " * 9,
+                                "", "short"]})
+    for nparts in (1, 3):
+        out = (cdc_chunks(ray.data.from_pandas(df).repartition(nparts),
+                          mask_bits=4, min_size=4, max_size=32)
+               .to_pandas().sort_values(["doc_id", "chunk_idx"])
+               .reset_index(drop=True))
+        want = []
+        for i, t in zip(df["doc_id"], df["text"]):
+            for ix, (o, ln) in enumerate(cdc_boundaries_oracle(
+                    t.encode(), mask_bits=4, min_size=4,
+                    max_size=32)):
+                want.append((i, ix, o, ln))
+        assert list(map(tuple, out.to_numpy())) == want
