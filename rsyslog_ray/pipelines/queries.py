@@ -3465,6 +3465,16 @@ SQL_TAIL: dict[str, str] = {
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h, doc_id LIMIT 20
     """,
+    # q_bottomk_bykey: same per-key md5 order, k = 3.
+    "bottomk_bykey": """
+        SELECT lang, doc_id, h FROM (
+          SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                 row_number() OVER
+                   (PARTITION BY lang ORDER BY
+                    md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        WHERE rn <= 3 ORDER BY lang, h
+    """,
     # q_fetch_schedule: slot = (per-host rank - 1) * host delay.
     "fetch_schedule": """
         SELECT CAST(user_id % 20 AS BIGINT) AS host, event_id,
@@ -5369,6 +5379,35 @@ def q_cdc_chunks(sf_dir):
             .reset_index(drop=True))
 
 
+def q_chunk_dedup(sf_dir):
+    """Chunk-level dedup savings (stages/cdc.cdc_dedup_stats): CDC
+    chunks content-hashed to 128 bits, distinct count + byte sums via
+    one (h1, h2, length)-int shuffle — what shift-resistant chunking
+    recovers across a re-crawled corpus.  Rows-only driver check
+    (boundaries aren't SQL); planted shared-prefix semantics pinned in
+    t:test_text_ops."""
+    from ..stages.cdc import cdc_dedup_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"],
+               parallel=8)
+    return cdc_dedup_stats(ds, mask_bits=5, min_size=8, max_size=128)
+
+
+def q_bottomk_bykey(sf_dir):
+    """Per-language deterministic uniform sample (stages/sketch
+    .bottomk_sample_bykey): the 3 smallest md5(doc_id) WITHIN each
+    lang — the stratified counterpart of q:bottomk_sample, same
+    mergeable bottom-k invariance.  DuckDB row_number-over-md5 oracle
+    in SQL_TAIL."""
+    from ..stages.sketch import bottomk_sample_bykey
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"],
+               parallel=8)
+    res = bottomk_sample_bykey(ds, "lang", "doc_id", k=3)
+    res["doc_id"] = res["doc_id"].astype("int64")
+    return res[["lang", "doc_id", "h"]]
+
+
 def q_fetch_schedule(sf_dir):
     """Per-host politeness fetch schedule: every candidate URL gets a
     time slot = (its rank within the host) x (the host's crawl delay)
@@ -5616,4 +5655,6 @@ QUERIES = {
     "web_pretrain": q_web_pretrain,
     "fetch_schedule": q_fetch_schedule,
     "cdc_chunks": q_cdc_chunks,
+    "chunk_dedup": q_chunk_dedup,
+    "bottomk_bykey": q_bottomk_bykey,
 }

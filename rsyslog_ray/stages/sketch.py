@@ -702,3 +702,30 @@ def bottomk_sample(ds, id_col: str, k: int = 20) -> pd.DataFrame:
              .to_pandas())
     return (parts.sort_values(["h", id_col]).head(k)
             .reset_index(drop=True))
+
+
+def bottomk_sample_bykey(ds, key_col: str, id_col: str,
+                         k: int = 3) -> pd.DataFrame:
+    """Per-key deterministic uniform sample — :func:`bottomk_sample`
+    stratified: the k smallest md5(str(id)) WITHIN each key.  Each
+    batch ships at most k rows per key it contains, the driver merge
+    is O(batches * keys * k); same partition/order/retry invariance,
+    same exact SQL oracle (row_number over md5)."""
+    import hashlib
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[id_col].astype(str)
+        h = np.fromiter(
+            (hashlib.md5(v.encode()).hexdigest() for v in s),
+            dtype=object, count=len(s))
+        t = pd.DataFrame({key_col: df[key_col].to_numpy(),
+                          id_col: df[id_col].to_numpy(), "h": h})
+        t = t.sort_values(["h", id_col])
+        return t.groupby(key_col, sort=False).head(k)
+
+    parts = (ds.map_batches(partial, batch_format="pandas")
+             .to_pandas())
+    out = (parts.sort_values(["h", id_col])
+           .groupby(key_col, sort=True).head(k))
+    return (out.sort_values([key_col, "h"])
+            .reset_index(drop=True))

@@ -209,3 +209,32 @@ def test_bottomk_sample_partition_invariant(ray_session):
             ray.data.from_pandas(ids).repartition(nparts),
             "doc_id", k=10)
         assert list(zip(got["h"], got["doc_id"])) == want
+
+
+def test_bottomk_bykey_partition_invariant(ray_session):
+    """Per-key bottom-k md5 sample == the single-process spec for
+    every key, identical across partitionings, keys with fewer than k
+    rows keep them all."""
+    import hashlib
+
+    import ray
+
+    ids = pd.DataFrame({
+        "doc_id": np.arange(90, dtype="int64"),
+        "lang": ["en", "de", "ru"] * 29 + ["lv", "lv", "mt"]})
+    want = {}
+    for lang, g in ids.groupby("lang"):
+        want[lang] = sorted(
+            (hashlib.md5(str(i).encode()).hexdigest(), i)
+            for i in g["doc_id"])[:4]
+
+    from rsyslog_ray.stages.sketch import bottomk_sample_bykey
+
+    for nparts in (1, 9):
+        got = bottomk_sample_bykey(
+            ray.data.from_pandas(ids).repartition(nparts),
+            "lang", "doc_id", k=4)
+        by = {lang: list(zip(g["h"], g["doc_id"]))
+              for lang, g in got.groupby("lang")}
+        assert by == want
+    assert len(want["mt"]) == 1                 # short keys intact

@@ -479,3 +479,45 @@ def test_cdc_engine_equals_sequential_oracle(ray_session):
                     max_size=32)):
                 want.append((i, ix, o, ln))
         assert list(map(tuple, out.to_numpy())) == want
+
+
+def test_cdc_dedup_stats_planted_sharing(ray_session):
+    """Chunk-level dedup stats == a set-of-chunk-bytes spec on a
+    corpus with a large shared prefix (A = X+Y, B = X+Z, C == A):
+    identical docs dedup fully, the shared prefix dedups across
+    distinct docs, totals cover every byte; partition-invariant."""
+    import numpy as np
+    import ray
+
+    from rsyslog_ray.stages.cdc import cdc_boundaries, cdc_dedup_stats
+
+    rng = np.random.default_rng(23)
+    mk = lambda n: "".join(chr(97 + c) for c in
+                           rng.integers(0, 26, n))
+    X, Y, Z = mk(3000), mk(800), mk(900)
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [X + Y, X + Z, X + Y]})
+
+    def spec(texts):
+        seen = {}
+        n_chunks = bytes_total = 0
+        for t in texts:
+            raw = t.encode()
+            for off, ln in cdc_boundaries(raw, mask_bits=5,
+                                          min_size=8, max_size=128):
+                n_chunks += 1
+                bytes_total += ln
+                seen.setdefault(raw[off:off + ln], ln)
+        return (n_chunks, len(seen), bytes_total, sum(seen.values()))
+
+    want = spec(df["text"])
+    for nparts in (1, 3):
+        got = cdc_dedup_stats(
+            ray.data.from_pandas(df).repartition(nparts),
+            mask_bits=5, min_size=8, max_size=128)
+        assert tuple(got.iloc[0]) == want
+    n_chunks, n_distinct, bytes_total, bytes_distinct = want
+    assert bytes_distinct < bytes_total          # sharing recovered
+    assert bytes_total == sum(len(t.encode()) for t in df["text"])
+    # doc 3 == doc 1: at least the whole of doc 1's bytes dedup away
+    assert bytes_total - bytes_distinct >= len((X + Y).encode())
