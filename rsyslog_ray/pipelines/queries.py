@@ -3465,6 +3465,11 @@ SQL_TAIL: dict[str, str] = {
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h, doc_id LIMIT 20
     """,
+    # q_wet_roundtrip: write_wet -> read_warc must be the identity on
+    # (doc_id, text).
+    "wet_roundtrip": """
+        SELECT doc_id, text FROM documents ORDER BY doc_id
+    """,
     # q_bottomk_bykey: same per-key md5 order, k = 3.
     "bottomk_bykey": """
         SELECT lang, doc_id, h FROM (
@@ -5379,6 +5384,45 @@ def q_cdc_chunks(sf_dir):
             .reset_index(drop=True))
 
 
+def q_wet_roundtrip(sf_dir):
+    """WET sidecar round-trip (sources/warc.write_wet -> read_warc):
+    every document written as a Common-Crawl-style conversion record
+    (content-addressed member .warc.gz per batch, warcinfo leader)
+    and read back — (doc_id, text) must be octet-identical to the
+    source table, which the trivial identity oracle checks.  The
+    extracted-text OUTPUT format of a crawl pipeline, as
+    q:warc_roundtrip is its raw-archive INPUT format."""
+    import os
+
+    from ..sources.warc import read_warc, write_wet
+
+    root = _scratch("wet_roundtrip", sf_dir)
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "text", "lang"], parallel=8)
+
+    def uri(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "uri": ("http://corpus/" + df["lang"].astype(str) + "/"
+                    + df["doc_id"].astype("int64").astype(str)),
+            "text": df["text"].to_numpy()})
+
+    out = os.path.join(root, "wet")
+    write_wet(ds.map_batches(uri, batch_format="pandas"), out)
+
+    back = read_warc(out + "/")
+
+    def decode(df: pd.DataFrame) -> pd.DataFrame:
+        conv = df[df["warc_type"] == "conversion"]
+        return pd.DataFrame({
+            "doc_id": (conv["target_uri"].str.rsplit("/", n=1)
+                       .str[-1].astype("int64")),
+            "text": conv["payload"].map(
+                lambda b: bytes(b).decode("utf-8"))})
+
+    res = back.map_batches(decode, batch_format="pandas").to_pandas()
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_chunk_dedup(sf_dir):
     """Chunk-level dedup savings (stages/cdc.cdc_dedup_stats): CDC
     chunks content-hashed to 128 bits, distinct count + byte sums via
@@ -5657,4 +5701,5 @@ QUERIES = {
     "cdc_chunks": q_cdc_chunks,
     "chunk_dedup": q_chunk_dedup,
     "bottomk_bykey": q_bottomk_bykey,
+    "wet_roundtrip": q_wet_roundtrip,
 }

@@ -144,6 +144,8 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
     return rows
 
 
+WET_DATE = "2025-01-01T00:00:00Z"
+
 _COLS = ["path", "id", "warc_type", "record_id", "date", "target_uri",
          "content_type", "content_length", "http_status",
          "http_content_type", "payload", "truncated"]
@@ -171,3 +173,58 @@ def read_warc(paths, *, parallelism: int = -1):
         return pd.DataFrame(out, columns=_COLS)
 
     return ds.map_batches(explode, batch_format="pandas")
+
+
+def write_wet(ds, out_dir: str, *, uri_col: str = "uri",
+              text_col: str = "text", date: str = WET_DATE,
+              software: str = "rsyslog_ray-wet/1.0"):
+    """WET sidecar writer (the Common-Crawl extracted-text format
+    CCNet-style pipelines consume): each batch becomes one
+    member-per-record ``.warc.gz`` holding a leading ``warcinfo``
+    record then one ``conversion`` record per row (WARC-Type:
+    conversion, Content-Type: text/plain, utf-8 body) — the inverse of
+    :func:`read_warc`, which round-trips these octet-lossless
+    (q:wet_roundtrip).
+
+    Scale/resume shape: one file per batch, named by the md5 of the
+    batch's URI list (content-addressed — a Ray task RETRY of the same
+    batch rewrites the same name via tmp+rename and self-overwrites,
+    two different batches can't collide), so the output is idempotent
+    without coordination.  Returns the (path, n_records) manifest."""
+    import hashlib
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_batch(df: pd.DataFrame) -> pd.DataFrame:
+        uris = df[uri_col].astype(str).tolist()
+        texts = df[text_col].astype(str).tolist()
+        stem = hashlib.md5("\x00".join(uris).encode()).hexdigest()[:16]
+        info = (f"software: {software}\r\n"
+                f"format: WARC File Format 1.0\r\n").encode()
+        recs = [{"headers": {
+            "WARC-Type": "warcinfo",
+            "WARC-Record-ID": f"<urn:wet:{stem}:info>",
+            "WARC-Date": date,
+            "Content-Type": "application/warc-fields"},
+            "block": info}]
+        for i, (u, t) in enumerate(zip(uris, texts)):
+            recs.append({"headers": {
+                "WARC-Type": "conversion",
+                "WARC-Record-ID": f"<urn:wet:{stem}:{i}>",
+                "WARC-Date": date,
+                "WARC-Target-URI": u,
+                "Content-Type": "text/plain"},
+                "block": t.encode("utf-8")})
+        path = os.path.join(out_dir, f"wet-{stem}.warc.gz")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "wb") as fh:
+            fh.write(build_warc(recs, gzip_members=True))
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path],
+                             "n_records": [len(uris)]})
+
+    return (ds.map_batches(write_batch, batch_format="pandas")
+            .to_pandas())

@@ -1,6 +1,8 @@
 """WARC source: record framing, gzip member layout, HTTP split,
 WET conversion records, torn-tail tolerance (sources/warc.py)."""
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -77,3 +79,37 @@ def test_read_warc_dataset(ray_session, tmp_path):
     assert df["content_length"].dtype == np.int64
     # binary payload column survives the Dataset round-trip
     assert isinstance(df["payload"].iloc[1], bytes)
+
+
+def test_write_wet_layout_and_retry_idempotence(ray_session, tmp_path):
+    """WET writer: warcinfo leader + one conversion record per row,
+    octet-lossless through read_warc incl. non-ASCII text; rewriting
+    the same batch self-overwrites (content-addressed stem — retry
+    semantics), a different batch gets a different file."""
+    import ray
+
+    from rsyslog_ray.sources.warc import read_warc, write_wet
+
+    df = pd.DataFrame({
+        "uri": [f"http://ex.com/{i}" for i in range(4)],
+        "text": ["plain words", "ünïcode tëxt", "", "tab\tand\nline"]})
+    out = str(tmp_path / "wet")
+    man1 = write_wet(ray.data.from_pandas(df), out)
+    assert man1["n_records"].sum() == 4
+    man2 = write_wet(ray.data.from_pandas(df), out)   # retry
+    assert sorted(man1["path"]) == sorted(man2["path"])
+    files = os.listdir(out)
+    assert len(files) == len(set(man1["path"].map(os.path.basename)))
+
+    back = read_warc(out + "/").to_pandas()
+    assert (back["warc_type"] == "warcinfo").sum() == len(files)
+    conv = back[back["warc_type"] == "conversion"]
+    got = {u: bytes(p).decode("utf-8")
+           for u, p in zip(conv["target_uri"], conv["payload"])}
+    assert got == dict(zip(df["uri"], df["text"]))
+    assert set(conv["content_type"]) == {"text/plain"}
+
+    # different rows -> different content-addressed file
+    df2 = df.assign(uri=df["uri"] + "x")
+    man3 = write_wet(ray.data.from_pandas(df2), out)
+    assert not set(man3["path"]) & set(man1["path"])
