@@ -3465,6 +3465,22 @@ SQL_TAIL: dict[str, str] = {
         SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
         FROM documents ORDER BY h, doc_id LIMIT 20
     """,
+    # q_triangle_count: three-way self-join over the canonical
+    # undirected unique edges of the arithmetic link rule.
+    "triangle_count": """
+        WITH nn AS (SELECT count(*) AS c FROM documents),
+        e0 AS (
+          SELECT doc_id AS a, (doc_id * 7 + 1) % nn.c AS b
+          FROM documents, nn
+          UNION ALL
+          SELECT doc_id, (doc_id + 1) % nn.c FROM documents, nn
+        ),
+        e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+              FROM e0 WHERE a <> b)
+        SELECT CAST(count(*) AS BIGINT) AS triangles
+        FROM e x JOIN e y ON y.u = x.u AND y.v > x.v
+                 JOIN e z ON z.u = x.v AND z.v = y.v
+    """,
     # q_wet_roundtrip: write_wet -> read_warc must be the identity on
     # (doc_id, text).
     "wet_roundtrip": """
@@ -5384,6 +5400,32 @@ def q_cdc_chunks(sf_dir):
             .reset_index(drop=True))
 
 
+def q_triangle_count(sf_dir):
+    """Exact triangle count (stages/graph.triangle_count) over the
+    planted deterministic link rule, direction ignored: canonical
+    unique (u < v) edges -> per-node wedge emission in hashed buckets
+    -> ONE composite-key closure join against the edge set, count/3.
+    The DuckDB oracle is the classic three-way self-join over the same
+    arithmetic edges."""
+    import os
+
+    from ..stages.graph import triangle_count
+
+    n = int(pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id"]).shape[0])
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(df: pd.DataFrame) -> pd.DataFrame:
+        i = df["doc_id"].astype("int64").to_numpy()
+        return pd.DataFrame({
+            "src": np.concatenate([i, i]),
+            "dst": np.concatenate([(i * 7 + 1) % n, (i + 1) % n])})
+
+    t = triangle_count(ds.map_batches(edges, batch_format="pandas"),
+                       "src", "dst")
+    return pd.DataFrame({"triangles": pd.Series([t], dtype="int64")})
+
+
 def q_wet_roundtrip(sf_dir):
     """WET sidecar round-trip (sources/warc.write_wet -> read_warc):
     every document written as a Common-Crawl-style conversion record
@@ -5702,4 +5744,5 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "bottomk_bykey": q_bottomk_bykey,
     "wet_roundtrip": q_wet_roundtrip,
+    "triangle_count": q_triangle_count,
 }

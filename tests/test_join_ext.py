@@ -1213,3 +1213,34 @@ def test_hits_int_vs_dense_spec(ray_session):
     pd.testing.assert_frame_equal(
         got.astype({"auth_u": "int64", "hub_u": "int64"}),
         want.astype({"auth_u": "int64", "hub_u": "int64"}))
+
+
+def test_triangle_count_vs_dense_spec(ray_session):
+    """Distributed exact triangle count == trace(A^3)/6 on a dense
+    boolean adjacency spec — duplicate edges, reversed edges and
+    self-loops all ignored; partition-invariant."""
+    import ray
+
+    rng = np.random.default_rng(31)
+    n = 30
+    src = rng.integers(0, n, 250)
+    dst = rng.integers(0, n, 250)
+    edges = pd.DataFrame({"src": src, "dst": dst})
+    edges = pd.concat([edges, edges.head(7),                 # dups
+                       edges.head(5).rename(                 # reversed
+                           columns={"src": "dst", "dst": "src"}),
+                       pd.DataFrame({"src": [3], "dst": [3]})],  # loop
+                      ignore_index=True)
+
+    A = np.zeros((n, n), dtype=np.int64)
+    for a, b in zip(edges["src"], edges["dst"]):
+        if a != b:
+            A[a, b] = A[b, a] = 1
+    want = int(np.trace(A @ A @ A)) // 6
+
+    from rsyslog_ray.stages.graph import triangle_count
+
+    for nparts in (1, 6):
+        ds = ray.data.from_pandas(edges).repartition(nparts)
+        assert triangle_count(ds, "src", "dst") == want
+    assert want > 0          # the fixture actually has triangles
