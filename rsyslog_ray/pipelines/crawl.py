@@ -28,8 +28,9 @@ import os
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-from .curation import _run_stage
+from .curation import _run_stage, _write_parquet_typed
 
 
 def documents_to_warc(docs_path: str, warc_dir: str, *,
@@ -107,6 +108,14 @@ def documents_to_warc(docs_path: str, warc_dir: str, *,
     return warc_dir
 
 
+# stage schema for empty-safe commits (_write_parquet_typed): a crawl
+# whose filter/gate removes EVERY record must still leave readable
+# stage dirs (Ray's parquet sink writes nothing for empty blocks)
+_RECORD_COLS = {"uri": pa.string(), "charset": pa.string(),
+                "text": pa.string(), "n_tokens": pa.int64(),
+                "n_stop": pa.int64(), "pred_lang": pa.string()}
+
+
 def run_crawl_ingest(warc_dir: str, out_dir: str, *,
                      min_tokens: int = 3,
                      max_stop_ratio: float = 0.9,
@@ -147,7 +156,9 @@ def run_crawl_ingest(warc_dir: str, out_dir: str, *,
             out["pred_lang"] = lang_id_full_frame(out["text"])
             return out
 
-        ds.map_batches(decode, batch_format="pandas").write_parquet(tmp)
+        _write_parquet_typed(
+            ds.map_batches(decode, batch_format="pandas"), tmp,
+            _RECORD_COLS)
 
     _run_stage(records_path, build_records)
 
@@ -163,7 +174,9 @@ def run_crawl_ingest(warc_dir: str, out_dir: str, *,
                 keep &= df["pred_lang"].isin(langs)
             return df[keep]
 
-        rec.map_batches(gate, batch_format="pandas").write_parquet(tmp)
+        _write_parquet_typed(
+            rec.map_batches(gate, batch_format="pandas"), tmp,
+            _RECORD_COLS)
 
     _run_stage(gated_path, build_gated)
 

@@ -60,6 +60,17 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
 
     if driver_reduce:
         df = partials.to_pandas()
+        if df.empty and not set(keys).issubset(df.columns):
+            # zero input batches leave a column-less empty frame (the
+            # map stage never ran) — return a TYPED empty result so
+            # callers' dict/sum folds see the expected columns
+            cols = {k: pd.Series([], dtype="object") for k in keys}
+            if count:
+                cols[count] = pd.Series([], dtype="int64")
+            for alias in list(sums.values()) + list(mins.values()) \
+                    + list(maxs.values()):
+                cols[alias] = pd.Series([], dtype="object")
+            return pd.DataFrame(cols)
         g = df.groupby(keys, dropna=False, observed=True)
         parts = {}
         if count:

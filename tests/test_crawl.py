@@ -235,3 +235,24 @@ def test_group_concat_as_dataset_matches_pandas(ray_session):
            .to_pandas().sort_values("k").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
     assert want["agg"].tolist() == ["c e a", "b d"]
+
+
+def test_crawl_ingest_everything_gated_out(ray_session, planted_docs,
+                                           tmp_path):
+    """A gate that removes EVERY record still commits readable stage
+    dirs and a zero funnel (Ray's parquet sink writes nothing for
+    empty blocks — the stage commit must cover that)."""
+    from rsyslog_ray.pipelines.crawl import (documents_to_warc,
+                                             run_crawl_ingest)
+
+    warc = str(tmp_path / "warc")
+    out = str(tmp_path / "out")
+    documents_to_warc(planted_docs, warc)
+    stats = run_crawl_ingest(warc, out, min_tokens=5,
+                             max_stop_ratio=0.5, langs=("xx",))
+    assert stats["n_records"] == 6
+    assert stats["n_gated"] == 0 and stats["gated_by_lang"] == {}
+    gated = pd.read_parquet(os.path.join(out, "gated"))
+    assert len(gated) == 0
+    assert set(gated.columns) == {"uri", "charset", "text",
+                                  "n_tokens", "n_stop", "pred_lang"}
