@@ -521,3 +521,59 @@ def test_cdc_dedup_stats_planted_sharing(ray_session):
     assert bytes_total == sum(len(t.encode()) for t in df["text"])
     # doc 3 == doc 1: at least the whole of doc 1's bytes dedup away
     assert bytes_total - bytes_distinct >= len((X + Y).encode())
+
+
+# ---------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@given(st.binary(min_size=0, max_size=1200),
+       st.integers(min_value=1, max_value=9),
+       st.integers(min_value=1, max_value=24))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_cdc_parity_hypothesis(data, mask_bits, min_size):
+    """Any bytes, any mask width, any min size: the vectorized gear
+    hash == the sequential recurrence, coverage is exact, interior
+    chunks respect [min, max]."""
+    from rsyslog_ray.stages.cdc import (cdc_boundaries,
+                                        cdc_boundaries_oracle)
+
+    max_size = min_size * 4 + 8
+    got = cdc_boundaries(data, mask_bits=mask_bits,
+                         min_size=min_size, max_size=max_size)
+    assert got == cdc_boundaries_oracle(
+        data, mask_bits=mask_bits, min_size=min_size,
+        max_size=max_size)
+    assert sum(ln for _, ln in got) == len(data)
+    for _, ln in got[:-1]:
+        assert min_size <= ln <= max_size
+
+
+_FRAGS = st.sampled_from([
+    "<p>", "</p>", "<div class='x'>", "</div>", "<nav>", "</nav>",
+    "<a href='/y'>", "</a>", "<b>", "</b>", "<br>", "<hr>",
+    "word", "another word run", "  ", "\n", "\t", "x", "",
+    "mixed <a href='/z'>link text</a> tail", "<li>", "</li>"])
+
+
+@given(st.lists(_FRAGS, min_size=0, max_size=30),
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=0, max_value=100))
+@settings(max_examples=60, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_main_content_parity_hypothesis(frags, min_words, pct):
+    """Arbitrary compositions of tags, anchors and whitespace: the
+    vectorized block classifier == the per-row oracle for any
+    min-words / link-density thresholds."""
+    from rsyslog_ray.stages.parse import (main_content_frame,
+                                          main_content_row)
+
+    html = "".join(frags)
+    got = main_content_frame(pd.Series([html]), min_words=min_words,
+                             max_link_pct=pct).iloc[0]
+    want = main_content_row(html, min_words=min_words,
+                            max_link_pct=pct)
+    assert got == want
