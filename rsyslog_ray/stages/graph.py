@@ -174,11 +174,22 @@ def resolve_chains(mapping_ds, src: str, dst: str, *,
 
         def advance(df: pd.DataFrame) -> pd.DataFrame:
             nxt = df["nxt"]
+            moved = nxt.notna() & (nxt != df["t"])
             t = df["t"].where(nxt.isna(), nxt)
             return pd.DataFrame({"u": df["u"].to_numpy(),
-                                 "t": t.to_numpy()})
+                                 "t": t.to_numpy(),
+                                 "__mv": moved.to_numpy()
+                                 .astype("int64")})
 
-        cur = joined.map_batches(advance, batch_format="pandas")
+        cur = joined.map_batches(advance,
+                                 batch_format="pandas").materialize()
+        # early exit: real redirect mappings have short chains — once
+        # a doubling round moves nothing, later rounds are identity
+        # joins; the sum is over already-materialized int blocks
+        moved_total = int(cur.sum("__mv") or 0)
+        cur = cur.drop_columns(["__mv"])
+        if moved_total == 0:
+            break
     if src != "u" or dst != "t":
         cur = cur.map_batches(
             lambda df, _s=src, _d=dst: df.rename(

@@ -1244,3 +1244,26 @@ def test_triangle_count_vs_dense_spec(ray_session):
         ds = ray.data.from_pandas(edges).repartition(nparts)
         assert triangle_count(ds, "src", "dst") == want
     assert want > 0          # the fixture actually has triangles
+
+
+def test_resolve_chains_early_exit_high_rounds(ray_session):
+    """A generous rounds budget on a short-chain mapping returns the
+    same resolution (the no-movement early exit is behavior-neutral),
+    including when round 1 already moves nothing."""
+    import ray
+
+    edges = pd.DataFrame({"u": [1, 2, 3], "t": [0, 0, 2]})
+
+    from rsyslog_ray.stages.graph import resolve_chains
+
+    want = (resolve_chains(_mk(ray, edges), "u", "t", rounds=1)
+            .to_pandas().sort_values("u").reset_index(drop=True))
+    got = (resolve_chains(_mk(ray, edges), "u", "t", rounds=10)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+    assert got["t"].tolist() == [0, 0, 0]
+    # already-resolved mapping: zero movement in round 1
+    flat = pd.DataFrame({"u": [5, 6], "t": [0, 0]})
+    out = (resolve_chains(_mk(ray, flat), "u", "t", rounds=8)
+           .to_pandas().sort_values("u").reset_index(drop=True))
+    assert out["t"].tolist() == [0, 0]
