@@ -247,7 +247,10 @@ def run_web_pretrain(warc_dir: str, out_dir: str, *,
                 "lang": df["pred_lang"].to_numpy(),
                 "source": np.repeat("crawl", len(df))})
 
-        g.map_batches(adapt, batch_format="pandas").write_parquet(tmp)
+        _write_parquet_typed(
+            g.map_batches(adapt, batch_format="pandas"), tmp,
+            {"doc_id": pa.int64(), "text": pa.string(),
+             "lang": pa.string(), "source": pa.string()})
 
     _run_stage(docs_path, build_docs)
 

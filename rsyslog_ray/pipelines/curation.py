@@ -50,21 +50,40 @@ def _run_stage(final_dir: str, build_fn) -> bool:
     return True
 
 
-def _write_parquet_typed(ds, tmp: str, empty_cols: dict) -> None:
+def _write_parquet_typed(ds, tmp: str,
+                         empty_cols: dict | None = None) -> None:
     """``ds.write_parquet(tmp)`` that stays readable when the dataset
     is EMPTY: Ray's parquet sink skips empty blocks entirely (no files,
     not even the directory), so a downstream ``read_parquet`` of the
     committed stage dir would fail.  When nothing was written, commit
     one zero-row file with the stage's declared schema
-    (``empty_cols``: name -> pyarrow type) instead."""
+    (``empty_cols``: name -> pyarrow type), or — when no schema is
+    passed — the executed dataset's own schema (object dtypes map to
+    string: every curation/pretrain object column is text)."""
     import glob
 
+    import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     ds.write_parquet(tmp)
     os.makedirs(tmp, exist_ok=True)
     if not glob.glob(os.path.join(tmp, "*.parquet")):
+        if empty_cols is None:
+            sch = ds.schema(fetch_if_missing=True)
+            if sch is None:      # zero blocks: schema unknowable —
+                sch = type("S", (), {"names": [], "types": []})()
+
+            def conv(t):
+                if isinstance(t, pa.DataType):
+                    return t
+                dt = np.dtype(t)
+                if dt == np.dtype(object):
+                    return pa.string()
+                return pa.from_numpy_dtype(dt)
+
+            empty_cols = {n: conv(t)
+                          for n, t in zip(sch.names, sch.types)}
         pq.write_table(
             pa.table({n: pa.array([], type=t)
                       for n, t in empty_cols.items()}),
@@ -174,7 +193,7 @@ def run_curation(docs_path: str, out_dir: str, *,
     def build_exact(tmp: str) -> None:
         shutil.rmtree(cnt_dir, ignore_errors=True)
         os.makedirs(cnt_dir, exist_ok=True)
-        exact_graph().write_parquet(tmp)
+        _write_parquet_typed(exact_graph(), tmp)
         # meta BEFORE the stage dir becomes visible: a crash between
         # the dir rename and a later meta write would otherwise
         # wedge resume forever (stage skipped, meta missing)
@@ -269,7 +288,7 @@ def run_curation(docs_path: str, out_dir: str, *,
         stats["docs_out"] = curated.count()
     else:
         _run_stage(os.path.join(out_dir, "curated"),
-                   lambda tmp: curated_graph().write_parquet(tmp))
+                   lambda tmp: _write_parquet_typed(curated_graph(), tmp))
         curated = None
         out_files = sorted(os.listdir(os.path.join(out_dir, "curated")))
         import pyarrow.parquet as pq

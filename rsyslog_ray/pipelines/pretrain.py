@@ -41,7 +41,8 @@ import os
 
 import pandas as pd
 
-from .curation import _run_stage, run_curation
+from .curation import (_run_stage, _write_parquet_typed,
+                       run_curation)
 
 
 def run_pretrain(docs_path: str, out_dir: str, *,
@@ -82,9 +83,8 @@ def run_pretrain(docs_path: str, out_dir: str, *,
         decon_ds = decontaminate(curated_ds, benchmark_texts,
                                  n=ngram).materialize()
     else:
-        _run_stage(decon_path, lambda tmp: (
-            decontaminate(curated_ds, benchmark_texts,
-                          n=ngram).write_parquet(tmp)))
+        _run_stage(decon_path, lambda tmp: _write_parquet_typed(
+            decontaminate(curated_ds, benchmark_texts, n=ngram), tmp))
         decon_ds = ray.data.read_parquet(decon_path)
     stats["after_decontamination"] = decon_ds.count()
 
@@ -103,10 +103,10 @@ def run_pretrain(docs_path: str, out_dir: str, *,
             decon_ds.map_batches(scrub, batch_format="pandas"),
             weights or {}, default=default_weight).materialize()
     else:
-        _run_stage(mixed_path, lambda tmp: (
-            mix_sample(decon_ds.map_batches(scrub, batch_format="pandas"),
-                       weights or {}, default=default_weight)
-            .write_parquet(tmp)))
+        _run_stage(mixed_path, lambda tmp: _write_parquet_typed(
+            mix_sample(decon_ds.map_batches(scrub,
+                                            batch_format="pandas"),
+                       weights or {}, default=default_weight), tmp))
         mixed = ray.data.read_parquet(mixed_path)
     stats["after_mixing"] = mixed.count()
 
@@ -119,8 +119,8 @@ def run_pretrain(docs_path: str, out_dir: str, *,
     if fused:
         shuffled = epoch_shuffle(mixed, seed=seed).materialize()
     else:
-        _run_stage(shuf_path, lambda tmp: (
-            epoch_shuffle(mixed, seed=seed).write_parquet(tmp)))
+        _run_stage(shuf_path, lambda tmp: _write_parquet_typed(
+            epoch_shuffle(mixed, seed=seed), tmp))
         shuffled = ray.data.read_parquet(shuf_path)
 
     # ---- stage 5: pack to fixed-length LM rows IN SHUFFLE ORDER
@@ -131,9 +131,11 @@ def run_pretrain(docs_path: str, out_dir: str, *,
         packed = pack_sequences(shuffled, seq_len,
                                 id_col="skey").materialize()
     else:
-        _run_stage(packed_path, lambda tmp: (
-            pack_sequences(shuffled, seq_len,
-                           id_col="skey").write_parquet(tmp)))
+        _run_stage(packed_path, lambda tmp: _write_parquet_typed(
+            pack_sequences(shuffled, seq_len, id_col="skey"), tmp,
+            {"seq": pa.list_(pa.int64(), seq_len),
+             "n_docs": pa.int64(),
+             "n_pad": pa.int32()}))
         packed = ray.data.read_parquet(packed_path, columns=["n_pad"])
 
     # funnel stats over the packed output: a column-pruned DISTRIBUTED
@@ -146,8 +148,10 @@ def run_pretrain(docs_path: str, out_dir: str, *,
 
     agg = (packed.select_columns(["n_pad"])
            .map_batches(_pack_partial, batch_format="pandas").to_pandas())
-    rows = int(agg["rows"].sum())
-    pads = int(agg["pads"].sum())
+    # an empty packed output yields zero partial batches (column-less
+    # frame) — the funnel is simply zero
+    rows = int(agg["rows"].sum()) if "rows" in agg.columns else 0
+    pads = int(agg["pads"].sum()) if "pads" in agg.columns else 0
     stats["packed_rows"] = rows
     stats["packed_tokens"] = rows * seq_len
     stats["pad_tokens"] = pads

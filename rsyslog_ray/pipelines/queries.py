@@ -46,6 +46,31 @@ def _read(sf_dir: str, table: str, columns=None, parallel: int = 0):
     return ds
 
 
+def _doc_count(sf_dir: str) -> int:
+    """Row count of the documents table (footer-only read) — the ``n``
+    of the planted deterministic link rule, shared by every consumer
+    so rule and count can't drift apart."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows)
+
+
+def _planted_edges(df: pd.DataFrame, n: int) -> pd.DataFrame:
+    """The planted deterministic link rule i -> (7i+1)%n, (i+1)%n as
+    (src, dst) rows — ONE definition for every graph query
+    (q:hits_scores, q:triangle_count; q:link_graph and q:anchor_text
+    exercise the same rule through the WARC fixture in
+    pipelines/crawl.documents_to_warc).  The SQL_TAIL oracles restate
+    it arithmetically; change it here and there together."""
+    i = df["doc_id"].astype("int64").to_numpy()
+    return pd.DataFrame({
+        "src": np.concatenate([i, i]),
+        "dst": np.concatenate([(i * 7 + 1) % n, (i + 1) % n])})
+
+
 def _scratch(name: str, sf_dir: str) -> str:
     """Per-(query, sf, RUN) scratch dir, wiped on entry — repeated
     driver-gate/bench runs reuse ONE tree per run instead of leaking a
@@ -2698,8 +2723,7 @@ def q_link_graph(sf_dir):
     from ..stages.parse import extract_links_frame
     from ..stages.text import sniff_decode_row
 
-    n = int(pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id"]).shape[0])
+    n = _doc_count(sf_dir)
     root = _scratch("link_graph", sf_dir)
     documents_to_warc(os.path.join(sf_dir, "documents.parquet"),
                       os.path.join(root, "warc"), links=True, n_docs=n)
@@ -5165,21 +5189,12 @@ def q_hits_scores(sf_dir):
     both scaled to integer micro-units by max-division.  The unrolled
     DuckDB oracle in SQL_TAIL repeats the two half-iterations with
     joins and matches hash-exactly."""
-    import os
-
     from ..stages.graph import hits_int
 
-    n = int(pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id"]).shape[0])
+    n = _doc_count(sf_dir)
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(df: pd.DataFrame) -> pd.DataFrame:
-        i = df["doc_id"].astype("int64").to_numpy()
-        return pd.DataFrame({
-            "src": np.concatenate([i, i]),
-            "dst": np.concatenate([(i * 7 + 1) % n, (i + 1) % n])})
-
-    res = hits_int(ds.map_batches(edges, batch_format="pandas"),
+    res = hits_int(ds.map_batches(lambda df: _planted_edges(df, n),
+                                  batch_format="pandas"),
                    "src", "dst")
     res["node"] = res["node"].astype("int64")
     return res.sort_values("node").reset_index(drop=True)
@@ -5288,8 +5303,7 @@ def q_anchor_text(sf_dir):
     from ..stages.parse import extract_anchors_frame
     from ..stages.text import sniff_decode_row
 
-    n = int(pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id"]).shape[0])
+    n = _doc_count(sf_dir)
     root = _scratch("anchor_text", sf_dir)
     documents_to_warc(os.path.join(sf_dir, "documents.parquet"),
                       os.path.join(root, "warc"), links=True,
@@ -5407,22 +5421,14 @@ def q_triangle_count(sf_dir):
     -> ONE composite-key closure join against the edge set, count/3.
     The DuckDB oracle is the classic three-way self-join over the same
     arithmetic edges."""
-    import os
-
     from ..stages.graph import triangle_count
 
-    n = int(pd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                            columns=["doc_id"]).shape[0])
     ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(df: pd.DataFrame) -> pd.DataFrame:
-        i = df["doc_id"].astype("int64").to_numpy()
-        return pd.DataFrame({
-            "src": np.concatenate([i, i]),
-            "dst": np.concatenate([(i * 7 + 1) % n, (i + 1) % n])})
-
-    t = triangle_count(ds.map_batches(edges, batch_format="pandas"),
-                       "src", "dst")
+    t = triangle_count(
+        ds.map_batches(
+            lambda df, _n=_doc_count(sf_dir): _planted_edges(df, _n),
+            batch_format="pandas"),
+        "src", "dst")
     return pd.DataFrame({"triangles": pd.Series([t], dtype="int64")})
 
 

@@ -231,6 +231,10 @@ def hits_int(edges_ds, src: str, dst: str, *,
     srcs = two_phase_agg(edges_ds.select_columns([src]), [src],
                          count="_o")
     nodes = np.union1d(deg[dst].to_numpy(), srcs[src].to_numpy())
+    if len(nodes) == 0:       # no edges at all (link-free corpus)
+        return pd.DataFrame({node_col: nodes,
+                             auth_col: np.array([], dtype="int64"),
+                             hub_col: np.array([], dtype="int64")})
     a = np.zeros(len(nodes), dtype=np.int64)
     pos = np.searchsorted(nodes, deg[dst].to_numpy())
     a[pos] = deg["a"].to_numpy(np.int64)
@@ -257,6 +261,17 @@ def hits_int(edges_ds, src: str, dst: str, *,
 
     h = push(a, dst, src)          # h1(u) = sum a1(dst)
     a2 = push(h, src, dst)         # a2(v) = sum h1(src)
+    # int64 headroom: scores grow like edges x max-score per push —
+    # numpy wraps SILENTLY on overflow, which would desync the engine
+    # from the HUGEINT SQL oracle with no error.  Refuse loudly; the
+    # caller's escape hatch is a smaller ``scale`` (the arithmetic
+    # bound is max_score * scale < 2^63).
+    lim = (1 << 63) - 1
+    if int(a2.max()) > lim // max(1, int(scale)) \
+            or int(h.max()) > lim // max(1, int(scale)):
+        raise OverflowError(
+            "hits_int scores exceed int64 headroom for this scale; "
+            "pass a smaller scale=")
     s = np.int64(scale)
     auth = (a2 * s) // max(np.int64(1), a2.max())
     hub = (h * s) // max(np.int64(1), h.max())

@@ -676,6 +676,23 @@ def approx_distinct_per_key(ds, key: str, col: str, *, p: int = 10
             .sort_values(key).reset_index(drop=True))
 
 
+def _md5_key_frame(df, id_col: str, extra_cols=()) -> "pd.DataFrame":
+    """(id, h[, extras]) rows with h = md5(str(id)) hexdigest — the
+    hash spec every bottom-k sampling SQL oracle pins; ONE definition
+    so an edit can't break the engine/oracle parity of only one
+    query."""
+    import hashlib
+
+    s = df[id_col].astype(str)
+    h = np.fromiter(
+        (hashlib.md5(v.encode()).hexdigest() for v in s),
+        dtype=object, count=len(s))
+    cols = {id_col: df[id_col].to_numpy(), "h": h}
+    for c in extra_cols:
+        cols[c] = df[c].to_numpy()
+    return pd.DataFrame(cols)
+
+
 def bottomk_sample(ds, id_col: str, k: int = 20) -> pd.DataFrame:
     """Deterministic uniform sample of ``k`` rows: keep the k items
     whose md5(str(id)) digests sort smallest — the mergeable BOTTOM-K
@@ -688,14 +705,8 @@ def bottomk_sample(ds, id_col: str, k: int = 20) -> pd.DataFrame:
     Scale shape: each batch ships at most k (id, hash) rows; the
     driver reduce is O(batches * k).  md5 is per-row C (hashlib) on
     the id string only — the sampled columns never move."""
-    import hashlib
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[id_col].astype(str)
-        h = np.fromiter(
-            (hashlib.md5(v.encode()).hexdigest() for v in s),
-            dtype=object, count=len(s))
-        t = pd.DataFrame({id_col: df[id_col].to_numpy(), "h": h})
+        t = _md5_key_frame(df, id_col)
         return t.sort_values(["h", id_col]).head(k)
 
     parts = (ds.map_batches(partial, batch_format="pandas")
@@ -711,15 +722,8 @@ def bottomk_sample_bykey(ds, key_col: str, id_col: str,
     batch ships at most k rows per key it contains, the driver merge
     is O(batches * keys * k); same partition/order/retry invariance,
     same exact SQL oracle (row_number over md5)."""
-    import hashlib
-
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[id_col].astype(str)
-        h = np.fromiter(
-            (hashlib.md5(v.encode()).hexdigest() for v in s),
-            dtype=object, count=len(s))
-        t = pd.DataFrame({key_col: df[key_col].to_numpy(),
-                          id_col: df[id_col].to_numpy(), "h": h})
+        t = _md5_key_frame(df, id_col, extra_cols=(key_col,))
         t = t.sort_values(["h", id_col])
         return t.groupby(key_col, sort=False).head(k)
 

@@ -256,3 +256,25 @@ def test_crawl_ingest_everything_gated_out(ray_session, planted_docs,
     assert len(gated) == 0
     assert set(gated.columns) == {"uri", "charset", "text",
                                   "n_tokens", "n_stop", "pred_lang"}
+
+
+def test_web_pretrain_everything_gated_out(ray_session, planted_docs,
+                                           tmp_path):
+    """The composed recipe survives a gate that removes every record:
+    all stage dirs commit readable (typed zero-row files) and the
+    funnel is zero end-to-end."""
+    from rsyslog_ray.pipelines.crawl import (documents_to_warc,
+                                             run_web_pretrain)
+
+    warc = str(tmp_path / "warc")
+    out = str(tmp_path / "out")
+    documents_to_warc(planted_docs, warc)
+    stats = run_web_pretrain(
+        warc, out, seq_len=16, seed=3, default_weight=1.0,
+        ingest_kwargs={"langs": ("xx",)})
+    assert stats["crawl_n_gated"] == 0
+    assert stats["curation.docs_in"] == 0
+    assert stats["packed_tokens"] == 0
+    docs = pd.read_parquet(os.path.join(out, "docs"))
+    assert len(docs) == 0
+    assert set(docs.columns) == {"doc_id", "text", "lang", "source"}

@@ -1267,3 +1267,17 @@ def test_resolve_chains_early_exit_high_rounds(ray_session):
     out = (resolve_chains(_mk(ray, flat), "u", "t", rounds=8)
            .to_pandas().sort_values("u").reset_index(drop=True))
     assert out["t"].tolist() == [0, 0]
+
+
+def test_hits_int_empty_graph(ray_session):
+    """A link-free corpus (zero edges) returns an empty typed result
+    instead of crashing."""
+    import ray
+
+    from rsyslog_ray.stages.graph import hits_int
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                          "dst": pd.Series([], dtype="int64")})
+    got = hits_int(ray.data.from_pandas(empty), "src", "dst")
+    assert len(got) == 0
+    assert list(got.columns) == ["node", "auth_u", "hub_u"]
