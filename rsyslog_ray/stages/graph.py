@@ -19,8 +19,9 @@ thing; each iteration broadcasts the O(nodes) rank/degree table
 contribution sums — the same broadcast-small / combiner-partial
 pattern as semi_join's broadcast final.  The documented assumption is
 a rank table that fits the driver (millions of nodes); past that,
-swap the broadcast for the hash-partitioned join shape
-(join.hash_join) without touching the arithmetic.
+:func:`pagerank_int_distributed` IS the hash-partitioned join shape —
+same arithmetic bit-for-bit (pinned in t:test_join_ext), the rank
+table a Dataset end-to-end.
 
 Reference relationship: rsyslog has no graph ops; this is engine
 extension surface (SURVEY.md §8 'beyond-reference'), included because
@@ -219,7 +220,8 @@ def hits_int(edges_ds, src: str, dst: str, *,
     Scale shape is :func:`pagerank_int`'s: edges stay a Dataset
     (materialized once — three passes), each half-iteration broadcasts
     the O(nodes) score table (``ray.put``) and ships per-batch partial
-    sums; same driver-table assumption and hash-join escape hatch.
+    sums; past driver-table scale use :func:`hits_int_distributed`
+    (bit-identical, score table a Dataset end-to-end).
     """
     import ray
 
@@ -390,3 +392,212 @@ def triangle_count(edges_ds, src: str, dst: str, *,
     n = closed.count()
     assert n % 3 == 0, "wedge closure count must be divisible by 3"
     return n // 3
+
+
+def pagerank_int_distributed(edges_ds, src: str, dst: str, *,
+                             iters: int = 3, init: int = 1_000_000,
+                             base: int = 150_000, damp_num: int = 85,
+                             damp_den: int = 100,
+                             rank_col: str = "rank_u",
+                             n_buckets: int = 64):
+    """:func:`pagerank_int` with the documented hash-join escape hatch
+    IMPLEMENTED: the rank/degree table is a DATASET end-to-end (no
+    O(nodes) driver broadcast), for graphs whose node table outgrows
+    the driver.  Bit-identical arithmetic (integer contributions,
+    damping, base) — pinned equal to the broadcast variant in
+    t:test_join_ext.
+
+    Per iteration: contrib derives per-node (map), one
+    :func:`~rsyslog_ray.stages.join.hash_join` ships each edge its
+    src's contribution, a dst-hashed bucket pass sums partials, and a
+    left join folds the sums back over the full degree table (absent
+    sum = no incoming = base).  Everything that moves is 2-3 int
+    columns; ranks re-materialize per round (the iterative-lineage
+    rule above).  Returns a Dataset[(node, rank_u)].
+    """
+    from .join import hash_join
+
+    edges = (edges_ds.map_batches(
+        lambda df, _s=src, _d=dst: pd.DataFrame(
+            {"node": df[_s].to_numpy(), "_dst": df[_d].to_numpy()}),
+        batch_format="pandas").materialize())
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        t = (df.groupby("node", as_index=False).size()
+             .rename(columns={"size": "d"}))
+        t["__pp"] = (pd.util.hash_array(t["node"].to_numpy())
+                     % np.uint64(n_buckets)).astype("int64")
+        return t
+
+    def count_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        t = g.groupby("node", as_index=False)["d"].sum()
+        t["d"] = t["d"].astype("int64")
+        t["rank"] = np.int64(init)
+        return t
+
+    ranks = (edges.select_columns(["node"])
+             .map_batches(count_partial, batch_format="pandas")
+             .groupby("__pp").map_groups(count_reduce,
+                                         batch_format="pandas")
+             .materialize())          # Dataset[(node, d, rank)]
+
+    for _ in range(iters):
+        contrib = ranks.map_batches(
+            lambda df: pd.DataFrame({
+                "node": df["node"].to_numpy(),
+                "c": (df["rank"].to_numpy(np.int64)
+                      // df["d"].to_numpy(np.int64))}),
+            batch_format="pandas")
+        # ship each edge its src's contribution (src column is "node")
+        carried = hash_join(edges, contrib, "node",
+                            n_buckets=n_buckets)
+
+        def sum_partial(df: pd.DataFrame) -> pd.DataFrame:
+            t = (df.groupby("_dst", as_index=False)["c"].sum()
+                 .rename(columns={"_dst": "node", "c": "s"}))
+            t["__pp"] = (pd.util.hash_array(t["node"].to_numpy())
+                         % np.uint64(n_buckets)).astype("int64")
+            return t
+
+        def sum_reduce(g: pd.DataFrame) -> pd.DataFrame:
+            return g.groupby("node", as_index=False)["s"].sum()
+
+        sums = (carried.map_batches(sum_partial,
+                                    batch_format="pandas")
+                .groupby("__pp").map_groups(sum_reduce,
+                                            batch_format="pandas"))
+        folded = hash_join(ranks.drop_columns(["rank"]), sums,
+                           "node", how="left", n_buckets=n_buckets)
+
+        def new_rank(df: pd.DataFrame) -> pd.DataFrame:
+            s = df["s"].fillna(0).to_numpy(np.int64)
+            return pd.DataFrame({
+                "node": df["node"].to_numpy(),
+                "d": df["d"].to_numpy(np.int64),
+                "rank": (np.int64(base)
+                         + (np.int64(damp_num) * s)
+                         // np.int64(damp_den))})
+
+        ranks = folded.map_batches(new_rank,
+                                   batch_format="pandas").materialize()
+
+    return ranks.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["node"].to_numpy(),
+            rank_col: df["rank"].to_numpy(np.int64)}),
+        batch_format="pandas")
+
+
+def hits_int_distributed(edges_ds, src: str, dst: str, *,
+                         scale: int = 1_000_000,
+                         node_col: str = "node",
+                         auth_col: str = "auth_u",
+                         hub_col: str = "hub_u",
+                         n_buckets: int = 64):
+    """:func:`hits_int` with the hash-join escape hatch implemented
+    (the :func:`pagerank_int_distributed` shape): the score table is a
+    Dataset end-to-end; each push is one hash join of the edges
+    against the current scores plus a bucketed partial-sum pass.
+    Bit-identical to the broadcast variant (pinned in
+    t:test_join_ext).  The max-division scaling needs the two global
+    maxima — two scalar ``Dataset.max()`` reduces, not a table
+    collect.  Returns a Dataset[(node, auth_u, hub_u)]."""
+    from .join import hash_join
+
+    edges = (edges_ds.map_batches(
+        lambda df, _s=src, _d=dst: pd.DataFrame(
+            {"_src": df[_s].to_numpy(), "_dst": df[_d].to_numpy()}),
+        batch_format="pandas").materialize())
+
+    def _bucketed_sum(ds, key: str, val: str, out_key: str):
+        def part(df: pd.DataFrame) -> pd.DataFrame:
+            t = (df.groupby(key, as_index=False)[val].sum()
+                 .rename(columns={key: out_key}))
+            t["__pp"] = (pd.util.hash_array(t[out_key].to_numpy())
+                         % np.uint64(n_buckets)).astype("int64")
+            return t
+
+        def red(g: pd.DataFrame) -> pd.DataFrame:
+            t = g.groupby(out_key, as_index=False)[val].sum()
+            t[val] = t[val].astype("int64")
+            return t
+
+        return (ds.map_batches(part, batch_format="pandas")
+                .groupby("__pp").map_groups(red,
+                                            batch_format="pandas"))
+
+    # node table = src nodes UNION dst nodes (score 0 when absent)
+    def emit_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        t = pd.DataFrame({"node": np.concatenate(
+            [df["_src"].to_numpy(), df["_dst"].to_numpy()])})
+        t = t.drop_duplicates()
+        t["__pp"] = (pd.util.hash_array(t["node"].to_numpy())
+                     % np.uint64(n_buckets)).astype("int64")
+        return t
+
+    nodes = (edges.map_batches(emit_nodes, batch_format="pandas")
+             .groupby("__pp").map_groups(
+                 lambda g: g[["node"]].drop_duplicates(),
+                 batch_format="pandas").materialize())
+
+    def push(score_ds, key_in: str, key_out: str, val: str):
+        """out(k_out) = SUM over edges of score[k_in] — one hash join
+        + one bucketed sum; absent nodes get 0 via a left join over
+        the full node table."""
+        carried = hash_join(
+            edges.map_batches(
+                lambda df, _k=key_in: df.rename(
+                    columns={_k: "node",
+                             ("_dst" if _k == "_src" else "_src"):
+                             "_other"}),
+                batch_format="pandas"),
+            score_ds, "node", n_buckets=n_buckets)
+        sums = _bucketed_sum(
+            carried.map_batches(
+                lambda df, _v=val: pd.DataFrame(
+                    {"_other": df["_other"].to_numpy(),
+                     _v: df[_v].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            "_other", val, "node")
+        folded = hash_join(nodes, sums, "node", how="left",
+                           n_buckets=n_buckets)
+        return folded.map_batches(
+            lambda df, _v=val: pd.DataFrame(
+                {"node": df["node"].to_numpy(),
+                 _v: df[_v].fillna(0).to_numpy(np.int64)}),
+            batch_format="pandas").materialize()
+
+    # a1 = indegree: score 1 at every node, pushed along src -> dst
+    ones = nodes.map_batches(
+        lambda df: df.assign(a=np.int64(1)), batch_format="pandas")
+    a1 = push(ones, "_src", "_dst", "a")
+    h1 = push(a1.map_batches(
+        lambda df: df.rename(columns={"a": "h"}),
+        batch_format="pandas"), "_dst", "_src", "h")
+    a2 = push(h1, "_src", "_dst", "h")
+
+    amax = int(a2.max("h") or 0)
+    hmax = int(h1.max("h") or 0)
+    lim = (1 << 63) - 1
+    if amax > lim // max(1, int(scale)) \
+            or hmax > lim // max(1, int(scale)):
+        raise OverflowError(
+            "hits_int scores exceed int64 headroom for this scale; "
+            "pass a smaller scale=")
+    joined = hash_join(
+        a2.map_batches(lambda df: df.rename(columns={"h": "_a2"}),
+                       batch_format="pandas"),
+        h1.map_batches(lambda df: df.rename(columns={"h": "_h1"}),
+                       batch_format="pandas"),
+        "node", how="left", n_buckets=n_buckets)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["_a2"].fillna(0).to_numpy(np.int64)
+        h = df["_h1"].fillna(0).to_numpy(np.int64)
+        s = np.int64(scale)
+        return pd.DataFrame({
+            node_col: df["node"].to_numpy(),
+            auth_col: (a * s) // max(np.int64(1), np.int64(amax or 1)),
+            hub_col: (h * s) // max(np.int64(1), np.int64(hmax or 1))})
+
+    return joined.map_batches(finish, batch_format="pandas")

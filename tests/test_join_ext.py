@@ -1281,3 +1281,50 @@ def test_hits_int_empty_graph(ray_session):
     got = hits_int(ray.data.from_pandas(empty), "src", "dst")
     assert len(got) == 0
     assert list(got.columns) == ["node", "auth_u", "hub_u"]
+
+
+def test_pagerank_distributed_equals_broadcast(ray_session):
+    """The hash-join (no-driver-table) PageRank == the broadcast
+    variant bit-for-bit on a random multigraph with dangling dsts and
+    a no-incoming node — the documented escape hatch, implemented."""
+    import ray
+
+    rng = np.random.default_rng(61)
+    edges = pd.DataFrame({
+        "src": rng.integers(0, 50, 400),
+        "dst": rng.integers(0, 55, 400)})   # some dangling dsts
+    edges = pd.concat([edges, pd.DataFrame(
+        {"src": [999], "dst": [0]})], ignore_index=True)
+
+    from rsyslog_ray.stages.graph import (pagerank_int,
+                                          pagerank_int_distributed)
+
+    want = (pagerank_int(_mk(ray, edges), "src", "dst", iters=3)
+            .sort_values("node").reset_index(drop=True))
+    got = (pagerank_int_distributed(_mk(ray, edges), "src", "dst",
+                                    iters=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"node": "int64", "rank_u": "int64"}),
+        want.astype({"node": "int64", "rank_u": "int64"}))
+
+
+def test_hits_distributed_equals_broadcast(ray_session):
+    """The hash-join (no-driver-table) HITS == the broadcast variant
+    bit-for-bit, including multigraph duplicates and pure-source /
+    pure-sink nodes."""
+    import ray
+
+    rng = np.random.default_rng(67)
+    edges = pd.DataFrame({"src": rng.integers(0, 35, 260),
+                          "dst": rng.integers(0, 40, 260)})
+    edges = pd.concat([edges, edges.head(4)], ignore_index=True)
+
+    from rsyslog_ray.stages.graph import hits_int, hits_int_distributed
+
+    want = (hits_int(_mk(ray, edges), "src", "dst")
+            .sort_values("node").reset_index(drop=True))
+    got = (hits_int_distributed(_mk(ray, edges), "src", "dst")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    cast = {"node": "int64", "auth_u": "int64", "hub_u": "int64"}
+    pd.testing.assert_frame_equal(got.astype(cast), want.astype(cast))
