@@ -2873,6 +2873,31 @@ def q_overlap_matrix(sf_dir):
     return overlap_matrix(ds, "user_id", "event_type")
 
 
+def _purchase_edges(sf_dir):
+    """Symmetrized customer<->supplier purchase graph from
+    orders |x| lineitem — the edge fixture q:pagerank / q:bfs_hops
+    and their distributed variants share."""
+    from ..stages.graph import symmetrize_unique_edges
+    from ..stages.join import hash_join
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = (_read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+          .map_batches(lambda df: df.rename(
+              columns={"l_orderkey": "o_orderkey"}),
+              batch_format="pandas"))
+    joined = hash_join(orders, li, "o_orderkey")
+
+    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[["o_custkey", "l_suppkey"]].drop_duplicates()
+        return pd.DataFrame({
+            "c": "c" + t["o_custkey"].astype("int64").astype(str),
+            "s": "s" + t["l_suppkey"].astype("int64").astype(str)})
+
+    return symmetrize_unique_edges(
+        joined.map_batches(local_pairs, batch_format="pandas"),
+        "c", "s")
+
+
 def q_pagerank(sf_dir):
     """Integer PageRank (stages/graph.pagerank_int) over the
     symmetrized customer<->supplier bipartite graph from
@@ -2882,26 +2907,9 @@ def q_pagerank(sf_dir):
     Dataset; each iteration broadcasts the O(nodes) rank table and
     ships per-batch partial sums."""
     from ..stages.graph import pagerank_int
-    from ..stages.join import hash_join
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    li = (_read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-          .map_batches(lambda df: df.rename(
-              columns={"l_orderkey": "o_orderkey"}),
-              batch_format="pandas"))
-    joined = hash_join(orders, li, "o_orderkey")
-
-    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[["o_custkey", "l_suppkey"]].drop_duplicates()
-        return pd.DataFrame({
-            "c": "c" + t["o_custkey"].astype("int64").astype(str),
-            "s": "s" + t["l_suppkey"].astype("int64").astype(str)})
-
-    from ..stages.graph import symmetrize_unique_edges
-    edges = symmetrize_unique_edges(
-        joined.map_batches(local_pairs, batch_format="pandas"),
-        "c", "s")
-    return pagerank_int(edges, "src", "dst", iters=3)
+    return pagerank_int(_purchase_edges(sf_dir), "src", "dst",
+                        iters=3)
 
 
 def q_bfs_hops(sf_dir):
@@ -2911,32 +2919,17 @@ def q_bfs_hops(sf_dir):
     round, per-batch unique-destination partials, int distances.
     DuckDB recursive-CTE oracle in SQL_TAIL."""
     from ..stages.graph import bfs_hops
-    from ..stages.join import hash_join
 
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    li = (_read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
-          .map_batches(lambda df: df.rename(
-              columns={"l_orderkey": "o_orderkey"}),
-              batch_format="pandas"))
-    joined = hash_join(orders, li, "o_orderkey")
+    return bfs_hops(_purchase_edges(sf_dir), "src", "dst",
+                    _bfs_sources(sf_dir), max_depth=3)
 
-    def local_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        t = df[["o_custkey", "l_suppkey"]].drop_duplicates()
-        return pd.DataFrame({
-            "c": "c" + t["o_custkey"].astype("int64").astype(str),
-            "s": "s" + t["l_suppkey"].astype("int64").astype(str)})
 
-    from ..stages.graph import symmetrize_unique_edges
-    edges = symmetrize_unique_edges(
-        joined.map_batches(local_pairs, batch_format="pandas"),
-        "c", "s")
-
+def _bfs_sources(sf_dir):
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_nationkey"]).to_pandas()
-    sources = sorted("c" + cust.loc[cust["c_nationkey"] == 0,
-                                    "c_custkey"]
-                     .astype("int64").astype(str))
-    return bfs_hops(edges, "src", "dst", sources, max_depth=3)
+    return sorted("c" + cust.loc[cust["c_nationkey"] == 0,
+                                 "c_custkey"]
+                  .astype("int64").astype(str))
 
 
 def q_linreg_bykey(sf_dir):
@@ -5432,6 +5425,51 @@ def q_triangle_count(sf_dir):
     return pd.DataFrame({"triangles": pd.Series([t], dtype="int64")})
 
 
+def q_pagerank_dist(sf_dir):
+    """The DISTRIBUTED-rank-table PageRank (stages/graph
+    .pagerank_int_distributed — the hash-join escape hatch, node table
+    a Dataset end-to-end) over the same purchase graph and against the
+    SAME unrolled DuckDB oracle as q:pagerank: both implementations
+    must land on identical integers."""
+    from ..stages.graph import pagerank_int_distributed
+
+    res = (pagerank_int_distributed(_purchase_edges(sf_dir), "src",
+                                    "dst", iters=3).to_pandas())
+    res["rank_u"] = res["rank_u"].astype("int64")
+    return res.sort_values("node").reset_index(drop=True)
+
+
+def q_hits_dist(sf_dir):
+    """The DISTRIBUTED-score-table HITS (stages/graph
+    .hits_int_distributed) over the planted link rule, against the
+    SAME unrolled DuckDB oracle as q:hits_scores."""
+    from ..stages.graph import hits_int_distributed
+
+    n = _doc_count(sf_dir)
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    res = (hits_int_distributed(
+        ds.map_batches(lambda df: _planted_edges(df, n),
+                       batch_format="pandas"), "src", "dst")
+        .to_pandas())
+    res = res.astype({"node": "int64", "auth_u": "int64",
+                      "hub_u": "int64"})
+    return res.sort_values("node").reset_index(drop=True)
+
+
+def q_bfs_dist(sf_dir):
+    """The DISTRIBUTED-frontier BFS (stages/graph
+    .bfs_hops_distributed — distance table and frontier stay
+    Datasets) over the same purchase graph and sources, against the
+    SAME recursive-CTE DuckDB oracle as q:bfs_hops."""
+    from ..stages.graph import bfs_hops_distributed
+
+    res = (bfs_hops_distributed(_purchase_edges(sf_dir), "src", "dst",
+                                _bfs_sources(sf_dir), max_depth=3)
+           .to_pandas())
+    res["d"] = res["d"].astype("int64")
+    return res.sort_values("node").reset_index(drop=True)
+
+
 def q_wet_roundtrip(sf_dir):
     """WET sidecar round-trip (sources/warc.write_wet -> read_warc):
     every document written as a Common-Crawl-style conversion record
@@ -5751,4 +5789,13 @@ QUERIES = {
     "bottomk_bykey": q_bottomk_bykey,
     "wet_roundtrip": q_wet_roundtrip,
     "triangle_count": q_triangle_count,
+    "pagerank_dist": q_pagerank_dist,
+    "hits_dist": q_hits_dist,
+    "bfs_dist": q_bfs_dist,
 }
+
+# the distributed graph variants answer to the SAME oracles as their
+# broadcast counterparts — one SQL definition, two implementations
+SQL_TAIL["pagerank_dist"] = SQL_TAIL["pagerank"]
+SQL_TAIL["hits_dist"] = SQL_TAIL["hits_scores"]
+SQL_TAIL["bfs_dist"] = SQL_TAIL["bfs_hops"]

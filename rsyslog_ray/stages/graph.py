@@ -601,3 +601,65 @@ def hits_int_distributed(edges_ds, src: str, dst: str, *,
             hub_col: (h * s) // max(np.int64(1), np.int64(hmax or 1))})
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def bfs_hops_distributed(edges_ds, src: str, dst: str, sources: list,
+                         *, max_depth: int = 3,
+                         node_col: str = "node", dist_col: str = "d",
+                         n_buckets: int = 64):
+    """:func:`bfs_hops` with the hash-join escape hatch implemented:
+    the distance table and the frontier are Datasets end-to-end (no
+    O(nodes) driver dict).  Per round: one hash join ships the
+    frontier along the edges, a bucketed dedup shrinks the candidate
+    set, a hash anti-join (:func:`~rsyslog_ray.stages.join.semi_join`
+    ``anti=True``) drops already-labelled nodes, and the survivors
+    append to the distance table at the current depth.  Bit-identical
+    to the broadcast variant (pinned in t:test_join_ext).  Returns a
+    Dataset[(node, d)]."""
+    import ray
+
+    from .join import hash_join, semi_join
+
+    edges = (edges_ds.map_batches(
+        lambda df, _s=src, _d=dst: pd.DataFrame(
+            {"node": df[_s].to_numpy(), "_dst": df[_d].to_numpy()}),
+        batch_format="pandas").materialize())
+
+    seed = pd.DataFrame({"node": pd.Series(sorted(set(sources))),
+                         dist_col: np.int64(0)})
+    dist = ray.data.from_pandas(seed).materialize()
+    frontier = dist.drop_columns([dist_col]).materialize()
+
+    for depth in range(1, max_depth + 1):
+        if frontier.count() == 0:
+            break
+        hops = hash_join(edges, frontier.map_batches(
+            lambda df: df.assign(_f=np.int64(1)),
+            batch_format="pandas"), "node", n_buckets=n_buckets)
+
+        def cand(df: pd.DataFrame) -> pd.DataFrame:
+            t = pd.DataFrame({"node": df["_dst"].unique()})
+            t["__pp"] = (pd.util.hash_array(t["node"].to_numpy())
+                         % np.uint64(n_buckets)).astype("int64")
+            return t
+
+        new_nodes = (hops.map_batches(cand, batch_format="pandas")
+                     .groupby("__pp").map_groups(
+                         lambda g: g[["node"]].drop_duplicates(),
+                         batch_format="pandas"))
+        fresh = semi_join(new_nodes,
+                          dist.select_columns(["node"]),
+                          "node", anti=True,
+                          n_buckets=n_buckets)
+        frontier = fresh.materialize()
+        labelled = frontier.map_batches(
+            lambda df, _d=depth: df.assign(
+                **{dist_col: np.int64(_d)}),
+            batch_format="pandas")
+        dist = dist.union(labelled).materialize()
+
+    if node_col != "node":
+        dist = dist.map_batches(
+            lambda df, _n=node_col: df.rename(columns={"node": _n}),
+            batch_format="pandas")
+    return dist

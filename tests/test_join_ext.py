@@ -1328,3 +1328,24 @@ def test_hits_distributed_equals_broadcast(ray_session):
            .to_pandas().sort_values("node").reset_index(drop=True))
     cast = {"node": "int64", "auth_u": "int64", "hub_u": "int64"}
     pd.testing.assert_frame_equal(got.astype(cast), want.astype(cast))
+
+
+def test_bfs_distributed_equals_broadcast(ray_session):
+    """The hash-join (no-driver-dict) BFS == the broadcast variant on
+    a random graph with unreachable nodes and multi-source seeds."""
+    import ray
+
+    rng = np.random.default_rng(71)
+    edges = pd.DataFrame({"src": rng.integers(0, 40, 200),
+                          "dst": rng.integers(0, 48, 200)})
+
+    from rsyslog_ray.stages.graph import bfs_hops, bfs_hops_distributed
+
+    want = (bfs_hops(_mk(ray, edges), "src", "dst", [0, 7],
+                     max_depth=3)
+            .sort_values("node").reset_index(drop=True))
+    got = (bfs_hops_distributed(_mk(ray, edges), "src", "dst", [0, 7],
+                                max_depth=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    cast = {"node": "int64", "d": "int64"}
+    pd.testing.assert_frame_equal(got.astype(cast), want.astype(cast))
