@@ -278,3 +278,45 @@ def test_web_pretrain_everything_gated_out(ray_session, planted_docs,
     docs = pd.read_parquet(os.path.join(out, "docs"))
     assert len(docs) == 0
     assert set(docs.columns) == {"doc_id", "text", "lang", "source"}
+
+
+def test_web_pretrain_stage_truncation_matrix(ray_session,
+                                              planted_docs, tmp_path):
+    """Stage-truncation resume matrix for the composed recipe: after a
+    full run, cut the pipeline at several representative stage
+    boundaries (delete that artifact and everything downstream — the
+    state any torn run leaves) and re-run; the final funnel must come
+    back identical every time, and stages BEFORE the cut must not be
+    rebuilt (mtime-pinned)."""
+    import shutil
+
+    from rsyslog_ray.pipelines.crawl import (documents_to_warc,
+                                             run_web_pretrain)
+
+    warc = str(tmp_path / "warc")
+    out = str(tmp_path / "out")
+    documents_to_warc(planted_docs, warc)
+    kw = dict(seq_len=16, seed=3, default_weight=1.0,
+              ingest_kwargs={"min_tokens": 5, "max_stop_ratio": 0.5})
+    want = run_web_pretrain(warc, out, **kw)
+
+    # artifact dependency order (earliest -> latest)
+    order = ["ingest/records", "ingest/gated", "docs",
+             "pretrain/curation/exact",
+             "pretrain/curation/neardup_pairs",
+             "pretrain/curation/neardup_components",
+             "pretrain/curation/curated",
+             "pretrain/decon", "pretrain/mixed",
+             "pretrain/shuffled", "pretrain/packed"]
+    for cut in ("docs", "pretrain/curation/neardup_pairs",
+                "pretrain/mixed", "pretrain/packed"):
+        idx = order.index(cut)
+        for art in order[idx:]:
+            shutil.rmtree(os.path.join(out, art), ignore_errors=True)
+        kept = {a: os.path.getmtime(os.path.join(out, a))
+                for a in order[:idx]}
+        got = run_web_pretrain(warc, out, **kw)
+        assert got == want, f"funnel diverged after cut at {cut}"
+        for a, m in kept.items():
+            assert os.path.getmtime(os.path.join(out, a)) == m, \
+                f"stage {a} rebuilt after cut at {cut}"
