@@ -382,6 +382,56 @@ def canonical_url_row(u: str, strip_www: bool = True) -> str:
     return f"{scheme}://{(cred + '@') if cred else ''}{host}{port}{path}{q}"
 
 
+def surt_frame(url: pd.Series) -> pd.Series:
+    """SURT keys (Sort-friendly URI Reordering Transform — the sort
+    key of web-archive CDX indexes; cf. the cc-index / OpenWayback
+    canonicalization): ``http://www.sub.example.com:8080/p?b=2&a=1``
+    -> ``com,example,sub:8080)/p?a=1&b=2``.  Semantics: scheme,
+    credentials and fragment dropped; host lowercased, one leading
+    ``www.`` stripped, dot-labels REVERSED and comma-joined;
+    default-for-scheme ports (http:80 / https:443) dropped, others
+    kept as ``:port``; empty path -> ``/``; query params sorted.
+    Path/query case is preserved (deviation from strictest SURT,
+    which lowercases the whole URL).  Vectorized: one regex
+    decompose; only the label reversal and param sort are per-row."""
+    parts = url.astype("string").str.extract(URL_RE)
+    scheme = parts["scheme"].fillna("").str.lower()
+    host = (parts["host"].fillna("").str.lower()
+            .str.replace(r"^www\.", "", regex=True))
+    rev = host.str.split(".").map(
+        lambda ls: ",".join(reversed(ls)) if isinstance(ls, list) else "")
+    port = parts["port"].fillna("")
+    default = ((scheme.eq("http") & port.eq("80"))
+               | (scheme.eq("https") & port.eq("443")) | port.eq(""))
+    port = (":" + port).where(~default, "")
+    path = parts["resource_path"].fillna("")
+    path = path.where(path != "", "/")
+    qs = parts["query_string"].fillna("")
+    qsorted = qs.map(
+        lambda q: "?" + "&".join(sorted(q.split("&"))) if q else "")
+    return (rev + port + ")" + path + qsorted).astype(object)
+
+
+def surt_row(u: str) -> str:
+    """Scalar spec for surt_frame (tests compare element-wise)."""
+    import re as _re
+    m = _re.match(r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:([^@/?#]+)@)?"
+                  r"([^/:?#]*)(?::(\d+))?(/[^?#]*)?(?:\?([^#]*))?(?:#.*)?$",
+                  u)
+    scheme, _cred, host, port, path, qs = m.groups()
+    scheme = (scheme or "").lower()
+    host = (host or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    rev = ",".join(reversed(host.split("."))) if host else ""
+    port = port or ""
+    if (scheme, port) in (("http", "80"), ("https", "443")):
+        port = ""
+    port = (":" + port) if port else ""
+    q = "?" + "&".join(sorted(qs.split("&"))) if qs else ""
+    return f"{rev}{port}){path or '/'}{q}"
+
+
 # ---- anonymization (mmanon zero-mode analog,
 #      plugins/mmanon/mmanon.c:59-166: mask low bits of IPv4s in text)
 IPV4_RE = r"\b(\d{1,3}\.\d{1,3}\.\d{1,3})\.\d{1,3}\b"

@@ -3503,6 +3503,47 @@ SQL_TAIL: dict[str, str] = {
     "wet_roundtrip": """
         SELECT doc_id, text FROM documents ORDER BY doc_id
     """,
+    # q_cdx_index: the CDXJ lines' SQL-derivable columns re-derived
+    # from the deterministic documents_to_warc fixture rule (host
+    # 'corpus' is dot-free, so its SURT is 'corpus)'; the capture date
+    # is fixed).  offset/length/digest are pinned by pytest seeks.
+    "cdx_index": """
+        SELECT 'corpus)/' || lang || '/' || CAST(doc_id AS VARCHAR)
+                   AS surt,
+               '20250101000000' AS ts,
+               'http://corpus/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) AS uri,
+               'text/html' AS mime,
+               CAST(200 AS BIGINT) AS status
+        FROM documents ORDER BY surt, ts, uri
+    """,
+    # q_revisit_dedup: two utf-8 snapshots of every document ->
+    # revisit kinds via a window min over the fixed-width (ts || uri)
+    # composite; payload-digest classes == text classes because the
+    # fixture payload IS the utf-8 text.
+    "revisit_dedup": """
+        WITH caps AS (
+          SELECT 'http://corpus/' || lang || '/'
+                     || CAST(doc_id AS VARCHAR) AS uri,
+                 '20250101000000' AS ts, text FROM documents
+          UNION ALL
+          SELECT 'http://corpus/' || lang || '/'
+                     || CAST(doc_id AS VARCHAR),
+                 '20250102000000', text FROM documents
+        ), w AS (
+          SELECT uri, ts,
+                 min(ts || uri) OVER (PARTITION BY text) AS first_cap
+          FROM caps
+        )
+        SELECT uri, ts,
+               CASE WHEN ts || uri = first_cap
+                    THEN 'response' ELSE 'revisit' END AS kind,
+               CASE WHEN ts || uri = first_cap
+                    THEN '' ELSE substr(first_cap, 15) END AS ref_uri,
+               CASE WHEN ts || uri = first_cap
+                    THEN '' ELSE substr(first_cap, 1, 14) END AS ref_ts
+        FROM w ORDER BY uri, ts
+    """,
     # q_bottomk_bykey: same per-key md5 order, k = 3.
     "bottomk_bykey": """
         SELECT lang, doc_id, h FROM (
@@ -5595,6 +5636,88 @@ def q_web_pretrain(sf_dir):
                          "value": [float(v) for v in stats.values()]})
 
 
+def q_cdx_index(sf_dir):
+    """CDX capture index over the fixture archive (sources/warc
+    .build_cdx -> read_cdx): the documents table warcified
+    (member-per-record .warc.gz), indexed — SURT key, 14-digit ts,
+    capture coordinates — via per-archive parallel read + ONE
+    (surt, ts, uri) range sort, read back from the CDXJ shards.
+    The SQL oracle re-derives surt/ts/uri/mime/status from the
+    deterministic fixture rule; the non-SQL coordinates
+    (offset/length/digest: gzip-member spans + payload sha256) are
+    pinned by t:test_warc random-access seeks."""
+    import os
+
+    from ..pipelines.crawl import documents_to_warc
+    from ..sources.warc import build_cdx, read_cdx
+
+    root = _scratch("cdx_index", sf_dir)
+    warc_dir = documents_to_warc(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(root, "warc"))
+    build_cdx(warc_dir, os.path.join(root, "cdx"))
+    idx = read_cdx(os.path.join(root, "cdx")).to_pandas()
+    idx["status"] = idx["status"].astype("int64")
+    return (idx[["surt", "ts", "uri", "mime", "status"]]
+            .sort_values(["surt", "ts", "uri"]).reset_index(drop=True))
+
+
+def q_revisit_dedup(sf_dir):
+    """WARC revisit dedup (sources/warc.dedupe_revisit) over a
+    two-snapshot fixture crawl: every document captured on two dates
+    (identical payload), so snapshot 2 must come back 'revisit'
+    pointing at snapshot 1 — plus any cross-document payload
+    collisions the table itself carries.  Combiner-min + one digest
+    hash-join; nothing corpus-sized on the driver.  The SQL oracle
+    groups by text (same classes as sha256(payload) — payloads are
+    plain utf-8 here) with a window min over the fixed-width (ts,uri)
+    composite."""
+    import os
+
+    from ..sources.warc import build_warc, dedupe_revisit, read_warc
+
+    root = _scratch("revisit_dedup", sf_dir)
+    warc_dir = os.path.join(root, "warc2")
+    marker = os.path.join(warc_dir, "_complete")
+    if not os.path.exists(marker):
+        os.makedirs(warc_dir, exist_ok=True)
+
+        def write_block(df: pd.DataFrame) -> pd.DataFrame:
+            recs = []
+            for date in ("2025-01-01T00:00:00Z", "2025-01-02T00:00:00Z"):
+                for i, t, lang in zip(df["doc_id"], df["text"],
+                                      df["lang"]):
+                    recs.append({
+                        "headers": {
+                            "WARC-Type": "response",
+                            "WARC-Record-ID": f"<urn:doc:{i}:{date}>",
+                            "WARC-Date": date,
+                            "WARC-Target-URI":
+                                f"http://corpus/{lang}/{i}",
+                            "Content-Type":
+                                "application/http; msgtype=response"},
+                        "block": (b"HTTP/1.1 200 OK\r\n"
+                                  b"Content-Type: text/plain\r\n\r\n"
+                                  + str(t).encode("utf-8"))})
+            lo = int(df["doc_id"].min())
+            path = os.path.join(warc_dir, f"snap-{lo:08d}.warc.gz")
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(build_warc(recs, gzip_members=True))
+            os.replace(tmp, path)
+            return pd.DataFrame({"path": [path]})
+
+        (_read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+         .map_batches(write_block, batch_format="pandas",
+                      batch_size=200).materialize())
+        with open(marker, "w") as fh:
+            fh.write("ok")
+
+    res = dedupe_revisit(read_warc(warc_dir + "/")).to_pandas()
+    return (res.sort_values(["uri", "ts"]).reset_index(drop=True)
+            [["uri", "ts", "kind", "ref_uri", "ref_ts"]])
+
+
 def q_bottomk_sample(sf_dir):
     """Deterministic distributed uniform sample (stages/sketch
     .bottomk_sample): the 20 documents with the smallest
@@ -5788,6 +5911,8 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "bottomk_bykey": q_bottomk_bykey,
     "wet_roundtrip": q_wet_roundtrip,
+    "cdx_index": q_cdx_index,
+    "revisit_dedup": q_revisit_dedup,
     "triangle_count": q_triangle_count,
     "pagerank_dist": q_pagerank_dist,
     "hits_dist": q_hits_dist,

@@ -49,8 +49,9 @@ def build_warc(records: list[dict], *, gzip_members: bool = False) -> bytes:
 
 
 def _gunzip_members(blob: bytes):
-    """Yield each gzip member's decompressed bytes (concatenated-member
-    .warc.gz layout).  A torn trailing member yields what decompressed."""
+    """Yield ``(decompressed, file_offset, compressed_len)`` per gzip
+    member (concatenated-member .warc.gz layout).  A torn trailing
+    member yields what decompressed."""
     pos = 0
     while pos < len(blob):
         d = zlib.decompressobj(31)
@@ -58,11 +59,12 @@ def _gunzip_members(blob: bytes):
             chunk = d.decompress(blob[pos:])
         except zlib.error:
             return
-        yield chunk
         rest = len(d.unused_data)
+        end = len(blob) - rest
+        yield chunk, pos, end - pos
         if rest == 0:
             return
-        pos = len(blob) - rest
+        pos = end
 
 
 def _parse_http(block: bytes):
@@ -86,10 +88,34 @@ def _parse_http(block: bytes):
     return status, ctype, body
 
 
-def parse_warc_bytes(blob: bytes) -> list[dict]:
-    """All records of one (possibly gzipped) WARC byte blob."""
+def parse_warc_bytes(blob: bytes, *, offsets: bool = False) -> list[dict]:
+    """All records of one (possibly gzipped) WARC byte blob.
+
+    ``offsets=True`` adds per-record random-access coordinates — the
+    CDX index contract: for a ``.warc.gz`` in the standard
+    member-per-record layout, ``offset``/``length`` are the containing
+    gzip MEMBER's span in the compressed file (seek+read+gunzip yields
+    the record); for a plain ``.warc`` they are the record's raw byte
+    span.  Parsing itself is unchanged (members are still concatenated
+    before record framing, so a record straddling members — nonstandard
+    but legal — parses identically and maps to its starting member)."""
+    bounds = None                   # [(decomp_start, file_off, comp_len)]
     if blob[:2] == b"\x1f\x8b":
-        blob = b"".join(_gunzip_members(blob))
+        chunks, bounds, dpos = [], [], 0
+        for chunk, off, clen in _gunzip_members(blob):
+            chunks.append(chunk)
+            bounds.append((dpos, off, clen))
+            dpos += len(chunk)
+        blob = b"".join(chunks)
+
+    def _span(rec_start: int, rec_end: int) -> tuple:
+        if bounds is not None:      # member containing the record start
+            import bisect
+            i = bisect.bisect_right(bounds, (rec_start, float("inf"))) - 1
+            _, off, clen = bounds[max(i, 0)]
+            return off, clen
+        return rec_start, min(rec_end, len(blob)) - rec_start
+
     rows, pos, rid = [], 0, 0
     n = len(blob)
     while pos < n:
@@ -100,6 +126,7 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
             break
         if not blob.startswith(b"WARC/", pos):
             break                      # garbage tail — stop cleanly
+        rec_start = pos
         hdr_end = blob.find(b"\r\n\r\n", pos)
         lf_only = False
         if hdr_end < 0:
@@ -126,7 +153,7 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
         status, http_ctype, payload = -1, "", block
         if ctype.startswith("application/http"):
             status, http_ctype, payload = _parse_http(block)
-        rows.append({
+        row = {
             "id": rid,
             "warc_type": wtype,
             "record_id": headers.get("warc-record-id", ""),
@@ -138,7 +165,11 @@ def parse_warc_bytes(blob: bytes) -> list[dict]:
             "http_content_type": http_ctype,
             "payload": bytes(payload),
             "truncated": truncated,
-        })
+        }
+        if offsets:
+            off, ln = _span(rec_start, body_at + clen + 4)
+            row["offset"], row["length"] = int(off), int(ln)
+        rows.append(row)
         rid += 1
         pos = body_at + clen
     return rows
@@ -151,13 +182,49 @@ _COLS = ["path", "id", "warc_type", "record_id", "date", "target_uri",
          "http_content_type", "payload", "truncated"]
 
 
-def read_warc(paths, *, parallelism: int = -1):
+def read_warc(paths, *, parallelism: int = -1, offsets: bool = False):
     """Scale path: one block per archive file, records exploded inside
     ``map_batches`` (the read_pcap shape — per-file parallelism, no
     driver-side parsing).  ``payload`` stays a binary column (the
-    multimodal-column convention, stages/multimodal.py)."""
+    multimodal-column convention, stages/multimodal.py).
+    ``offsets=True`` adds the per-record random-access ``offset`` /
+    ``length`` columns (see :func:`parse_warc_bytes`) for index
+    builders (:func:`build_cdx`)."""
     import pandas as pd
     import ray.data
+
+    cols = _COLS + (["offset", "length"] if offsets else [])
+    if offsets:
+        # read_binary_files auto-gunzips *.gz at the transport layer
+        # (and maps compression=None back to detect-by-extension),
+        # which would hide the gzip MEMBER boundaries the
+        # offset/length coordinates index — list paths on the driver
+        # (metadata only) and read the RAW file bytes inside the task
+        import os
+
+        if isinstance(paths, str):
+            root = paths.rstrip("/")
+            names = sorted(os.listdir(root)) if os.path.isdir(root) else None
+            flist = ([os.path.join(root, nm) for nm in names]
+                     if names is not None else [root])
+        else:
+            flist = list(paths)
+        ds = ray.data.from_items([{"path": p} for p in flist],
+                                 override_num_blocks=(
+                                     len(flist) if parallelism == -1
+                                     else parallelism))
+
+        def explode_raw(batch: pd.DataFrame) -> pd.DataFrame:
+            out = []
+            for path in batch["path"]:
+                with open(path, "rb") as fh:
+                    blob = fh.read()
+                for row in parse_warc_bytes(blob, offsets=True):
+                    row["path"] = path
+                    out.append(row)
+            return pd.DataFrame(out, columns=cols)
+
+        return ds.map_batches(explode_raw, batch_format="pandas")
 
     ds = ray.data.read_binary_files(paths, include_paths=True,
                                     override_num_blocks=(
@@ -170,7 +237,7 @@ def read_warc(paths, *, parallelism: int = -1):
             for row in parse_warc_bytes(bytes(blob)):
                 row["path"] = path
                 out.append(row)
-        return pd.DataFrame(out, columns=_COLS)
+        return pd.DataFrame(out, columns=cols)
 
     return ds.map_batches(explode, batch_format="pandas")
 
@@ -228,3 +295,191 @@ def write_wet(ds, out_dir: str, *, uri_col: str = "uri",
 
     return (ds.map_batches(write_batch, batch_format="pandas")
             .to_pandas())
+
+
+# ---- CDX capture index (the web-archive random-access index format:
+#      cc-index / OpenWayback CDXJ — one line per capture, sorted by
+#      (SURT key, 14-digit timestamp), JSON blob with the coordinates
+#      needed to seek straight to the record in its .warc.gz)
+
+CDX_TYPES = ("response", "revisit", "resource", "conversion")
+_CDX_SCHEMA = {"surt": "object", "ts": "object", "uri": "object",
+               "mime": "object", "status": "int64", "digest": "object",
+               "length": "int64", "offset": "int64",
+               "filename": "object"}
+
+
+def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
+    """Build a CDXJ index over WARC archives: capture records ->
+    (surt, ts, uri, mime, status, digest, length, offset, filename)
+    -> ONE range-partitioned sort by (surt, ts, uri) -> content-
+    addressed ``part-*.cdxj`` shards under ``out_dir`` (tmp+rename, a
+    task retry self-overwrites).  Returns the shard manifest frame.
+
+    100-TB shape: per-archive read parallelism, the only all-to-all is
+    the sort (exactly what a real cc-index build is); nothing
+    corpus-sized touches the driver.  ``digest`` is sha256-hex of the
+    record payload (deviation from CDX's sha1-b32, which keeps the
+    digest reproducible by DuckDB oracles).  ``offset``/``length``
+    are the gzip-member coordinates from ``read_warc(offsets=True)``
+    — seek+read+gunzip yields the record (pinned by t:test_cdx random
+    access)."""
+    import hashlib
+    import json
+    import os
+
+    import pandas as pd
+
+    from ..functions import surt_frame
+
+    os.makedirs(out_dir, exist_ok=True)
+    ds = read_warc(paths, parallelism=parallelism, offsets=True)
+
+    def index(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["warc_type"].isin(CDX_TYPES)]
+        mime = df["http_content_type"].where(
+            df["http_content_type"] != "", df["content_type"])
+        return pd.DataFrame({
+            "surt": surt_frame(df["target_uri"]).to_numpy(),
+            "ts": (df["date"].str.replace(r"[^0-9]", "", regex=True)
+                   .str[:14].to_numpy()),
+            "uri": df["target_uri"].to_numpy(),
+            "mime": mime.str.split(";").str[0].str.strip().to_numpy(),
+            "status": df["http_status"].astype("int64").to_numpy(),
+            "digest": df["payload"].map(
+                lambda b: hashlib.sha256(bytes(b)).hexdigest()).to_numpy(),
+            "length": df["length"].astype("int64").to_numpy(),
+            "offset": df["offset"].astype("int64").to_numpy(),
+            "filename": df["path"].map(os.path.basename).to_numpy(),
+        })
+
+    idx = (ds.map_batches(index, batch_format="pandas")
+           .sort(["surt", "ts", "uri"]))
+
+    def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"path": [], "n_lines": []})
+        lines = []
+        for r in df.itertuples(index=False):
+            blob = json.dumps({
+                "url": r.uri, "mime": r.mime, "status": int(r.status),
+                "digest": r.digest, "length": int(r.length),
+                "offset": int(r.offset), "filename": r.filename},
+                sort_keys=True)
+            lines.append(f"{r.surt} {r.ts} {blob}\n")
+        stem = hashlib.md5("\x00".join(
+            df["surt"] + " " + df["ts"] + " " + df["uri"]
+        ).encode()).hexdigest()[:16]
+        path = os.path.join(out_dir, f"part-{stem}.cdxj")
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.writelines(lines)
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path], "n_lines": [len(lines)]})
+
+    man = (idx.map_batches(write_shard, batch_format="pandas")
+           .to_pandas())
+    if man.empty or not len(os.listdir(out_dir)):
+        open(os.path.join(out_dir, "part-empty.cdxj"), "w").close()
+    return man
+
+
+def read_cdx(cdx_dir: str, *, parallelism: int = -1):
+    """Read CDXJ shards back as a typed Dataset (the inverse of
+    :func:`build_cdx`; global order is re-established by the caller's
+    sort — shard files are content-addressed, not range-named)."""
+    import json
+
+    import pandas as pd
+    import ray.data
+
+    ds = ray.data.read_binary_files(
+        cdx_dir + ("" if cdx_dir.endswith("/") else "/"),
+        override_num_blocks=(None if parallelism == -1 else parallelism))
+
+    def parse(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for blob in batch["bytes"]:
+            for line in bytes(blob).decode("utf-8").splitlines():
+                if not line.strip():
+                    continue
+                surt, ts, js = line.split(" ", 2)
+                d = json.loads(js)
+                rows.append((surt, ts, d["url"], d["mime"], d["status"],
+                             d["digest"], d["length"], d["offset"],
+                             d["filename"]))
+        out = pd.DataFrame(rows, columns=list(_CDX_SCHEMA))
+        return out.astype(_CDX_SCHEMA)
+
+    return ds.map_batches(parse, batch_format="pandas")
+
+
+def dedupe_revisit(ds):
+    """Digest-based capture dedup — WARC ``revisit`` semantics (the
+    across-snapshot dedup every archive crawler runs: a capture whose
+    payload digest was already stored becomes a revisit record
+    pointing at the original capture instead of storing the body
+    again).  Input: ``read_warc`` rows.  Output Dataset, one row per
+    response capture: (uri, ts, kind, ref_uri, ref_ts) where kind is
+    'response' for the FIRST capture of each distinct payload (order:
+    ts then uri) and 'revisit' with ref_* = that first capture
+    otherwise.
+
+    100-TB shape: digest + (ts, uri) composite only — payload bytes
+    are dropped right after hashing; the earliest capture per digest
+    comes from two_phase_agg combiner partials (min over the
+    composite, a Dataset final — never a driver-held digest table)
+    and ships back via ONE hash join on digest.  No per-group
+    map_groups, so a viral digest (one boilerplate page captured
+    billions of times) costs a combiner min, not a fan-in."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..stages.aggregate import two_phase_agg
+    from ..stages.join import hash_join
+
+    def slim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["warc_type"] == "response") & ~df["truncated"]]
+        ts = (df["date"].str.replace(r"[^0-9]", "", regex=True)
+              .str[:14])
+        return pd.DataFrame({
+            "uri": df["target_uri"].to_numpy(),
+            "ts": ts.to_numpy(),
+            "digest": df["payload"].map(
+                lambda b: hashlib.sha256(bytes(b)).hexdigest()).to_numpy(),
+        })
+
+    caps = ds.map_batches(slim, batch_format="pandas")
+
+    def with_cap(df: pd.DataFrame) -> pd.DataFrame:
+        # composite sort key: ts is FIXED-WIDTH (14 digits), so plain
+        # concatenation orders by (ts, uri) lexicographically and the
+        # parts split back positionally — no separator byte (a NUL
+        # separator dies in numpy's fixed-width-unicode scalar
+        # coercion, which treats \x00 as a terminator)
+        df = df.copy()
+        df["cap"] = df["ts"].str.ljust(14, "0") + df["uri"]
+        return df
+
+    keyed = caps.map_batches(with_cap, batch_format="pandas")
+    firsts = two_phase_agg(keyed.drop_columns(["uri", "ts"]),
+                           ["digest"], count=None,
+                           mins={"cap": "first_cap"},
+                           driver_reduce=False)
+    joined = hash_join(keyed, firsts, on="digest", how="inner")
+
+    def mark(df: pd.DataFrame) -> pd.DataFrame:
+        is_first = df["cap"] == df["first_cap"]
+        return pd.DataFrame({
+            "uri": df["uri"].to_numpy(),
+            "ts": df["ts"].to_numpy(),
+            "kind": is_first.map({True: "response",
+                                  False: "revisit"}).to_numpy(),
+            "ref_uri": df["first_cap"].str[14:].where(~is_first,
+                                                      "").to_numpy(),
+            "ref_ts": df["first_cap"].str[:14].where(~is_first,
+                                                     "").to_numpy(),
+        })
+
+    return joined.map_batches(mark, batch_format="pandas")

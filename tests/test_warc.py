@@ -113,3 +113,150 @@ def test_write_wet_layout_and_retry_idempotence(ray_session, tmp_path):
     df2 = df.assign(uri=df["uri"] + "x")
     man3 = write_wet(ray.data.from_pandas(df2), out)
     assert not set(man3["path"]) & set(man1["path"])
+
+
+# ---- SURT canonicalization (functions.surt_frame vs per-row spec) ----
+
+SURT_BATTERY = [
+    "http://www.Example.COM:80/p?b=2&a=1",
+    "https://sub.ex.org:8443/",
+    "http://ex.org",
+    "https://u:p@ex.org:443/Path/File?z=9#frag",
+    "http://ex.org/a%2Fb?x",
+    "ftp://files.ex.net:21/pub",
+    "http://www.www.ex.com/",           # only ONE leading www. strips
+    "https://ex.com:8443/p?b&a&b",      # dup params keep multiplicity
+    "http://EX.com/UPPER/Case?Q=V",     # path/query case preserved
+    "ex.com/no-scheme",
+]
+
+
+def test_surt_frame_matches_row_spec():
+    import pandas as pd
+
+    from rsyslog_ray.functions import surt_frame, surt_row
+
+    got = surt_frame(pd.Series(SURT_BATTERY)).tolist()
+    want = [surt_row(u) for u in SURT_BATTERY]
+    assert got == want
+    # pinned examples (the cc-index sort-key semantics)
+    assert got[0] == "com,example)/p?a=1&b=2"
+    assert got[1] == "org,ex,sub:8443)/"
+    assert got[2] == "org,ex)/"
+    assert got[3] == "org,ex)/Path/File?z=9"
+    assert got[6] == "com,ex,www)/"
+
+
+# ---- record offsets + CDX random access ----
+
+def _capture_fixture(n=10):
+    def resp(uri, date, body):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body)
+        return {"headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:{uri}:{date}>",
+                    "WARC-Date": date, "WARC-Target-URI": uri,
+                    "Content-Type": "application/http; msgtype=response"},
+                "block": http}
+    return [resp(f"http://site{i % 3}.com/p{i}",
+                 f"2025-01-0{1 + i % 5}T00:00:0{i % 9}Z",
+                 f"body-{i}".encode()) for i in range(n)]
+
+
+def test_offsets_random_access(ray_session, tmp_path):
+    """offset/length from read_warc(offsets=True) are true random-access
+    coordinates: seek+read+parse yields the same record, for BOTH the
+    member-per-record .warc.gz layout (member span) and plain .warc
+    (raw byte span)."""
+    import hashlib
+
+    from rsyslog_ray.sources.warc import build_warc, read_warc
+
+    recs = _capture_fixture()
+    p1 = tmp_path / "a.warc.gz"
+    p2 = tmp_path / "b.warc"
+    p1.write_bytes(build_warc(recs[:6], gzip_members=True))
+    p2.write_bytes(build_warc(recs[6:]))
+    df = read_warc([str(p1), str(p2)], offsets=True).to_pandas()
+    assert len(df) == 10
+    for r in df.itertuples():
+        with open(r.path, "rb") as fh:
+            fh.seek(r.offset)
+            blob = fh.read(r.length)
+        rows = parse_warc_bytes(blob)
+        assert rows and rows[0]["target_uri"] == r.target_uri
+        assert rows[0]["payload"] == bytes(r.payload)
+        assert hashlib.sha256(rows[0]["payload"]).hexdigest() == \
+            hashlib.sha256(bytes(r.payload)).hexdigest()
+
+
+def test_cdx_build_read_roundtrip(ray_session, tmp_path):
+    """build_cdx -> read_cdx: one line per capture, (surt, ts, uri)
+    global order, coordinates support seek-read-parse random access,
+    digest = sha256(payload); a rebuild is file-identical (content-
+    addressed stems — retry semantics)."""
+    import hashlib
+    import os
+
+    from rsyslog_ray.sources.warc import build_cdx, read_cdx, build_warc
+
+    p1 = tmp_path / "a.warc.gz"
+    p2 = tmp_path / "b.warc"
+    recs = _capture_fixture()
+    p1.write_bytes(build_warc(recs[:6], gzip_members=True))
+    p2.write_bytes(build_warc(recs[6:]))
+    out = str(tmp_path / "cdx")
+    man1 = build_cdx([str(p1), str(p2)], out)
+    assert man1["n_lines"].sum() == 10
+    idx = read_cdx(out).to_pandas()
+    idx = idx.sort_values(["surt", "ts", "uri"]).reset_index(drop=True)
+    assert len(idx) == 10
+    assert idx["surt"].str.startswith("com,site").all()
+    assert (idx["status"] == 200).all()
+    assert set(idx["mime"]) == {"text/html"}
+    for r in idx.itertuples():
+        with open(tmp_path / r.filename, "rb") as fh:
+            fh.seek(r.offset)
+            blob = fh.read(r.length)
+        rows = parse_warc_bytes(blob)
+        assert rows[0]["target_uri"] == r.uri
+        assert hashlib.sha256(rows[0]["payload"]).hexdigest() == r.digest
+    files1 = sorted(os.listdir(out))
+    man2 = build_cdx([str(p1), str(p2)], out)      # retry
+    assert sorted(os.listdir(out)) == files1
+    assert man2["n_lines"].sum() == 10
+
+
+def test_dedupe_revisit_semantics(ray_session, tmp_path):
+    """WARC revisit dedup: the FIRST capture (by ts, then uri) of each
+    distinct payload stays 'response'; every later identical-payload
+    capture becomes 'revisit' pointing at it.  ref columns must carry
+    the uri intact (regression: a NUL composite separator dies in
+    numpy's fixed-width-unicode coercion)."""
+    from rsyslog_ray.sources.warc import build_warc, dedupe_revisit, read_warc
+
+    def resp(uri, date, body):
+        http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + body)
+        return {"headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:{uri}:{date}>",
+                    "WARC-Date": date, "WARC-Target-URI": uri,
+                    "Content-Type": "application/http; msgtype=response"},
+                "block": http}
+
+    recs = [resp("http://a.com/x", "2025-01-01T00:00:01Z", b"AAA"),
+            resp("http://b.com/y", "2025-01-01T00:00:02Z", b"BBB"),
+            resp("http://a.com/x", "2025-01-02T00:00:01Z", b"AAA"),
+            resp("http://c.com/z", "2025-01-03T00:00:00Z", b"AAA")]
+    p = tmp_path / "a.warc"
+    p.write_bytes(build_warc(recs))
+    out = (dedupe_revisit(read_warc([str(p)])).to_pandas()
+           .sort_values(["ts", "uri"]).reset_index(drop=True))
+    assert out["kind"].tolist() == ["response", "response",
+                                    "revisit", "revisit"]
+    assert out.loc[2, "ref_uri"] == "http://a.com/x"
+    assert out.loc[2, "ref_ts"] == "20250101000001"
+    assert out.loc[3, "ref_uri"] == "http://a.com/x"
+    assert (out.loc[:1, ["ref_uri", "ref_ts"]] == "").all().all()
