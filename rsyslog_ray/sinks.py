@@ -166,10 +166,43 @@ def committed_shards(out_dir: str) -> set[int]:
     return done
 
 
+def _heal_lineage(out_dir: str) -> None:
+    """Drop torn manifest content before the run appends: a crash
+    mid-append leaves a HALF-WRITTEN final line with no newline, and a
+    later flush-only append would fuse the next commit onto it —
+    output stays correct (idempotent rewrite) but that shard would
+    read as uncommitted forever, redone on EVERY subsequent resume.
+    Rewrite keeps exactly the parseable lines (atomic tmp+rename)."""
+    path = os.path.join(out_dir, LINEAGE_FILE)
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        raw = fh.read()
+    good = []
+    dirty = not raw.endswith("\n") and raw.strip() != ""
+    for line in raw.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            json.loads(line)
+            good.append(line)
+        except ValueError:
+            dirty = True
+    if not dirty and len(good) == len([l for l in raw.splitlines()
+                                       if l.strip()]):
+        return
+    tmp = path + ".heal"
+    with open(tmp, "w") as fh:
+        fh.write("".join(l + "\n" for l in good))
+    os.replace(tmp, path)
+
+
 def plan_resume(input_files: list[str], out_dir: str,
                 sinks: list[str]) -> tuple[list[str], set[int]]:
     """Return (pending input files, committed shard ids); delete partial
     output of uncommitted shards so the rewrite is idempotent."""
+    _heal_lineage(out_dir)
     done = committed_shards(out_dir)
     pending = []
     for f in input_files:

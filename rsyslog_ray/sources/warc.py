@@ -25,6 +25,7 @@ parallelism is per-file, nothing parses on the driver.
 
 from __future__ import annotations
 
+import os
 import zlib
 
 
@@ -387,14 +388,25 @@ def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
 def read_cdx(cdx_dir: str, *, parallelism: int = -1):
     """Read CDXJ shards back as a typed Dataset (the inverse of
     :func:`build_cdx`; global order is re-established by the caller's
-    sort — shard files are content-addressed, not range-named)."""
+    sort — shard files are content-addressed, not range-named).
+
+    Only committed ``part-*.cdxj`` shards are read: a killed writer
+    leaves ``.cdxj.tmp<pid>`` debris in the same dir (tmp+rename
+    protocol), and reading the whole directory would surface those
+    torn, uncommitted lines as index entries."""
+    import glob as _glob
     import json
 
     import pandas as pd
     import ray.data
 
+    shards = sorted(_glob.glob(os.path.join(cdx_dir, "part-*.cdxj")))
+    if not shards:
+        return ray.data.from_pandas(
+            pd.DataFrame({c: pd.Series([], dtype=t)
+                          for c, t in _CDX_SCHEMA.items()}))
     ds = ray.data.read_binary_files(
-        cdx_dir + ("" if cdx_dir.endswith("/") else "/"),
+        shards,
         override_num_blocks=(None if parallelism == -1 else parallelism))
 
     def parse(batch: pd.DataFrame) -> pd.DataFrame:

@@ -320,3 +320,44 @@ def test_web_pretrain_stage_truncation_matrix(ray_session,
         for a, m in kept.items():
             assert os.path.getmtime(os.path.join(out, a)) == m, \
                 f"stage {a} rebuilt after cut at {cut}"
+
+
+def test_web_pretrain_corrupt_inprogress_debris(ray_session,
+                                                planted_docs, tmp_path):
+    """Corrupted-artifact repair: a SIGKILLed run leaves a stage's
+    ``.inprogress`` dir holding a HALF-WRITTEN parquet (garbage bytes).
+    The re-run must wipe that debris and rebuild — never read it, never
+    rename it into place — and converge to the clean funnel.  Debris
+    beside a COMMITTED stage must be inert (the stage is skipped, the
+    torn bytes never parsed)."""
+    import shutil
+
+    from rsyslog_ray.pipelines.crawl import (documents_to_warc,
+                                             run_web_pretrain)
+
+    warc = str(tmp_path / "warc")
+    out = str(tmp_path / "out")
+    documents_to_warc(planted_docs, warc)
+    kw = dict(seq_len=16, seed=3, default_weight=1.0,
+              ingest_kwargs={"min_tokens": 5, "max_stop_ratio": 0.5})
+    want = run_web_pretrain(warc, out, **kw)
+
+    # torn state: mixed/ (and downstream) gone, but a .inprogress dir
+    # with corrupt parquet bytes left where the killed run died
+    for art in ("pretrain/mixed", "pretrain/shuffled",
+                "pretrain/packed"):
+        shutil.rmtree(os.path.join(out, art), ignore_errors=True)
+    debris = os.path.join(out, "pretrain", "mixed.inprogress")
+    os.makedirs(debris, exist_ok=True)
+    with open(os.path.join(debris, "part-000.parquet"), "wb") as fh:
+        fh.write(b"PAR1\x00\xff half a footer")
+    # inert debris beside a stage that IS committed
+    inert = os.path.join(out, "pretrain", "decon.inprogress")
+    os.makedirs(inert, exist_ok=True)
+    with open(os.path.join(inert, "junk.parquet"), "wb") as fh:
+        fh.write(b"\x00garbage")
+
+    got = run_web_pretrain(warc, out, **kw)
+    assert got == want
+    assert not os.path.isdir(debris)      # wiped, then renamed away
+    assert os.path.isdir(os.path.join(out, "pretrain", "mixed"))

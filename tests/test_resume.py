@@ -92,3 +92,44 @@ def test_noop_resume(ray_session, pages_small, tmp_path):
                                   agg1.reset_index(drop=True))
     m = json.load(open(os.path.join(out, "_metrics.json")))
     assert m["total_delivered"] > 0
+
+
+def test_resume_torn_lineage_line(ray_session, pages_small, tmp_path):
+    """Crash mid-append leaves a HALF-WRITTEN final manifest line (the
+    reference's bad-.qi fixtures, tests/bad_qi/): the torn line's shard
+    must read as uncommitted, the resume must redo exactly it, and the
+    converged output must equal a clean run's."""
+    router = Router(DEFAULT_ROUTES)
+    clean_dir = str(tmp_path / "clean")
+    clean_agg = run_flagship(pages_small, clean_dir)
+    clean = _sink_counts(clean_dir, router.sinks)
+
+    crash_dir = str(tmp_path / "crash")
+    run_flagship(pages_small, crash_dir)
+    man = os.path.join(crash_dir, sk.LINEAGE_FILE)
+    recs = [json.loads(l) for l in open(man) if l.strip()]
+    keep = [r for r in recs if r["partition_id"] != 2]
+    torn = json.dumps([r for r in recs if r["partition_id"] == 2][0])
+    with open(man, "w") as fh:
+        for r in keep:
+            fh.write(json.dumps(r) + "\n")
+        fh.write(torn[: len(torn) // 2])       # no newline, mid-JSON
+    assert sk.committed_shards(crash_dir) == {0, 1, 3, 4}
+
+    files = input_shards(pages_small)
+    pending, done = sk.plan_resume(files, crash_dir, router.sinks)
+    assert {os.path.basename(f) for f in pending} == \
+        {os.path.basename(f) for f in files
+         if sk.shard_id_of(f) == 2}
+
+    resumed_agg = run_flagship(pages_small, crash_dir)
+    resumed = _sink_counts(crash_dir, router.sinks)
+    for s in router.sinks:
+        assert sorted(resumed[s]) == sorted(clean[s]), s
+        assert len(set(resumed[s])) == len(resumed[s]), f"dups in {s}"
+    pd.testing.assert_frame_equal(
+        resumed_agg.reset_index(drop=True),
+        clean_agg.reset_index(drop=True))
+    # the repaired manifest holds all shards again (torn line replaced
+    # by a fresh commit)
+    assert sk.committed_shards(crash_dir) == {0, 1, 2, 3, 4}

@@ -260,3 +260,26 @@ def test_dedupe_revisit_semantics(ray_session, tmp_path):
     assert out.loc[2, "ref_ts"] == "20250101000001"
     assert out.loc[3, "ref_uri"] == "http://a.com/x"
     assert (out.loc[:1, ["ref_uri", "ref_ts"]] == "").all().all()
+
+
+def test_cdx_tmp_debris_invisible(ray_session, tmp_path):
+    """A killed shard writer leaves part-*.cdxj.tmp<pid> debris beside
+    the committed shards (tmp+rename protocol); read_cdx must surface
+    ONLY committed lines — torn debris bytes are not index entries."""
+    from rsyslog_ray.sources.warc import build_cdx, build_warc, read_cdx
+
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(build_warc(_capture_fixture(), gzip_members=True))
+    out = str(tmp_path / "cdx")
+    build_cdx([str(p)], out)
+    want = (read_cdx(out).to_pandas()
+            .sort_values(["surt", "ts", "uri"]).reset_index(drop=True))
+    # torn debris: half a line, garbage bytes, an empty tmp
+    (tmp_path / "cdx" / "part-aa.cdxj.tmp123").write_text(
+        "com,evil)/x 20250101")
+    (tmp_path / "cdx" / "part-bb.cdxj.tmp9").write_bytes(b"\x00\xffgarbage")
+    (tmp_path / "cdx" / "part-cc.cdxj.tmp1").write_bytes(b"")
+    got = (read_cdx(out).to_pandas()
+           .sort_values(["surt", "ts", "uri"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(got, want)
