@@ -50,14 +50,14 @@ def run_pretrain(docs_path: str, out_dir: str, *,
                  default_weight: float = 1.0, seed: int = 0,
                  seq_len: int = 128, ngram: int = 13,
                  curation_kwargs: dict | None = None,
+                 pack_buckets: int = 16,
                  fused: bool = False) -> dict:
     """Run the full recipe; returns (and writes) the funnel stats.
     Ray must already be initialised by the caller.
 
     ``fused=True`` swaps every parquet resume point for an object-store
-    ``materialize()`` (see :func:`run_curation`): same funnel semantics
-    (packed-row counts stay block-boundary-dependent either way, the
-    invariant is total non-pad tokens), no disk round-trips, no
+    ``materialize()`` (see :func:`run_curation`): same funnel semantics,
+    no disk round-trips, no
     stage-level resume.  Toy-scale / bench opt-in only."""
     import pyarrow as pa
     import ray
@@ -123,16 +123,19 @@ def run_pretrain(docs_path: str, out_dir: str, *,
             epoch_shuffle(mixed, seed=seed), tmp))
         shuffled = ray.data.read_parquet(shuf_path)
 
-    # ---- stage 5: pack to fixed-length LM rows IN SHUFFLE ORDER
-    # (pack_batch orders each block by its id_col — pass the shuffle
-    # key so packing follows the epoch order, not doc id)
+    # ---- stage 5: pack to fixed-length LM rows, DETERMINISTICALLY:
+    # rows hash-bucket by the shuffle key and each bucket packs in
+    # skey (epoch) order — same data + seed + pack_buckets gives
+    # byte-identical packed rows at any partitioning or cluster size
+    # (pack_buckets=0 restores the shuffle-free per-block packing)
     packed_path = os.path.join(out_dir, "packed")
     if fused:
-        packed = pack_sequences(shuffled, seq_len,
-                                id_col="skey").materialize()
+        packed = pack_sequences(shuffled, seq_len, id_col="skey",
+                                buckets=pack_buckets).materialize()
     else:
         _run_stage(packed_path, lambda tmp: _write_parquet_typed(
-            pack_sequences(shuffled, seq_len, id_col="skey"), tmp,
+            pack_sequences(shuffled, seq_len, id_col="skey",
+                           buckets=pack_buckets), tmp,
             {"seq": pa.list_(pa.int64(), seq_len),
              "n_docs": pa.int64(),
              "n_pad": pa.int32()}))

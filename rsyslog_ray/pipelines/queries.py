@@ -1495,7 +1495,7 @@ def q_pack_sequences(sf_dir):
 
     ds = _read(sf_dir, "documents",
                columns=["doc_id", "text"]).repartition(8)
-    packed = pack_sequences(ds, seq_len=128)
+    packed = pack_sequences(ds, seq_len=128, buckets=16)
     return packed.select_columns(["n_docs", "n_pad"])
 
 

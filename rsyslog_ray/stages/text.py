@@ -772,12 +772,44 @@ def pack_batch(df: pd.DataFrame, seq_len: int, *, id_col: str = "doc_id",
 
 
 def pack_sequences(ds, seq_len: int = 128, *, id_col: str = "doc_id",
-                   text_col: str = "text"):
-    """documents -> packed LM training sequences (per-block packing)."""
-    return ds.map_batches(
-        lambda df: pack_batch(df, seq_len, id_col=id_col,
-                              text_col=text_col),
-        batch_format="pandas")
+                   text_col: str = "text", buckets: int = 0):
+    """documents -> packed LM training sequences.
+
+    ``buckets=0`` (legacy): per-BLOCK packing — no shuffle, but the
+    output depends on Ray's block boundaries, so two runs over the
+    same data can pack differently (same total tokens, different row
+    grouping).
+
+    ``buckets=B > 0``: DETERMINISTIC packing — every row is assigned
+    a bucket by a pure function of its id (stable siphash, the
+    `_term_partition` convention) and each bucket packs its docs in
+    id order via one ``groupby().map_groups``.  Same data + same B
+    ⇒ byte-identical packed rows at ANY partitioning, parallelism or
+    cluster size (pinned by tools/kill_matrix.py and
+    t:test_text_ops).  Cost: one hash shuffle; one pad tail per
+    bucket, so size B such that a bucket holds ≫ seq_len tokens."""
+    if buckets <= 0:
+        return ds.map_batches(
+            lambda df: pack_batch(df, seq_len, id_col=id_col,
+                                  text_col=text_col),
+            batch_format="pandas")
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        ids = df[id_col].to_numpy()
+        if ids.dtype.kind not in "iu":
+            ids = np.asarray(ids, dtype=object)
+        out["__pb"] = (pd.util.hash_array(ids)
+                       % np.uint64(buckets)).astype("int64")
+        return out
+
+    def pack_group(g: pd.DataFrame):
+        return pack_batch(g.drop(columns=["__pb"]), seq_len,
+                          id_col=id_col, text_col=text_col)
+
+    return (ds.map_batches(assign, batch_format="pandas")
+            .groupby("__pb").map_groups(pack_group,
+                                        batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------

@@ -96,15 +96,10 @@ def test_pretrain_recipe(ray_session, tmp_path):
                           weights=_weights(), default_weight=1.0,
                           seed=3, seq_len=32,
                           curation_kwargs={"min_tokens": 3})
-    # packing pads at block boundaries, which may differ between runs
-    # (per-shard packing is the contract) — the funnel counts and the
-    # total non-pad token stream are the deterministic invariants
-    packing_keys = {"packed_rows", "packed_tokens", "pad_tokens",
-                    "packing_efficiency_pct"}
-    assert {k: v for k, v in stats2.items() if k not in packing_keys} \
-        == {k: v for k, v in stats.items() if k not in packing_keys}
-    assert (stats2["packed_tokens"] - stats2["pad_tokens"]
-            == stats["packed_tokens"] - stats["pad_tokens"])
+    # packing is DETERMINISTIC (skey hash buckets, default
+    # pack_buckets=16): the whole funnel — packed_rows/pads included —
+    # must reproduce across independent runs
+    assert stats2 == stats
     shuf2 = pd.read_parquet(os.path.join(out2, "shuffled"))
     assert (list(shuf2.sort_values("skey")["doc_id"])
             == list(shuf.sort_values("skey")["doc_id"]))
@@ -129,18 +124,12 @@ def test_pretrain_stage_resume(ray_session, tmp_path):
     shutil.rmtree(os.path.join(out, "packed"))
     stats2 = run_pretrain(src, out, **kw)
     assert os.path.exists(marker)        # decon stage was NOT rebuilt
-    packing_keys = {"packed_rows", "packed_tokens", "pad_tokens",
-                    "packing_efficiency_pct"}
-    assert {k: v for k, v in stats2.items() if k not in packing_keys} \
-        == {k: v for k, v in stats.items() if k not in packing_keys}
-    assert (stats2["packed_tokens"] - stats2["pad_tokens"]
-            == stats["packed_tokens"] - stats["pad_tokens"])
+    assert stats2 == stats                # incl. deterministic packing
 
 
 def test_pretrain_fused_matches_default(ray_session, tmp_path):
-    """fused=True reproduces the default run's funnel exactly on every
-    block-boundary-independent stat; packed rows agree on the total
-    non-pad token invariant."""
+    """fused=True reproduces the default run's funnel exactly —
+    packing is deterministic, so the packed stats match too."""
     from rsyslog_ray.pipelines.pretrain import run_pretrain
 
     src, corpus, bench = _fixture(tmp_path)
@@ -150,14 +139,7 @@ def test_pretrain_fused_matches_default(ray_session, tmp_path):
     stats_d = run_pretrain(src, str(tmp_path / "d"), **kw)
     stats_f = run_pretrain(src, str(tmp_path / "f"), fused=True, **kw)
 
-    boundary_dep = {"packed_rows", "packed_tokens", "pad_tokens",
-                    "packing_efficiency_pct"}
-    for k in stats_d:
-        if k not in boundary_dep:
-            assert stats_f[k] == stats_d[k], k
-    nonpad_d = stats_d["packed_tokens"] - stats_d["pad_tokens"]
-    nonpad_f = stats_f["packed_tokens"] - stats_f["pad_tokens"]
-    assert nonpad_f == nonpad_d
+    assert stats_f == stats_d
     # fused leaves no stage dirs (curation subdir may exist but empty
     # of stage artifacts)
     assert not os.path.isdir(os.path.join(str(tmp_path / "f"), "packed"))

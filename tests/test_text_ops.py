@@ -577,3 +577,31 @@ def test_main_content_parity_hypothesis(frags, min_words, pct):
     want = main_content_row(html, min_words=min_words,
                             max_link_pct=pct)
     assert got == want
+
+
+def test_pack_sequences_deterministic_buckets(ray_session, docs):
+    """buckets>0 packing is partition-invariant: the same rows at two
+    different repartitionings pack to byte-identical sequence rows,
+    and the non-pad token stream equals per-block packing's."""
+    import ray
+
+    seq_len = 32
+    df = docs if hasattr(docs, "columns") else None
+    ds = ray.data.from_pandas(df) if df is not None else None
+    if ds is None:
+        import pandas as pd
+        ds = ray.data.from_pandas(pd.DataFrame(docs))
+
+    def rows(d, buckets):
+        out = tx.pack_sequences(d, seq_len=seq_len,
+                                buckets=buckets).to_pandas()
+        return sorted(tuple(s) for s in out["seq"])
+
+    a = rows(ds.repartition(2), buckets=4)
+    b = rows(ds.repartition(7), buckets=4)
+    assert a == b
+    # totals invariant vs per-block mode
+    nonpad_det = sum(1 for s in a for v in s if v != tx.PACK_PAD)
+    per_block = rows(ds.repartition(3), buckets=0)
+    nonpad_blk = sum(1 for s in per_block for v in s if v != tx.PACK_PAD)
+    assert nonpad_det == nonpad_blk
