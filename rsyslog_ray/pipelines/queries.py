@@ -3517,6 +3517,20 @@ SQL_TAIL: dict[str, str] = {
                CAST(200 AS BIGINT) AS status
         FROM documents ORDER BY surt, ts, uri
     """,
+    # q_cdx_lookup: point lookups re-derived from the fixture rule;
+    # the PRUNING (shards opened) is pinned by pytest, the VALUES here.
+    "cdx_lookup": """
+        SELECT 'http://corpus/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) AS q,
+               'corpus)/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) AS surt,
+               '20250101000000' AS ts,
+               'http://corpus/' || lang || '/'
+                   || CAST(doc_id AS VARCHAR) AS uri,
+               'text/html' AS mime,
+               CAST(200 AS BIGINT) AS status
+        FROM documents WHERE doc_id % 97 = 0 ORDER BY q
+    """,
     # q_revisit_dedup: two utf-8 snapshots of every document ->
     # revisit kinds via a window min over the fixed-width (ts || uri)
     # composite; payload-digest classes == text classes because the
@@ -5718,6 +5732,36 @@ def q_revisit_dedup(sf_dir):
             [["uri", "ts", "kind", "ref_uri", "ref_ts"]])
 
 
+def q_cdx_lookup(sf_dir):
+    """Pruned point lookup against a committed CDX index (sources/warc
+    .cdx_lookup): the cc-index cluster.idx read path — the driver-small
+    shard range manifest selects covering shards, only those files
+    open (t:test_warc pins the open count with a seam monkeypatch).
+    Queries = every fixture url with doc_id % 97 == 0; the SQL oracle
+    re-derives the expected captures from the deterministic fixture
+    rule."""
+    import os
+
+    from ..pipelines.crawl import documents_to_warc
+    from ..sources.warc import build_cdx, cdx_lookup
+
+    root = _scratch("cdx_lookup", sf_dir)
+    warc_dir = documents_to_warc(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(root, "warc"))
+    cdx_dir = os.path.join(root, "cdx")
+    build_cdx(warc_dir, cdx_dir)
+    keys = _read(sf_dir, "documents",
+                 columns=["doc_id", "lang"]).to_pandas()
+    keys = keys[keys["doc_id"] % 97 == 0]
+    urls = sorted("http://corpus/" + keys["lang"].astype(str) + "/"
+                  + keys["doc_id"].astype("int64").astype(str))
+    res = cdx_lookup(cdx_dir, urls=urls)
+    res["status"] = res["status"].astype("int64")
+    return (res[["q", "surt", "ts", "uri", "mime", "status"]]
+            .sort_values("q").reset_index(drop=True))
+
+
 def q_bottomk_sample(sf_dir):
     """Deterministic distributed uniform sample (stages/sketch
     .bottomk_sample): the 20 documents with the smallest
@@ -5913,6 +5957,7 @@ QUERIES = {
     "wet_roundtrip": q_wet_roundtrip,
     "cdx_index": q_cdx_index,
     "revisit_dedup": q_revisit_dedup,
+    "cdx_lookup": q_cdx_lookup,
     "triangle_count": q_triangle_count,
     "pagerank_dist": q_pagerank_dist,
     "hits_dist": q_hits_dist,

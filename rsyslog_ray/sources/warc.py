@@ -310,6 +310,9 @@ _CDX_SCHEMA = {"surt": "object", "ts": "object", "uri": "object",
                "filename": "object"}
 
 
+CDX_CLUSTER = "_cluster.idx"
+
+
 def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
     """Build a CDXJ index over WARC archives: capture records ->
     (surt, ts, uri, mime, status, digest, length, offset, filename)
@@ -324,7 +327,15 @@ def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
     digest reproducible by DuckDB oracles).  ``offset``/``length``
     are the gzip-member coordinates from ``read_warc(offsets=True)``
     — seek+read+gunzip yields the record (pinned by t:test_cdx random
-    access)."""
+    access).
+
+    Commit protocol (the build_inverted_index marker-last contract):
+    ``_cluster.idx`` — one JSON line per shard with its (surt, ts,
+    uri) key RANGE, the cc-index cluster.idx analog — is written LAST,
+    atomically.  Marker present ⇒ the index is complete and the build
+    is a skip; marker absent but dir non-empty ⇒ a previous build died
+    mid-write, debris is wiped and rebuilt.  The ranges are what
+    :func:`cdx_lookup` prunes shard reads with."""
     import hashlib
     import json
     import os
@@ -333,6 +344,15 @@ def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
 
     from ..functions import surt_frame
 
+    marker = os.path.join(out_dir, CDX_CLUSTER)
+    if os.path.exists(marker):
+        man = _load_cluster_idx(out_dir)
+        return pd.DataFrame(
+            {"path": [os.path.join(out_dir, e["file"]) for e in man],
+             "n_lines": [e["n"] for e in man]})
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     ds = read_warc(paths, parallelism=parallelism, offsets=True)
 
@@ -358,8 +378,10 @@ def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
            .sort(["surt", "ts", "uri"]))
 
     def write_shard(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"path": [], "n_lines": [],
+                              "lo": [], "hi": []})
         if df.empty:
-            return pd.DataFrame({"path": [], "n_lines": []})
+            return empty
         lines = []
         for r in df.itertuples(index=False):
             blob = json.dumps({
@@ -376,13 +398,108 @@ def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.writelines(lines)
         os.replace(tmp, path)
-        return pd.DataFrame({"path": [path], "n_lines": [len(lines)]})
+        # batches arrive sorted (the upstream range sort), so the key
+        # range is first row .. last row
+        lo = f"{df['surt'].iloc[0]} {df['ts'].iloc[0]}"
+        hi = f"{df['surt'].iloc[-1]} {df['ts'].iloc[-1]}"
+        return pd.DataFrame({"path": [path], "n_lines": [len(lines)],
+                             "lo": [lo], "hi": [hi]})
 
     man = (idx.map_batches(write_shard, batch_format="pandas")
            .to_pandas())
-    if man.empty or not len(os.listdir(out_dir)):
-        open(os.path.join(out_dir, "part-empty.cdxj"), "w").close()
-    return man
+    if man.empty:
+        man = pd.DataFrame({"path": [], "n_lines": [],
+                            "lo": [], "hi": []})
+    # marker-last commit: the cluster index (sorted by range start) is
+    # what makes the build visible — a torn build has shards but no
+    # marker and is wiped on the next attempt
+    entries = [{"file": os.path.basename(p), "n": int(n),
+                "lo": lo, "hi": hi}
+               for p, n, lo, hi in zip(man["path"], man["n_lines"],
+                                       man["lo"], man["hi"])]
+    entries.sort(key=lambda e: e["lo"])
+    tmp = marker + f".tmp{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        for e in entries:
+            fh.write(json.dumps(e, sort_keys=True) + "\n")
+    os.replace(tmp, marker)
+    return man[["path", "n_lines"]]
+
+
+def _load_cluster_idx(cdx_dir: str) -> list[dict]:
+    import json
+
+    with open(os.path.join(cdx_dir, CDX_CLUSTER), encoding="utf-8") as fh:
+        return [json.loads(l) for l in fh if l.strip()]
+
+
+def _open_shard(path: str) -> list[str]:
+    """Read one committed shard's lines — a named seam so tests can
+    count how many shards a pruned lookup actually touched."""
+    with open(path, encoding="utf-8") as fh:
+        return fh.read().splitlines()
+
+
+def cdx_lookup(cdx_dir: str, urls=None, *, surt_prefixes=None):
+    """Point / prefix lookup against a committed CDX index WITHOUT
+    scanning it — the cc-index ``cluster.idx`` read path: the shard
+    range manifest (driver-small: one line per shard) selects the
+    shards whose key range can contain each query, and ONLY those
+    files are opened.  ``urls`` are canonicalized to exact SURT keys;
+    ``surt_prefixes`` match any key with that prefix (e.g. a whole
+    host: ``"com,example)"``).  Returns a DataFrame of matching
+    captures with a ``q`` column naming the query that hit.
+
+    Scale shape: O(shards) driver bisect + O(covering shards) reads —
+    a handful of point queries over a 100 TB index opens a handful of
+    files.  (For query sets large enough to cover most shards, read
+    the index as a Dataset and hash-join instead.)"""
+    import bisect
+    import json
+
+    import pandas as pd
+
+    from ..functions import surt_row
+
+    entries = _load_cluster_idx(cdx_dir)
+    los = [e["lo"] for e in entries]
+    queries = []                      # (q_label, lo_key, hi_key, exact)
+    for u in (urls or []):
+        k = surt_row(u)
+        queries.append((u, k, k + " ￿", k))
+    for p in (surt_prefixes or []):
+        queries.append((p, p, p + "￿", None))
+
+    rows = []
+    seen_files = {}
+    for q, lo, hi, exact in queries:
+        # first shard whose range can reach lo: the one before the
+        # first lo-entry past it (ranges are sorted and disjoint)
+        i = max(bisect.bisect_right(los, lo) - 1, 0)
+        while i < len(entries):
+            e = entries[i]
+            if e["lo"] > hi:
+                break
+            if e["hi"] >= lo and e["n"]:
+                path = os.path.join(cdx_dir, e["file"])
+                lines = seen_files.get(path)
+                if lines is None:
+                    lines = seen_files[path] = _open_shard(path)
+                for line in lines:
+                    surt, ts, js = line.split(" ", 2)
+                    if exact is not None:
+                        if surt != exact:
+                            continue
+                    elif not surt.startswith(q):
+                        continue
+                    d = json.loads(js)
+                    rows.append((q, surt, ts, d["url"], d["mime"],
+                                 d["status"], d["digest"], d["length"],
+                                 d["offset"], d["filename"]))
+            i += 1
+    out = pd.DataFrame(rows, columns=["q"] + list(_CDX_SCHEMA))
+    return out.astype({"status": "int64", "length": "int64",
+                       "offset": "int64"})
 
 
 def read_cdx(cdx_dir: str, *, parallelism: int = -1):

@@ -283,3 +283,72 @@ def test_cdx_tmp_debris_invisible(ray_session, tmp_path):
            .sort_values(["surt", "ts", "uri"]).reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_cdx_lookup_pruned(ray_session, tmp_path, monkeypatch):
+    """cluster.idx pruned lookup: point and host-prefix queries return
+    exactly the matching captures while opening ONLY the shards whose
+    key range covers the query — never the whole index."""
+    import rsyslog_ray.sources.warc as W
+
+    # many small shards: tiny batches force multiple part files
+    recs = _capture_fixture(n=60)
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(build_warc(recs, gzip_members=True))
+    out = str(tmp_path / "cdx")
+    import ray.data
+
+    # shrink sort output blocks so several shards exist
+    ctx = ray.data.DataContext.get_current()
+    old = ctx.target_max_block_size
+    ctx.target_max_block_size = 4096
+    try:
+        W.build_cdx([str(p)], out)
+    finally:
+        ctx.target_max_block_size = old
+    n_shards = len([f for f in os.listdir(out)
+                    if f.startswith("part-") and f.endswith(".cdxj")])
+
+    opened = []
+    real = W._open_shard
+    monkeypatch.setattr(W, "_open_shard",
+                        lambda path: (opened.append(path)
+                                      or real(path)))
+    got = W.cdx_lookup(out, urls=["http://site1.com/p4",
+                                  "http://nowhere.example/"])
+    assert got[got["q"] == "http://site1.com/p4"]["uri"].tolist() == \
+        ["http://site1.com/p4"]
+    assert (got["q"] == "http://nowhere.example/").sum() == 0
+
+    opened_host = []
+    monkeypatch.setattr(W, "_open_shard",
+                        lambda path: (opened_host.append(path)
+                                      or real(path)))
+    host = W.cdx_lookup(out, surt_prefixes=["com,site2)"])
+    assert sorted(host["uri"]) == sorted(
+        f"http://site2.com/p{i}" for i in range(2, 60, 3))
+    if n_shards > 2:
+        assert len(set(opened)) < n_shards    # pruned, not a scan
+        assert len(set(opened_host)) < n_shards
+
+
+def test_cdx_torn_build_rebuilds(ray_session, tmp_path):
+    """Shards without the _cluster.idx marker are a torn build: the
+    next build wipes the debris and rebuilds; the committed index is
+    complete and correct."""
+    from rsyslog_ray.sources.warc import (CDX_CLUSTER, build_cdx,
+                                          build_warc, read_cdx)
+
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(build_warc(_capture_fixture(), gzip_members=True))
+    out = str(tmp_path / "cdx")
+    build_cdx([str(p)], out)
+    # tear it: drop the marker, leave stale junk shards
+    os.unlink(os.path.join(out, CDX_CLUSTER))
+    with open(os.path.join(out, "part-stale.cdxj"), "w") as fh:
+        fh.write("zz,stale)/ 20990101000000 {}\n")
+    build_cdx([str(p)], out)
+    idx = read_cdx(out).to_pandas()
+    assert len(idx) == 10
+    assert not (idx["surt"] == "zz,stale)/").any()
+    assert os.path.exists(os.path.join(out, CDX_CLUSTER))
