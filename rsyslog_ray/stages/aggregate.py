@@ -83,18 +83,36 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
             parts[alias] = g[alias].max()
         return pd.DataFrame(parts).reset_index()
 
-    from ray.data.aggregate import Max, Min, Sum
+    # distributed final for huge key spaces — but NOT via Ray's
+    # sort-based ``groupby(keys).aggregate()``, which costs ~ms PER
+    # GROUP (CLAUDE.md invariant 3): the partials hash-partition into
+    # a BOUNDED bucket count and each bucket reduces with ONE pandas
+    # groupby, so the shuffle sees 64 groups regardless of key
+    # cardinality and per-key cost is pandas-speed.
+    n_buckets = 64
 
-    aggs = []
-    if count:
-        aggs.append(Sum(count, alias_name=count))
-    for _, alias in sums.items():
-        aggs.append(Sum(alias, alias_name=alias))
-    for _, alias in mins.items():
-        aggs.append(Min(alias, alias_name=alias))
-    for _, alias in maxs.items():
-        aggs.append(Max(alias, alias_name=alias))
-    return partials.groupby(keys).aggregate(*aggs)
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__pp"] = (pd.util.hash_pandas_object(df[keys], index=False)
+                       .to_numpy() % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(keys, dropna=False, observed=True)
+        parts = {}
+        if count:
+            parts[count] = g[count].sum()
+        for _, alias in sums.items():
+            parts[alias] = g[alias].sum()
+        for _, alias in mins.items():
+            parts[alias] = g[alias].min()
+        for _, alias in maxs.items():
+            parts[alias] = g[alias].max()
+        return pd.DataFrame(parts).reset_index()
+
+    return (partials.map_batches(bucket, batch_format="pandas")
+            .groupby("__pp").map_groups(reduce_bucket,
+                                        batch_format="pandas"))
 
 
 def exact_percentiles(ds, keys: list[str], value: str,
