@@ -35,7 +35,8 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
     (this Ray's sort-based ``groupby().aggregate()`` pays ~ms per
     group, 1000x the pandas cost at medium cardinality).  Set False for
     genuinely huge key spaces: the final becomes a distributed
-    ``groupby().aggregate()`` and the result a Dataset.
+    ``bucketed_final`` (hash-bucketed pandas reduces, bounded shuffle
+    width) and the result a Dataset.
     """
     sums = sums or {}
     mins = mins or {}
@@ -83,20 +84,6 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
             parts[alias] = g[alias].max()
         return pd.DataFrame(parts).reset_index()
 
-    # distributed final for huge key spaces — but NOT via Ray's
-    # sort-based ``groupby(keys).aggregate()``, which costs ~ms PER
-    # GROUP (CLAUDE.md invariant 3): the partials hash-partition into
-    # a BOUNDED bucket count and each bucket reduces with ONE pandas
-    # groupby, so the shuffle sees 64 groups regardless of key
-    # cardinality and per-key cost is pandas-speed.
-    n_buckets = 64
-
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.copy()
-        out["__pp"] = (pd.util.hash_pandas_object(df[keys], index=False)
-                       .to_numpy() % np.uint64(n_buckets)).astype("int64")
-        return out
-
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby(keys, dropna=False, observed=True)
         parts = {}
@@ -110,9 +97,31 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
             parts[alias] = g[alias].max()
         return pd.DataFrame(parts).reset_index()
 
+    return bucketed_final(partials, keys, reduce_bucket)
+
+
+def bucketed_final(partials, keys: list[str], reduce_fn,
+                   n_buckets: int = 64):
+    """Distributed final reduce over an UNBOUNDED key space — without
+    Ray's sort-based ``groupby(keys).aggregate()``, which costs ~ms
+    PER GROUP (CLAUDE.md invariant 3; measured 44 s for 340 k rows in
+    the dynstats final): rows hash-partition on the key tuple into a
+    BOUNDED bucket count, and each bucket reduces with ONE pandas pass
+    (``reduce_fn``: frame -> reduced frame — every row of one key
+    lands in one bucket, so any per-key computation is exact).  The
+    shuffle sees ``n_buckets`` groups regardless of key cardinality;
+    the result stays a Dataset."""
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out["__pp"] = (pd.util.hash_pandas_object(df[keys], index=False)
+                       .to_numpy() % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    def red(df: pd.DataFrame) -> pd.DataFrame:
+        return reduce_fn(df.drop(columns=["__pp"]))
+
     return (partials.map_batches(bucket, batch_format="pandas")
-            .groupby("__pp").map_groups(reduce_bucket,
-                                        batch_format="pandas"))
+            .groupby("__pp").map_groups(red, batch_format="pandas"))
 
 
 def exact_percentiles(ds, keys: list[str], value: str,
@@ -161,19 +170,19 @@ def group_topk(ds, group: str, item: str, k: int, cnt: str = "n",
         top["rank"] = top.groupby(group).cumcount() + 1
         return top.astype({cnt: "int64", "rank": "int64"})
 
-    from ray.data.aggregate import Sum
+    # distributed final: bucket on GROUP alone, so one bucket holds a
+    # group's complete counts — sum + head-k run in one pandas pass
+    # (bounded shuffle width; a group's item count is the per-bucket
+    # memory assumption, same as the old per-group map_groups had)
+    def topk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        counts = df.groupby([group, item], as_index=False)[cnt].sum()
+        top = (counts.sort_values([group, cnt, item],
+                                  ascending=[True, False, True])
+               .groupby(group).head(k).reset_index(drop=True))
+        top["rank"] = top.groupby(group).cumcount() + 1
+        return top.astype({cnt: "int64", "rank": "int64"})
 
-    counts_ds = partials.groupby([group, item]).aggregate(
-        Sum(cnt, alias_name=cnt))
-
-    def head_k(g: pd.DataFrame) -> pd.DataFrame:
-        g = (g.sort_values([cnt, item], ascending=[False, True])
-             .head(k).reset_index(drop=True))
-        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
-        return g.astype({cnt: "int64"})
-
-    return counts_ds.groupby(group).map_groups(head_k,
-                                               batch_format="pandas")
+    return bucketed_final(partials, [group], topk_bucket)
 
 
 def salted_count(ds, key: str, salt_buckets: int = 16, cnt: str = "cnt",
@@ -197,9 +206,10 @@ def salted_count(ds, key: str, salt_buckets: int = 16, cnt: str = "cnt",
         df = partials.to_pandas()
         return (df.groupby(key, as_index=False)[cnt].sum()
                 .astype({cnt: "int64"}))
-    from ray.data.aggregate import Sum
-
-    return (partials.groupby(key).aggregate(Sum(cnt, alias_name=cnt)))
+    return bucketed_final(
+        partials, [key],
+        lambda df: (df.groupby(key, as_index=False)[cnt].sum()
+                    .astype({cnt: "int64"})))
 
 
 def hopping_window_count(ds, ts_col: str, window_s: float, hop_s: float,
@@ -235,10 +245,11 @@ def hopping_window_count(ds, ts_col: str, window_s: float, hop_s: float,
         df = partials.to_pandas()
         return (df.groupby(["window_start"] + keys, as_index=False)[cnt]
                 .sum().astype({cnt: "int64"}))
-    from ray.data.aggregate import Sum
-
-    return (partials.groupby(["window_start"] + keys)
-            .aggregate(Sum(cnt, alias_name=cnt)))
+    return bucketed_final(
+        partials, ["window_start"] + keys,
+        lambda df: (df.groupby(["window_start"] + keys,
+                               as_index=False)[cnt]
+                    .sum().astype({cnt: "int64"})))
 
 
 def rollup_agg(ds, keys: list[str], *, sums: dict[str, str] | None = None,

@@ -99,7 +99,7 @@ def test_finalize_aggregates_adaptive(ray_session, tmp_path):
     cardinality past driver memory.  Inflated host cardinality through
     (a) the streaming driver path with a tiny compaction threshold
     (driver memory = distinct keys, never keys x batches) and (b) the
-    fully distributed spill_dir path (groupby().aggregate(Sum) ->
+    fully distributed spill_dir path (bucketed pandas reduce ->
     parquet, nothing on the driver) — all three must agree with the
     pandas truth."""
     import ray.data
