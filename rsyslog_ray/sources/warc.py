@@ -313,48 +313,13 @@ _CDX_SCHEMA = {"surt": "object", "ts": "object", "uri": "object",
 CDX_CLUSTER = "_cluster.idx"
 
 
-def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
-    """Build a CDXJ index over WARC archives: capture records ->
-    (surt, ts, uri, mime, status, digest, length, offset, filename)
-    -> ONE range-partitioned sort by (surt, ts, uri) -> content-
-    addressed ``part-*.cdxj`` shards under ``out_dir`` (tmp+rename, a
-    task retry self-overwrites).  Returns the shard manifest frame.
-
-    100-TB shape: per-archive read parallelism, the only all-to-all is
-    the sort (exactly what a real cc-index build is); nothing
-    corpus-sized touches the driver.  ``digest`` is sha256-hex of the
-    record payload (deviation from CDX's sha1-b32, which keeps the
-    digest reproducible by DuckDB oracles).  ``offset``/``length``
-    are the gzip-member coordinates from ``read_warc(offsets=True)``
-    — seek+read+gunzip yields the record (pinned by t:test_cdx random
-    access).
-
-    Commit protocol (the build_inverted_index marker-last contract):
-    ``_cluster.idx`` — one JSON line per shard with its (surt, ts,
-    uri) key RANGE, the cc-index cluster.idx analog — is written LAST,
-    atomically.  Marker present ⇒ the index is complete and the build
-    is a skip; marker absent but dir non-empty ⇒ a previous build died
-    mid-write, debris is wiped and rebuilt.  The ranges are what
-    :func:`cdx_lookup` prunes shard reads with."""
+def _cdx_index_ds(ds):
+    """WARC record Dataset -> CDX index-row Dataset (unsorted)."""
     import hashlib
-    import json
-    import os
 
     import pandas as pd
 
     from ..functions import surt_frame
-
-    marker = os.path.join(out_dir, CDX_CLUSTER)
-    if os.path.exists(marker):
-        man = _load_cluster_idx(out_dir)
-        return pd.DataFrame(
-            {"path": [os.path.join(out_dir, e["file"]) for e in man],
-             "n_lines": [e["n"] for e in man]})
-    if os.path.isdir(out_dir) and os.listdir(out_dir):
-        import shutil
-        shutil.rmtree(out_dir)
-    os.makedirs(out_dir, exist_ok=True)
-    ds = read_warc(paths, parallelism=parallelism, offsets=True)
 
     def index(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["warc_type"].isin(CDX_TYPES)]
@@ -374,11 +339,22 @@ def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
             "filename": df["path"].map(os.path.basename).to_numpy(),
         })
 
-    idx = (ds.map_batches(index, batch_format="pandas")
-           .sort(["surt", "ts", "uri"]))
+    return ds.map_batches(index, batch_format="pandas")
+
+
+def _write_cdx_shards(idx, out_dir: str, prefix: str) -> list[dict]:
+    """Sort the index rows by (surt, ts, uri) and write one
+    ``<prefix><stem>.cdxj`` shard per output batch (content-addressed
+    stem: a task retry self-overwrites).  Returns the sorted manifest
+    entries [{file, n, lo, hi}] — the batches arrive range-sorted, so
+    a shard's key range is its first row .. last row."""
+    import hashlib
+    import json
+
+    import pandas as pd
 
     def write_shard(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"path": [], "n_lines": [],
+        empty = pd.DataFrame({"file": [], "n_lines": [],
                               "lo": [], "hi": []})
         if df.empty:
             return empty
@@ -393,44 +369,175 @@ def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
         stem = hashlib.md5("\x00".join(
             df["surt"] + " " + df["ts"] + " " + df["uri"]
         ).encode()).hexdigest()[:16]
-        path = os.path.join(out_dir, f"part-{stem}.cdxj")
+        name = f"{prefix}{stem}.cdxj"
+        path = os.path.join(out_dir, name)
         tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.writelines(lines)
         os.replace(tmp, path)
-        # batches arrive sorted (the upstream range sort), so the key
-        # range is first row .. last row
         lo = f"{df['surt'].iloc[0]} {df['ts'].iloc[0]}"
         hi = f"{df['surt'].iloc[-1]} {df['ts'].iloc[-1]}"
-        return pd.DataFrame({"path": [path], "n_lines": [len(lines)],
+        return pd.DataFrame({"file": [name], "n_lines": [len(lines)],
                              "lo": [lo], "hi": [hi]})
 
-    man = (idx.map_batches(write_shard, batch_format="pandas")
-           .to_pandas())
+    man = (idx.sort(["surt", "ts", "uri"])
+           .map_batches(write_shard, batch_format="pandas").to_pandas())
     if man.empty:
-        man = pd.DataFrame({"path": [], "n_lines": [],
-                            "lo": [], "hi": []})
-    # marker-last commit: the cluster index (sorted by range start) is
-    # what makes the build visible — a torn build has shards but no
-    # marker and is wiped on the next attempt
-    entries = [{"file": os.path.basename(p), "n": int(n),
-                "lo": lo, "hi": hi}
-               for p, n, lo, hi in zip(man["path"], man["n_lines"],
+        return []
+    entries = [{"file": f, "n": int(n), "lo": lo, "hi": hi}
+               for f, n, lo, hi in zip(man["file"], man["n_lines"],
                                        man["lo"], man["hi"])]
     entries.sort(key=lambda e: e["lo"])
-    tmp = marker + f".tmp{os.getpid()}"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        for e in entries:
-            fh.write(json.dumps(e, sort_keys=True) + "\n")
-    os.replace(tmp, marker)
-    return man[["path", "n_lines"]]
+    return entries
 
 
-def _load_cluster_idx(cdx_dir: str) -> list[dict]:
+def _write_manifest(path: str, header: dict, entries: list[dict]) -> None:
     import json
 
-    with open(os.path.join(cdx_dir, CDX_CLUSTER), encoding="utf-8") as fh:
-        return [json.loads(l) for l in fh if l.strip()]
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(header, sort_keys=True) + "\n")
+        for e in entries:
+            fh.write(json.dumps(e, sort_keys=True) + "\n")
+    os.replace(tmp, path)
+
+
+def _load_manifest(path: str) -> tuple[dict, list[dict]]:
+    import json
+
+    with open(path, encoding="utf-8") as fh:
+        lines = [json.loads(l) for l in fh if l.strip()]
+    if lines and "file" not in lines[0]:
+        return lines[0], lines[1:]
+    return {"epoch": 0}, lines          # legacy headerless manifest
+
+
+def _active_manifests(cdx_dir: str) -> list[list[dict]]:
+    """The readable view of the store: the base manifest plus every
+    committed generation that extends the base's CURRENT epoch.
+    Generations from before a compaction (their lines are in the new
+    base) and torn appends (no manifest) are invisible.  Each returned
+    entry list is internally range-sorted and disjoint."""
+    import glob as _glob
+
+    header, base = _load_manifest(os.path.join(cdx_dir, CDX_CLUSTER))
+    out = [base]
+    for m in sorted(_glob.glob(os.path.join(cdx_dir,
+                                            "_gen-*.cluster.idx"))):
+        h, entries = _load_manifest(m)
+        if h.get("base_epoch", -1) == header.get("epoch", 0):
+            out.append(entries)
+    return out
+
+
+def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
+    """Build a CDXJ index over WARC archives: capture records ->
+    (surt, ts, uri, mime, status, digest, length, offset, filename)
+    -> ONE range-partitioned sort by (surt, ts, uri) -> content-
+    addressed ``part-*.cdxj`` shards under ``out_dir`` (tmp+rename, a
+    task retry self-overwrites).  Returns the shard manifest frame.
+
+    100-TB shape: per-archive read parallelism, the only all-to-all is
+    the sort (exactly what a real cc-index build is); nothing
+    corpus-sized touches the driver.  ``digest`` is sha256-hex of the
+    record payload (deviation from CDX's sha1-b32, which keeps the
+    digest reproducible by DuckDB oracles).  ``offset``/``length``
+    are the gzip-member coordinates from ``read_warc(offsets=True)``
+    — seek+read+gunzip yields the record (pinned by t:test_warc random
+    access).
+
+    Commit protocol (the build_inverted_index marker-last contract):
+    ``_cluster.idx`` — a header {"epoch": 0} plus one JSON line per
+    shard with its (surt, ts) key RANGE, the cc-index cluster.idx
+    analog — is written LAST, atomically.  Marker present ⇒ the build
+    is a skip; marker absent but dir non-empty ⇒ a previous build died
+    mid-write, debris is wiped and rebuilt.  The ranges are what
+    :func:`cdx_lookup` prunes shard reads with; :func:`append_cdx`
+    adds increments, :func:`compact_cdx` folds them back into one
+    sorted base."""
+    import pandas as pd
+
+    marker = os.path.join(out_dir, CDX_CLUSTER)
+    if os.path.exists(marker):
+        _, man = _load_manifest(marker)
+        return pd.DataFrame(
+            {"path": [os.path.join(out_dir, e["file"]) for e in man],
+             "n_lines": [e["n"] for e in man]})
+    if os.path.isdir(out_dir) and os.listdir(out_dir):
+        import shutil
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    idx = _cdx_index_ds(read_warc(paths, parallelism=parallelism,
+                                  offsets=True))
+    entries = _write_cdx_shards(idx, out_dir, "part-")
+    _write_manifest(marker, {"epoch": 0}, entries)
+    return pd.DataFrame(
+        {"path": [os.path.join(out_dir, e["file"]) for e in entries],
+         "n_lines": [e["n"] for e in entries]})
+
+
+def append_cdx(paths, out_dir: str, gen_id: str, *,
+               parallelism: int = -1) -> dict:
+    """Append NEW archives to a committed CDX index without re-sorting
+    the base — the rolling-crawl increment (the LSM shape shared with
+    append_inverted_index / the range store): the increment is itself
+    sorted into ``gen-<gid>-part-*.cdxj`` shards with its OWN range
+    manifest ``_gen-<gid>.cluster.idx`` (marker-last; records the base
+    epoch it extends).  Readers merge base + committed generations, so
+    a torn append is invisible; re-appending a committed gen_id is a
+    no-op.  Lookup cost grows with the generation count —
+    :func:`compact_cdx` folds everything back into one sorted base."""
+    base = os.path.join(out_dir, CDX_CLUSTER)
+    if not os.path.exists(base):
+        raise FileNotFoundError(f"append requires a committed index "
+                                f"(missing {base})")
+    header, _ = _load_manifest(base)
+    gman = os.path.join(out_dir, f"_gen-{gen_id}.cluster.idx")
+    if os.path.exists(gman):
+        _, entries = _load_manifest(gman)
+        return {"gen_id": gen_id, "n_shards": len(entries),
+                "n_lines": sum(e["n"] for e in entries)}
+    # wipe a torn attempt's debris (only this generation's files)
+    import glob as _glob
+    for f in _glob.glob(os.path.join(out_dir,
+                                     f"gen-{gen_id}-part-*.cdxj")):
+        os.remove(f)
+    idx = _cdx_index_ds(read_warc(paths, parallelism=parallelism,
+                                  offsets=True))
+    entries = _write_cdx_shards(idx, out_dir, f"gen-{gen_id}-part-")
+    _write_manifest(gman, {"base_epoch": header.get("epoch", 0),
+                           "gen_id": gen_id}, entries)
+    return {"gen_id": gen_id, "n_shards": len(entries),
+            "n_lines": sum(e["n"] for e in entries)}
+
+
+def compact_cdx(out_dir: str, *, parallelism: int = -1) -> dict:
+    """Fold the base + every committed generation into ONE freshly
+    sorted base (epoch+1) — the LSM compaction.  The commit point is
+    the atomic ``_cluster.idx`` replace: the new header's epoch bump
+    makes every old-epoch generation manifest invisible in the same
+    rename.  A crash before the replace leaves the old view fully
+    intact (the new shards are unreferenced debris); after it, stale
+    files and gen manifests are unreferenced and reaped here (and by
+    the next compact) best-effort."""
+    import glob as _glob
+
+    view = _active_manifests(out_dir)
+    if len(view) == 1:
+        return {"compacted": False, "n_shards": len(view[0])}
+    header, _ = _load_manifest(os.path.join(out_dir, CDX_CLUSTER))
+    idx = read_cdx(out_dir, parallelism=parallelism)
+    entries = _write_cdx_shards(idx, out_dir, "part-")
+    _write_manifest(os.path.join(out_dir, CDX_CLUSTER),
+                    {"epoch": header.get("epoch", 0) + 1}, entries)
+    # reap: anything not referenced by the NEW base manifest
+    keep = {e["file"] for e in entries} | {CDX_CLUSTER}
+    for f in os.listdir(out_dir):
+        if f not in keep and (f.endswith(".cdxj")
+                              or f.endswith(".cluster.idx")):
+            os.remove(os.path.join(out_dir, f))
+    return {"compacted": True, "n_shards": len(entries),
+            "n_lines": sum(e["n"] for e in entries)}
 
 
 def _open_shard(path: str) -> list[str]:
@@ -442,18 +549,19 @@ def _open_shard(path: str) -> list[str]:
 
 def cdx_lookup(cdx_dir: str, urls=None, *, surt_prefixes=None):
     """Point / prefix lookup against a committed CDX index WITHOUT
-    scanning it — the cc-index ``cluster.idx`` read path: the shard
-    range manifest (driver-small: one line per shard) selects the
-    shards whose key range can contain each query, and ONLY those
-    files are opened.  ``urls`` are canonicalized to exact SURT keys;
-    ``surt_prefixes`` match any key with that prefix (e.g. a whole
-    host: ``"com,example)"``).  Returns a DataFrame of matching
-    captures with a ``q`` column naming the query that hit.
+    scanning it — the cc-index ``cluster.idx`` read path: each range
+    manifest (driver-small: one line per shard; the base plus every
+    committed generation) selects the shards whose key range can
+    contain each query, and ONLY those files are opened.  ``urls`` are
+    canonicalized to exact SURT keys; ``surt_prefixes`` match any key
+    with that prefix (e.g. a whole host: ``"com,example)"``).  Returns
+    a DataFrame of matching captures with a ``q`` column naming the
+    query that hit.
 
     Scale shape: O(shards) driver bisect + O(covering shards) reads —
     a handful of point queries over a 100 TB index opens a handful of
-    files.  (For query sets large enough to cover most shards, read
-    the index as a Dataset and hash-join instead.)"""
+    files per generation.  (For query sets large enough to cover most
+    shards, read the index as a Dataset and hash-join instead.)"""
     import bisect
     import json
 
@@ -461,42 +569,45 @@ def cdx_lookup(cdx_dir: str, urls=None, *, surt_prefixes=None):
 
     from ..functions import surt_row
 
-    entries = _load_cluster_idx(cdx_dir)
-    los = [e["lo"] for e in entries]
+    manifests = _active_manifests(cdx_dir)
     queries = []                      # (q_label, lo_key, hi_key, exact)
     for u in (urls or []):
         k = surt_row(u)
-        queries.append((u, k, k + " ￿", k))
+        queries.append((u, k, k + " \uffff", k))
     for p in (surt_prefixes or []):
-        queries.append((p, p, p + "￿", None))
+        queries.append((p, p, p + "\uffff", None))
 
     rows = []
     seen_files = {}
-    for q, lo, hi, exact in queries:
-        # first shard whose range can reach lo: the one before the
-        # first lo-entry past it (ranges are sorted and disjoint)
-        i = max(bisect.bisect_right(los, lo) - 1, 0)
-        while i < len(entries):
-            e = entries[i]
-            if e["lo"] > hi:
-                break
-            if e["hi"] >= lo and e["n"]:
-                path = os.path.join(cdx_dir, e["file"])
-                lines = seen_files.get(path)
-                if lines is None:
-                    lines = seen_files[path] = _open_shard(path)
-                for line in lines:
-                    surt, ts, js = line.split(" ", 2)
-                    if exact is not None:
-                        if surt != exact:
+    for entries in manifests:
+        los = [e["lo"] for e in entries]
+        for q, lo, hi, exact in queries:
+            # first shard whose range can reach lo: the one before the
+            # first lo-entry past it (ranges sorted, disjoint per
+            # manifest)
+            i = max(bisect.bisect_right(los, lo) - 1, 0)
+            while i < len(entries):
+                e = entries[i]
+                if e["lo"] > hi:
+                    break
+                if e["hi"] >= lo and e["n"]:
+                    path = os.path.join(cdx_dir, e["file"])
+                    lines = seen_files.get(path)
+                    if lines is None:
+                        lines = seen_files[path] = _open_shard(path)
+                    for line in lines:
+                        surt, ts, js = line.split(" ", 2)
+                        if exact is not None:
+                            if surt != exact:
+                                continue
+                        elif not surt.startswith(q):
                             continue
-                    elif not surt.startswith(q):
-                        continue
-                    d = json.loads(js)
-                    rows.append((q, surt, ts, d["url"], d["mime"],
-                                 d["status"], d["digest"], d["length"],
-                                 d["offset"], d["filename"]))
-            i += 1
+                        d = json.loads(js)
+                        rows.append((q, surt, ts, d["url"], d["mime"],
+                                     d["status"], d["digest"],
+                                     d["length"], d["offset"],
+                                     d["filename"]))
+                i += 1
     out = pd.DataFrame(rows, columns=["q"] + list(_CDX_SCHEMA))
     return out.astype({"status": "int64", "length": "int64",
                        "offset": "int64"})
@@ -507,17 +618,19 @@ def read_cdx(cdx_dir: str, *, parallelism: int = -1):
     :func:`build_cdx`; global order is re-established by the caller's
     sort — shard files are content-addressed, not range-named).
 
-    Only committed ``part-*.cdxj`` shards are read: a killed writer
-    leaves ``.cdxj.tmp<pid>`` debris in the same dir (tmp+rename
-    protocol), and reading the whole directory would surface those
-    torn, uncommitted lines as index entries."""
-    import glob as _glob
+    Manifest-driven: only shards referenced by the ACTIVE view (the
+    base ``_cluster.idx`` plus committed current-epoch generation
+    manifests) are read — a killed writer's ``.cdxj.tmp<pid>`` debris,
+    a torn append's unmanifested shards and pre-compaction leftovers
+    are all invisible."""
     import json
 
     import pandas as pd
     import ray.data
 
-    shards = sorted(_glob.glob(os.path.join(cdx_dir, "part-*.cdxj")))
+    shards = sorted(os.path.join(cdx_dir, e["file"])
+                    for entries in _active_manifests(cdx_dir)
+                    for e in entries)
     if not shards:
         return ray.data.from_pandas(
             pd.DataFrame({c: pd.Series([], dtype=t)

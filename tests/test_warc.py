@@ -352,3 +352,57 @@ def test_cdx_torn_build_rebuilds(ray_session, tmp_path):
     assert len(idx) == 10
     assert not (idx["surt"] == "zz,stale)/").any()
     assert os.path.exists(os.path.join(out, CDX_CLUSTER))
+
+
+def test_cdx_append_and_compact(ray_session, tmp_path):
+    """Generation protocol on the CDX store (the LSM shape): an append
+    is visible only once its manifest lands (torn append = invisible),
+    re-append of a committed gen is a no-op, lookup spans base +
+    generations, and compaction folds everything into one sorted base
+    (epoch bump), reaping stale files — with identical content."""
+    import rsyslog_ray.sources.warc as W
+
+    recs = _capture_fixture(n=12)
+    p1 = tmp_path / "a.warc.gz"
+    p2 = tmp_path / "b.warc.gz"
+    p1.write_bytes(build_warc(recs[:8], gzip_members=True))
+    p2.write_bytes(build_warc(recs[8:], gzip_members=True))
+    out = str(tmp_path / "cdx")
+    W.build_cdx([str(p1)], out)
+    base = (W.read_cdx(out).to_pandas()
+            .sort_values(["surt", "ts", "uri"]).reset_index(drop=True))
+    assert len(base) == 8
+
+    # torn append: shards written, manifest missing -> invisible
+    r1 = W.append_cdx([str(p2)], out, "g1")
+    assert r1["n_lines"] == 4
+    os.unlink(os.path.join(out, "_gen-g1.cluster.idx"))
+    assert len(W.read_cdx(out).to_pandas()) == 8
+    assert len(W.cdx_lookup(out, urls=["http://site2.com/p8"])) == 0
+
+    # committed append: visible to read + lookup; re-append = no-op
+    r2 = W.append_cdx([str(p2)], out, "g1")
+    assert r2["n_lines"] == 4
+    r3 = W.append_cdx([str(p2)], out, "g1")
+    assert r3 == r2
+    both = (W.read_cdx(out).to_pandas()
+            .sort_values(["surt", "ts", "uri"]).reset_index(drop=True))
+    assert len(both) == 12
+    hit = W.cdx_lookup(out, urls=["http://site2.com/p8"])
+    assert hit["uri"].tolist() == ["http://site2.com/p8"]
+
+    # compact: one sorted base, same content, stale gen files reaped
+    st = W.compact_cdx(out)
+    assert st["compacted"] and st["n_lines"] == 12
+    flat = (W.read_cdx(out).to_pandas()
+            .sort_values(["surt", "ts", "uri"]).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(flat, both)
+    left = os.listdir(out)
+    assert not any(f.startswith("gen-") or f.startswith("_gen-")
+                   for f in left)
+    # idempotent: nothing to fold
+    assert W.compact_cdx(out)["compacted"] is False
+    # the fixture urls still resolve post-compaction
+    assert len(W.cdx_lookup(out, urls=["http://site2.com/p8",
+                                       "http://site0.com/p0"])) == 2
