@@ -420,7 +420,7 @@ def pagerank_int_distributed(edges_ds, src: str, dst: str, *,
     edges = (edges_ds.map_batches(
         lambda df, _s=src, _d=dst: pd.DataFrame(
             {"node": df[_s].to_numpy(), "_dst": df[_d].to_numpy()}),
-        batch_format="pandas").materialize())
+        batch_format="pandas").repartition(n_buckets).materialize())
 
     def count_partial(df: pd.DataFrame) -> pd.DataFrame:
         t = (df.groupby("node", as_index=False).size()
@@ -435,10 +435,17 @@ def pagerank_int_distributed(edges_ds, src: str, dst: str, *,
         t["rank"] = np.int64(init)
         return t
 
+    # block-count pin: Ray's groupby emits as many blocks as it
+    # receives and union adds both sides', so an iterative chain
+    # GROWS block count geometrically (measured 128 -> 384 -> 896
+    # over two iterations, per-iteration wall 14 s -> 53 s at sf0.1)
+    # — every iteration-carried table is repartitioned to n_buckets
+    # before materializing
     ranks = (edges.select_columns(["node"])
              .map_batches(count_partial, batch_format="pandas")
              .groupby("__pp").map_groups(count_reduce,
                                          batch_format="pandas")
+             .repartition(n_buckets)
              .materialize())          # Dataset[(node, d, rank)]
 
     for _ in range(iters):
@@ -478,8 +485,8 @@ def pagerank_int_distributed(edges_ds, src: str, dst: str, *,
                          + (np.int64(damp_num) * s)
                          // np.int64(damp_den))})
 
-        ranks = folded.map_batches(new_rank,
-                                   batch_format="pandas").materialize()
+        ranks = (folded.map_batches(new_rank, batch_format="pandas")
+                 .repartition(n_buckets).materialize())
 
     return ranks.map_batches(
         lambda df: pd.DataFrame({
@@ -507,7 +514,7 @@ def hits_int_distributed(edges_ds, src: str, dst: str, *,
     edges = (edges_ds.map_batches(
         lambda df, _s=src, _d=dst: pd.DataFrame(
             {"_src": df[_s].to_numpy(), "_dst": df[_d].to_numpy()}),
-        batch_format="pandas").materialize())
+        batch_format="pandas").repartition(n_buckets).materialize())
 
     def _bucketed_sum(ds, key: str, val: str, out_key: str):
         def part(df: pd.DataFrame) -> pd.DataFrame:
@@ -535,10 +542,13 @@ def hits_int_distributed(edges_ds, src: str, dst: str, *,
                      % np.uint64(n_buckets)).astype("int64")
         return t
 
+    # same block-count pin as pagerank_int_distributed: every
+    # iteration-carried table re-bounds to n_buckets blocks
     nodes = (edges.map_batches(emit_nodes, batch_format="pandas")
              .groupby("__pp").map_groups(
                  lambda g: g[["node"]].drop_duplicates(),
-                 batch_format="pandas").materialize())
+                 batch_format="pandas")
+             .repartition(n_buckets).materialize())
 
     def push(score_ds, key_in: str, key_out: str, val: str):
         """out(k_out) = SUM over edges of score[k_in] — one hash join
@@ -561,11 +571,12 @@ def hits_int_distributed(edges_ds, src: str, dst: str, *,
             "_other", val, "node")
         folded = hash_join(nodes, sums, "node", how="left",
                            n_buckets=n_buckets)
-        return folded.map_batches(
+        return (folded.map_batches(
             lambda df, _v=val: pd.DataFrame(
                 {"node": df["node"].to_numpy(),
                  _v: df[_v].fillna(0).to_numpy(np.int64)}),
-            batch_format="pandas").materialize()
+            batch_format="pandas")
+            .repartition(n_buckets).materialize())
 
     # a1 = indegree: score 1 at every node, pushed along src -> dst
     ones = nodes.map_batches(
@@ -623,7 +634,7 @@ def bfs_hops_distributed(edges_ds, src: str, dst: str, sources: list,
     edges = (edges_ds.map_batches(
         lambda df, _s=src, _d=dst: pd.DataFrame(
             {"node": df[_s].to_numpy(), "_dst": df[_d].to_numpy()}),
-        batch_format="pandas").materialize())
+        batch_format="pandas").repartition(n_buckets).materialize())
 
     seed = pd.DataFrame({"node": pd.Series(sorted(set(sources))),
                          dist_col: np.int64(0)})
@@ -651,12 +662,15 @@ def bfs_hops_distributed(edges_ds, src: str, dst: str, sources: list,
                           dist.select_columns(["node"]),
                           "node", anti=True,
                           n_buckets=n_buckets)
-        frontier = fresh.materialize()
+        frontier = fresh.repartition(n_buckets).materialize()
         labelled = frontier.map_batches(
             lambda df, _d=depth: df.assign(
                 **{dist_col: np.int64(_d)}),
             batch_format="pandas")
-        dist = dist.union(labelled).materialize()
+        # the union would otherwise grow dist's block count every
+        # round (the block-count pin, see pagerank_int_distributed)
+        dist = (dist.union(labelled).repartition(n_buckets)
+                .materialize())
 
     if node_col != "node":
         dist = dist.map_batches(
