@@ -413,11 +413,17 @@ def surt_frame(url: pd.Series) -> pd.Series:
 
 
 def surt_row(u: str) -> str:
-    """Scalar spec for surt_frame (tests compare element-wise)."""
+    """Scalar spec for surt_frame (tests compare element-wise).
+    Unparseable URLs (e.g. a colon with no port digits) degrade to the
+    empty-host key ``)/" + nothing`` — the same fallback surt_frame's
+    failed regex extract produces, so engine and spec stay equal on
+    garbage input."""
     import re as _re
     m = _re.match(r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:([^@/?#]+)@)?"
                   r"([^/:?#]*)(?::(\d+))?(/[^?#]*)?(?:\?([^#]*))?(?:#.*)?$",
                   u)
+    if m is None:
+        return ")/"
     scheme, _cred, host, port, path, qs = m.groups()
     scheme = (scheme or "").lower()
     host = (host or "").lower()

@@ -5728,8 +5728,11 @@ def q_revisit_dedup(sf_dir):
             fh.write("ok")
 
     res = dedupe_revisit(read_warc(warc_dir + "/")).to_pandas()
-    return (res.sort_values(["uri", "ts"]).reset_index(drop=True)
-            [["uri", "ts", "kind", "ref_uri", "ref_ts"]])
+    cols = ["uri", "ts", "kind", "ref_uri", "ref_ts"]
+    if res.empty:        # Ray's to_pandas drops zero-row block schema
+        return pd.DataFrame({c: pd.Series([], dtype=object)
+                             for c in cols})
+    return res.sort_values(["uri", "ts"]).reset_index(drop=True)[cols]
 
 
 def q_cdx_lookup(sf_dir):

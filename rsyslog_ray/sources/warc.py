@@ -704,12 +704,28 @@ def dedupe_revisit(ds):
         df["cap"] = df["ts"].str.ljust(14, "0") + df["uri"]
         return df
 
-    keyed = caps.map_batches(with_cap, batch_format="pandas")
-    firsts = two_phase_agg(keyed.drop_columns(["uri", "ts"]),
-                           ["digest"], count=None,
-                           mins={"cap": "first_cap"},
-                           driver_reduce=False)
-    joined = hash_join(keyed, firsts, on="digest", how="inner")
+    # typed zero-row seeds at every schema-fragile point: Ray DROPS a
+    # map stage's empty output blocks entirely, so a capture-free
+    # archive turns each chain below into a schema-less Dataset and
+    # hash_join dies on `schema() is None`.  Unioning a typed empty
+    # frame pins the schema at zero cost (all columns are strings).
+    import ray.data
+
+    def _empty(cols):
+        return ray.data.from_pandas(pd.DataFrame(
+            {c: pd.Series([], dtype=object) for c in cols}))
+
+    keyed = (caps.map_batches(with_cap, batch_format="pandas")
+             .union(_empty(["uri", "ts", "digest", "cap"])))
+    firsts = two_phase_agg(
+        keyed.drop_columns(["uri", "ts"]), ["digest"], count=None,
+        mins={"cap": "first_cap"}, driver_reduce=False,
+        empty_result=pd.DataFrame(
+            {"digest": pd.Series([], dtype=object),
+             "first_cap": pd.Series([], dtype=object)}))
+    joined = (hash_join(keyed, firsts, on="digest", how="inner")
+              .union(_empty(["uri", "ts", "digest", "cap",
+                             "first_cap"])))
 
     def mark(df: pd.DataFrame) -> pd.DataFrame:
         is_first = df["cap"] == df["first_cap"]
@@ -724,4 +740,5 @@ def dedupe_revisit(ds):
                                                      "").to_numpy(),
         })
 
-    return joined.map_batches(mark, batch_format="pandas")
+    return (joined.map_batches(mark, batch_format="pandas")
+            .union(_empty(["uri", "ts", "kind", "ref_uri", "ref_ts"])))

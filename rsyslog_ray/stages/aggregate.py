@@ -21,7 +21,8 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
                   mins: dict[str, str] | None = None,
                   maxs: dict[str, str] | None = None,
                   batch_size: int = 8192,
-                  driver_reduce: bool = True):
+                  driver_reduce: bool = True,
+                  empty_result=None):
     """count/sum/min/max per key group with per-batch partial aggregation.
 
     ``sums``/``mins``/``maxs`` map source column -> output alias.
@@ -97,11 +98,12 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
             parts[alias] = g[alias].max()
         return pd.DataFrame(parts).reset_index()
 
-    return bucketed_final(partials, keys, reduce_bucket)
+    return bucketed_final(partials, keys, reduce_bucket,
+                          empty_result=empty_result)
 
 
 def bucketed_final(partials, keys: list[str], reduce_fn,
-                   n_buckets: int = 64):
+                   n_buckets: int = 64, empty_result=None):
     """Distributed final reduce over an UNBOUNDED key space — without
     Ray's sort-based ``groupby(keys).aggregate()``, which costs ~ms
     PER GROUP (CLAUDE.md invariant 3; measured 44 s for 340 k rows in
@@ -110,7 +112,14 @@ def bucketed_final(partials, keys: list[str], reduce_fn,
     (``reduce_fn``: frame -> reduced frame — every row of one key
     lands in one bucket, so any per-key computation is exact).  The
     shuffle sees ``n_buckets`` groups regardless of key cardinality;
-    the result stays a Dataset."""
+    the result stays a Dataset.
+
+    ``empty_result``: a TYPED zero-row frame matching the reduced
+    schema.  A zero-row input produces zero groups, i.e. a Dataset
+    with NO schema — a downstream join/union then dies on
+    ``schema() is None``.  Unioning the typed empty frame in costs
+    nothing and pins the schema in every case (dtypes must match the
+    real reduced output)."""
     def bucket(df: pd.DataFrame) -> pd.DataFrame:
         out = df.copy()
         out["__pp"] = (pd.util.hash_pandas_object(df[keys], index=False)
@@ -120,8 +129,12 @@ def bucketed_final(partials, keys: list[str], reduce_fn,
     def red(df: pd.DataFrame) -> pd.DataFrame:
         return reduce_fn(df.drop(columns=["__pp"]))
 
-    return (partials.map_batches(bucket, batch_format="pandas")
-            .groupby("__pp").map_groups(red, batch_format="pandas"))
+    out = (partials.map_batches(bucket, batch_format="pandas")
+           .groupby("__pp").map_groups(red, batch_format="pandas"))
+    if empty_result is not None:
+        import ray.data
+        out = out.union(ray.data.from_pandas(empty_result))
+    return out
 
 
 def exact_percentiles(ds, keys: list[str], value: str,

@@ -406,3 +406,15 @@ def test_cdx_append_and_compact(ray_session, tmp_path):
     # the fixture urls still resolve post-compaction
     assert len(W.cdx_lookup(out, urls=["http://site2.com/p8",
                                        "http://site0.com/p0"])) == 2
+
+
+def test_dedupe_revisit_empty_archive(ray_session, tmp_path):
+    """A capture-free archive flows through the combiner-min + join as
+    typed empties (Ray drops empty map-output blocks, which turns the
+    chain schema-less and killed the join before the seed unions)."""
+    from rsyslog_ray.sources.warc import build_warc, dedupe_revisit, read_warc
+
+    p = tmp_path / "a.warc"
+    p.write_bytes(build_warc([]))
+    out = dedupe_revisit(read_warc([str(p)])).to_pandas()
+    assert len(out) == 0
