@@ -742,3 +742,47 @@ def dedupe_revisit(ds):
 
     return (joined.map_batches(mark, batch_format="pandas")
             .union(_empty(["uri", "ts", "kind", "ref_uri", "ref_ts"])))
+
+
+def fetch_captures(warc_root: str, coords):
+    """Random-access record fetch — the consumption path of a CDX
+    lookup (what a wayback-style replay service does): ``coords`` is a
+    DataFrame with (filename, offset, length) columns (a
+    :func:`cdx_lookup` result works as-is); each row's record is
+    fetched by seek+read(+gunzip) of exactly its span, never a full
+    archive scan.  Returns a Dataset of the parsed records (read_warc
+    schema minus ``path``/``id``, plus the query coordinates).
+
+    Scale shape: coords is the SMALL side (a lookup result); fetches
+    distribute over a Dataset of coordinate rows, grouped per file so
+    one task opens each archive once."""
+    import pandas as pd
+    import ray.data
+
+    cols = ["filename", "offset", "length"]
+    keep = [c for c in coords.columns if c in ("q", "surt", "ts")]
+    ds = ray.data.from_pandas(
+        coords[cols + keep].reset_index(drop=True))
+
+    def fetch(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for fname, grp in df.groupby("filename", sort=False):
+            with open(os.path.join(warc_root, fname), "rb") as fh:
+                for r in grp.itertuples(index=False):
+                    fh.seek(int(r.offset))
+                    blob = fh.read(int(r.length))
+                    recs = parse_warc_bytes(blob)
+                    if not recs:
+                        continue
+                    rec = recs[0]
+                    rec.pop("id", None)
+                    for c in keep:
+                        rec[c] = getattr(r, c)
+                    rec["filename"] = fname
+                    rows.append(rec)
+        out_cols = ([c for c in _COLS if c not in ("path", "id")]
+                    + keep + ["filename"])
+        out = pd.DataFrame(rows, columns=out_cols)
+        return out
+
+    return ds.map_batches(fetch, batch_format="pandas")
