@@ -444,3 +444,26 @@ def test_fetch_captures_roundtrip(ray_session, tmp_path):
         assert hashlib.sha256(bytes(r.payload)).hexdigest() in \
             set(hits["digest"])
         assert r.http_status == 200
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_URL_CHARS = st.text(
+    alphabet="abcXYZ09.-_~%:/?#@&=+!$,;'()*[]\\ \t", max_size=40)
+
+
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_URL_CHARS, min_size=1, max_size=8))
+def test_surt_frame_row_parity_fuzz(urls):
+    """surt_frame == surt_row on arbitrary (incl. garbage) inputs —
+    the vectorized engine and the scalar spec must agree byte for
+    byte, and never raise."""
+    import pandas as pd
+
+    from rsyslog_ray.functions import surt_frame, surt_row
+
+    got = surt_frame(pd.Series(urls, dtype=object)).tolist()
+    want = [surt_row(u) for u in urls]
+    assert got == want
