@@ -40,13 +40,39 @@ def _run_stage(final_dir: str, build_fn) -> bool:
     atomically; a final dir left by a completed earlier run SKIPS the
     stage (a torn run leaves only the inprogress dir, which is wiped
     and rebuilt — a plain re-write_parquet into an existing dir would
-    APPEND duplicate files).  Returns True when the stage executed."""
+    APPEND duplicate files).  Returns True when the stage executed.
+
+    Skipping first VALIDATES the committed artifact's parquet footers
+    (metadata-only — no data read): commits are atomic renames, so a
+    torn write can't land here, but post-commit disk faults
+    (truncation, bit-rot in the footer) can.  An unreadable file
+    means the artifact can no longer be trusted; the stage dir is
+    wiped and rebuilt instead of crashing deep inside a downstream
+    read.  (Downstream stages already derived from the once-good
+    artifact stay valid — the rebuild only serves future readers.)"""
     if os.path.isdir(final_dir):
-        return False
+        if _stage_readable(final_dir):
+            return False
+        shutil.rmtree(final_dir)
     tmp = final_dir + ".inprogress"
     shutil.rmtree(tmp, ignore_errors=True)
     build_fn(tmp)
     os.rename(tmp, final_dir)
+    return True
+
+
+def _stage_readable(final_dir: str) -> bool:
+    """Every parquet file's footer opens (cheap metadata check)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    for f in glob.glob(os.path.join(final_dir, "**", "*.parquet"),
+                       recursive=True):
+        try:
+            pq.ParquetFile(f).metadata
+        except Exception:
+            return False
     return True
 
 

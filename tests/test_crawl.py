@@ -361,3 +361,49 @@ def test_web_pretrain_corrupt_inprogress_debris(ray_session,
     assert got == want
     assert not os.path.isdir(debris)      # wiped, then renamed away
     assert os.path.isdir(os.path.join(out, "pretrain", "mixed"))
+
+
+def test_corrupt_committed_stage_rebuilds(ray_session, planted_docs,
+                                          tmp_path):
+    """Post-commit disk fault: a COMMITTED stage file whose parquet
+    footer no longer opens (truncation/bit-rot — atomic renames rule
+    out torn writes here) is detected by the skip-path validation and
+    the stage rebuilds instead of crashing a downstream read.  Healthy
+    committed stages still skip (mtime-pinned)."""
+    import glob
+
+    from rsyslog_ray.pipelines.crawl import (documents_to_warc,
+                                             run_web_pretrain)
+
+    warc = str(tmp_path / "warc")
+    out = str(tmp_path / "out")
+    documents_to_warc(planted_docs, warc)
+    kw = dict(seq_len=16, seed=3, default_weight=1.0,
+              ingest_kwargs={"min_tokens": 5, "max_stop_ratio": 0.5})
+    want = run_web_pretrain(warc, out, **kw)
+
+    # rot a committed mid-recipe artifact + remove downstream so it
+    # will actually be re-read
+    victim = glob.glob(os.path.join(out, "pretrain", "mixed", "**",
+                                    "*.parquet"), recursive=True)[0]
+    good = open(victim, "rb").read()
+    with open(victim, "wb") as fh:
+        fh.write(good[: len(good) // 2])          # footer gone
+    import shutil
+    for art in ("pretrain/shuffled", "pretrain/packed"):
+        shutil.rmtree(os.path.join(out, art), ignore_errors=True)
+    rdir = os.path.join(out, "ingest", "records")
+    before = {f: os.path.getmtime(os.path.join(rdir, f))
+              for f in os.listdir(rdir)}
+
+    got = run_web_pretrain(warc, out, **kw)
+    assert got == want                            # rebuilt, identical
+    # the rotted file was replaced by a fresh readable one
+    import pyarrow.parquet as pq
+    for f in glob.glob(os.path.join(out, "pretrain", "mixed", "**",
+                                    "*.parquet"), recursive=True):
+        pq.ParquetFile(f).metadata
+    # untouched earlier stages still skipped
+    after = {f: os.path.getmtime(os.path.join(rdir, f))
+             for f in os.listdir(rdir)}
+    assert before == after
