@@ -5765,6 +5765,35 @@ def q_cdx_lookup(sf_dir):
             .sort_values("q").reset_index(drop=True))
 
 
+def q_cdx_rolling(sf_dir):
+    """Rolling CDX maintenance (sources/warc.append_cdx): the base
+    index is built from the FIRST HALF of the archives, the second
+    half arrives as an LSM generation increment, and the merged
+    base+generation view must equal one monolithic index — which is
+    exactly q:cdx_index's oracle, so the increment path answers to
+    the same SQL as the full build."""
+    import glob
+    import os
+
+    from ..pipelines.crawl import documents_to_warc
+    from ..sources.warc import append_cdx, build_cdx, read_cdx
+
+    root = _scratch("cdx_rolling", sf_dir)
+    warc_dir = documents_to_warc(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(root, "warc"))
+    files = sorted(glob.glob(os.path.join(warc_dir, "*.warc.gz")))
+    half = max(1, len(files) // 2)
+    cdx_dir = os.path.join(root, "cdx")
+    build_cdx(files[:half], cdx_dir)
+    if files[half:]:
+        append_cdx(files[half:], cdx_dir, "delta")
+    idx = read_cdx(cdx_dir).to_pandas()
+    idx["status"] = idx["status"].astype("int64")
+    return (idx[["surt", "ts", "uri", "mime", "status"]]
+            .sort_values(["surt", "ts", "uri"]).reset_index(drop=True))
+
+
 def q_bottomk_sample(sf_dir):
     """Deterministic distributed uniform sample (stages/sketch
     .bottomk_sample): the 20 documents with the smallest
@@ -5961,6 +5990,7 @@ QUERIES = {
     "cdx_index": q_cdx_index,
     "revisit_dedup": q_revisit_dedup,
     "cdx_lookup": q_cdx_lookup,
+    "cdx_rolling": q_cdx_rolling,
     "triangle_count": q_triangle_count,
     "pagerank_dist": q_pagerank_dist,
     "hits_dist": q_hits_dist,
@@ -5969,6 +5999,7 @@ QUERIES = {
 
 # the distributed graph variants answer to the SAME oracles as their
 # broadcast counterparts — one SQL definition, two implementations
+SQL_TAIL["cdx_rolling"] = SQL_TAIL["cdx_index"]
 SQL_TAIL["pagerank_dist"] = SQL_TAIL["pagerank"]
 SQL_TAIL["hits_dist"] = SQL_TAIL["hits_scores"]
 SQL_TAIL["bfs_dist"] = SQL_TAIL["bfs_hops"]
