@@ -103,3 +103,50 @@ def generation_append(ds, root: str, gen_id: str, write_batch,
     partials = (ds.map_batches(write_batch, batch_format="pandas")
                 .to_pandas())
     return commit_marker(root, gen_id, reduce_partials(partials))
+
+
+def validate_store(root: str, bucket_glob: str) -> dict:
+    """Post-commit durability audit (the `_run_stage` footer-check
+    applied to generation stores): open every committed parquet
+    footer (metadata-only — no data read).
+
+    * A bad file in a committed GENERATION quarantines that whole
+      generation — its marker and files are removed, so readers fall
+      back to base + intact generations and the caller may simply
+      re-append it (the increment protocol is idempotent by gen_id).
+    * A bad BASE file cannot be auto-repaired increment-wise; it is
+      reported in ``bad_base`` and the caller must rebuild the store.
+
+    Returns {"ok": bool, "bad_base": [files], "quarantined": [gids]}.
+    """
+    import pyarrow.parquet as pq
+
+    def readable(path: str) -> bool:
+        try:
+            pq.ParquetFile(path).metadata
+            return True
+        except Exception:
+            return False
+
+    bad_base = []
+    for b in sorted(glob.glob(os.path.join(root, bucket_glob))):
+        if not os.path.isdir(b):
+            continue
+        for f in glob.glob(os.path.join(b, "*.parquet")):
+            if not os.path.basename(f).startswith("gen-") \
+                    and not readable(f):
+                bad_base.append(f)
+
+    quarantined = []
+    for gid in committed_gen_ids(root):
+        files = []
+        for b in glob.glob(os.path.join(root, bucket_glob)):
+            files += glob.glob(os.path.join(
+                b, f"gen-{gid}-part-*.parquet"))
+        if any(not readable(f) for f in files):
+            os.remove(marker_path(root, gid))
+            wipe_debris(root, gid, bucket_glob)
+            quarantined.append(gid)
+
+    return {"ok": not bad_base and not quarantined,
+            "bad_base": bad_base, "quarantined": quarantined}

@@ -337,3 +337,61 @@ def test_append_inverted_index_generations(ray_session, tmp_path):
                           "doc_id", "text", inc_dir, gen_id="b1")
     pd.testing.assert_frame_equal(bm25_query_index(inc_dir, queries),
                                   want)
+
+
+def test_validate_store_quarantines_rotted_generation(ray_session,
+                                                     tmp_path):
+    """Post-commit bit-rot audit (state/genstore.validate_store): a
+    rotted file inside a COMMITTED generation quarantines exactly that
+    generation (queries fall back to base + intact gens; re-append
+    restores it); a rotted BASE file is reported for rebuild, never
+    silently dropped."""
+    import glob
+    import os
+
+    import ray.data
+
+    from rsyslog_ray.stages.search import (append_inverted_index,
+                                           bm25_query_index,
+                                           build_inverted_index)
+    from rsyslog_ray.state import genstore
+
+    df = _corpus()
+    a, b = df.iloc[:180], df.iloc[180:]
+    queries = {"q1": "fast hash", "q2": "dup merge scan"}
+    root = str(tmp_path / "idx")
+    build_inverted_index(ray.data.from_pandas(a).repartition(3),
+                         "doc_id", "text", root, npart=8)
+    base_only = bm25_query_index(root, queries, k=10)
+    append_inverted_index(ray.data.from_pandas(b).repartition(3),
+                          "doc_id", "text", root, gen_id="b1")
+    want_full = bm25_query_index(root, queries, k=10)
+
+    # healthy store: audit is a no-op
+    assert genstore.validate_store(root, "tp=*") == {
+        "ok": True, "bad_base": [], "quarantined": []}
+
+    # rot one committed generation file -> that gen quarantined
+    victim = sorted(glob.glob(f"{root}/tp=*/gen-b1-*.parquet"))[0]
+    raw = open(victim, "rb").read()
+    open(victim, "wb").write(raw[: len(raw) // 2])
+    rep = genstore.validate_store(root, "tp=*")
+    assert rep["quarantined"] == ["b1"] and not rep["bad_base"]
+    assert not glob.glob(f"{root}/tp=*/gen-b1-*.parquet")
+    pd.testing.assert_frame_equal(bm25_query_index(root, queries, k=10),
+                                  base_only)
+    # idempotent re-append restores the full answer
+    append_inverted_index(ray.data.from_pandas(b).repartition(2),
+                          "doc_id", "text", root, gen_id="b1")
+    pd.testing.assert_frame_equal(bm25_query_index(root, queries, k=10),
+                                  want_full)
+
+    # rot a BASE file -> reported, nothing deleted
+    base_f = sorted(
+        f for f in glob.glob(f"{root}/tp=*/part-*.parquet")
+        if not os.path.basename(f).startswith("gen-"))[0]
+    raw = open(base_f, "rb").read()
+    open(base_f, "wb").write(raw[: len(raw) // 2])
+    rep2 = genstore.validate_store(root, "tp=*")
+    assert rep2["bad_base"] == [base_f]
+    assert os.path.exists(base_f)
