@@ -786,3 +786,53 @@ def fetch_captures(warc_root: str, coords):
         return out
 
     return ds.map_batches(fetch, batch_format="pandas")
+
+
+def validate_cdx(cdx_dir: str) -> dict:
+    """Post-commit bit-rot audit for the CDX store (the
+    genstore.validate_store analog for text shards): every ACTIVE
+    shard's line count must equal its manifest ``n`` (shards commit
+    by atomic rename, so a mismatch or a missing file is a disk
+    fault, not a torn write).
+
+    * A bad shard in a committed GENERATION quarantines that
+      generation (manifest + files removed; readers fall back to
+      base + intact generations, and the idempotent
+      :func:`append_cdx` restores it).
+    * A bad BASE shard is reported in ``bad_base`` — the base needs a
+      rebuild (or a :func:`compact_cdx` after re-appending the data).
+
+    Returns {"ok": bool, "bad_base": [files], "quarantined": [gids]}.
+    """
+    import glob as _glob
+
+    def ok(entry) -> bool:
+        path = os.path.join(cdx_dir, entry["file"])
+        try:
+            with open(path, "rb") as fh:
+                n = sum(1 for l in fh if l.strip())
+        except OSError:
+            return False
+        return n == entry["n"]
+
+    header, base = _load_manifest(os.path.join(cdx_dir, CDX_CLUSTER))
+    bad_base = [os.path.join(cdx_dir, e["file"])
+                for e in base if not ok(e)]
+
+    quarantined = []
+    for m in sorted(_glob.glob(os.path.join(cdx_dir,
+                                            "_gen-*.cluster.idx"))):
+        h, entries = _load_manifest(m)
+        if h.get("base_epoch", -1) != header.get("epoch", 0):
+            continue
+        if any(not ok(e) for e in entries):
+            for e in entries:
+                p = os.path.join(cdx_dir, e["file"])
+                if os.path.exists(p):
+                    os.remove(p)
+            os.remove(m)
+            quarantined.append(h.get("gen_id",
+                                     os.path.basename(m)[5:-12]))
+
+    return {"ok": not bad_base and not quarantined,
+            "bad_base": bad_base, "quarantined": quarantined}

@@ -467,3 +467,39 @@ def test_surt_frame_row_parity_fuzz(urls):
     got = surt_frame(pd.Series(urls, dtype=object)).tolist()
     want = [surt_row(u) for u in urls]
     assert got == want
+
+
+def test_validate_cdx_quarantines_rotted_generation(ray_session,
+                                                   tmp_path):
+    """CDX bit-rot audit: a rotted (line-count-mismatched) shard in a
+    committed generation quarantines exactly that generation —
+    read/lookup fall back to the base, re-append restores; a rotted
+    base shard is reported, never silently dropped."""
+    import rsyslog_ray.sources.warc as W
+
+    recs = _capture_fixture(n=12)
+    p1, p2 = tmp_path / "a.warc.gz", tmp_path / "b.warc.gz"
+    p1.write_bytes(build_warc(recs[:8], gzip_members=True))
+    p2.write_bytes(build_warc(recs[8:], gzip_members=True))
+    out = str(tmp_path / "cdx")
+    W.build_cdx([str(p1)], out)
+    W.append_cdx([str(p2)], out, "g1")
+    assert W.validate_cdx(out) == {"ok": True, "bad_base": [],
+                                   "quarantined": []}
+
+    victim = [f for f in os.listdir(out) if f.startswith("gen-g1-")][0]
+    with open(os.path.join(out, victim), "a") as fh:
+        fh.write("zz,rot)/ 20990101000000 {}\n")   # count mismatch
+    rep = W.validate_cdx(out)
+    assert rep["quarantined"] == ["g1"] and not rep["bad_base"]
+    assert len(W.read_cdx(out).to_pandas()) == 8   # base only
+    W.append_cdx([str(p2)], out, "g1")             # restore
+    assert len(W.read_cdx(out).to_pandas()) == 12
+
+    base_f = [f for f in os.listdir(out)
+              if f.startswith("part-") and f.endswith(".cdxj")][0]
+    with open(os.path.join(out, base_f), "a") as fh:
+        fh.write("zz,rot)/ 20990101000000 {}\n")
+    rep2 = W.validate_cdx(out)
+    assert rep2["bad_base"] == [os.path.join(out, base_f)]
+    assert os.path.exists(os.path.join(out, base_f))
