@@ -62,18 +62,19 @@ def _run_stage(final_dir: str, build_fn) -> bool:
 
 
 def _stage_readable(final_dir: str) -> bool:
-    """Every parquet file's footer opens (cheap metadata check)."""
+    """Every parquet file's footer opens (cheap metadata check) AND at
+    least one file exists: every committed stage holds >= 1 file
+    (_write_parquet_typed writes a typed zero-row file even for empty
+    data), so "dir exists, nothing inside" is file-loss rot, not a
+    valid artifact — skipping it would crash the downstream read this
+    validation exists to prevent."""
     import glob
 
-    import pyarrow.parquet as pq
+    from ..state.genstore import parquet_footer_ok
 
-    for f in glob.glob(os.path.join(final_dir, "**", "*.parquet"),
-                       recursive=True):
-        try:
-            pq.ParquetFile(f).metadata
-        except Exception:
-            return False
-    return True
+    files = glob.glob(os.path.join(final_dir, "**", "*.parquet"),
+                      recursive=True)
+    return bool(files) and all(parquet_footer_ok(f) for f in files)
 
 
 def _write_parquet_typed(ds, tmp: str,

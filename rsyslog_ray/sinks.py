@@ -813,11 +813,22 @@ def finalize_aggregates(partials_ds, driver_threshold: int = 2_000_000,
 
         from .stages.aggregate import bucketed_final
 
+        import pyarrow as pa
+
+        from .pipelines.curation import _write_parquet_typed
+
         gkeys = ["sink", "kind", "key"]
-        (bucketed_final(
-            partials_ds, gkeys,
-            lambda df: df.groupby(gkeys, as_index=False)["cnt"].sum())
-         .write_parquet(spill_dir))
+        # _write_parquet_typed, not bare write_parquet: a zero-partial
+        # pipeline emits no blocks and Ray's sink writes NOTHING — the
+        # read_parquet below would fail on the empty dir
+        _write_parquet_typed(
+            bucketed_final(
+                partials_ds, gkeys,
+                lambda df: df.groupby(gkeys,
+                                      as_index=False)["cnt"].sum()),
+            spill_dir,
+            {"sink": pa.string(), "kind": pa.string(),
+             "key": pa.string(), "cnt": pa.int64()})
         return ray.data.read_parquet(spill_dir)
 
     keys = ["sink", "kind", "key"]

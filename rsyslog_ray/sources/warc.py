@@ -205,9 +205,16 @@ def read_warc(paths, *, parallelism: int = -1, offsets: bool = False):
 
         if isinstance(paths, str):
             root = paths.rstrip("/")
-            names = sorted(os.listdir(root)) if os.path.isdir(root) else None
-            flist = ([os.path.join(root, nm) for nm in names]
-                     if names is not None else [root])
+            if os.path.isdir(root):
+                # recursive + files-only, matching read_binary_files'
+                # path expansion (a dated-subdir archive layout must
+                # not hand a directory to open())
+                flist = sorted(
+                    os.path.join(dp, nm)
+                    for dp, _dirs, names in os.walk(root)
+                    for nm in names)
+            else:
+                flist = [root]
         else:
             flist = list(paths)
         ds = ray.data.from_items([{"path": p} for p in flist],
@@ -764,6 +771,26 @@ def fetch_captures(warc_root: str, coords):
     ds = ray.data.from_pandas(
         coords[cols + keep].reset_index(drop=True))
 
+    from ..functions import surt_row
+
+    def pick(recs: list[dict], r) -> dict | None:
+        """The record the coordinates POINT AT: a span normally holds
+        one record (member-per-record layout), but a gzip member may
+        legally hold several (e.g. a single-stream .warc.gz, where
+        every record's span is the whole file) — disambiguate by the
+        carried surt/ts columns when present, never blindly recs[0]."""
+        if len(recs) == 1 or not keep:
+            return recs[0] if recs else None
+        for rec in recs:
+            ts = "".join(ch for ch in rec["date"] if ch.isdigit())[:14]
+            if ("surt" in keep
+                    and surt_row(rec["target_uri"]) != r.surt):
+                continue
+            if "ts" in keep and ts != r.ts:
+                continue
+            return rec
+        return None
+
     def fetch(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
         for fname, grp in df.groupby("filename", sort=False):
@@ -771,10 +798,9 @@ def fetch_captures(warc_root: str, coords):
                 for r in grp.itertuples(index=False):
                     fh.seek(int(r.offset))
                     blob = fh.read(int(r.length))
-                    recs = parse_warc_bytes(blob)
-                    if not recs:
+                    rec = pick(parse_warc_bytes(blob), r)
+                    if rec is None:
                         continue
-                    rec = recs[0]
                     rec.pop("id", None)
                     for c in keep:
                         rec[c] = getattr(r, c)

@@ -60,6 +60,21 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
     partials = ds.map_batches(partial, batch_format="pandas",
                               batch_size=batch_size)
 
+    def reduce_partials(df: pd.DataFrame) -> pd.DataFrame:
+        # ONE reduce definition shared by the driver and distributed
+        # finals — they must never diverge
+        g = df.groupby(keys, dropna=False, observed=True)
+        parts = {}
+        if count:
+            parts[count] = g[count].sum()
+        for _, alias in sums.items():
+            parts[alias] = g[alias].sum()
+        for _, alias in mins.items():
+            parts[alias] = g[alias].min()
+        for _, alias in maxs.items():
+            parts[alias] = g[alias].max()
+        return pd.DataFrame(parts).reset_index()
+
     if driver_reduce:
         df = partials.to_pandas()
         if df.empty and not set(keys).issubset(df.columns):
@@ -73,32 +88,9 @@ def two_phase_agg(ds, keys: list[str], *, count: str | None = "cnt",
                     + list(maxs.values()):
                 cols[alias] = pd.Series([], dtype="object")
             return pd.DataFrame(cols)
-        g = df.groupby(keys, dropna=False, observed=True)
-        parts = {}
-        if count:
-            parts[count] = g[count].sum()
-        for _, alias in sums.items():
-            parts[alias] = g[alias].sum()
-        for _, alias in mins.items():
-            parts[alias] = g[alias].min()
-        for _, alias in maxs.items():
-            parts[alias] = g[alias].max()
-        return pd.DataFrame(parts).reset_index()
+        return reduce_partials(df)
 
-    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = df.groupby(keys, dropna=False, observed=True)
-        parts = {}
-        if count:
-            parts[count] = g[count].sum()
-        for _, alias in sums.items():
-            parts[alias] = g[alias].sum()
-        for _, alias in mins.items():
-            parts[alias] = g[alias].min()
-        for _, alias in maxs.items():
-            parts[alias] = g[alias].max()
-        return pd.DataFrame(parts).reset_index()
-
-    return bucketed_final(partials, keys, reduce_bucket,
+    return bucketed_final(partials, keys, reduce_partials,
                           empty_result=empty_result)
 
 

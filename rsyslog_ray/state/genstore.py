@@ -105,6 +105,19 @@ def generation_append(ds, root: str, gen_id: str, write_batch,
     return commit_marker(root, gen_id, reduce_partials(partials))
 
 
+def parquet_footer_ok(path: str) -> bool:
+    """One shared parquet-readability probe (metadata-only): the file
+    exists and its footer parses.  Used by the stage-commit validator
+    (pipelines/curation._stage_readable) and validate_store below."""
+    import pyarrow.parquet as pq
+
+    try:
+        pq.ParquetFile(path).metadata
+        return True
+    except Exception:
+        return False
+
+
 def validate_store(root: str, bucket_glob: str) -> dict:
     """Post-commit durability audit (the `_run_stage` footer-check
     applied to generation stores): open every committed parquet
@@ -119,14 +132,7 @@ def validate_store(root: str, bucket_glob: str) -> dict:
 
     Returns {"ok": bool, "bad_base": [files], "quarantined": [gids]}.
     """
-    import pyarrow.parquet as pq
-
-    def readable(path: str) -> bool:
-        try:
-            pq.ParquetFile(path).metadata
-            return True
-        except Exception:
-            return False
+    readable = parquet_footer_ok
 
     bad_base = []
     for b in sorted(glob.glob(os.path.join(root, bucket_glob))):
@@ -143,7 +149,14 @@ def validate_store(root: str, bucket_glob: str) -> dict:
         for b in glob.glob(os.path.join(root, bucket_glob)):
             files += glob.glob(os.path.join(
                 b, f"gen-{gid}-part-*.parquet"))
-        if any(not readable(f) for f in files):
+        rec = committed_record(root, gid) or {}
+        claims_content = any(
+            isinstance(v, (int, float)) and v > 0 for v in rec.values())
+        # zero files is legal only for an EMPTY increment (marker
+        # committed with all-zero stats); a marker claiming content
+        # with no files on disk is total file loss — same rot class
+        if any(not readable(f) for f in files) or (
+                not files and claims_content):
             os.remove(marker_path(root, gid))
             wipe_debris(root, gid, bucket_glob)
             quarantined.append(gid)

@@ -503,3 +503,29 @@ def test_validate_cdx_quarantines_rotted_generation(ray_session,
     rep2 = W.validate_cdx(out)
     assert rep2["bad_base"] == [os.path.join(out, base_f)]
     assert os.path.exists(os.path.join(out, base_f))
+
+
+def test_fetch_captures_single_stream_gz(ray_session, tmp_path):
+    """A single-stream .warc.gz (ONE gzip member for the whole file —
+    legal, seen in the wild) indexes every record at the same member
+    span; fetch must return each query's OWN record, disambiguated by
+    the carried surt/ts — not blindly the member's first record."""
+    import gzip
+
+    from rsyslog_ray.sources.warc import (build_cdx, build_warc,
+                                          cdx_lookup, fetch_captures)
+
+    recs = _capture_fixture(n=6)
+    plain = build_warc(recs)                   # then ONE gzip member
+    p = tmp_path / "single.warc.gz"
+    p.write_bytes(gzip.compress(plain))
+    out = str(tmp_path / "cdx")
+    build_cdx([str(p)], out)
+    hits = cdx_lookup(out, urls=["http://site1.com/p4",
+                                 "http://site2.com/p5"])
+    assert len(hits) == 2
+    got = (fetch_captures(str(tmp_path), hits).to_pandas()
+           .sort_values("target_uri").reset_index(drop=True))
+    assert got["target_uri"].tolist() == ["http://site1.com/p4",
+                                          "http://site2.com/p5"]
+    assert [bytes(b) for b in got["payload"]] == [b"body-4", b"body-5"]

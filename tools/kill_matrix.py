@@ -79,18 +79,18 @@ def main():
     warc_c = os.path.join(root, "warc_clean")
     warc_k = os.path.join(root, "warc_kill")
 
-    # clean single-shot reference
+    # clean single-shot reference — ALSO the timing calibration for
+    # the kill delays (measured start to finish, one full recipe)
+    t_start = time.time()
     p = _spawn(docs, warc_c, clean_out)
     out_txt, _ = p.communicate()
     assert p.returncode == 0, "clean run failed"
+    t_full = time.time() - t_start
     clean_funnel = json.loads(
         [l for l in out_txt.splitlines() if l.startswith("FUNNEL ")][0][7:])
 
-    # measure a full run's wall to randomize kill points across stages
+    # kill points spread over [5%, 95%] of the measured full wall
     kills, runs, funnel = [], 0, None
-    t_full = None
-    t0 = time.time()
-    # first timing probe run (also the first kill target)
     seed = 0xC0FFEE
     while True:
         runs += 1
@@ -99,7 +99,7 @@ def main():
             # deterministic-ish spread of kill delays over the run
             seed = (seed * 6364136223846793005 + 1442695040888963407) % 2**64
             frac = 0.05 + 0.9 * ((seed >> 16) % 1000) / 1000.0
-            delay = (t_full or 20.0) * frac
+            delay = t_full * frac
             time.sleep(delay)
             if p.poll() is None:
                 os.killpg(p.pid, signal.SIGKILL)
@@ -112,8 +112,6 @@ def main():
             funnel = json.loads(
                 [l for l in out_txt.splitlines()
                  if l.startswith("FUNNEL ")][0][7:])
-            if t_full is None:
-                t_full = time.time() - t0
             if len(kills) >= n_cycles:
                 break
         if runs > n_cycles * 3 + 5:
