@@ -175,3 +175,34 @@ def test_range_join_semantics(ray_session):
     out60 = (range_join(left, right, key="k", ts="ts",
                         right_cols=["rid"], lookback_s=60).to_pandas())
     assert (3, 13) in set(zip(out60["lid"], out60["rid"]))
+
+
+def test_two_phase_agg_driver_equals_distributed(ray_session):
+    """The driver and bucketed-distributed finals share ONE reduce
+    definition — pin that they produce identical results (values AND
+    dtypes-compatible) on a mixed count/sum/min/max spec with nulls
+    and a hot key."""
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from rsyslog_ray.stages.aggregate import two_phase_agg
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    df = pd.DataFrame({
+        "k": np.where(rng.rand(n) < 0.5, "hot",
+                      rng.randint(0, 300, n).astype(str)),
+        "v": rng.randint(-100, 100, n).astype("int64"),
+        "s": rng.randint(0, 10, n).astype("int64"),
+    })
+    ds = ray.data.from_pandas(df).repartition(13)
+    kw = dict(count="cnt", sums={"s": "sum_s"},
+              mins={"v": "min_v"}, maxs={"v": "max_v"},
+              batch_size=256)
+    drv = (two_phase_agg(ds, ["k"], **kw)
+           .sort_values("k").reset_index(drop=True))
+    dist = (two_phase_agg(ds, ["k"], driver_reduce=False, **kw)
+            .to_pandas().sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        drv, dist[drv.columns], check_dtype=False)
