@@ -168,7 +168,12 @@ def parse_warc_bytes(blob: bytes, *, offsets: bool = False) -> list[dict]:
             "truncated": truncated,
         }
         if offsets:
-            off, ln = _span(rec_start, body_at + clen + 4)
+            # the record trailer is \r\n\r\n (4 bytes) normally, \n\n
+            # (2) for an LF-only writer — using the wrong width on a
+            # PLAIN .warc overshoots `length` into the next record's
+            # header (fetch survived only via the garbage-tail break)
+            off, ln = _span(rec_start,
+                            body_at + clen + (2 if lf_only else 4))
             row["offset"], row["length"] = int(off), int(ln)
         rows.append(row)
         rid += 1
@@ -181,6 +186,39 @@ WET_DATE = "2025-01-01T00:00:00Z"
 _COLS = ["path", "id", "warc_type", "record_id", "date", "target_uri",
          "content_type", "content_length", "http_status",
          "http_content_type", "payload", "truncated"]
+
+_COL_DTYPES = {"path": object, "id": "int64", "warc_type": object,
+               "record_id": object, "date": object,
+               "target_uri": object, "content_type": object,
+               "content_length": "int64", "http_status": "int64",
+               "http_content_type": object, "payload": object,
+               "truncated": bool, "offset": "int64",
+               "length": "int64"}
+
+
+_COL_ARROW = None        # lazy: pyarrow types for the typed empty
+
+
+def _empty_warc_table(cols):
+    """Arrow-typed zero-row table (pandas empties lose dtype through
+    Ray's block layer and trip the object-dtype size estimator)."""
+    import pyarrow as pa
+
+    global _COL_ARROW
+    if _COL_ARROW is None:
+        _COL_ARROW = {"path": pa.string(), "id": pa.int64(),
+                      "warc_type": pa.string(),
+                      "record_id": pa.string(), "date": pa.string(),
+                      "target_uri": pa.string(),
+                      "content_type": pa.string(),
+                      "content_length": pa.int64(),
+                      "http_status": pa.int64(),
+                      "http_content_type": pa.string(),
+                      "payload": pa.binary(),
+                      "truncated": pa.bool_(), "offset": pa.int64(),
+                      "length": pa.int64()}
+    return pa.Table.from_pylist(
+        [], schema=pa.schema([(c, _COL_ARROW[c]) for c in cols]))
 
 
 def read_warc(paths, *, parallelism: int = -1, offsets: bool = False):
@@ -217,6 +255,11 @@ def read_warc(paths, *, parallelism: int = -1, offsets: bool = False):
                 flist = [root]
         else:
             flist = list(paths)
+        if not flist:
+            # an empty archive dir must yield a TYPED zero-row dataset
+            # (override_num_blocks=0 raises; a schema-less empty kills
+            # downstream joins — the CLAUDE.md empty-block quirk)
+            return ray.data.from_arrow(_empty_warc_table(cols))
         ds = ray.data.from_items([{"path": p} for p in flist],
                                  override_num_blocks=(
                                      len(flist) if parallelism == -1
@@ -320,13 +363,25 @@ _CDX_SCHEMA = {"surt": "object", "ts": "object", "uri": "object",
 CDX_CLUSTER = "_cluster.idx"
 
 
-def _cdx_index_ds(ds):
-    """WARC record Dataset -> CDX index-row Dataset (unsorted)."""
+def _cdx_index_ds(ds, root: str | None = None):
+    """WARC record Dataset -> CDX index-row Dataset (unsorted).
+
+    ``filename`` is the archive path RELATIVE to ``root`` (the
+    cc-index convention) so a dated-subdir layout survives the
+    index→fetch round trip and two same-named archives in different
+    subdirs can't alias; bare basename only when no root is known."""
     import hashlib
 
     import pandas as pd
 
     from ..functions import surt_frame
+
+    nroot = os.path.normpath(root) if root else None
+
+    def relname(p: str) -> str:
+        if nroot and os.path.normpath(p).startswith(nroot + os.sep):
+            return os.path.relpath(p, nroot)
+        return os.path.basename(p)
 
     def index(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["warc_type"].isin(CDX_TYPES)]
@@ -343,7 +398,7 @@ def _cdx_index_ds(ds):
                 lambda b: hashlib.sha256(bytes(b)).hexdigest()).to_numpy(),
             "length": df["length"].astype("int64").to_numpy(),
             "offset": df["offset"].astype("int64").to_numpy(),
-            "filename": df["path"].map(os.path.basename).to_numpy(),
+            "filename": df["path"].map(relname).to_numpy(),
         })
 
     return ds.map_batches(index, batch_format="pandas")
@@ -474,8 +529,9 @@ def build_cdx(paths, out_dir: str, *, parallelism: int = -1):
         import shutil
         shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
+    root = paths if isinstance(paths, str) else None
     idx = _cdx_index_ds(read_warc(paths, parallelism=parallelism,
-                                  offsets=True))
+                                  offsets=True), root=root)
     entries = _write_cdx_shards(idx, out_dir, "part-")
     _write_manifest(marker, {"epoch": 0}, entries)
     return pd.DataFrame(
@@ -510,7 +566,8 @@ def append_cdx(paths, out_dir: str, gen_id: str, *,
                                      f"gen-{gen_id}-part-*.cdxj")):
         os.remove(f)
     idx = _cdx_index_ds(read_warc(paths, parallelism=parallelism,
-                                  offsets=True))
+                                  offsets=True),
+                        root=paths if isinstance(paths, str) else None)
     entries = _write_cdx_shards(idx, out_dir, f"gen-{gen_id}-part-")
     _write_manifest(gman, {"base_epoch": header.get("epoch", 0),
                            "gen_id": gen_id}, entries)
@@ -534,9 +591,15 @@ def compact_cdx(out_dir: str, *, parallelism: int = -1) -> dict:
         return {"compacted": False, "n_shards": len(view[0])}
     header, _ = _load_manifest(os.path.join(out_dir, CDX_CLUSTER))
     idx = read_cdx(out_dir, parallelism=parallelism)
-    entries = _write_cdx_shards(idx, out_dir, "part-")
+    # the new epoch is part of the shard stem: a content-addressed
+    # "part-<md5>" name could equal a LIVE base shard's (same key
+    # multiset), and the pre-commit os.replace would mutate a file the
+    # still-committed old manifest references — a crash in that window
+    # would serve wrong payloads undetectably (line counts match)
+    new_epoch = header.get("epoch", 0) + 1
+    entries = _write_cdx_shards(idx, out_dir, f"part-e{new_epoch}-")
     _write_manifest(os.path.join(out_dir, CDX_CLUSTER),
-                    {"epoch": header.get("epoch", 0) + 1}, entries)
+                    {"epoch": new_epoch}, entries)
     # reap: anything not referenced by the NEW base manifest
     keep = {e["file"] for e in entries} | {CDX_CLUSTER}
     for f in os.listdir(out_dir):

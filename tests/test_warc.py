@@ -529,3 +529,129 @@ def test_fetch_captures_single_stream_gz(ray_session, tmp_path):
     assert got["target_uri"].tolist() == ["http://site1.com/p4",
                                           "http://site2.com/p5"]
     assert [bytes(b) for b in got["payload"]] == [b"body-4", b"body-5"]
+
+
+def test_cdx_nested_subdir_fetch(ray_session, tmp_path):
+    """ADVICE r4: a dated-subdir archive layout (the real cc layout)
+    must survive the index->fetch round trip — `filename` stores the
+    path RELATIVE to the indexing root, so two same-named archives in
+    different subdirs cannot alias and fetch_captures(root, hits)
+    opens the right file."""
+    from rsyslog_ray.sources.warc import (build_cdx, build_warc,
+                                          cdx_lookup, fetch_captures)
+
+    root = tmp_path / "archives"
+    d1 = root / "2025-01-01"
+    d2 = root / "2025-01-02"
+    d1.mkdir(parents=True)
+    d2.mkdir(parents=True)
+    # SAME basename in both subdirs, different content
+    (d1 / "crawl.warc.gz").write_bytes(
+        build_warc(_capture_fixture(n=4), gzip_members=True))
+    recs2 = _capture_fixture(n=8)[4:]          # p4..p7
+    (d2 / "crawl.warc.gz").write_bytes(
+        build_warc(recs2, gzip_members=True))
+    out = str(tmp_path / "cdx")
+    build_cdx(str(root), out)
+    hits = cdx_lookup(out, urls=["http://site1.com/p1",
+                                 "http://site2.com/p5"])
+    assert len(hits) == 2
+    assert sorted(hits["filename"]) == [
+        os.path.join("2025-01-01", "crawl.warc.gz"),
+        os.path.join("2025-01-02", "crawl.warc.gz")]
+    got = (fetch_captures(str(root), hits).to_pandas()
+           .sort_values("target_uri").reset_index(drop=True))
+    assert got["target_uri"].tolist() == ["http://site1.com/p1",
+                                          "http://site2.com/p5"]
+    assert [bytes(b) for b in got["payload"]] == [b"body-1", b"body-5"]
+
+
+def test_read_warc_offsets_empty_dir(ray_session, tmp_path):
+    """ADVICE r4: read_warc(offsets=True) over a capture-free dir must
+    return a TYPED zero-row dataset (was: override_num_blocks=0
+    ValueError), and build_cdx over it commits an empty index that
+    cdx_lookup/read_cdx read back cleanly."""
+    from rsyslog_ray.sources.warc import (build_cdx, cdx_lookup,
+                                          read_cdx, read_warc)
+
+    empty = tmp_path / "noarchives"
+    empty.mkdir()
+    ds = read_warc(str(empty), offsets=True)
+    # Dataset-level schema must survive (to_pandas is lossy for ANY
+    # zero-row dataset — the documented Ray quirk); joins/unions key
+    # off ds.schema(), which is the contract here
+    sch = ds.schema()
+    assert sch is not None
+    assert "offset" in sch.names and "length" in sch.names
+    assert len(ds.to_pandas()) == 0
+
+    out = str(tmp_path / "cdx")
+    man = build_cdx(str(empty), out)
+    assert len(man) == 0
+    assert os.path.exists(os.path.join(out, "_cluster.idx"))
+    assert len(read_cdx(out).to_pandas()) == 0
+    assert len(cdx_lookup(out, urls=["http://x.com/"])) == 0
+
+
+def test_compact_never_overwrites_live_base_shard(ray_session, tmp_path):
+    """ADVICE r4: compaction writes its new base shards under an
+    epoch-stamped stem, so a new shard whose key multiset equals a
+    LIVE old-base shard's cannot os.replace that still-referenced file
+    before the atomic manifest commit.  Forced here by compacting a
+    base + an EMPTY generation: the folded content is identical to the
+    base, the old stem would collide exactly."""
+    import rsyslog_ray.sources.warc as W
+
+    p = tmp_path / "a.warc.gz"
+    p.write_bytes(build_warc(_capture_fixture(n=6), gzip_members=True))
+    out = str(tmp_path / "cdx")
+    W.build_cdx([str(p)], out)
+    _, base_entries = W._load_manifest(os.path.join(out, W.CDX_CLUSTER))
+    old_files = {e["file"] for e in base_entries}
+    old_bytes = {f: open(os.path.join(out, f), "rb").read()
+                 for f in old_files}
+
+    emptydir = tmp_path / "empty"
+    emptydir.mkdir()
+    W.append_cdx(str(emptydir), out, "g1")
+    rep = W.compact_cdx(out)
+    assert rep["compacted"]
+    hdr, new_entries = W._load_manifest(os.path.join(out, W.CDX_CLUSTER))
+    assert hdr["epoch"] == 1
+    new_files = {e["file"] for e in new_entries}
+    # disjoint names: nothing the old manifest referenced was mutated
+    assert not (new_files & old_files)
+    assert all(f.startswith("part-e1-") for f in new_files)
+    # content survives byte-identical under the new names
+    idx = W.read_cdx(out).to_pandas()
+    assert len(idx) == 6
+
+
+def test_plain_warc_lf_only_exact_spans(ray_session, tmp_path):
+    """ADVICE r4: offsets mode on a plain .warc written with LF-only
+    line endings must compute `length` with the actual 2-byte trailer
+    — each span ends before the next record's header (no 2-byte
+    overshoot into `WARC/`)."""
+    from rsyslog_ray.sources.warc import parse_warc_bytes
+
+    def lf_rec(uri, body):
+        head = (f"WARC/1.0\nWARC-Type: resource\n"
+                f"WARC-Target-URI: {uri}\n"
+                f"Content-Length: {len(body)}\n\n").encode()
+        return head + body + b"\n\n"
+
+    blob = b"".join(lf_rec(f"http://lf.com/{i}", f"B{i}".encode())
+                    for i in range(4))
+    rows = parse_warc_bytes(blob, offsets=True)
+    assert len(rows) == 4
+    for i, r in enumerate(rows):
+        span = blob[r["offset"]:r["offset"] + r["length"]]
+        assert span.startswith(b"WARC/1.0\n")
+        # exact: span covers this record only, ending at its trailer
+        assert b"WARC/" not in span[5:]
+        sub = parse_warc_bytes(span)
+        assert len(sub) == 1
+        assert sub[0]["target_uri"] == f"http://lf.com/{i}"
+        assert sub[0]["payload"] == f"B{i}".encode()
+        if i + 1 < len(rows):
+            assert r["offset"] + r["length"] <= rows[i + 1]["offset"]
