@@ -3258,51 +3258,99 @@ def q_ann_store(sf_dir):
     return res.astype({"qid": "int64", "id": "int64", "rank": "int64"})
 
 
+def _synth_png_ds(sf_dir):
+    """documents doc_ids -> (doc_id, png) Dataset: each row a REAL PNG
+    encoded from the closed-form fixture image (stages/multimodal
+    .synth_image) with cycling row filters, multi-IDAT splitting and
+    Adam7 interlace every 5th doc — so decoding exercises every codec
+    branch under the hash gate."""
+    from ..stages.multimodal import synth_image
+    from ..state.pngwire import encode_png
+
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        pngs = [encode_png(synth_image(int(i)), filters="cycle",
+                           interlace=1 if i % 5 == 0 else 0,
+                           idat_size=96)
+                for i in ids]
+        return pd.DataFrame({"doc_id": ids.to_numpy(), "png": pngs})
+
+    return (_read(sf_dir, "documents", columns=["doc_id"])
+            .map_batches(synth, batch_format="pandas"))
+
+
 def q_media_features(sf_dir):
-    """Multimodal plumbing: opaque-binary decode stage (stubbed with
-    deterministic byte features) over the synthesized pages table at
-    the matching scale. Rows-only driver check."""
-    from .. import gen
+    """Multimodal decode with REAL pixels: deterministic PNG fixtures
+    (all color types / filters / interlace modes) through the
+    actor-pool decode stage (state/pngwire from-spec decoder) ->
+    (width, height, channels, round-half-up mean sample).  The
+    SQL_TAIL oracle recomputes the same stats CLOSED-FORM from doc_id
+    in DuckDB — pixel math is hash-gated end-to-end."""
     from ..stages.multimodal import media_features
 
-    import ray.data
+    out = media_features(_synth_png_ds(sf_dir), "png", strict=True,
+                         concurrency=(1, 8), batch_size=256)
+    res = (out.select_columns(["doc_id", "width", "height", "channels",
+                               "pix_mean_milli"]).to_pandas())
+    return (res.astype("int64").sort_values("doc_id")
+            .reset_index(drop=True))
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    try:
-        sf = float(base.replace("sf", "") or 0.01)
-    except ValueError:
-        raise ValueError(
-            f"sf_dir basename must look like 'sf0.01', got {base!r}") from None
-    files = gen.ensure_pages(sf)
-    # split the (few) input files into enough blocks to feed the pool —
-    # 2 files would otherwise mean parallelism 2 regardless of pool size
-    ds = ray.data.read_parquet(files[:2], override_num_blocks=16)
-    # autoscaling pool: a FIXED pool that fills num_cpus deadlocks the
-    # streaming executor (read tasks starve) on small sessions
-    out = media_features(ds, "html", concurrency=(1, 8), batch_size=512)
-    return out.select_columns(["url", "media_len", "entropy_milli"])
+
+def q_media_thumbnail(sf_dir):
+    """Real box-filter resize: PNG fixtures -> ThumbnailStage (decode,
+    4x3 round-half-up bucket means, re-encode) -> decode the thumb
+    back and sum its samples.  SQL_TAIL oracle restates the bucket
+    partition (src col x -> bucket x·tw//w) and integer means in
+    DuckDB."""
+    from ..stages.multimodal import thumbnails
+    from ..state.pngwire import decode_png
+
+    out = thumbnails(_synth_png_ds(sf_dir), "png", tw=4, th=3,
+                     strict=True, concurrency=(1, 8), batch_size=256)
+
+    def tsum(df: pd.DataFrame) -> pd.DataFrame:
+        sums = [int(decode_png(bytes(t))[0].sum(dtype=np.int64))
+                for t in df["thumb"]]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64").to_numpy(),
+            "thumb_w": df["thumb_w"].astype("int64").to_numpy(),
+            "thumb_h": df["thumb_h"].astype("int64").to_numpy(),
+            "thumb_sum": np.asarray(sums, dtype=np.int64)})
+
+    res = out.map_batches(tsum, batch_format="pandas").to_pandas()
+    return (res.astype("int64").sort_values("doc_id")
+            .reset_index(drop=True))
 
 
 def q_media_frames(sf_dir):
-    """Multimodal frame-sample plumbing (the video half of the brief):
-    opaque binary payloads explode to per-frame rows through an
-    actor-pool stage (deterministic stand-in kernel — no video libs in
-    this container; the Ray-side fan-out, schema and batch sizing are
-    the real contract).  Rows-only driver check; kernel spec pinned in
-    pytest."""
-    from .. import gen
-    from ..stages.multimodal import sample_frames
+    """Real video-container walk: deterministic animated PNGs (2-5
+    full frames each) through FrameSampleStage — APNG fcTL/fdAT
+    sequence decode, per-spec compositing, even sampling of
+    min(3, total) frames, re-encode.  Output (doc_id, frame_idx,
+    frame_mean_milli) matches the SQL_TAIL closed-form oracle."""
+    from ..stages.multimodal import sample_frames, synth_image
+    from ..state.pngwire import encode_apng
 
-    import ray.data
+    def synth(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].astype("int64")
+        pngs = []
+        for i in ids:
+            i = int(i)
+            w, h, nf = 8 + i % 5, 6 + i % 3, 2 + i % 4
+            pngs.append(encode_apng(
+                [synth_image(i, salt=f, w=w, h=h, nc=3)
+                 for f in range(nf)], idat_size=128))
+        return pd.DataFrame({"doc_id": ids.to_numpy(), "png": pngs})
 
-    base = os.path.basename(sf_dir.rstrip("/"))
-    sf = float(base.replace("sf", "") or 0.01)
-    files = gen.ensure_pages(sf)
-    ds = ray.data.read_parquet(files[:2], columns=["url", "html"],
-                               override_num_blocks=16)
-    out = sample_frames(ds, media_col="html", id_col="url",
+    ds = (_read(sf_dir, "documents", columns=["doc_id"])
+          .map_batches(synth, batch_format="pandas"))
+    out = sample_frames(ds, media_col="png", id_col="doc_id",
+                        n_frames=3, strict=True,
                         concurrency=(1, 8), batch_size=256)
-    return out.select_columns(["url", "frame_idx", "frame_len"])
+    res = (out.select_columns(["doc_id", "frame_idx",
+                               "frame_mean_milli"]).to_pandas())
+    return (res.astype("int64").sort_values(["doc_id", "frame_idx"])
+            .reset_index(drop=True))
 
 
 def q_dedup_embed(sf_dir):
@@ -5912,6 +5960,7 @@ QUERIES = {
     "c4_filters": q_c4_filters,
     "range_join": q_range_join,
     "media_frames": q_media_frames,
+    "media_thumbnail": q_media_thumbnail,
     "knn_pq": q_knn_pq,
     "table_profile": q_table_profile,
     "heavy_hitters": q_heavy_hitters,
@@ -5996,6 +6045,66 @@ QUERIES = {
     "hits_dist": q_hits_dist,
     "bfs_dist": q_bfs_dist,
 }
+
+# media pixel oracles: DuckDB restates the closed-form fixture image
+# (stages/multimodal.synth_image) and the integer round-half-up mean
+# spec — the engine side must DECODE real PNG/APNG bytes to match
+SQL_TAIL["media_features"] = """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 13 AS w, 6 + doc_id % 7 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nc
+      FROM documents),
+    dy AS (SELECT doc_id, w, h, nc, unnest(range(h)) AS y FROM d),
+    dyx AS (SELECT doc_id, w, h, nc, y, unnest(range(w)) AS x FROM dy),
+    px AS (SELECT doc_id, w, h, nc,
+                  (doc_id*7919 + y*31 + x*17 + unnest(range(nc))*131)
+                  % 256 AS v
+           FROM dyx)
+    SELECT doc_id, CAST(any_value(w) AS BIGINT) AS width,
+           CAST(any_value(h) AS BIGINT) AS height,
+           CAST(any_value(nc) AS BIGINT) AS channels,
+           CAST((2000*sum(v) + count(*)) // (2*count(*)) AS BIGINT)
+               AS pix_mean_milli
+    FROM px GROUP BY doc_id ORDER BY doc_id
+"""
+SQL_TAIL["media_thumbnail"] = """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 13 AS w, 6 + doc_id % 7 AS h,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS nc
+      FROM documents),
+    dy AS (SELECT doc_id, w, h, nc, unnest(range(h)) AS y FROM d),
+    dyx AS (SELECT doc_id, w, h, nc, y, unnest(range(w)) AS x FROM dy),
+    px AS (SELECT doc_id, w, h, y, x, unnest(range(nc)) AS k FROM dyx),
+    b AS (SELECT doc_id, (y*3) // h AS by, (x*4) // w AS bx, k,
+                 (doc_id*7919 + y*31 + x*17 + k*131) % 256 AS v
+          FROM px),
+    tv AS (SELECT doc_id, by, bx, k,
+                  (2*sum(v) + count(*)) // (2*count(*)) AS t
+           FROM b GROUP BY doc_id, by, bx, k)
+    SELECT doc_id, CAST(4 AS BIGINT) AS thumb_w,
+           CAST(3 AS BIGINT) AS thumb_h,
+           CAST(sum(t) AS BIGINT) AS thumb_sum
+    FROM tv GROUP BY doc_id ORDER BY doc_id
+"""
+SQL_TAIL["media_frames"] = """
+    WITH d AS (
+      SELECT doc_id, 8 + doc_id % 5 AS w, 6 + doc_id % 3 AS h,
+             2 + doc_id % 4 AS nf FROM documents),
+    sel AS (SELECT doc_id, w, h,
+                   (unnest(range(least(nf, 3))) * nf) // least(nf, 3)
+                       AS f
+            FROM d),
+    sy AS (SELECT doc_id, w, f, unnest(range(h)) AS y FROM sel),
+    syx AS (SELECT doc_id, f, y, unnest(range(w)) AS x FROM sy),
+    px AS (SELECT doc_id, f,
+                  (doc_id*7919 + f*997 + y*31 + x*17
+                   + unnest(range(3))*131) % 256 AS v
+           FROM syx)
+    SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+           CAST((2000*sum(v) + count(*)) // (2*count(*)) AS BIGINT)
+               AS frame_mean_milli
+    FROM px GROUP BY doc_id, f ORDER BY doc_id, f
+"""
 
 # the distributed graph variants answer to the SAME oracles as their
 # broadcast counterparts — one SQL definition, two implementations

@@ -142,26 +142,58 @@ def test_media_stage_plumbing(ray_session, pages_small):
 
     from rsyslog_ray.stages.multimodal import (MediaDecodeStage,
                                                deterministic_features,
-                                               media_features)
+                                               media_features,
+                                               media_row_oracle,
+                                               synth_image)
+    from rsyslog_ray.state.pngwire import PngError, encode_png
 
     files = sorted(glob.glob(f"{pages_small}/pages-*.parquet"))[:1]
     ds = ray.data.read_parquet(files)
     out = media_features(ds, "html", concurrency=(1, 2), batch_size=128)
     df = out.to_pandas()
-    assert {"media_len", "media_hash", "entropy_milli", "head4"} <= set(df.columns)
+    assert {"media_len", "media_hash", "entropy_milli", "head4",
+            "width", "height", "channels",
+            "pix_mean_milli"} <= set(df.columns)
     assert "html" not in df.columns
     assert len(df) == 2000
-    # oracle parity on a sample row
+    # html is not PNG: every row takes the sentinel pixel path
+    assert (df["width"] == -1).all() and (df["channels"] == 0).all()
+    # byte-feature oracle parity on a sample row
     import pyarrow.parquet as pq
     raw = pq.read_table(files[0]).to_pandas()
     f0 = deterministic_features(raw["html"].iloc[0])
     r0 = df[df["media_hash"] == f0["media_hash"]].iloc[0]
     assert r0["media_len"] == f0["media_len"]
-    # strict mode raises exactly at the decode site
-    stage = MediaDecodeStage(strict=True)
+
+    # REAL pixel decode: stage output == per-row oracle on PNG bytes
     import pyarrow as pa
-    with pytest.raises(NotImplementedError):
-        stage(pa.table({"html": pa.array([b"xx"], pa.binary())}))
+    pngs = [encode_png(synth_image(i), filters="cycle",
+                       interlace=i % 2, idat_size=64)
+            for i in range(12)]
+    got = MediaDecodeStage("m")(pa.table(
+        {"m": pa.array(pngs, pa.binary())})).to_pandas()
+    for i in range(12):
+        o = media_row_oracle(pngs[i])
+        for k in ("width", "height", "channels", "pix_mean_milli",
+                  "media_len", "media_hash"):
+            assert got[k].iloc[i] == o[k], (i, k)
+    img0 = synth_image(0)
+    assert got["width"].iloc[0] == img0.shape[1]
+    assert got["height"].iloc[0] == img0.shape[0]
+
+    # malformed drill: truncated / CRC-flipped / lying-signature PNGs
+    ok = pngs[0]
+    bad = [ok[:-6],                                   # truncated
+           ok[:33] + bytes([ok[33] ^ 0xFF]) + ok[34:],  # CRC flip
+           b"\x89PNG\r\n\x1a\njunkjunkjunk"]          # sig, no chunks
+    for b in bad:
+        with pytest.raises(PngError):
+            MediaDecodeStage("m")(pa.table(
+                {"m": pa.array([b], pa.binary())}))
+        lax = MediaDecodeStage("m", strict=False)(pa.table(
+            {"m": pa.array([b], pa.binary())})).to_pandas()
+        assert lax["width"].iloc[0] == -1      # degraded, not dropped
+        assert lax["media_len"].iloc[0] == len(b)
 
 
 def test_hll_error_bound(ray_session):
@@ -764,63 +796,116 @@ def test_exact_dedup_best_survivor(ray_session):
 
 
 def test_frame_sample_and_thumbnail_stages(ray_session):
-    """Multimodal frame-sample + resize plumbing: explode fan-out and
-    binary schemas through real actor-pool map_batches; deterministic
-    stand-in kernels pinned (strided windows / byte subsample);
-    strict mode raises the integration hook."""
+    """Multimodal frame-sample + resize: REAL APNG container walk
+    (compositing battery incl. sub-region frames, blend OVER, dispose
+    BACKGROUND), real box-filter resize pinned to the per-pixel loop
+    oracle; non-PNG payloads raise in strict mode and degrade to the
+    byte-window/subsample stand-ins with strict=False."""
+    import numpy as np
     import pyarrow as pa
     import pytest
     import ray.data
 
     from rsyslog_ray.stages.multimodal import (FrameSampleStage,
                                                ThumbnailStage,
-                                               sample_frames)
+                                               box_resize,
+                                               box_resize_oracle,
+                                               pixel_stats,
+                                               sample_frames,
+                                               synth_image)
+    from rsyslog_ray.state.pngwire import (PngError, decode_apng,
+                                           decode_png, encode_apng,
+                                           encode_png)
 
-    payloads = [bytes(range(256)) * 8,      # 2048 B -> 4 frames
-                b"tiny",                    # < frame -> 1 short frame
-                b"",                        # empty -> 0 frames
-                None]                       # null  -> 0 frames
-    tbl = pa.table({"url": [f"u{i}" for i in range(4)],
-                    "payload": pa.array(payloads, pa.binary())})
+    # ---- real frame sampling: 5 frames, sample 3 evenly
+    frames5 = [synth_image(3, salt=f, w=9, h=7, nc=3) for f in range(5)]
+    apng = encode_apng(frames5, idat_size=64)
+    tbl = pa.table({"url": ["v0"],
+                    "payload": pa.array([apng], pa.binary())})
+    df = FrameSampleStage(n_frames=3)(tbl).to_pandas()
+    # min(3, 5) frames at original indices (j*5)//3 = 0, 1, 3
+    assert list(df["frame_idx"]) == [0, 1, 3]
+    for r, idx in zip(df.itertuples(), [0, 1, 3]):
+        img, _ = decode_png(bytes(r.frame))
+        assert np.array_equal(img, frames5[idx])
+        assert (r.frame_w, r.frame_h) == (9, 7)
+        assert r.frame_mean_milli == pixel_stats(frames5[idx])[3]
 
-    # direct kernel spec
-    st = FrameSampleStage(n_frames=4, frame_bytes=256)
-    out = st(tbl)
-    df = out.to_pandas()
-    assert list(df[df["url"] == "u0"]["frame_idx"]) == [0, 1, 2, 3]
-    assert (df[df["url"] == "u0"]["frame_len"] == 256).all()
-    # frame 0 is the payload head
-    assert bytes(df[df["url"] == "u0"]["frame"].iloc[0]) == \
-        payloads[0][:256]
-    # evenly strided: frame j starts at j*stride
-    stride = (2048 - 256) // 4
-    assert bytes(df[df["url"] == "u0"]["frame"].iloc[2]) == \
-        payloads[0][2 * stride:2 * stride + 256]
-    assert list(df[df["url"] == "u1"]["frame_len"]) == [4]
-    assert not (df["url"] == "u2").any()
-    assert not (df["url"] == "u3").any()
+    # compositing: sub-region frame with blend OVER on RGBA canvas
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, (6, 8, 4)).astype(np.uint8)
+    sub = rng.randint(0, 256, (2, 3, 4)).astype(np.uint8)
+    anim = encode_apng([base, {"img": sub, "x": 4, "y": 2, "blend": 1}])
+    out = decode_apng(anim)
+    exp = base.astype(np.uint32).copy()
+    a = sub[:, :, 3:].astype(np.uint32)
+    exp[2:4, 4:7] = (sub.astype(np.uint32) * a
+                     + exp[2:4, 4:7] * (255 - a) + 127) // 255
+    assert np.array_equal(out[1], exp.astype(np.uint8))
+
+    # dispose BACKGROUND clears the previous frame's region first
+    anim2 = encode_apng([base,
+                         {"img": sub, "x": 0, "y": 0, "dispose": 1},
+                         {"img": sub, "x": 4, "y": 2}])
+    out2 = decode_apng(anim2)
+    assert (out2[2][0:2, 0:3] == 0).all()          # cleared region
+    assert np.array_equal(out2[2][2:4, 4:7], sub)  # new region pasted
+
+    # single-image PNG -> exactly one frame at idx 0
+    one = pa.table({"url": ["p"], "payload": pa.array(
+        [encode_png(frames5[0])], pa.binary())})
+    d1 = FrameSampleStage(n_frames=3)(one).to_pandas()
+    assert list(d1["frame_idx"]) == [0]
+
+    # non-PNG: strict raises; lax degrades to byte windows
+    junk = pa.table({"url": ["j"], "payload": pa.array(
+        [bytes(range(256)) * 8], pa.binary())})
+    with pytest.raises(PngError):
+        FrameSampleStage()(junk)
+    lax = FrameSampleStage(n_frames=4, frame_bytes=256,
+                           strict=False)(junk).to_pandas()
+    assert list(lax["frame_idx"]) == [0, 1, 2, 3]
+    assert (lax["frame_len"] == 256).all()
+    assert (lax["frame_w"] == -1).all()
+    # empty / null payloads yield zero frames
+    nul = pa.table({"url": ["e", "n"], "payload": pa.array(
+        [b"", None], pa.binary())})
+    assert len(FrameSampleStage()(nul)) == 0
 
     # distributed: same rows through the actor pool
-    ds = ray.data.from_arrow(tbl).repartition(3)
-    ddf = (sample_frames(ds, concurrency=(1, 2), batch_size=2)
+    mix = pa.table({"url": ["v0", "p"], "payload": pa.array(
+        [apng, encode_png(frames5[0])], pa.binary())})
+    ds = ray.data.from_arrow(mix).repartition(2)
+    ddf = (sample_frames(ds, n_frames=3, concurrency=(1, 2),
+                         batch_size=1)
            .to_pandas().sort_values(["url", "frame_idx"])
            .reset_index(drop=True))
-    want = (df.sort_values(["url", "frame_idx"]).reset_index(drop=True))
-    assert list(ddf["url"]) == list(want["url"])
-    assert list(ddf["frame_len"]) == list(want["frame_len"])
+    assert list(ddf["url"]) == ["p", "v0", "v0", "v0"]
+    assert list(ddf["frame_idx"]) == [0, 0, 1, 3]
 
-    # thumbnail: every scale-th byte, bounded, schema swap
-    th = ThumbnailStage(scale=8, max_bytes=100)
-    tout = th(tbl).to_pandas()
-    assert bytes(tout["thumb"].iloc[0]) == payloads[0][::8][:100]
-    assert tout["thumb_len"].iloc[0] == 100
-    assert tout["thumb"].iloc[2] == b"" and tout["thumb_len"].iloc[2] == 0
+    # ---- real thumbnail: box filter == loop oracle, PNG round-trip
+    for i in range(8):
+        img = synth_image(i)
+        assert np.array_equal(box_resize(img, 4, 3),
+                              box_resize_oracle(img, 4, 3)), i
+    timg = synth_image(11)          # 19x10x4
+    tout = ThumbnailStage("payload", tw=4, th=3)(pa.table(
+        {"url": ["t"], "payload": pa.array([encode_png(timg)],
+                                           pa.binary())})).to_pandas()
+    back, _ = decode_png(bytes(tout["thumb"].iloc[0]))
+    assert np.array_equal(back, box_resize_oracle(timg, 4, 3))
+    assert (tout["thumb_w"].iloc[0], tout["thumb_h"].iloc[0]) == (4, 3)
     assert "payload" not in tout.columns
 
-    with pytest.raises(NotImplementedError):
-        FrameSampleStage(strict=True)(tbl)
-    with pytest.raises(NotImplementedError):
-        ThumbnailStage(strict=True)(tbl)
+    # non-PNG thumbnail: strict raises; lax = byte subsample
+    jt = pa.table({"url": ["j"], "payload": pa.array(
+        [bytes(range(256)) * 8], pa.binary())})
+    with pytest.raises(PngError):
+        ThumbnailStage("payload")(jt)
+    lax = ThumbnailStage("payload", scale=8, max_bytes=100,
+                         strict=False)(jt).to_pandas()
+    assert bytes(lax["thumb"].iloc[0]) == (bytes(range(256)) * 8)[::8][:100]
+    assert lax["thumb_w"].iloc[0] == -1
 
 
 def test_knn_pq_adc(ray_session):
