@@ -46,6 +46,7 @@ def run_flagship(
     parse_batch_size: int = 8192,
     write_batch_size: int = 32768,
     lineage: bool = True,
+    lineage_shards: int | None = None,
 ) -> pd.DataFrame:
     """Run the flagship job; returns the final per-sink aggregate counts
     as a small DataFrame (sink, kind, key, cnt) — the dynstats output.
@@ -82,11 +83,23 @@ def run_flagship(
         return out
 
     lineage_name = None
-    actor = None
+    actors: list = []
+    n_lshards = 1
     if lineage:
         expected = sk.shard_expected_rows(pending)
+        if lineage_shards is None:
+            # auto: one commit-log actor per ~64 input shards, capped —
+            # a single actor is fine at toy scale (and keeps the
+            # historical one-file layout); a 100k-shard cluster run
+            # spreads commits over 16 logs instead of serializing every
+            # writer on one num_cpus=0 actor
+            n_lshards = max(1, min(16, len(pending) // 64))
+        else:
+            n_lshards = max(1, int(lineage_shards))
         lineage_name = f"lineage-{uuid.uuid4().hex[:8]}"
-        actor = sk.make_lineage_actor(out_dir, expected, name=lineage_name)
+        actors = sk.make_lineage_actors(out_dir, expected,
+                                        name=lineage_name,
+                                        n_shards=n_lshards)
 
     try:
         ds = ray.data.read_parquet(pending)
@@ -107,7 +120,8 @@ def run_flagship(
         # task operator spread over every CPU. Large write batches: small
         # batches here explode into thousands of tiny parquet files.
         partials = ds.map_batches(
-            sk.FanoutWriter(router, out_dir, lineage_name),
+            sk.FanoutWriter(router, out_dir, lineage_name,
+                            lineage_shards=n_lshards),
             batch_format="pyarrow",
             batch_size=write_batch_size,
         )
@@ -128,6 +142,6 @@ def run_flagship(
         sk.write_run_metrics(out_dir, out, _time.perf_counter() - t_run0,
                              len(pending))
     finally:
-        if actor is not None:  # a failed run must not leak the named actor
-            ray.kill(actor)
+        for a in actors:   # a failed run must not leak the named actors
+            ray.kill(a)
     return out

@@ -75,8 +75,36 @@ def shard_expected_rows(files: list[str]) -> dict[int, int]:
     return out
 
 
-def make_lineage_actor(out_dir: str, expected: dict[int, int], name: str | None = None):
-    """Create the (named) lineage actor for a run."""
+def lineage_file_of(k: int) -> str:
+    """Commit-log file owned by lineage actor ``k``: actor 0 keeps the
+    historical ``_lineage.jsonl`` name (single-actor runs and external
+    pollers see the same file), further actors get ``_lineage-<k>``."""
+    return LINEAGE_FILE if k == 0 else f"_lineage-{k}.jsonl"
+
+
+def lineage_files(out_dir: str) -> list[str]:
+    """Every commit-log file of a run (base + sharded)."""
+    import glob as _glob
+
+    out = []
+    base = os.path.join(out_dir, LINEAGE_FILE)
+    if os.path.exists(base):
+        out.append(base)
+    out.extend(sorted(_glob.glob(
+        os.path.join(out_dir, "_lineage-*.jsonl"))))
+    return out
+
+
+def make_lineage_actors(out_dir: str, expected: dict[int, int],
+                        name: str | None = None, n_shards: int = 1):
+    """Create the commit-log actor POOL for a run: ``n_shards`` named
+    actors, actor ``k`` owning the shard ids with ``sid % n == k`` and
+    appending to its own ``_lineage[-k].jsonl``.  One actor is the
+    r4-and-earlier layout; sharding removes the single-actor commit
+    serialization point on a multi-node run (every writer blocked on
+    ONE num_cpus=0 actor whose jsonl lived on one node) while keeping
+    the per-shard commit protocol — ``plan_resume`` merges all files.
+    Returns the handle list (index = shard-id residue)."""
     import ray
 
     @ray.remote(num_cpus=0)
@@ -84,8 +112,10 @@ def make_lineage_actor(out_dir: str, expected: dict[int, int], name: str | None 
         """Tracks per-shard completion; appends the lineage record the
         moment a shard is fully delivered (queue-checkpoint analog)."""
 
-        def __init__(self, out_dir: str, expected: dict[int, int]):
+        def __init__(self, out_dir: str, expected: dict[int, int],
+                     log_name: str = LINEAGE_FILE):
             self.out_dir = out_dir
+            self.log_name = log_name
             self.expected = expected
             self.seen: dict[int, int] = {}
             self.sink_rows: dict[int, dict[str, int]] = {}
@@ -129,7 +159,7 @@ def make_lineage_actor(out_dir: str, expected: dict[int, int], name: str | None 
             # writeback congestion (measured +20 s at sf1.0); losing a
             # tail record on a crash only means that shard is redone —
             # the resume path is idempotent either way.
-            path = os.path.join(self.out_dir, LINEAGE_FILE)
+            path = os.path.join(self.out_dir, self.log_name)
             with open(path, "a") as fh:
                 fh.write(json.dumps(rec) + "\n")
                 fh.flush()
@@ -139,20 +169,34 @@ def make_lineage_actor(out_dir: str, expected: dict[int, int], name: str | None 
             return sorted(self.committed)
 
     os.makedirs(out_dir, exist_ok=True)
-    # named (job-scoped, NOT detached) so it dies with the driver; writer
-    # actors resolve it by name via ray.get_actor within the job.
-    opts = {"name": name} if name else {}
-    return LineageActor.options(**opts).remote(out_dir, expected)
+    n_shards = max(1, int(n_shards))
+    # named (job-scoped, NOT detached) so they die with the driver;
+    # writer tasks resolve them by name via ray.get_actor in the job.
+    actors = []
+    for k in range(n_shards):
+        exp_k = {sid: v for sid, v in expected.items()
+                 if sid % n_shards == k}
+        opts = {"name": f"{name}:{k}"} if name else {}
+        actors.append(LineageActor.options(**opts).remote(
+            out_dir, exp_k, lineage_file_of(k)))
+    return actors
+
+
+def make_lineage_actor(out_dir: str, expected: dict[int, int],
+                       name: str | None = None):
+    """Single-actor convenience wrapper (the r4 API; tests use it)."""
+    return make_lineage_actors(out_dir, expected, name=name,
+                               n_shards=1)[0]
 
 
 def committed_shards(out_dir: str) -> set[int]:
-    """Committed partition ids from the manifest.  Corrupt/truncated
-    lines (crash mid-append — the reference's bad-.qi fixtures,
+    """Committed partition ids from the manifest(s) — the base log plus
+    every sharded ``_lineage-<k>.jsonl``.  Corrupt/truncated lines
+    (crash mid-append — the reference's bad-.qi fixtures,
     tests/bad_qi/, tests/badqi.sh) are treated as ABSENT: the shard is
     simply redone, which the idempotent rewrite makes safe."""
-    path = os.path.join(out_dir, LINEAGE_FILE)
     done: set[int] = set()
-    if os.path.exists(path):
+    for path in lineage_files(out_dir):
         with open(path) as fh:
             for line in fh:
                 line = line.strip()
@@ -172,30 +216,29 @@ def _heal_lineage(out_dir: str) -> None:
     later flush-only append would fuse the next commit onto it —
     output stays correct (idempotent rewrite) but that shard would
     read as uncommitted forever, redone on EVERY subsequent resume.
-    Rewrite keeps exactly the parseable lines (atomic tmp+rename)."""
-    path = os.path.join(out_dir, LINEAGE_FILE)
-    if not os.path.exists(path):
-        return
-    with open(path) as fh:
-        raw = fh.read()
-    good = []
-    dirty = not raw.endswith("\n") and raw.strip() != ""
-    for line in raw.splitlines():
-        line = line.strip()
-        if not line:
+    Rewrite keeps exactly the parseable lines (atomic tmp+rename);
+    applied to every commit-log file of the run."""
+    for path in lineage_files(out_dir):
+        with open(path) as fh:
+            raw = fh.read()
+        good = []
+        dirty = not raw.endswith("\n") and raw.strip() != ""
+        for line in raw.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                json.loads(line)
+                good.append(line)
+            except ValueError:
+                dirty = True
+        if not dirty and len(good) == len([l for l in raw.splitlines()
+                                           if l.strip()]):
             continue
-        try:
-            json.loads(line)
-            good.append(line)
-        except ValueError:
-            dirty = True
-    if not dirty and len(good) == len([l for l in raw.splitlines()
-                                       if l.strip()]):
-        return
-    tmp = path + ".heal"
-    with open(tmp, "w") as fh:
-        fh.write("".join(l + "\n" for l in good))
-    os.replace(tmp, path)
+        tmp = path + ".heal"
+        with open(tmp, "w") as fh:
+            fh.write("".join(l + "\n" for l in good))
+        os.replace(tmp, path)
 
 
 def plan_resume(input_files: list[str], out_dir: str,
@@ -223,18 +266,21 @@ def plan_resume(input_files: list[str], out_dir: str,
     return pending, done
 
 
-_LINEAGE_CACHE: dict[str, object] = {}  # per-worker-process actor handles
+_LINEAGE_CACHE: dict[tuple, list] = {}  # per-worker-process handle lists
 
 
-def _lineage_handle(name: str | None):
+def _lineage_handles(name: str | None, n_shards: int) -> list:
+    """Resolve the run's lineage actor pool by name, once per worker
+    process.  Index k serves shard ids with ``sid % n_shards == k``."""
     if name is None:
-        return None
-    h = _LINEAGE_CACHE.get(name)
-    if h is None:
+        return []
+    key = (name, n_shards)
+    hs = _LINEAGE_CACHE.get(key)
+    if hs is None:
         import ray
-        h = ray.get_actor(name)
-        _LINEAGE_CACHE[name] = h
-    return h
+        hs = [ray.get_actor(f"{name}:{k}") for k in range(n_shards)]
+        _LINEAGE_CACHE[key] = hs
+    return hs
 
 
 class FanoutWriter:
@@ -275,7 +321,8 @@ class FanoutWriter:
                  formats: dict | None = None,
                  partition_by: dict | None = None,
                  impstats_every: int | None = None,
-                 connectors: dict | None = None):
+                 connectors: dict | None = None,
+                 lineage_shards: int = 1):
         self.router = routes if isinstance(routes, Router) else Router(routes)
         self.out_dir = out_dir
         self.drop_cols = drop_cols
@@ -293,6 +340,7 @@ class FanoutWriter:
         # hive subdirectory under the shard dir
         self.partition_by = partition_by or {}
         self.lineage_name = lineage_name
+        self.lineage_shards = max(1, int(lineage_shards))
         # interval impstats (impstats.c:114-123): emit a counter line
         # every N write batches per worker; None = end-of-run only
         # (write_run_metrics).  Lazy per-worker emitter — zero hot-path
@@ -407,7 +455,8 @@ class FanoutWriter:
 
     @property
     def lineage(self):
-        return _lineage_handle(self.lineage_name)
+        """Commit-log actor pool (empty list when lineage is off)."""
+        return _lineage_handles(self.lineage_name, self.lineage_shards)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -510,7 +559,8 @@ class FanoutWriter:
             partials.append(_partials_for(sink, sub, self.agg_kinds))
 
         agg_tbl = pa.concat_tables(partials) if partials else None
-        if agg_tbl is not None and self.lineage is not None and len(agg_tbl):
+        lineage = self.lineage
+        if agg_tbl is not None and lineage and len(agg_tbl):
             # per-shard aggregate CHECKPOINT (written before the shard's
             # lineage commit below): a resumed run skips committed
             # shards at the read, so without these files its final
@@ -525,12 +575,19 @@ class FanoutWriter:
                 n += 1
                 self._write(sl, d, f"part-{wid}-{n:05d}", "parquet")
 
-        if self.lineage is not None:
+        if lineage:
             import ray
-            entries = [(sid, shard_counts[sid], sink_shard_rows[sid],
-                        files_per_shard[sid]) for sid in shard_counts]
-            # one RPC per batch; ray.get = backpressure on the commit log
-            ray.get(self.lineage.report_many.remote(entries))
+            # hash-route entries to their owning commit-log actor
+            # (sid % n): usually a batch holds ONE shard, so this stays
+            # one RPC per batch; ray.get = backpressure on the log
+            n_act = len(lineage)
+            per_actor: dict[int, list] = {}
+            for sid in shard_counts:
+                per_actor.setdefault(sid % n_act, []).append(
+                    (sid, shard_counts[sid], sink_shard_rows[sid],
+                     files_per_shard[sid]))
+            ray.get([lineage[k].report_many.remote(v)
+                     for k, v in per_actor.items()])
 
         if self.impstats_every is not None:
             if self._emitter is None:

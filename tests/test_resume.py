@@ -133,3 +133,52 @@ def test_resume_torn_lineage_line(ray_session, pages_small, tmp_path):
     # the repaired manifest holds all shards again (torn line replaced
     # by a fresh commit)
     assert sk.committed_shards(crash_dir) == {0, 1, 2, 3, 4}
+
+
+def test_resume_sharded_lineage(ray_session, pages_small, tmp_path):
+    """N>1 commit-log actors (sid % N ownership, one jsonl per actor):
+    commits spread across _lineage.jsonl + _lineage-<k>.jsonl, a crash
+    that loses commits in TWO different log files resumes exactly
+    those shards, and the converged output equals a clean run's."""
+    router = Router(DEFAULT_ROUTES)
+    clean_dir = str(tmp_path / "clean")
+    clean_agg = run_flagship(pages_small, clean_dir)
+    clean = _sink_counts(clean_dir, router.sinks)
+
+    crash_dir = str(tmp_path / "crash")
+    run_flagship(pages_small, crash_dir, lineage_shards=3)
+    logs = sk.lineage_files(crash_dir)
+    assert [os.path.basename(p) for p in logs] == \
+        ["_lineage.jsonl", "_lineage-1.jsonl", "_lineage-2.jsonl"]
+    # ownership: file k holds exactly the shards with sid % 3 == k
+    per_file = {}
+    for p in logs:
+        recs = [json.loads(l) for l in open(p) if l.strip()]
+        per_file[os.path.basename(p)] = {r["partition_id"] for r in recs}
+    assert per_file["_lineage.jsonl"] == {0, 3}
+    assert per_file["_lineage-1.jsonl"] == {1, 4}
+    assert per_file["_lineage-2.jsonl"] == {2}
+    assert sk.committed_shards(crash_dir) == {0, 1, 2, 3, 4}
+
+    # crash: drop shard 3's commit from the base log and shard 2's from
+    # its sharded log (two different files lose commits)
+    for p, drop in ((logs[0], 3), (logs[2], 2)):
+        recs = [json.loads(l) for l in open(p) if l.strip()]
+        with open(p, "w") as fh:
+            for r in recs:
+                if r["partition_id"] != drop:
+                    fh.write(json.dumps(r) + "\n")
+    files = input_shards(pages_small)
+    pending, done = sk.plan_resume(files, crash_dir, router.sinks)
+    assert {sk.shard_id_of(f) for f in pending} == {2, 3}
+    assert done == {0, 1, 4}
+
+    resumed_agg = run_flagship(pages_small, crash_dir, lineage_shards=3)
+    resumed = _sink_counts(crash_dir, router.sinks)
+    for s in router.sinks:
+        assert sorted(resumed[s]) == sorted(clean[s]), s
+        assert len(set(resumed[s])) == len(resumed[s]), f"dups in {s}"
+    pd.testing.assert_frame_equal(
+        resumed_agg.reset_index(drop=True),
+        clean_agg.reset_index(drop=True))
+    assert sk.committed_shards(crash_dir) == {0, 1, 2, 3, 4}
