@@ -636,23 +636,32 @@ def bfs_hops_distributed(edges_ds, src: str, dst: str, sources: list,
             {"node": df[_s].to_numpy(), "_dst": df[_d].to_numpy()}),
         batch_format="pandas").repartition(n_buckets).materialize())
 
+    from .join import as_typed_empty
+
     seed = pd.DataFrame({"node": pd.Series(sorted(set(sources))),
                          dist_col: np.int64(0)})
     dist = ray.data.from_pandas(seed).materialize()
     frontier = dist.drop_columns([dist_col]).materialize()
+    n_frontier = len(seed)
+    n_dist = len(seed)
 
     for depth in range(1, max_depth + 1):
-        if frontier.count() == 0:
+        if n_frontier == 0:
             break
         hops = hash_join(edges, frontier.map_batches(
             lambda df: df.assign(_f=np.int64(1)),
             batch_format="pandas"), "node", n_buckets=n_buckets)
 
         def cand(df: pd.DataFrame) -> pd.DataFrame:
-            t = pd.DataFrame({"node": df["_dst"].unique()})
+            # dtype-preserving unique (a bare DataFrame({...}) of an
+            # empty unique() falls back to object and trips Ray's
+            # size estimator); zero-row outputs leave as arrow
+            t = pd.DataFrame(
+                {"node": pd.Series(df["_dst"].unique(),
+                                   dtype=df["_dst"].dtype)})
             t["__pp"] = (pd.util.hash_array(t["node"].to_numpy())
                          % np.uint64(n_buckets)).astype("int64")
-            return t
+            return t if len(t) else as_typed_empty(t)
 
         new_nodes = (hops.map_batches(cand, batch_format="pandas")
                      .groupby("__pp").map_groups(
@@ -662,14 +671,22 @@ def bfs_hops_distributed(edges_ds, src: str, dst: str, sources: list,
                           dist.select_columns(["node"]),
                           "node", anti=True,
                           n_buckets=n_buckets)
-        frontier = fresh.repartition(n_buckets).materialize()
+        frontier = fresh.materialize()
+        n_frontier = frontier.count()
+        # block-count pin, EMPTY-FREE: never repartition a table to
+        # more blocks than rows — the surplus blocks are zero-row,
+        # schema-less, and every operator that touches them warns
+        frontier = (frontier.repartition(
+            min(n_buckets, max(1, n_frontier))).materialize())
         labelled = frontier.map_batches(
             lambda df, _d=depth: df.assign(
                 **{dist_col: np.int64(_d)}),
             batch_format="pandas")
         # the union would otherwise grow dist's block count every
         # round (the block-count pin, see pagerank_int_distributed)
-        dist = (dist.union(labelled).repartition(n_buckets)
+        n_dist += n_frontier
+        dist = (dist.union(labelled)
+                .repartition(min(n_buckets, max(1, n_dist)))
                 .materialize())
 
     if node_col != "node":

@@ -110,6 +110,21 @@ def _schema_dict(ds) -> dict:
     return {n: str(t) for n, t in zip(base.names, base.types)}
 
 
+def as_typed_empty(df: pd.DataFrame):
+    """Zero-row pandas frames become ARROW tables on the way out of a
+    batch fn: Ray's pandas block layer size-estimates object columns
+    with ``np.vectorize`` (which throws on size-0 input, spamming
+    'Error calculating size' per empty block) and registers the block
+    schema-less either way — an arrow return skips the estimator
+    entirely.  Non-empty (or unconvertible) frames pass through."""
+    import pyarrow as pa
+
+    try:
+        return pa.Table.from_pandas(df, preserve_index=False)
+    except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError):
+        return df
+
+
 def _na_like(dtype_str: str, n: int) -> pd.Series:
     if dtype_str.startswith("int"):
         return pd.Series([pd.NA] * n, dtype="Int64")
@@ -120,16 +135,21 @@ def _na_like(dtype_str: str, n: int) -> pd.Series:
     return pd.Series([None] * n, dtype="object")
 
 
-def _unify_tag(ds, side: str, on: str, n_buckets: int, missing: dict):
+def _unify_tag(ds, side: str, on: str, n_buckets: int, missing: dict,
+               order: list[str] | None = None):
     """Add bucket+side columns and NA-typed columns for the other
-    side's fields so the two Datasets union with one schema."""
+    side's fields so the two Datasets union with one schema; ``order``
+    pins a canonical column order across both sides (schema-drift
+    hygiene), and zero-row outputs leave as arrow."""
     def fx(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy(deep=False)
         for colname, dtype_str in missing.items():
             df[colname] = _na_like(dtype_str, len(df))
         df["__b"] = _bucket_of(df[on], n_buckets)
         df["__side"] = side
-        return df
+        if order is not None:
+            df = df[order]
+        return df if len(df) else as_typed_empty(df)
 
     return ds.map_batches(fx, batch_format="pandas")
 
@@ -206,11 +226,23 @@ def hash_join(left, right, on, how: str = "inner",
     l_cols = [c for c in l_schema if c not in ons]
     r_cols = [c for c in r_schema if c not in ons]
 
+    # canonical transport layout for the union: both sides emit the
+    # SAME column order, and int columns that ride as typed NA on one
+    # side are nullable Int64 on BOTH (mixed int64/Int64 blocks and
+    # side-dependent column orders are exactly the schema-drift noise
+    # the streaming executor warns about)
+    order = ons + l_cols + r_cols + ["__s", "__b", "__side"]
+    int_unify = {c for c, t in {**l_missing, **r_missing}.items()
+                 if t.startswith("int")}
+
     def tag(side: str, missing: dict):
         def fx(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy(deep=False)
             for colname, dtype_str in missing.items():
                 df[colname] = _na_like(dtype_str, len(df))
+            for colname in int_unify:
+                if str(df[colname].dtype).startswith("int"):
+                    df[colname] = df[colname].astype("Int64")
             if hot:
                 ish = df[ons[0]].astype(str).isin(hot).to_numpy()
                 if side == "l":
@@ -234,7 +266,7 @@ def hash_join(left, right, on, how: str = "inner",
                 % np.uint64(n_buckets)
             df["__b"] = b.astype("int64")
             df["__side"] = side
-            return df
+            return df[order] if len(df) else as_typed_empty(df[order])
         return fx
 
     both = (left.map_batches(tag("l", l_missing), batch_format="pandas")
@@ -247,9 +279,10 @@ def hash_join(left, right, on, how: str = "inner",
         # keeps each (l, r) pair meeting exactly once there too
         lg = g[g["__side"] == "l"][ons + ["__s"] + l_cols]
         rg = g[g["__side"] == "r"][ons + ["__s"] + r_cols]
-        return (lg.merge(rg, on=ons + ["__s"], how=how,
-                         suffixes=suffixes)
-                .drop(columns=["__s"]))
+        out = (lg.merge(rg, on=ons + ["__s"], how=how,
+                        suffixes=suffixes)
+               .drop(columns=["__s"]))
+        return out if len(out) else as_typed_empty(out)
 
     return both.groupby("__b").map_groups(merge_bucket, batch_format="pandas")
 
@@ -297,13 +330,16 @@ def semi_join(left, right, on: str, *, anti: bool = False,
 
         def bfilter(df: pd.DataFrame) -> pd.DataFrame:
             m = df[on].isin(ray.get(ref))
-            return df.loc[~m if anti else m, l_cols]
+            out = df.loc[~m if anti else m, l_cols]
+            return out if len(out) else as_typed_empty(out)
 
         return left.map_batches(bfilter, batch_format="pandas")
 
     missing = {k: v for k, v in l_schema.items() if k != on}
-    both = (_unify_tag(left, "l", on, n_buckets, {})
-            .union(_unify_tag(rk, "r", on, n_buckets, missing)))
+    order = list(l_schema) + ["__b", "__side"]
+    both = (_unify_tag(left, "l", on, n_buckets, {}, order=order)
+            .union(_unify_tag(rk, "r", on, n_buckets, missing,
+                              order=order)))
 
     def filter_bucket(g: pd.DataFrame) -> pd.DataFrame:
         keys = g.loc[g["__side"] == "r", on].unique()
@@ -317,7 +353,7 @@ def semi_join(left, right, on: str, *, anti: bool = False,
             if t.startswith(("int", "uint")) and str(out[c].dtype) != t:
                 if not out[c].isna().any():
                     out[c] = out[c].astype(t)
-        return out
+        return out if len(out) else as_typed_empty(out)
 
     return both.groupby("__b").map_groups(filter_bucket,
                                           batch_format="pandas")
@@ -346,16 +382,19 @@ def asof_join(left, right, key: str, ts: str, right_cols: list[str],
     l_missing = {k: v for k, v in r_schema.items() if k not in l_schema}
     r_missing = {k: v for k, v in l_schema.items() if k not in r_schema}
     l_cols = list(l_schema)
+    order = (l_cols + [c for c in r_schema if c not in l_schema]
+             + ["__b", "__side"])
 
-    both = (_unify_tag(left, "l", key, n_buckets, l_missing)
-            .union(_unify_tag(right, "r", key, n_buckets, r_missing)))
+    both = (_unify_tag(left, "l", key, n_buckets, l_missing, order=order)
+            .union(_unify_tag(right, "r", key, n_buckets, r_missing,
+                              order=order)))
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "l"][l_cols].sort_values(ts)
         rg = (g[g["__side"] == "r"][[key, ts] + right_cols]
               .sort_values(ts))
         if lg.empty:
-            return lg
+            return as_typed_empty(lg)
         return pd.merge_asof(lg, rg, on=ts, by=key, direction=direction,
                              tolerance=tolerance, suffixes=("", suffix))
 
@@ -386,9 +425,12 @@ def range_join(left, right, key: str, ts: str, right_cols: list[str],
     l_missing = {k: v for k, v in r_schema.items() if k not in l_schema}
     r_missing = {k: v for k, v in l_schema.items() if k not in r_schema}
     l_cols = list(l_schema)
+    order = (l_cols + [c for c in r_schema if c not in l_schema]
+             + ["__b", "__side"])
 
-    both = (_unify_tag(left, "l", key, n_buckets, l_missing)
-            .union(_unify_tag(right, "r", key, n_buckets, r_missing)))
+    both = (_unify_tag(left, "l", key, n_buckets, l_missing, order=order)
+            .union(_unify_tag(right, "r", key, n_buckets, r_missing,
+                              order=order)))
     out_r = [c + suffix if c in l_cols else c for c in [ts] + right_cols]
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -397,10 +439,10 @@ def range_join(left, right, key: str, ts: str, right_cols: list[str],
         rg = (g[g["__side"] == "r"][[key, ts] + right_cols]
               .sort_values([key, ts], kind="mergesort"))
         if lg.empty:
-            return pd.DataFrame({**{c: lg.get(c, pd.Series(dtype=object))
-                                    for c in l_cols},
-                                 **{c: pd.Series(dtype=object)
-                                    for c in out_r}})
+            return as_typed_empty(pd.DataFrame(
+                {**{c: lg.get(c, pd.Series(dtype=object))
+                    for c in l_cols},
+                 **{c: pd.Series(dtype=object) for c in out_r}}))
         # window bounds per left row: right rows are (key, ts)-sorted,
         # so each left row's matches are one contiguous slice found by
         # two searchsorted calls over a composite sort key
