@@ -1764,6 +1764,64 @@ def q_vendor_formats(sf_dir):
     return ds.map_batches(roundtrip, batch_format="pandas")
 
 
+def q_snare_windows(sf_dir):
+    """mmsnareparse Windows-Security decode end-to-end: deterministic
+    Snare TSV events (4624/4625/4634/4672/4688 cycled per event row,
+    sectioned Description text synthesized closed-form) through
+    vendor.snare_win_parse — per-EventID Category/Subtype/Outcome
+    tables, sectioned field extraction, typed LogonType +
+    LogonTypeName.  The SQL_TAIL oracle restates the planted values
+    and the knowledge tables; the engine must PARSE the text to
+    recover them (the roundtrip shape of q_vendor_formats)."""
+    import json as _json
+
+    from ..vendor import snare_win_parse
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"],
+               parallel=16)
+
+    def roundtrip(df: pd.DataFrame) -> pd.DataFrame:
+        seq = df["event_id"].astype("int64")
+        uid = (df["user_id"].astype("int64") % 50)
+        eid = seq % 5
+        eid = eid.map({0: 4624, 1: 4625, 2: 4634, 3: 4672, 4: 4688})
+        lt = (seq % 9).map(dict(enumerate(
+            (2, 3, 4, 5, 7, 8, 9, 10, 11))))
+        port = (seq % 60000).astype(str)
+        desc = ("Sample event.    Subject:    Security ID:  S-1-5-18"
+                "    Account Name:  user" + uid.astype(str)
+                + "    Account Domain:  CONTOSO    "
+                "Logon Information:    Logon Type:  " + lt.astype(str)
+                + "    Network Information:    Source Port:  " + port)
+        audit = np.where(eid == 4625, "Failure Audit", "Success Audit")
+        lines = ("<13>Jan  5 10:00:00 host MSWinEventLog\t1\t"
+                 "Security\t" + seq.astype(str)
+                 + "\tFri Jan 05 10:00:00 2024\t" + eid.astype(str)
+                 + "\tMicrosoft-Windows-Security-Auditing\tSYSTEM\t"
+                 "N/A\t" + pd.Series(audit, index=df.index)
+                 + "\tDC01\tLogon\t" + desc)
+        out = snare_win_parse(lines)
+        win = [_json.loads(w) for w in out["win"]]
+        return pd.DataFrame({
+            "event_id": seq.to_numpy(),
+            "win_event_id": out["event_id"].astype("int64").to_numpy(),
+            "category": [w["Event"].get("Category", "") for w in win],
+            "subtype": [w["Event"].get("Subtype", "") for w in win],
+            "outcome": out["outcome"].to_numpy(),
+            "account": out["subject_account"].to_numpy(),
+            "logon_type": out["logon_type"].astype("int64").to_numpy(),
+            "logon_type_name": [
+                w.get("LogonInformation", {}).get("LogonTypeName", "")
+                for w in win],
+            "source_port": [
+                int(w.get("Network", {}).get("SourcePort", -1))
+                for w in win],
+        })
+
+    res = ds.map_batches(roundtrip, batch_format="pandas").to_pandas()
+    return res.sort_values("event_id").reset_index(drop=True)
+
+
 def q_ngram_topk(sf_dir):
     """Wimbd-style corpus n-gram statistics (Elazar et al. 2023): the
     global top-20 3-grams by frequency, deterministic tie-break (cnt
@@ -5955,6 +6013,7 @@ QUERIES = {
     "curation": q_curation,
     "pretrain_corpus": q_pretrain_corpus,
     "vendor_formats": q_vendor_formats,
+    "snare_windows": q_snare_windows,
     "ngram_topk": q_ngram_topk,
     "gopher_rules": q_gopher_rules,
     "c4_filters": q_c4_filters,
@@ -6045,6 +6104,43 @@ QUERIES = {
     "hits_dist": q_hits_dist,
     "bfs_dist": q_bfs_dist,
 }
+
+# mmsnareparse Windows decode: the oracle restates the planted values
+# + the per-EventID knowledge tables (vendor.SNARE_EVENT_MAP /
+# SNARE_LOGON_TYPES); the engine recovers them by PARSING the text
+SQL_TAIL["snare_windows"] = """
+    WITH e AS (
+      SELECT event_id,
+             CASE event_id % 5 WHEN 0 THEN 4624 WHEN 1 THEN 4625
+                  WHEN 2 THEN 4634 WHEN 3 THEN 4672 ELSE 4688 END
+                 AS win_event_id,
+             user_id % 50 AS uid,
+             CASE event_id % 9 WHEN 0 THEN 2 WHEN 1 THEN 3
+                  WHEN 2 THEN 4 WHEN 3 THEN 5 WHEN 4 THEN 7
+                  WHEN 5 THEN 8 WHEN 6 THEN 9 WHEN 7 THEN 10
+                  ELSE 11 END AS lt,
+             event_id % 60000 AS port
+      FROM events)
+    SELECT event_id, CAST(win_event_id AS BIGINT) AS win_event_id,
+           CASE win_event_id WHEN 4624 THEN 'Logon'
+                WHEN 4625 THEN 'Logon' WHEN 4672 THEN 'Privilege'
+                WHEN 4688 THEN 'Process' ELSE '' END AS category,
+           CASE win_event_id WHEN 4624 THEN 'Success'
+                WHEN 4625 THEN 'Failure' WHEN 4672 THEN 'Assignment'
+                WHEN 4688 THEN 'Creation' ELSE '' END AS subtype,
+           CASE win_event_id WHEN 4625 THEN 'failure'
+                ELSE 'success' END AS outcome,
+           'user' || CAST(uid AS VARCHAR) AS account,
+           CAST(lt AS BIGINT) AS logon_type,
+           CASE lt WHEN 2 THEN 'Interactive' WHEN 3 THEN 'Network'
+                WHEN 4 THEN 'Batch' WHEN 5 THEN 'Service'
+                WHEN 7 THEN 'Unlock' WHEN 8 THEN 'NetworkCleartext'
+                WHEN 9 THEN 'NewCredentials'
+                WHEN 10 THEN 'RemoteInteractive'
+                ELSE 'CachedInteractive' END AS logon_type_name,
+           CAST(port AS BIGINT) AS source_port
+    FROM e ORDER BY event_id
+"""
 
 # media pixel oracles: DuckDB restates the closed-form fixture image
 # (stages/multimodal.synth_image) and the integer round-half-up mean

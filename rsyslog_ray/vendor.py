@@ -613,8 +613,9 @@ def snmptrapd_rewrite(tag: pd.Series, hostname: pd.Series,
 # as-int typing of c:4693), and key/value extraction of the
 # Description section on multi-space/colon boundaries into EventData
 # (c:687-760 tokenize_on_multispace + c:3919-3960), with int/bool
-# typing (c:3382-3400).  NOT covered: the per-EventID knowledge tables
-# and RFC5424 wrapping variants.
+# typing (c:3382-3400).  The per-EventID knowledge tables + sectioned
+# Windows-Security decode live further down (snare_win_parse).  NOT
+# covered: RFC5424 wrapping variants.
 # ---------------------------------------------------------------------
 
 _SNARE_FIELDS = ("criticality", "channel", "snare_counter",
@@ -697,6 +698,372 @@ def snare_event_parse(s: pd.Series) -> pd.DataFrame:
     cols["event_data"] = [
         _json.dumps(r["event_data"], separators=(",", ":"), sort_keys=True)
         if r else None for r in rows]
+    cols["parse_ok"] = [r is not None for r in rows]
+    return pd.DataFrame(cols, index=s.index)
+
+
+# ---------------------------------------------------------------------
+# mmsnareparse per-EventID knowledge tables + sectioned Description
+# decode — the Windows-Security half of mmsnareparse.c:
+#   event metadata   g_eventMappings      (mmsnareparse.c:563-626)
+#   logon types      g_logonTypeMap       (c:549-562)
+#   section table    g_builtinSectionDescriptors (c:508-547)
+#   label camel-case normalize_label      (c:1057-1095, parens dropped)
+#   description normalization (3+ spaces -> section line, c:4209-4248)
+#   section behaviors standard/inline/semicolon/list (c:4356-4400)
+#   typed values + LogonTypeName sibling  (c:3668-3682)
+#   placeholder drop '-'/'N/A'            (c:628-636 is_placeholder)
+#   outcome derivation from audit result  (c:3765-3775)
+# ---------------------------------------------------------------------
+
+SNARE_LOGON_TYPES = {
+    0: "System", 1: "System", 2: "Interactive", 3: "Network",
+    4: "Batch", 5: "Service", 7: "Unlock", 8: "NetworkCleartext",
+    9: "NewCredentials", 10: "RemoteInteractive",
+    11: "CachedInteractive", 12: "CachedRemoteInteractive",
+    13: "CachedUnlock",
+}
+
+# event id -> (Category, Subtype, Outcome|None) — the full builtin
+# table; None outcome falls back to derive-from-audit-result
+SNARE_EVENT_MAP = {
+    4624: ("Logon", "Success", "success"),
+    4625: ("Logon", "Failure", "failure"),
+    4626: ("Logon", "Success", "success"),
+    4627: ("Logon", "Success", "success"),
+    4672: ("Privilege", "Assignment", "success"),
+    4688: ("Process", "Creation", "success"),
+    4768: ("Kerberos", "TGTRequest", None),
+    4769: ("Kerberos", "ServiceTicket", None),
+    4771: ("Kerberos", "PreAuthFailure", None),
+    5140: ("FileShare", "Access", None),
+    5157: ("FilteringPlatform", "PacketDrop", "failure"),
+    6281: ("WDAC", "Enforcement", None),
+    1102: ("Audit", "LogCleared", None),
+    1243: ("WindowsUpdate", "Deployment", None),
+    4720: ("AccountManagement", "Creation", "success"),
+    4722: ("AccountManagement", "Enabled", "success"),
+    4723: ("AccountManagement", "PasswordChangeAttempt", "success"),
+    4724: ("AccountManagement", "PasswordReset", "success"),
+    4725: ("AccountManagement", "AccountDisabled", "success"),
+    4726: ("AccountManagement", "AccountDeleted", "success"),
+    4738: ("AccountManagement", "AccountChange", "success"),
+    4781: ("AccountManagement", "AccountNameChange", "success"),
+    4650: ("IPsec", "MainModeEstablished", "success"),
+    4651: ("IPsec", "MainModeFailure", "failure"),
+    4652: ("IPsec", "QuickModeEstablished", "success"),
+    4653: ("IPsec", "QuickModeFailure", "failure"),
+    4654: ("IPsec", "MainModeAuthFailure", "failure"),
+    4655: ("IPsec", "MainModeAuthFailure", "failure"),
+    4656: ("IPsec", "MainModeKeyFailure", "failure"),
+    4657: ("IPsec", "MainModePeerAuthFailure", "failure"),
+    4658: ("IPsec", "MainModeInvalidCookie", "failure"),
+    4659: ("IPsec", "MainModeDuplicateSPI", "failure"),
+    4660: ("IPsec", "MainModeInvalidProposal", "failure"),
+    4661: ("IPsec", "MainModeTimeout", "failure"),
+    4663: ("IPsec", "MainModeTimeout", "failure"),
+    4664: ("IPsec", "MainModeTimeout", "failure"),
+    4665: ("IPsec", "MainModeTimeout", "failure"),
+    4666: ("IPsec", "MainModeTimeout", "failure"),
+    4667: ("IPsec", "MainModeTimeout", "failure"),
+    4668: ("IPsec", "MainModeTimeout", "failure"),
+    4670: ("IPsec", "MainModeTimeout", "failure"),
+    4671: ("IPsec", "MainModeTimeout", "failure"),
+    4608: ("System", "Startup", "success"),
+    4609: ("System", "Shutdown", "success"),
+    4610: ("System", "Startup", "success"),
+    4611: ("System", "Shutdown", "success"),
+    4612: ("System", "AuditLogCleared", "success"),
+    4614: ("System", "AuditLogCleared", "success"),
+    4615: ("System", "IPCStatusChange", "success"),
+    4616: ("System", "SystemTimeChange", "success"),
+    4618: ("System", "SecurityStateChange", "success"),
+    4621: ("System", "AdminLogon", "success"),
+    4622: ("System", "Logon", "success"),
+    4697: ("System", "ServiceInstalled", "success"),
+    4821: ("System", "CertificateServices", "success"),
+    4822: ("System", "CertificateServices", "success"),
+    4823: ("System", "CertificateServices", "success"),
+    4824: ("System", "CertificateServices", "success"),
+    4830: ("System", "CertificateServices", "success"),
+}
+
+# (pattern, canonical, behavior); behaviors: standard (kv section),
+# inline (single value), semicolon (k=v; k=v), list (bare-line accum)
+SNARE_SECTIONS = (
+    ("Subject", "Subject", "standard"),
+    ("Logon Information", "LogonInformation", "standard"),
+    ("New Logon", "NewLogon", "standard"),
+    ("Account For Which Logon Failed", "TargetAccount", "standard"),
+    ("Failure Information", "Failure", "standard"),
+    ("Network Information", "Network", "standard"),
+    ("Process Information", "Process", "standard"),
+    ("Detailed Authentication Information", "DetailedAuthentication",
+     "standard"),
+    ("Application Information", "Application", "standard"),
+    ("Filter Information", "Filter", "standard"),
+    ("Account Information", "AccountInformation", "standard"),
+    ("Service Information", "Service", "standard"),
+    ("Additional Information", "AdditionalInformation", "standard"),
+    ("Share Information", "Share", "standard"),
+    ("Certificate Information", "Certificate", "standard"),
+    ("Remote Credential Guard", "RemoteCredentialGuard", "inline"),
+    ("LAPS Context", "LAPS", "semicolon"),
+    ("TLS Inspection", "TLSInspection", "standard"),
+    ("Privileges", "Privileges", "list"),
+)
+
+_SNARE_INT_FIELDS = {"SourcePort", "ClientPort", "DestinationPort",
+                     "KeyLength"}
+
+
+def snare_norm_label(label: str) -> str:
+    """normalize_label (c:1057): camel-case across non-alnum
+    boundaries, parenthesized text dropped —
+    'Package Name (NTLM only)' -> 'PackageName'."""
+    out = []
+    upper_next = True
+    depth = 0
+    for ch in label:
+        if ch == "(":
+            depth += 1
+            upper_next = True
+            continue
+        if ch == ")" and depth:
+            depth -= 1
+            upper_next = True
+            continue
+        if depth:
+            continue
+        if ch.isalnum():
+            out.append(ch.upper() if upper_next else ch)
+            upper_next = False
+        else:
+            upper_next = True
+    return "".join(out)
+
+
+def _snare_placeholder(v: str) -> bool:
+    v = v.strip()
+    return v == "" or v == "-" or v.upper() == "N/A"
+
+
+def _snare_store(out: dict, label: str, value: str) -> None:
+    """Typed field store: LogonType gets its LogonTypeName sibling,
+    port/length fields parse int64, placeholders drop."""
+    canon = snare_norm_label(label)
+    if not canon or _snare_placeholder(value):
+        return
+    value = value.strip()
+    if canon == "LogonType":
+        try:
+            iv = int(value)
+        except ValueError:
+            out[canon] = value
+            return
+        out[canon] = iv
+        desc = SNARE_LOGON_TYPES.get(iv)
+        if desc is not None:
+            out["LogonTypeName"] = desc
+        return
+    if canon in _SNARE_INT_FIELDS:
+        try:
+            out[canon] = int(value)
+        except ValueError:
+            out[canon] = value
+        return
+    out[canon] = value
+
+
+def _snare_kv_into(out: dict, text: str) -> None:
+    """Condensed 'Key:  Value  Key2: Value2' sequence -> typed fields
+    (tokenize_on_multispace + colon pairing, c:687-760,3919-3960)."""
+    segs = [t.strip() for t in re.split(r"\t+| {2,}", text)
+            if t.strip()]
+    key = None
+    for seg in segs:
+        if seg.endswith(":"):
+            key = seg[:-1].strip()
+            continue
+        if ":" in seg:
+            k, _, v = seg.partition(":")
+            v = v.strip()
+            if v:
+                _snare_store(out, k.strip(), v)
+                key = None
+            else:
+                key = k.strip()
+            continue
+        if key is not None:
+            _snare_store(out, key, seg)
+            key = None
+
+
+def snare_description_parse(desc: str) -> dict:
+    """Windows Security event Description -> nested section dict
+    (parse_description, c:4209-4470): CR dropped, runs of 3+ spaces
+    become line breaks, each line either opens a section from
+    SNARE_SECTIONS, extends the active section with key/values, or
+    lands in Summary/Unparsed."""
+    root: dict = {}
+    active: tuple | None = None       # (canonical, behavior)
+    summary_set = False
+    text = re.sub(r" {3,}", "\n", desc.replace("\r", ""))
+    for raw in text.split("\n"):
+        line = raw.strip()
+        if not line:
+            continue
+        label, colon, rest = line.partition(":")
+        label = label.strip()
+        rest = rest.strip()
+        sec = next((s for s in SNARE_SECTIONS if colon
+                    and s[0] == label), None)
+        if sec is None and colon:
+            # embedded section (c:4332-4352
+            # find_embedded_section_descriptor): 'Creator Subject:'
+            # opens Subject; the prefix becomes Summary/Unparsed
+            for s in SNARE_SECTIONS:
+                at = label.find(s[0])
+                if at > 0 and label.endswith(s[0]):
+                    prefix = label[:at].strip()
+                    if prefix and not summary_set:
+                        root["Summary"] = prefix
+                        summary_set = True
+                    elif prefix:
+                        root.setdefault("Unparsed", []).append(prefix)
+                    sec = s
+                    break
+        if sec is not None:
+            canonical, behavior = sec[1], sec[2]
+            if behavior == "standard":
+                obj = root.setdefault(canonical, {})
+                if rest:
+                    _snare_kv_into(obj, rest)
+                active = (canonical, behavior)
+            elif behavior == "inline":
+                root.setdefault(canonical, {})[canonical] = rest
+                active = None
+            elif behavior == "semicolon":
+                obj = root.setdefault(canonical, {})
+                for part in rest.split(";"):
+                    k, _, v = part.partition("=")
+                    if k.strip() and v.strip():
+                        _snare_store(obj, k.strip(), v)
+                active = None
+            else:                      # list: accumulate bare lines
+                obj = root.setdefault("Privileges", {})
+                if rest:
+                    obj["PrivilegeList"] = " ".join(rest.split())
+                active = (canonical, behavior)
+            continue
+        if not colon:
+            if active is not None and active[1] == "list":
+                obj = root.setdefault("Privileges", {})
+                prev = obj.get("PrivilegeList", "")
+                item = " ".join(line.split())
+                obj["PrivilegeList"] = (prev + " " + item).strip()
+            elif not summary_set:
+                root["Summary"] = line
+                summary_set = True
+            elif active is not None:
+                _snare_kv_into(root.setdefault(active[0], {}), line)
+            else:
+                root.setdefault("Unparsed", []).append(line)
+            continue
+        if active is not None and active[1] == "standard":
+            obj = root.setdefault(active[0], {})
+            if rest:
+                _snare_store(obj, label, rest)
+            else:
+                _snare_kv_into(obj, line)
+        else:
+            tgt = root.setdefault("EventData", {})
+            _snare_kv_into(tgt, line)
+    return root
+
+
+def _snare_outcome(audit_result: str) -> str | None:
+    """derive_outcome (c:3765): substring scan of the audit result."""
+    a = (audit_result or "").lower()
+    for probe, val in (("success", "success"), ("failure", "failure"),
+                       ("fail", "failure"), ("error", "error"),
+                       ("warning", "warning"),
+                       ("information", "information")):
+        if probe in a:
+            return val
+    return None
+
+
+def snare_win_parse_row(line: str) -> dict | None:
+    """Full Windows-Security decode of one Snare TSV event: header
+    fields + per-EventID metadata (Category/Subtype/Outcome) + the
+    sectioned Description as nested objects.  Returns None for
+    non-MSWinEventLog lines."""
+    if not isinstance(line, str):
+        return None
+    s = line.lstrip()
+    m = re.match(r"<\d+>", s)
+    if m:
+        s = s[m.end():].lstrip()
+    s = s.replace("\\t", "\t").replace("#011", "\t")
+    at = s.find("MSWinEventLog")
+    if at < 0:
+        return None
+    parts = s[at:].split("\t")
+    hdr = dict(zip(_SNARE_FIELDS, (p.strip() for p in parts[1:12])))
+    for k in _SNARE_FIELDS:
+        hdr.setdefault(k, "")
+    try:
+        eid = int(hdr["event_id"])
+    except ValueError:
+        eid = None
+    hdr["event_id"] = eid
+    # the description may span further TSV tokens — concatenate the
+    # non-placeholder tail with spaces (c:4862-4906)
+    desc = " ".join(t for t in parts[12:] if not _snare_placeholder(t))
+    win = snare_description_parse(desc) if desc else {}
+    event = {"EventID": eid} if eid is not None else {}
+    mapping = SNARE_EVENT_MAP.get(eid)
+    outcome = None
+    if mapping is not None:
+        event["Category"], event["Subtype"] = mapping[0], mapping[1]
+        outcome = mapping[2]
+    if outcome is None:
+        outcome = _snare_outcome(hdr.get("event_log_type", ""))
+    if outcome is not None:
+        event["Outcome"] = outcome
+    win["Event"] = event
+    hdr["win"] = win
+    return hdr
+
+
+def snare_win_parse(s: pd.Series) -> pd.DataFrame:
+    """Batch decoder: header columns + ``win`` (nested sections as
+    compact JSON) + flattened convenience columns for the most-used
+    fields + ``parse_ok``."""
+    import json as _json
+
+    rows = [snare_win_parse_row(v) for v in s]
+    cols = {f: [r[f] if r else None for r in rows]
+            for f in _SNARE_FIELDS}
+    cols["event_id"] = pd.array(cols["event_id"], dtype="Int64")
+    cols["win"] = [
+        _json.dumps(r["win"], separators=(",", ":"), sort_keys=True)
+        if r else None for r in rows]
+
+    def _dig(r, *path):
+        cur = r["win"] if r else None
+        for p in path:
+            cur = cur.get(p) if isinstance(cur, dict) else None
+        return cur
+
+    cols["category"] = [_dig(r, "Event", "Category") for r in rows]
+    cols["outcome"] = [_dig(r, "Event", "Outcome") for r in rows]
+    cols["subject_account"] = [_dig(r, "Subject", "AccountName")
+                               for r in rows]
+    cols["logon_type"] = pd.array(
+        [_dig(r, "LogonInformation", "LogonType") for r in rows],
+        dtype="Int64")
     cols["parse_ok"] = [r is not None for r in rows]
     return pd.DataFrame(cols, index=s.index)
 

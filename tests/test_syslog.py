@@ -543,3 +543,165 @@ def test_pmpanngfw_csv_to_tsv():
     norm = panngfw_normalize(s)
     assert norm[0] == out
     assert norm[1] == "plain syslog line"
+
+
+def test_mmsnareparse_win_event_tables():
+    """Per-EventID knowledge tables (mmsnareparse.c g_eventMappings
+    :563-626, g_logonTypeMap :549-562, section descriptors :508-547):
+    the documented Windows Security samples for 4624/4625/4634/4672/
+    4688 decode field-for-field — sections as nested objects,
+    camel-cased labels, typed LogonType with its LogonTypeName
+    sibling, int ports, placeholder '-'/'N/A' values dropped, and
+    Category/Subtype/Outcome injected from the event table (4634 is
+    absent from the table: outcome derives from the audit result)."""
+    import json
+
+    from rsyslog_ray.vendor import (SNARE_EVENT_MAP, snare_win_parse,
+                                    snare_win_parse_row)
+
+    def tsv(eid, audit, desc):
+        return ("<13>Jan  5 10:00:00 host MSWinEventLog\t1\tSecurity\t"
+                f"77\tFri Jan 05 10:00:00 2024\t{eid}\t"
+                "Microsoft-Windows-Security-Auditing\tSYSTEM\tN/A\t"
+                f"{audit}\tDC01\tLogon\t{desc}")
+
+    d4624 = (
+        "An account was successfully logged on.    "
+        "Subject:    Security ID:  S-1-5-18    Account Name:  WIN-GG82ULGC9GO$    "
+        "Account Domain:  WORKGROUP    Logon ID:  0x3E7    "
+        "Logon Information:    Logon Type:  7    Restricted Admin Mode:  -    "
+        "Virtual Account:  No    Elevated Token:  No    "
+        "Impersonation Level:  Impersonation    "
+        "New Logon:    Security ID:  S-1-5-21-1377283216-344919071-3415362939-500    "
+        "Account Name:  Administrator    Account Domain:  WIN-GG82ULGC9GO    "
+        "Logon ID:  0x8DCDC    Linked Logon ID:  0x0    "
+        "Network Account Name:  -    "
+        "Logon GUID:  {00000000-0000-0000-0000-000000000000}    "
+        "Process Information:    Process ID:  0x44c    "
+        "Process Name:  C:\\Windows\\System32\\svchost.exe    "
+        "Network Information:    Workstation Name:  WIN-GG82ULGC9GO    "
+        "Source Network Address:  127.0.0.1    Source Port:  0    "
+        "Detailed Authentication Information:    Logon Process:  Negotiat    "
+        "Authentication Package:  Negotiate    Transited Services:  -    "
+        "Package Name (NTLM only):  -    Key Length:  0")
+    r = snare_win_parse_row(tsv(4624, "Success Audit", d4624))
+    w = r["win"]
+    assert w["Event"] == {"EventID": 4624, "Category": "Logon",
+                          "Subtype": "Success", "Outcome": "success"}
+    assert w["Summary"] == "An account was successfully logged on."
+    assert w["Subject"] == {
+        "SecurityID": "S-1-5-18", "AccountName": "WIN-GG82ULGC9GO$",
+        "AccountDomain": "WORKGROUP", "LogonID": "0x3E7"}
+    assert w["LogonInformation"] == {
+        "LogonType": 7, "LogonTypeName": "Unlock",
+        "VirtualAccount": "No", "ElevatedToken": "No",
+        "ImpersonationLevel": "Impersonation"}   # '-' values dropped
+    assert w["NewLogon"] == {
+        "SecurityID": "S-1-5-21-1377283216-344919071-3415362939-500",
+        "AccountName": "Administrator",
+        "AccountDomain": "WIN-GG82ULGC9GO", "LogonID": "0x8DCDC",
+        "LinkedLogonID": "0x0",
+        "LogonGUID": "{00000000-0000-0000-0000-000000000000}"}
+    assert w["Process"] == {
+        "ProcessID": "0x44c",
+        "ProcessName": "C:\\Windows\\System32\\svchost.exe"}
+    assert w["Network"] == {
+        "WorkstationName": "WIN-GG82ULGC9GO",
+        "SourceNetworkAddress": "127.0.0.1", "SourcePort": 0}
+    assert w["DetailedAuthentication"] == {
+        "LogonProcess": "Negotiat",
+        "AuthenticationPackage": "Negotiate", "KeyLength": 0}
+
+    d4625 = (
+        "An account failed to log on.    "
+        "Subject:    Security ID:  S-1-5-18    Account Name:  DC01$    "
+        "Account Domain:  CONTOSO    Logon ID:  0x3E7    "
+        "Logon Type:  2    "
+        "Account For Which Logon Failed:    Security ID:  S-1-0-0    "
+        "Account Name:  bob    Account Domain:  CONTOSO    "
+        "Failure Information:    Failure Reason:  Unknown user name or bad password.    "
+        "Status:  0xC000006D    Sub Status:  0xC0000064    "
+        "Network Information:    Workstation Name:  DC01    "
+        "Source Network Address:  10.0.0.12    Source Port:  59132")
+    r = snare_win_parse_row(tsv(4625, "Failure Audit", d4625))
+    w = r["win"]
+    assert w["Event"]["Category"] == "Logon"
+    assert w["Event"]["Subtype"] == "Failure"
+    assert w["Event"]["Outcome"] == "failure"
+    assert w["TargetAccount"] == {
+        "SecurityID": "S-1-0-0", "AccountName": "bob",
+        "AccountDomain": "CONTOSO"}
+    assert w["Failure"] == {
+        "FailureReason": "Unknown user name or bad password.",
+        "Status": "0xC000006D", "SubStatus": "0xC0000064"}
+    assert w["Network"]["SourcePort"] == 59132
+
+    # 4634 is NOT in the event table: Category/Subtype absent, the
+    # outcome derives from the audit result string
+    d4634 = ("An account was logged off.    "
+             "Subject:    Security ID:  S-1-5-21-1-2-3-1001    "
+             "Account Name:  alice    Account Domain:  CONTOSO    "
+             "Logon ID:  0x27F9E    Logon Type:  3")
+    assert 4634 not in SNARE_EVENT_MAP
+    r = snare_win_parse_row(tsv(4634, "Success Audit", d4634))
+    w = r["win"]
+    assert w["Event"] == {"EventID": 4634, "Outcome": "success"}
+    assert w["Subject"]["AccountName"] == "alice"
+    assert w["Subject"]["LogonType"] == 3          # active section
+    assert w["Subject"]["LogonTypeName"] == "Network"
+
+    d4672 = ("Special privileges assigned to new logon.    "
+             "Subject:    Security ID:  S-1-5-18    "
+             "Account Name:  SYSTEM    Account Domain:  NT AUTHORITY    "
+             "Logon ID:  0x3E7    "
+             "Privileges:  SeAssignPrimaryTokenPrivilege    "
+             "SeTcbPrivilege    SeSecurityPrivilege")
+    r = snare_win_parse_row(tsv(4672, "Success Audit", d4672))
+    w = r["win"]
+    assert w["Event"] == {"EventID": 4672, "Category": "Privilege",
+                          "Subtype": "Assignment",
+                          "Outcome": "success"}
+    assert w["Privileges"] == {"PrivilegeList":
+                               "SeAssignPrimaryTokenPrivilege "
+                               "SeTcbPrivilege SeSecurityPrivilege"}
+
+    d4688 = (
+        "A new process has been created.    "
+        "Creator Subject:    Security ID:  S-1-5-18    "
+        "Account Name:  WIN-GG82ULGC9GO$    Account Domain:  WORKGROUP    "
+        "Logon ID:  0x3E7    "
+        "Process Information:    New Process ID:  0x2bc    "
+        "New Process Name:  C:\\Windows\\System32\\rundll32.exe    "
+        "Token Elevation Type:  %%1938    "
+        "Mandatory Label:  Mandatory Label\\Medium Mandatory Level    "
+        "Creator Process ID:  0xe74    "
+        "Process Command Line:  rundll32.exe C:\\x.dll,Go")
+    r = snare_win_parse_row(tsv(4688, "Success Audit", d4688))
+    w = r["win"]
+    assert w["Event"] == {"EventID": 4688, "Category": "Process",
+                          "Subtype": "Creation", "Outcome": "success"}
+    # embedded section: 'Creator Subject:' opens the Subject section
+    # (find_embedded_section_descriptor), prefix lands in Unparsed
+    assert w["Subject"] == {
+        "SecurityID": "S-1-5-18", "AccountName": "WIN-GG82ULGC9GO$",
+        "AccountDomain": "WORKGROUP", "LogonID": "0x3E7"}
+    assert "Creator" in w.get("Unparsed", [])
+    assert w["Process"] == {
+        "NewProcessID": "0x2bc",
+        "NewProcessName": "C:\\Windows\\System32\\rundll32.exe",
+        "TokenElevationType": "%%1938",
+        "MandatoryLabel": "Mandatory Label\\Medium Mandatory Level",
+        "CreatorProcessID": "0xe74",
+        "ProcessCommandLine": "rundll32.exe C:\\x.dll,Go"}
+
+    # batch surface: flattened convenience columns + nested JSON, and
+    # agent-escaped #011 tabs decode identically
+    lines = [tsv(4624, "Success Audit", d4624),
+             tsv(4625, "Failure Audit", d4625).replace("\t", "#011"),
+             "not windows", None]
+    df = snare_win_parse(pd.Series(lines))
+    assert list(df["parse_ok"]) == [True, True, False, False]
+    assert df["category"][0] == "Logon" and df["outcome"][1] == "failure"
+    assert df["subject_account"][1] == "DC01$"
+    assert df["logon_type"][0] == 7
+    assert json.loads(df["win"][1])["Failure"]["Status"] == "0xC000006D"
