@@ -47,6 +47,7 @@ def run_flagship(
     write_batch_size: int = 32768,
     lineage: bool = True,
     lineage_shards: int | None = None,
+    impstats_every: int | None = None,
 ) -> pd.DataFrame:
     """Run the flagship job; returns the final per-sink aggregate counts
     as a small DataFrame (sink, kind, key, cnt) — the dynstats output.
@@ -121,7 +122,8 @@ def run_flagship(
         # batches here explode into thousands of tiny parquet files.
         partials = ds.map_batches(
             sk.FanoutWriter(router, out_dir, lineage_name,
-                            lineage_shards=n_lshards),
+                            lineage_shards=n_lshards,
+                            impstats_every=impstats_every),
             batch_format="pyarrow",
             batch_size=write_batch_size,
         )

@@ -267,6 +267,7 @@ def plan_resume(input_files: list[str], out_dir: str,
 
 
 _LINEAGE_CACHE: dict[tuple, list] = {}  # per-worker-process handle lists
+_EMITTER_CACHE: dict[tuple, object] = {}  # per-process interval emitters
 
 
 def _lineage_handles(name: str | None, n_shards: int) -> list:
@@ -591,9 +592,18 @@ class FanoutWriter:
 
         if self.impstats_every is not None:
             if self._emitter is None:
+                # per-PROCESS emitter, shared across every task that
+                # deserializes this writer in a worker: the interval
+                # file is per-pid with RUNNING totals, so a fresh
+                # emitter per task would reset the totals mid-file
+                # and the exporter's last-line read would jump around
                 from .stats import IntervalStatsEmitter
-                self._emitter = IntervalStatsEmitter(
-                    self.out_dir, every_batches=self.impstats_every)
+                key = (self.out_dir, self.impstats_every)
+                em = _EMITTER_CACHE.get(key)
+                if em is None:
+                    em = _EMITTER_CACHE[key] = IntervalStatsEmitter(
+                        self.out_dir, every_batches=self.impstats_every)
+                self._emitter = em
             delivered = sum(sum(d.values()) for d in sink_shard_rows.values())
             self._emitter.tick({"rows_delivered": delivered, "batches": 1})
 

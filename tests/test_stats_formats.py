@@ -109,3 +109,108 @@ def test_interval_impstats_emission(tmp_path):
     assert [int(ln.split("rows_delivered=")[1].split()[0])
             for ln in lines] == [1, 3, 6, 10]
     assert all("batches=" in ln for ln in lines)
+
+
+def test_exporter_renders_run_dir(tmp_path):
+    """Exporter file mode (sidecar/rsyslog_exporter.py analog): the
+    last interval line per worker file sums across workers; lineage
+    commits count; the end-of-run prometheus render is appended
+    verbatim; scrapes advance as the files grow."""
+    import urllib.request
+
+    from rsyslog_ray.exporter import StatsHttpServer, render_run_metrics
+
+    (tmp_path / "_impstats.interval.100").write_text(
+        "raylog: origin=impstats rows_delivered=5 batches=1 \n"
+        "raylog: origin=impstats rows_delivered=12 batches=2 \n")
+    (tmp_path / "_impstats.interval.200").write_text(
+        "raylog: origin=impstats rows_delivered=30 batches=3 \n")
+    (tmp_path / "_lineage.jsonl").write_text(
+        '{"partition_id": 0}\n{"partition_id": 1}\nGARBAGE\n')
+    (tmp_path / "_impstats.prometheus").write_text(
+        "# TYPE raylog_input_files_total counter\n"
+        "raylog_input_files_total 7\n")
+
+    text = render_run_metrics(str(tmp_path))
+    assert "raylog_rows_delivered_total 42" in text     # 12 + 30
+    assert "raylog_batches_total 5" in text             # 2 + 3
+    assert "raylog_lineage_commits_total 2" in text     # torn line out
+    assert "raylog_input_files_total 7" in text         # verbatim tail
+
+    srv = StatsHttpServer(str(tmp_path))
+    try:
+        url = f"http://127.0.0.1:{srv.port}"
+        body = urllib.request.urlopen(f"{url}/metrics").read().decode()
+        assert "raylog_rows_delivered_total 42" in body
+        assert "raylog_exporter_scrapes_total 1" in body
+        assert urllib.request.urlopen(
+            f"{url}/healthz").read() == b"ok\n"
+        # the files grow -> the next scrape reflects it
+        with open(tmp_path / "_impstats.interval.200", "a") as fh:
+            fh.write("raylog: origin=impstats rows_delivered=58 "
+                     "batches=4 \n")
+        body2 = urllib.request.urlopen(f"{url}/metrics").read().decode()
+        assert "raylog_rows_delivered_total 70" in body2
+        assert "raylog_exporter_scrapes_total 2" in body2
+    finally:
+        srv.stop()
+
+
+def test_exporter_scrapes_mid_flagship_run(ray_session, pages_small,
+                                           tmp_path):
+    """The sidecar endpoint serves ADVANCING counters while the
+    flagship runs: exporter actor up first, flagship (interval
+    impstats every batch) in a background thread, scrapes observed
+    mid-run must increase monotonically to the final total."""
+    import re
+    import threading
+    import time
+    import urllib.request
+
+    import ray
+
+    from rsyslog_ray.exporter import start_exporter_actor
+    from rsyslog_ray.pipelines.flagship import run_flagship
+
+    out = str(tmp_path / "run")
+    import os
+    os.makedirs(out, exist_ok=True)
+    h = start_exporter_actor(out)
+    port = ray.get(h.port.remote())
+    url = f"http://127.0.0.1:{port}/metrics"
+
+    done = threading.Event()
+    err = []
+
+    def drive():
+        try:
+            run_flagship(pages_small, out, impstats_every=1,
+                         parse_batch_size=512, write_batch_size=512)
+        except Exception as ex:                 # surface in the test
+            err.append(ex)
+        finally:
+            done.set()
+
+    t = threading.Thread(target=drive)
+    t.start()
+    seen = []
+    while not done.is_set():
+        body = urllib.request.urlopen(url, timeout=5).read().decode()
+        m = re.search(r"raylog_rows_delivered_total (\d+)", body)
+        if m:
+            seen.append(int(m.group(1)))
+        time.sleep(0.1)
+    t.join()
+    ray.get(h.stop.remote())
+    assert not err, err
+    # final scrape: full totals + all lineage commits
+    from rsyslog_ray.exporter import render_run_metrics
+    final = render_run_metrics(out)
+    m = re.search(r"raylog_rows_delivered_total (\d+)", final)
+    assert m is not None
+    total = int(m.group(1))
+    assert total > 0
+    mid = [v for v in seen if 0 < v < total]
+    assert mid, f"no mid-run scrape observed (seen={seen})"
+    assert seen == sorted(seen)                 # monotone counters
+    assert re.search(r"raylog_lineage_commits_total 5", final)
