@@ -244,8 +244,13 @@ class PipelineConfig:
         self.routes = [Route(r["sink"], _to_pred(r["pred"]),
                              bool(r.get("stop", False)))
                        for r in cfg["routes"]]
+        # default dynstats dimension: lang for pages tables; WARC
+        # captures have no lang column — count by HTTP status instead
+        default_aggs = ([["status", "http_status"]]
+                        if self.input_format == "warc"
+                        else [["lang", "lang"]])
         self.agg_kinds = tuple(tuple(k) for k in cfg.get(
-            "aggregates", [["lang", "lang"]]))
+            "aggregates", default_aggs))
         out = cfg["output"]
         self.out_dir = out["dir"]
         self.full_sinks = tuple(out.get("full_sinks", ("archive", "deadletter")))
@@ -563,6 +568,60 @@ class _ConfigMapFn:
         return tbl
 
 
+def _warc_input_ds(c: "PipelineConfig", pending: list[str]):
+    """The crawl stack behind the .conf surface: ``format="warc"``
+    reads whole archives (sources/warc.read_warc, per-file
+    parallelism); with ``cdx_dir`` set the input is the RANDOM-ACCESS
+    path instead — cdx_lookup selects captures by url / SURT prefix
+    and fetch_captures seek-reads exactly those records.  Either way
+    the capture records reshape to the pipeline's row contract:
+    ``url``, ``warc_ts``, ``http_status``, ``content_type`` and the
+    payload decoded into the configured source column; ``shard``
+    derives from the archive name so sinks partition per archive."""
+    import numpy as np
+
+    from .sources.warc import CDX_TYPES, fetch_captures, read_warc
+
+    icfg = c.cfg["input"]
+    if icfg.get("cdx_dir"):
+        from .sources.warc import cdx_lookup
+
+        hits = cdx_lookup(icfg["cdx_dir"],
+                          urls=icfg.get("urls") or None,
+                          surt_prefixes=icfg.get("surt_prefixes")
+                          or None)
+        root = icfg.get("warc_root") or os.path.dirname(
+            icfg["cdx_dir"].rstrip("/"))
+        ds = fetch_captures(root, hits)
+        name_col = "filename"
+    else:
+        ds = read_warc(pending)
+        name_col = "path"
+
+    src = c.source_column
+
+    def shape(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[df["warc_type"].isin(CDX_TYPES)]
+        ts = pd.to_datetime(keep["date"], errors="coerce", utc=True)
+        shard = np.fromiter(
+            (sk.shard_id_of(p) for p in keep[name_col]),
+            dtype=np.int64, count=len(keep))
+        return pd.DataFrame({
+            "url": keep["target_uri"].to_numpy(),
+            "warc_ts": ts.dt.tz_localize(None).to_numpy(),
+            "http_status": keep["http_status"].astype("int64")
+            .to_numpy(),
+            "content_type": keep["http_content_type"].where(
+                keep["http_content_type"] != "",
+                keep["content_type"]).to_numpy(),
+            src: [bytes(b).decode("utf-8", "replace")
+                  for b in keep["payload"]],
+            "shard": shard.astype(np.int32),
+        })
+
+    return ds.map_batches(shape, batch_format="pandas")
+
+
 def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
                lineage: bool = True, batch_size: int = 8192,
                write_batch_size: int = 32768) -> pd.DataFrame:
@@ -574,15 +633,17 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
 
     c = cfg if isinstance(cfg, PipelineConfig) else load_config(cfg)
     router = Router(c.routes)
+    cdx_mode = (c.input_format == "warc"
+                and c.cfg["input"].get("cdx_dir"))
     files = sorted(sum((glob.glob(p) for p in c.input_paths), []))
-    if not files:
+    if not files and not cdx_mode:
         raise FileNotFoundError(f"no input files match {c.input_paths}")
 
     os.makedirs(c.out_dir, exist_ok=True)
-    if c.input_format == "textlog":
-        # text inputs have no parquet footers -> no per-shard expected
-        # counts; no lineage, and a rerun is a FRESH run: wipe the sink
-        # dirs so reprocessing can't append duplicates
+    if c.input_format in ("textlog", "warc"):
+        # text/archive inputs have no parquet footers -> no per-shard
+        # expected counts; no lineage, and a rerun is a FRESH run: wipe
+        # the sink dirs so reprocessing can't append duplicates
         resume = False
         lineage = False
         import shutil
@@ -595,11 +656,13 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
     import time as _time
 
     t_run0 = _time.perf_counter()
-    if not pending:
+    if not pending and not cdx_mode:
         # no work left, but the final dynstats still come from the
         # committed shards' checkpoints — a re-invoke (or a crash
         # between the last commit and the metrics write) must report
-        # the full corpus, not an empty one (see flagship.py)
+        # the full corpus, not an empty one (see flagship.py).  The
+        # CDX random-access input has no file list at all — its work
+        # comes from the index lookup, never from `pending`.
         out = sk.read_agg_partials(c.out_dir, done)
         out = out.sort_values(["sink", "kind", "key"]).reset_index(drop=True)
         sk.repair_run_metrics(c.out_dir, out, _time.perf_counter() - t_run0)
@@ -616,7 +679,9 @@ def run_config(cfg: PipelineConfig | dict | str, *, resume: bool = True,
         lookups_ref = ray.put(c.lookups) if c.lookups else None
         fn = _ConfigMapFn(c, lookups_ref)
 
-        if c.input_format == "textlog":
+        if c.input_format == "warc":
+            ds = _warc_input_ds(c, pending)
+        elif c.input_format == "textlog":
             from .sources.textlog import assemble_multiline, read_log_lines
 
             ds = read_log_lines(pending)

@@ -14,6 +14,11 @@ Supported statements (reference grammar sites cited):
 - ``global(workDirectory="/out")`` — output directory
 - ``input(type="imfile" file="/glob" format="parquet|textlog"
   startmsg.regex="^...")`` — input block (grammar.y input object)
+- ``input(type="imwarc" file="/archives")`` — crawl-stack input: WARC
+  records reshaped to (url, warc_ts, http_status, content_type, text)
+  rows; ``cdxDir="/cdx" [warcDir="/archives"] url="u1,u2"`` /
+  ``surtPrefix="com,site)"`` switches to the CDX random-access fetch
+  path (only the queried captures are read — config._warc_input_ds)
 - ``parser(name=".." pattern=".." types="col:ty,..")`` or
   ``parser(name=".." sample="%f:ty% ...")`` — parse-rule declaration
 - ``template(name=".." type="string" string="...%prop%...")`` and
@@ -623,6 +628,27 @@ def parse_rainer(text: str) -> dict:
         elif v == "input":
             p.next()
             prm = p.params()
+            if prm.get("type") == "imwarc":
+                # crawl-stack input: whole archives
+                # (input(type="imwarc" file="/archives")) or the
+                # random-access CDX path (cdxDir= + url=/surtPrefix=,
+                # optional warcDir= fetch root) — config._warc_input_ds
+                cfg["input"]["format"] = "warc"
+                if "file" in prm:
+                    cfg["input"]["paths"].append(prm["file"])
+                if prm.get("cdxDir"):
+                    cfg["input"]["cdx_dir"] = prm["cdxDir"]
+                if prm.get("warcDir"):
+                    cfg["input"]["warc_root"] = prm["warcDir"]
+                if prm.get("url"):
+                    cfg["input"]["urls"] = [
+                        u.strip() for u in prm["url"].split(",")
+                        if u.strip()]
+                if prm.get("surtPrefix"):
+                    cfg["input"]["surt_prefixes"] = [
+                        s.strip() for s in prm["surtPrefix"].split(",")
+                        if s.strip()]
+                return
             if "file" in prm:
                 cfg["input"]["paths"].append(prm["file"])
             if prm.get("format"):

@@ -695,3 +695,123 @@ def test_include_statement(tmp_path):
     cfg = parse_rainer(f'include(file="{tmp_path}/absent-*.conf" '
                        f'mode="optional")')
     assert "warnings" not in cfg               # optional: silent
+
+
+def _write_warc_fixture(d):
+    """Two member-per-record archives of deterministic HTTP captures."""
+    import os
+
+    from rsyslog_ray.sources.warc import build_warc
+
+    def resp(uri, date, body, status=200):
+        http = (f"HTTP/1.1 {status} X\r\nContent-Type: text/html\r\n"
+                f"\r\n").encode() + body
+        return {"headers": {
+                    "WARC-Type": "response",
+                    "WARC-Record-ID": f"<urn:{uri}>",
+                    "WARC-Date": date, "WARC-Target-URI": uri,
+                    "Content-Type": "application/http; msgtype=response"},
+                "block": http}
+
+    os.makedirs(d, exist_ok=True)
+    recs1 = [resp(f"http://siteA.com/p{i}",
+                  f"2025-02-0{1 + i}T00:00:00Z",
+                  f"kind=alpha n={i}".encode()) for i in range(4)]
+    recs2 = [resp(f"http://siteB.com/q{i}",
+                  f"2025-02-0{1 + i}T00:00:00Z",
+                  f"kind=beta n={i}".encode(),
+                  status=404 if i == 0 else 200) for i in range(3)]
+    with open(os.path.join(d, "crawl-a.warc.gz"), "wb") as fh:
+        fh.write(build_warc(recs1, gzip_members=True))
+    with open(os.path.join(d, "crawl-b.warc.gz"), "wb") as fh:
+        fh.write(build_warc(recs2, gzip_members=True))
+
+
+def test_imwarc_conf_end_to_end(ray_session, tmp_path):
+    """input(type="imwarc" file=...) drives the crawl stack from the
+    .conf surface: WARC records -> parse (body fields) -> route by an
+    extracted field and http_status -> parquet sinks, partitioned per
+    archive."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray.config import run_config
+
+    wdir = str(tmp_path / "archives")
+    _write_warc_fixture(wdir)
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imwarc" file="WDIR")
+    parser(name="body" pattern="^kind=(?P<kind>\w+) n=(?P<n>\d+)$"
+           types="n:int")
+    if $http_status != 200 then { action(type="omfile" file="errors") stop }
+    if $kind == "alpha" then action(type="omfile" file="alpha")
+    *.* action(type="omfile" file="archive")
+    '''.replace("OUT", str(tmp_path / "o")).replace("WDIR", wdir)
+    cfg = parse_rainer(conf)
+    assert cfg["input"]["format"] == "warc"
+    cfg["output"]["full_sinks"] = ["alpha", "archive", "errors"]
+    agg = run_config(cfg)
+
+    def sink_rows(name):
+        files = glob.glob(str(tmp_path / "o" / name / "**" / "*.parquet"),
+                          recursive=True)
+        import pandas as pd
+        return (pd.concat([pq.read_table(f).to_pandas() for f in files])
+                if files else pd.DataFrame())
+
+    alpha = sink_rows("alpha")
+    assert sorted(alpha["url"]) == [f"http://siteA.com/p{i}"
+                                    for i in range(4)]
+    assert (alpha["kind"] == "alpha").all()
+    assert sorted(alpha["n"]) == [0, 1, 2, 3]      # typed int extract
+    errors = sink_rows("errors")
+    assert list(errors["url"]) == ["http://siteB.com/q0"]
+    arch = sink_rows("archive")
+    # stop route: the 404 never reaches archive; both sites' 200s do
+    assert len(arch) == 6 and set(arch["kind"]) == {"alpha", "beta"}
+    # per-archive partitioning: two distinct shard dirs under archive
+    shards = {d.split("shard=")[1].split("/")[0]
+              for d in glob.glob(str(tmp_path / "o" / "archive" /
+                                     "shard=*"))}
+    assert len(shards) == 2
+    assert set(agg["sink"]) == {"alpha", "archive", "errors"}
+
+
+def test_imwarc_conf_cdx_random_access(ray_session, tmp_path):
+    """The CDX random-access path from .conf: cdxDir= + url= fetches
+    exactly the queried captures (seek+read, no archive scan) and the
+    same parse/route chain runs over them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rsyslog_ray.config import run_config
+    from rsyslog_ray.sources.warc import build_cdx
+
+    wdir = str(tmp_path / "archives")
+    _write_warc_fixture(wdir)
+    cdx = str(tmp_path / "cdx")
+    build_cdx(wdir, cdx)
+    conf = r'''
+    global(workDirectory="OUT")
+    input(type="imwarc" cdxDir="CDX" warcDir="WDIR"
+          url="http://siteA.com/p2,http://siteB.com/q1")
+    parser(name="body" pattern="^kind=(?P<kind>\w+) n=(?P<n>\d+)$"
+           types="n:int")
+    *.* action(type="omfile" file="hits")
+    '''.replace("OUT", str(tmp_path / "o")).replace(
+        "CDX", cdx).replace("WDIR", wdir)
+    cfg = parse_rainer(conf)
+    assert cfg["input"]["cdx_dir"] == cdx
+    cfg["output"]["full_sinks"] = ["hits"]
+    run_config(cfg)
+    files = glob.glob(str(tmp_path / "o" / "hits" / "**" / "*.parquet"),
+                      recursive=True)
+    import pandas as pd
+    got = pd.concat([pq.read_table(f).to_pandas() for f in files])
+    assert sorted(got["url"]) == ["http://siteA.com/p2",
+                                  "http://siteB.com/q1"]
+    assert sorted(got["kind"]) == ["alpha", "beta"]
+    assert sorted(got["n"]) == [1, 2]
