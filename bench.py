@@ -106,6 +106,37 @@ def run_bench() -> None:
     ray.shutdown()
 
 
+def _membw_gbps(nproc: int, seconds: float = 2.0) -> float:
+    """Aggregate memcpy bandwidth at ``nproc`` concurrent processes
+    (the tools/membw.py ladder, callable in-window): each worker
+    copies a 256 MB buffer for ~``seconds``; returns summed GB/s.
+    Read+write bytes both count (one copy moves 2×len)."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def worker(q, secs):
+        src = np.frombuffer(np.random.bytes(256 * 1024 * 1024),
+                            dtype=np.uint8)
+        dst = np.empty_like(src)
+        n = 0
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < secs:
+            np.copyto(dst, src)
+            n += 1
+        q.put(2 * len(src) * n / (time.perf_counter() - t0))
+
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q, seconds))
+          for _ in range(nproc)]
+    for p in ps:
+        p.start()
+    rates = [q.get() for _ in ps]
+    for p in ps:
+        p.join()
+    return sum(rates) / 1e9
+
+
 def run_scaling() -> None:
     lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
@@ -127,10 +158,22 @@ def run_scaling() -> None:
         return json.loads(out.strip().splitlines()[-1])
 
     # best-of-N per level: this VM's disk writeback noise swings wall
-    # time ±40%; min is the least-contaminated measure of the pipeline
-    r_lo = min((one(lo) for _ in range(trials)), key=lambda r: r["value"])
-    r_hi = min((one(hi) for _ in range(trials)), key=lambda r: r["value"])
+    # time ±40%; min is the least-contaminated measure of the pipeline.
+    # The memcpy ladder runs IN THE SAME WINDOW as each level's draws
+    # (this host's DRAM bandwidth drifts with co-tenants; BASELINE.md
+    # "calibration") so the ratio-to-memcpy is apples-to-apples.
+    draws_lo = [one(lo) for _ in range(trials)]
+    bw_lo = _membw_gbps(lo)
+    draws_hi = [one(hi) for _ in range(trials)]
+    bw_hi = _membw_gbps(hi)
+    r_lo = min(draws_lo, key=lambda r: r["value"])
+    r_hi = min(draws_hi, key=lambda r: r["value"])
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # memcpy's own scaling efficiency over the same cpu span: < 1 on
+    # this single box because the DRAM bus saturates — the pipeline's
+    # ratio-to-memcpy ~1 is the evidence the shortfall is the memory
+    # wall (which scales WITH nodes on a real cluster), not the engine
+    memcpy_eff = (bw_hi / bw_lo) / (hi / lo)
     print(json.dumps({
         "metric": f"scaling efficiency (N={lo} vs 4N={hi} cpus, same "
                   f"input, best of {trials})",
@@ -139,7 +182,13 @@ def run_scaling() -> None:
         f"sec_{hi}": r_hi["value"],
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
         f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
+        f"draws_{lo}": [r["value"] for r in draws_lo],
+        f"draws_{hi}": [r["value"] for r in draws_hi],
         "scaling_efficiency": round(eff, 3),
+        "membw_gbps": {str(lo): round(bw_lo, 1),
+                       str(hi): round(bw_hi, 1)},
+        "memcpy_eff": round(memcpy_eff, 3),
+        "ratio_to_memcpy": round(eff / memcpy_eff, 3),
     }))
 
 
