@@ -1183,7 +1183,10 @@ def q_dedup_clusters(sf_dir):
 
 def q_dedup_simhash(sf_dir):
     """SimHash64 pairs with Hamming <= 3 via 4x16-bit chunk banding
-    (pigeonhole-complete). Rows-only driver check."""
+    (pigeonhole-complete).  Rows-only driver check (the 64-bit
+    feature-hash fold has no SQL restatement); pair completeness vs a
+    brute-force Hamming scan and the planted near-dup recall are
+    pinned in tests/test_dedup_text.py."""
     from ..stages.dedup import simhash_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"]).repartition(32)
@@ -6104,6 +6107,25 @@ QUERIES = {
     "hits_dist": q_hits_dist,
     "bfs_dist": q_bfs_dist,
 }
+
+# vendor roundtrip: every output column is the planted closed form —
+# the engine recovers them by DECODING the rendered Cisco/LEEF/audit
+# lines through the shipped parsers (promoted from rows-only r5)
+SQL_TAIL["vendor_formats"] = """
+    SELECT event_id,
+           CAST(event_id AS BIGINT) AS cisco_seq,
+           'host' || CAST(user_id % 50 AS VARCHAR) AS cisco_origin,
+           'EV-' || CAST(event_id % 8 AS VARCHAR) || '-'
+               || upper(event_type) AS cisco_tag,
+           true AS cisco_ok,
+           event_type AS leef_event,
+           CAST(user_id % 50 AS VARCHAR) AS leef_user,
+           CAST(1300 + event_id % 10 AS BIGINT) AS audit_type,
+           '1700000000.' || CAST(event_id % 1000 AS VARCHAR) || ':'
+               || CAST(event_id AS VARCHAR) AS auditid,
+           event_type AS audit_comm
+    FROM events
+"""
 
 # mmsnareparse Windows decode: the oracle restates the planted values
 # + the per-EventID knowledge tables (vendor.SNARE_EVENT_MAP /
