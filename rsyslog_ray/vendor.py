@@ -614,8 +614,12 @@ def snmptrapd_rewrite(tag: pd.Series, hostname: pd.Series,
 # Description section on multi-space/colon boundaries into EventData
 # (c:687-760 tokenize_on_multispace + c:3919-3960), with int/bool
 # typing (c:3382-3400).  The per-EventID knowledge tables + sectioned
-# Windows-Security decode live further down (snare_win_parse).  NOT
-# covered: RFC5424 wrapping variants.
+# Windows-Security decode live further down (snare_win_parse);
+# RFC5424-wrapped payloads (c:3004-3045 skip_rfc5424_header, incl.
+# structured-data sections) decode via the locate-payload scan — the
+# RFC5424 token layout shares the classic indices (c:4610) — pinned
+# in t:test_syslog.  NOT covered: the tag-moved degraded variants
+# (need the syslog message object's TAG, a stream-parser concern).
 # ---------------------------------------------------------------------
 
 _SNARE_FIELDS = ("criticality", "channel", "snare_counter",

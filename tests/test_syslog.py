@@ -705,3 +705,39 @@ def test_mmsnareparse_win_event_tables():
     assert df["subject_account"][1] == "DC01$"
     assert df["logon_type"][0] == 7
     assert json.loads(df["win"][1])["Failure"]["Status"] == "0xC000006D"
+
+
+def test_mmsnareparse_rfc5424_envelope():
+    """RFC5424-wrapped Snare events (mmsnareparse.c:3004-3045
+    skip_rfc5424_header + the locate-payload scan): the decoder finds
+    the MSWinEventLog payload past a full RFC5424 header including
+    structured-data sections, and the RFC5424 token layout (version /
+    record in place of criticality / counter — same indices,
+    populate_event_metadata c:4610) decodes identically."""
+    from rsyslog_ray.vendor import snare_win_parse_row
+
+    desc = ("Special privileges assigned to new logon.    "
+            "Subject:    Security ID:  S-1-5-18    "
+            "Account Name:  SYSTEM    "
+            "Privileges:  SeTcbPrivilege    SeSecurityPrivilege")
+    body = ("MSWinEventLog\t1\tSecurity\t4242\t"
+            "Fri Jan 05 10:00:00 2024\t4672\t"
+            "Microsoft-Windows-Security-Auditing\tN/A\tN/A\t"
+            "Success Audit\tDC01\tLogon\t" + desc)
+    wrapped = ("<134>1 2024-01-05T10:00:00.123Z host01 snare 911 "
+               "ID47 [origin@32473 ip=\"10.1.1.1\"][meta x=\"y\"] "
+               + body)
+    r = snare_win_parse_row(wrapped)
+    assert r is not None
+    assert r["event_id"] == 4672
+    assert r["computer"] == "DC01"
+    assert r["channel"] == "Security"
+    assert r["snare_counter"] == "4242"       # RFC5424 'record' slot
+    w = r["win"]
+    assert w["Event"] == {"EventID": 4672, "Category": "Privilege",
+                          "Subtype": "Assignment", "Outcome": "success"}
+    assert w["Privileges"]["PrivilegeList"] == \
+        "SeTcbPrivilege SeSecurityPrivilege"
+    # same payload without any envelope decodes identically
+    bare = snare_win_parse_row(body)
+    assert bare["win"] == w and bare["event_id"] == 4672
