@@ -126,3 +126,39 @@ def test_apng_roundtrip_and_sequence_rules():
         decode_apng(encode_apng(
             [f0, {"img": rng.randint(0, 256, (4, 4, 3)).astype(np.uint8),
                   "x": 5, "y": 3}]))
+
+
+def test_fuzz_mutations_fail_closed():
+    """Decoder robustness: random byte flips / truncations / splices
+    of valid PNGs either decode (mutation hit a don't-care byte — CRC
+    would normally catch it, but we flip data too) or raise PngError —
+    NEVER any other exception type (no IndexError/struct.error/
+    MemoryError escapes into a pipeline stage)."""
+    rng = np.random.RandomState(99)
+    base = [encode_png(rng.randint(0, 256, (h, w, c)).astype(np.uint8),
+                       filters="cycle", interlace=h % 2, idat_size=31)
+            for (h, w, c) in ((5, 7, 3), (4, 4, 1), (6, 3, 4))]
+    apng = encode_apng([rng.randint(0, 256, (4, 6, 3)).astype(np.uint8)
+                        for _ in range(3)], idat_size=17)
+    corpus = base + [apng]
+    for trial in range(400):
+        src = bytearray(corpus[trial % len(corpus)])
+        op = trial % 4
+        if op == 0:      # flip 1-4 random bytes
+            for _ in range(rng.randint(1, 5)):
+                src[rng.randint(len(src))] ^= rng.randint(1, 256)
+        elif op == 1:    # truncate anywhere
+            src = src[:rng.randint(len(src))]
+        elif op == 2:    # splice a random window out
+            a = rng.randint(len(src))
+            b = min(len(src), a + rng.randint(1, 64))
+            del src[a:b]
+        else:            # inject garbage
+            at = rng.randint(len(src))
+            src[at:at] = bytes(rng.randint(0, 256, rng.randint(1, 32))
+                               .astype(np.uint8))
+        for fn in (decode_png, decode_apng):
+            try:
+                fn(bytes(src))
+            except PngError:
+                pass       # fail-closed is the contract
