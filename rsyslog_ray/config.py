@@ -408,6 +408,16 @@ def _connector_spec(sink: str, prm: dict) -> dict:
         def factory():
             from .stages.connectors import PipeTransport
             return PipeTransport(pipe)
+    elif typ == "omhdfs":
+        # native Hadoop RPC path (omhdfs.c param names: hdfshost /
+        # hdfsport / hdfsfile / hdfsuser)
+        h = prm.get("hdfshost", host)
+        p = int(prm.get("hdfsport", 0)) or need_port(8020)
+        fpath = prm.get("hdfsfile", prm.get("file", "/raylog"))
+        user = prm.get("hdfsuser", prm.get("user", "hdfs"))
+        def factory():
+            from .stages.connectors import HdfsNativeTransport
+            return HdfsNativeTransport(h, p, file=fpath, user=user)
     else:
         raise ValueError(f"unknown connector action type {typ!r}")
     spec = {"factory": factory}
@@ -420,7 +430,7 @@ def _connector_spec(sink: str, prm: dict) -> dict:
 CONNECTOR_ACTION_TYPES = frozenset({
     "omfwd", "omkafka", "omelasticsearch", "omclickhouse", "ompgsql",
     "ommysql", "ommongodb", "omhttp", "ompipe", "omhiredis", "omrelp",
-    "omsnmp", "omjournal"})
+    "omsnmp", "omjournal", "omhdfs"})
 
 
 def load_config(path_or_dict) -> PipelineConfig:

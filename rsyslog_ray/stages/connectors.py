@@ -1934,6 +1934,77 @@ class CzmqTransport:
                 self._sock = None
 
 
+class HdfsNativeTransport:
+    """omhdfs over the NATIVE Hadoop wire (plugins/omhdfs/omhdfs.c
+    delegates to libhdfs hdfsConnect/hdfsOpenFile/hdfsWrite — no JVM
+    here, so state/hadoopwire.py speaks the protocols directly):
+    NameNode RPC v9 ``create`` on first bulk, one ``addBlock``, a
+    DataNode WRITE_BLOCK packet stream (CRC32C chunk checksums) fed
+    per bulk, then last-packet + ``complete`` at :meth:`close` — the
+    single-writer create path.  Rows render to LF-terminated lines
+    (the reference renders the template then hdfsWrites the line,
+    omhdfs.c:340-420).
+
+    Limits (loud, documented): SIMPLE auth only, one block per file
+    (a bulk stream past ``block_size`` raises rather than silently
+    truncating), pipeline of the first reported datanode."""
+
+    def __init__(self, namenode: str, port: int = 8020,
+                 file: str = "/raylog", user: str = "hdfs",
+                 render=None, block_size: int = 128 * 1024 * 1024,
+                 bytes_per_checksum: int = 512):
+        self.namenode, self.port = namenode, port
+        self.file = file if file.startswith("/") else "/" + file
+        self.user = user
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self.block_size = block_size
+        self.bpc = bytes_per_checksum
+        self._rpc = None
+        self._writer = None
+        self._block = None
+        self._file_id = 0
+
+    def _open(self):
+        from ..state.hadoopwire import BlockWriter, HdfsRpcClient
+
+        rpc = HdfsRpcClient(self.namenode, self.port, self.user)
+        st = rpc.create(self.file, overwrite=True,
+                        block_size=self.block_size)
+        self._file_id = st["fileId"]
+        blk = rpc.add_block(self.file, self._file_id)
+        if not blk["locs"]:
+            raise ConnectionError("addBlock returned no datanodes")
+        host, dport = blk["locs"][0]
+        self._writer = BlockWriter(host, dport, blk,
+                                   rpc._client_name(),
+                                   bytes_per_checksum=self.bpc)
+        self._rpc, self._block = rpc, blk
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        body = ("\n".join(self.render(r) for r in payloads)
+                + "\n").encode()
+        if self._writer is None:
+            self._open()
+        if self._writer.offset + len(body) > self.block_size:
+            raise ConnectionError(
+                "single-block writer exceeded block_size; raise "
+                "block_size or rotate the sink file")
+        self._writer.write(body)
+        return []
+
+    def close(self):
+        try:
+            if self._writer is not None:
+                n = self._writer.finish()
+                self._rpc.complete(self.file, self._block,
+                                   self._file_id, n)
+        finally:
+            self._writer = None
+            if self._rpc is not None:
+                self._rpc.close()
+                self._rpc = None
+
+
 class HttpFsTransport:
     """omhttpfs (contrib/omhttpfs/omhttpfs.c) — HDFS over the
     WebHDFS/HttpFS REST interface, stdlib http.client instead of
