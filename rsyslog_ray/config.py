@@ -408,6 +408,11 @@ def _connector_spec(sink: str, prm: dict) -> dict:
         def factory():
             from .stages.connectors import PipeTransport
             return PipeTransport(pipe)
+    elif typ == "omdtls":
+        h, p = host, need_port(4433)
+        def factory():
+            from .stages.connectors import DtlsTransport
+            return DtlsTransport(h, p)
     elif typ == "omhdfs":
         # native Hadoop RPC path (omhdfs.c param names: hdfshost /
         # hdfsport / hdfsfile / hdfsuser)
@@ -430,7 +435,7 @@ def _connector_spec(sink: str, prm: dict) -> dict:
 CONNECTOR_ACTION_TYPES = frozenset({
     "omfwd", "omkafka", "omelasticsearch", "omclickhouse", "ompgsql",
     "ommysql", "ommongodb", "omhttp", "ompipe", "omhiredis", "omrelp",
-    "omsnmp", "omjournal", "omhdfs"})
+    "omsnmp", "omjournal", "omhdfs", "omdtls"})
 
 
 def load_config(path_or_dict) -> PipelineConfig:

@@ -288,3 +288,37 @@ class FifoCapture:
                 if len(rows) >= max_records:
                     break
         return ray.data.from_pandas(pd.DataFrame({"record": rows}))
+
+
+class DtlsCapture:
+    """Bounded imdtls analog (plugins/imdtls/imdtls.c: a DTLS UDP
+    listener, one syslog message per decrypted datagram — the
+    reference runs OpenSSL sessions per client; the DTLS 1.2 stack
+    here is in-repo, state/dtlswire.py).  Construction binds the UDP
+    socket; ``capture(n)`` accepts ONE session (cookie exchange +
+    handshake) and reads n sealed datagrams into Dataset rows
+    (record, peer).  A daemon loops sessions forever; the batch
+    capture is bounded."""
+
+    def __init__(self, bind_host: str = "127.0.0.1", port: int = 0,
+                 timeout: float = 10.0):
+        from ..state.dtlswire import DtlsServer
+
+        self._srv = DtlsServer(bind_host, port, timeout=timeout)
+        self.port = self._srv.port
+
+    def capture(self, n_msgs: int):
+        import ray.data
+
+        rows = {"record": [], "peer": []}
+        try:
+            self._srv.accept()
+            peer = self._srv._state[2]
+            for _ in range(n_msgs):
+                data = self._srv.recv()
+                rows["record"].append(
+                    data.decode("utf-8", errors="replace"))
+                rows["peer"].append(peer[0])
+        finally:
+            self._srv.close()
+        return ray.data.from_pandas(pd.DataFrame(rows))

@@ -1934,6 +1934,43 @@ class CzmqTransport:
                 self._sock = None
 
 
+class DtlsTransport:
+    """omdtls (plugins/omdtls/omdtls.c): one rendered message per
+    DTLS-sealed datagram.  The reference wraps OpenSSL; here the
+    whole DTLS 1.2 stack is in-repo (state/dtlswire.py — RFC 6347
+    records + cookie exchange, RFC 5246 handshake/PRF, FIPS-197 AES,
+    PKCS#1 key exchange), CERTANON-parity server auth (the cert's RSA
+    key is used, the chain is not validated — net_ossl.c:654-657
+    SSL_VERIFY_NONE)."""
+
+    def __init__(self, host: str, port: int, render=None,
+                 timeout: float = 10.0):
+        self.host, self.port, self.timeout = host, port, timeout
+        self.render = render or (lambda rec: json.dumps(rec, default=str))
+        self._cli = None
+
+    def __call__(self, payloads: list[dict]) -> list[tuple[int, str]]:
+        from ..state.dtlswire import DtlsClient
+
+        if self._cli is None:
+            self._cli = DtlsClient(self.host, self.port,
+                                   timeout=self.timeout)
+        try:
+            for rec in payloads:
+                self._cli.send(self.render(rec).encode("utf-8"))
+        except OSError:
+            self.close()
+            raise
+        return []
+
+    def close(self):
+        if self._cli is not None:
+            try:
+                self._cli.close()
+            finally:
+                self._cli = None
+
+
 class HdfsNativeTransport:
     """omhdfs over the NATIVE Hadoop wire (plugins/omhdfs/omhdfs.c
     delegates to libhdfs hdfsConnect/hdfsOpenFile/hdfsWrite — no JVM
