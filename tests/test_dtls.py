@@ -147,3 +147,41 @@ def test_imdtls_omdtls_pair(ray_session):
     recs = [_json.loads(r) for r in got["record"]]
     assert [r["msg"] for r in recs] == [f"event {i}" for i in range(5)]
     assert (got["peer"] == "127.0.0.1").all()
+
+
+def test_record_layer_fuzz_fails_closed():
+    """Mutated/truncated/garbage datagrams must parse to records or
+    raise DtlsError, and sealed-record mutations must fail the MAC
+    with DtlsError — never IndexError/struct.error into a source."""
+    import os
+    import random
+
+    from rsyslog_ray.state.dtlswire import (CT_APPDATA, parse_records,
+                                            record)
+
+    rng = random.Random(41)
+    cs = CipherState(os.urandom(20), os.urandom(16))
+    sealed = cs.seal(CT_APPDATA, 1, 3, b"payload under test")
+    wire = record(CT_APPDATA, 1, 3, sealed)
+    for trial in range(300):
+        src = bytearray(wire)
+        op = trial % 3
+        if op == 0:
+            for _ in range(rng.randint(1, 4)):
+                src[rng.randrange(len(src))] ^= rng.randint(1, 255)
+        elif op == 1:
+            src = src[:rng.randrange(len(src))]
+        else:
+            src = bytearray(os.urandom(rng.randint(0, 200)))
+        try:
+            for ctype, _v, epoch, seq, body in parse_records(bytes(src)):
+                if ctype == CT_APPDATA:
+                    try:
+                        cs.open(CT_APPDATA, epoch, seq, body)
+                    except DtlsError:
+                        pass
+        except DtlsError:
+            pass
+    # untouched record still opens
+    for ctype, _v, epoch, seq, body in parse_records(wire):
+        assert cs.open(ctype, epoch, seq, body) == b"payload under test"
